@@ -1,0 +1,46 @@
+"""Test configuration: 8 virtual CPU devices + the reference Flax oracle.
+
+All tests run on CPU with ``xla_force_host_platform_device_count=8`` so that
+multi-device mesh/sharding tests exercise real GSPMD partitioning without TPU
+hardware (SURVEY.md §4).
+
+The upstream Flax implementation (mounted read-only at /root/reference) is
+importable as the ``videoprism`` package and serves as the *numerical oracle*:
+parity tests initialize a reference module, then drive the reference and this
+framework with the SAME parameter tree and compare outputs.
+"""
+
+import os
+import sys
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = (
+    os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8'
+)
+
+_REFERENCE_PATH = '/root/reference'
+if os.path.isdir(_REFERENCE_PATH) and _REFERENCE_PATH not in sys.path:
+  sys.path.insert(0, _REFERENCE_PATH)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope='session')
+def rng():
+  import jax
+
+  return jax.random.PRNGKey(0)
+
+
+def has_reference() -> bool:
+  try:
+    import videoprism  # noqa: F401
+
+    return True
+  except ImportError:
+    return False
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason='reference Flax oracle not importable'
+)

@@ -1,0 +1,238 @@
+"""ViViT model-2 factorized space-time video encoder.
+
+Functional re-implementation of the reference ``FactorizedEncoder``
+(videoprism/encoders.py:391-580) and its ``VisionTransformer`` wrapper
+(videoprism/encoders.py:310-388).
+
+Pipeline for ``[B, T, H, W, 3]`` input (P = patch size, N = H*W/P^2 tokens):
+
+    patches [B*T, N, P^2*3]
+      -> linear ``patch_projection``                  [B*T, N, D]
+      -> + learned spatial pos-emb (bilinear-resized if grid differs)
+      -> spatial transformer stack (gelu, soft-capped attention)
+      -> ``spatial_ln``
+      -> regroup (b t) n d -> (b n) t d
+      -> + learned temporal pos-emb (1-D resized if T differs)
+      -> temporal transformer stack
+      -> ``temporal_ln``
+      -> regroup (b n) t d -> b (t n) d                [B, T*N, D]
+
+The factorization is what makes this TPU-friendly at scale: attention is
+always over 256 (spatial) or T<=16 (temporal) tokens — big batched MXU
+matmuls, never a 4096-token quadratic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Collection
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videoprism_tpu.ops import basic
+from videoprism_tpu.ops import embeddings as emb_lib
+from videoprism_tpu.ops.transformer import (
+    TransformerLayerConfig,
+    stacked_transformer,
+)
+
+Array = jax.Array
+Params = dict[str, Any]
+
+
+def contains(collection: Collection[str] | bool, key: str) -> bool:
+  """True if ``collection`` is True or contains ``key``.
+
+  Reference: videoprism/encoders.py:36-47.
+  """
+  return collection if isinstance(collection, bool) else key in collection
+
+
+@dataclasses.dataclass(frozen=True)
+class FactorizedEncoderConfig:
+  """Static config; field defaults mirror reference videoprism/encoders.py:400-409."""
+
+  patch_size: int = 18
+  pos_emb_shape: tuple[int, int, int] = (16, 16, 16)
+  model_dim: int = 768
+  num_spatial_layers: int = 12
+  num_temporal_layers: int = 4
+  num_heads: int = 12
+  mlp_dim: int = 3072
+  atten_logit_cap: float = 0.0
+  norm_policy: str = 'pre'
+  scan: bool = True
+  # TPU-runtime knobs (not part of the reference architecture):
+  remat: bool = False
+  attention_impl: str = 'xla'
+  dtype: Any = jnp.float32
+
+  def vit_layer_config(self, num_layers: int) -> TransformerLayerConfig:
+    """ViT stack config: gelu, per-dim-scale off, non-causal.
+
+    Reference: ``VisionTransformer.__call__`` videoprism/encoders.py:369-387.
+    """
+    return TransformerLayerConfig(
+        num_layers=num_layers,
+        hidden_dim=self.mlp_dim,
+        num_heads=self.num_heads,
+        norm_policy=self.norm_policy,
+        activation='gelu',
+        enable_per_dim_scale=False,
+        logit_cap=self.atten_logit_cap,
+        enable_causal_atten=False,
+        scan=self.scan,
+        remat=self.remat,
+        attention_impl=self.attention_impl,
+        dtype=self.dtype,
+    )
+
+
+def vision_transformer(
+    params: Params,
+    inputs: Array,
+    cfg: TransformerLayerConfig,
+    *,
+    paddings: Array | None = None,
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> Array:
+  """ViT = StackedTransformer under the ``transformers_stack`` key.
+
+  Reference: videoprism/encoders.py:350-388.
+  """
+  if paddings is None:
+    paddings = jnp.zeros(inputs.shape[:-1], dtype=inputs.dtype)
+  return stacked_transformer(
+      params['transformers_stack'], inputs, paddings, cfg,
+      train=train, rng=rng)
+
+
+def apply(
+    params: Params,
+    inputs: Array,
+    cfg: FactorizedEncoderConfig,
+    *,
+    train: bool = False,
+    return_intermediate: bool | Collection[str] = False,
+    frame_paddings: Array | None = None,
+    rng: jax.Array | None = None,
+) -> tuple[Array, dict[str, Array]]:
+  """Video [B, T, H, W, 3] -> embeddings [B, T*N, D] (+ intermediates).
+
+  Reference: ``FactorizedEncoder.__call__`` videoprism/encoders.py:411-456.
+  """
+  b, t, h, w, c = inputs.shape
+  assert h == w
+  reshaped_inputs = inputs.reshape(b * t, h, w, c)
+  patches = emb_lib.image_to_patch(reshaped_inputs, cfg.patch_size)
+
+  patches_paddings = None
+  if frame_paddings is not None:
+    assert frame_paddings.shape == (b, t)
+    reshaped_frame_paddings = frame_paddings.reshape(b * t)
+    num_patches = patches.shape[1]
+    patches_paddings = jnp.repeat(
+        reshaped_frame_paddings[:, jnp.newaxis], num_patches, axis=-1)
+
+  return encode_with_patches(
+      params,
+      patches,
+      image_shape=(t, h, w),
+      cfg=cfg,
+      train=train,
+      return_intermediate=return_intermediate,
+      patches_paddings=patches_paddings,
+      rng=rng,
+  )
+
+
+def encode_with_patches(
+    params: Params,
+    patches: Array,
+    image_shape: tuple[int, int, int],
+    cfg: FactorizedEncoderConfig,
+    *,
+    train: bool = False,
+    return_intermediate: bool | Collection[str] = False,
+    patches_paddings: Array | None = None,
+    rng: jax.Array | None = None,
+) -> tuple[Array, dict[str, Array]]:
+  """Patches [B*T, N, P^2*C] -> embeddings [B, T*N, D].
+
+  Reference: ``FactorizedEncoder.encode_with_patches``
+  videoprism/encoders.py:458-580.
+  """
+  dtype = cfg.dtype
+  t, h, w = image_shape
+  b = patches.shape[0] // t
+
+  spatial_rng = temporal_rng = None
+  if rng is not None:
+    rng, spatial_rng, temporal_rng = jax.random.split(rng, 3)
+
+  patches = basic.feed_forward(
+      params['patch_projection'], patches,
+      activation='identity', dtype=dtype)  # (B*T, N, D)
+
+  # Spatial positional embedding (+ 2-D bilinear resize if the patch grid
+  # differs from the checkpoint grid).
+  spatial_pos_emb_shape = cfg.pos_emb_shape[-2:]
+  spatial_seq_length = int(np.prod(spatial_pos_emb_shape))
+  spatial_pos_emb = emb_lib.trainable_positional_embedding(
+      params['spatial_pos_emb'], spatial_seq_length, dtype=dtype)
+  num_row_patches = h // cfg.patch_size
+  num_col_patches = w // cfg.patch_size
+  if spatial_pos_emb_shape != (num_row_patches, num_col_patches):
+    spatial_pos_emb = emb_lib.interpolate_emb_2d(
+        spatial_pos_emb, spatial_pos_emb_shape,
+        (num_row_patches, num_col_patches))
+  patches = patches + spatial_pos_emb
+
+  features = vision_transformer(
+      params['spatial_encoder'], patches,
+      cfg.vit_layer_config(cfg.num_spatial_layers),
+      paddings=patches_paddings, train=train, rng=spatial_rng)
+  features = basic.layer_norm(params['spatial_ln'], features, dtype=dtype)
+  spatial_features = features
+
+  # Regroup to per-token temporal sequences: (b t) n d -> (b n) t d.
+  n = features.shape[1]
+  d = features.shape[2]
+  features = features.reshape(b, t, n, d).transpose(0, 2, 1, 3)
+  features = features.reshape(b * n, t, d)
+  temporal_paddings = None
+  if patches_paddings is not None:
+    temporal_paddings = (
+        patches_paddings.reshape(b, t, n)
+        .transpose(0, 2, 1)
+        .reshape(b * n, t)
+    )
+
+  # Temporal positional embedding (+ 1-D resize for arbitrary frame counts).
+  temporal_seq_length = cfg.pos_emb_shape[0]
+  temporal_pos_emb = emb_lib.trainable_positional_embedding(
+      params['temporal_pos_emb'], temporal_seq_length, dtype=dtype)
+  if temporal_seq_length != t:
+    temporal_pos_emb = emb_lib.interpolate_emb_1d(temporal_pos_emb, t)
+  features = features + temporal_pos_emb
+
+  features = vision_transformer(
+      params['temporal_encoder'], features,
+      cfg.vit_layer_config(cfg.num_temporal_layers),
+      paddings=temporal_paddings, train=train, rng=temporal_rng)
+  features = basic.layer_norm(params['temporal_ln'], features, dtype=dtype)
+
+  # (b n) t d -> b (t n) d.
+  features = features.reshape(b, n, t, d).transpose(0, 2, 1, 3)
+  features = features.reshape(b, t * n, d)
+
+  outputs = {}
+  if contains(return_intermediate, 'spatial_features'):
+    outputs['spatial_features'] = (
+        spatial_features.reshape(b, t, n, d).reshape(b, t * n, d)
+    )
+  return features, outputs

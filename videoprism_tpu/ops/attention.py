@@ -1,0 +1,208 @@
+"""Multi-head dot-product attention with tanh logit soft-cap.
+
+Functional re-implementation of the reference attention stack
+(``AttentionProjection``, ``PerDimScale``, ``DotProductAttention``; reference
+videoprism/layers.py:433-746) with two interchangeable inner loops:
+
+  * ``impl='xla'``   — straight jnp einsums; numerically the ground truth.
+  * ``impl='flash'`` — Pallas TPU flash-attention kernel with the tanh logit
+    cap folded into the online softmax (``videoprism_tpu.ops.pallas``).
+
+Projection weights keep the checkpoint layout **(D, N, H)** for q/k/v and
+post (reference videoprism/layers.py:433-499); this layout is the checkpoint
+schema and also shards naturally over a tensor-parallel mesh axis on N.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videoprism_tpu.ops import basic
+from videoprism_tpu.ops import masks as mask_lib
+
+Array = jax.Array
+Params = dict[str, Any]
+
+
+def attention_projection(
+    params: Params,
+    inputs: Array,
+    *,
+    is_output_projection: bool = False,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+) -> Array:
+  """Multi-head input/output projection with (D, N, H) weights.
+
+  Input projection:  ``...D, DNH -> ...NH``
+  Output projection: ``...NH, DNH -> ...D``
+  Reference: videoprism/layers.py:454-499.
+  """
+  w = basic.cast_floating(params['w'], dtype)
+  if is_output_projection:
+    ret = jnp.einsum('...NH,DNH->...D', inputs, w)
+  else:
+    ret = jnp.einsum('...D,DNH->...NH', inputs, w)
+  if use_bias:
+    ret = ret + basic.cast_floating(params['b'], dtype)
+  return ret
+
+
+def _scale_query(
+    params: Params,
+    query: Array,
+    *,
+    enable_query_scale: bool,
+    enable_per_dim_scale: bool,
+    dim_per_head: int,
+    dtype,
+) -> Array:
+  """Query scaling (reference videoprism/layers.py:569-584).
+
+  Either the learned softplus per-dim scale, or the classical
+  ``dim_per_head ** -0.5``.
+  """
+  if not enable_query_scale:
+    return query
+  if enable_per_dim_scale:
+    return basic.per_dim_scale(params['per_dim_scale'], query, dtype=dtype)
+  return query * (dim_per_head**-0.5)
+
+
+def _cap_logits(logits: Array, cap: float, dtype) -> Array:
+  """Tanh soft-cap: ``cap * tanh(logits / cap)``.
+
+  Applied *before* masking — the cap squashes both signs so the
+  very-negative mask values must be injected afterwards (reference
+  videoprism/layers.py:586-594).
+  """
+  if not cap or cap <= 0.0:
+    return logits
+  cap_arr = jnp.array(cap, dtype=dtype)
+  return cap_arr * jnp.tanh(logits / cap_arr)
+
+
+def dot_atten(
+    query: Array,
+    key: Array,
+    value: Array,
+    atten_mask: Array,
+    *,
+    logit_cap: float = 0.0,
+    scale_logits_by_head_dims: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    train: bool = False,
+    dtype=jnp.float32,
+) -> tuple[Array, Array]:
+  """Core attention over projected heads ([B,T,N,H] x [B,S,N,H]).
+
+  Logits ``BTNH,BSNH->BNTS``; tanh cap; fp32 softmax; select-masking.
+  Reference: videoprism/layers.py:601-661.
+
+  Returns (encoded [B,T,N,H], probs [B,N,T,S]).
+  """
+  logits = jnp.einsum('BTNH,BSNH->BNTS', query, key)
+  if scale_logits_by_head_dims:
+    logits = logits * (1.0 / np.sqrt(key.shape[-1]))
+  logits = _cap_logits(logits, logit_cap, dtype)
+  # Softmax always in fp32 (reference videoprism/layers.py:650-654).
+  logits = logits.astype(jnp.float32)
+  padded_logits = mask_lib.apply_mask_to_logits(logits, atten_mask)
+  probs = jax.nn.softmax(padded_logits, axis=-1).astype(dtype)
+  probs = basic.dropout(
+      dropout_rng, probs, dropout_rate, deterministic=not train
+  )
+  encoded = jnp.einsum('BNTS,BSNH->BTNH', probs, value)
+  return encoded, probs
+
+
+def multi_head_attention(
+    params: Params,
+    query_vec: Array,
+    key_vec: Array,
+    value_vec: Array,
+    atten_mask: Array,
+    *,
+    hidden_dim: int,
+    num_heads: int,
+    dim_per_head: int | None = None,
+    logit_cap: float = 0.0,
+    enable_query_scale: bool = True,
+    enable_per_dim_scale: bool = True,
+    scale_logits_by_head_dims: bool = False,
+    use_qk_norm: bool = False,
+    use_bias: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    train: bool = False,
+    dtype=jnp.float32,
+    impl: str = 'xla',
+) -> Array:
+  """Full MHA: q/k/v projections, attention, post projection.
+
+  Param tree (checkpoint schema, reference videoprism/layers.py:685-746)::
+
+      {'query': {'w': [D, N, H], 'b': [N, H]},
+       'key':   {...}, 'value': {...},
+       'post':  {'w': [Dq, N, H], 'b': [Dq]},
+       'per_dim_scale': {'per_dim_scale': [H]},       # if per-dim scale
+       'layer_norm_q' / 'layer_norm_k': {...}}        # if qk-norm
+
+  Returns encoded [B, T, Dq].
+  """
+  if dim_per_head is None:
+    dim_per_head = hidden_dim // num_heads
+    assert dim_per_head * num_heads == hidden_dim
+
+  proj = lambda name, x: attention_projection(
+      params[name], x, is_output_projection=False, use_bias=use_bias,
+      dtype=dtype)
+  query_proj = proj('query', query_vec)  # [B, T, N, H]
+  key_proj = proj('key', key_vec)        # [B, S, N, H]
+  value_proj = proj('value', value_vec)  # [B, S, N, H]
+
+  if use_qk_norm:
+    query_proj = basic.layer_norm(
+        params['layer_norm_q'], query_proj, use_bias=use_bias, dtype=dtype)
+    key_proj = basic.layer_norm(
+        params['layer_norm_k'], key_proj, use_bias=use_bias, dtype=dtype)
+
+  query_proj = _scale_query(
+      params,
+      query_proj,
+      enable_query_scale=enable_query_scale,
+      enable_per_dim_scale=enable_per_dim_scale,
+      dim_per_head=dim_per_head,
+      dtype=dtype,
+  )
+
+  use_flash = (
+      impl == 'flash'
+      and not (dropout_rate > 0.0 and train)  # kernel has no dropout path
+  )
+  if use_flash:
+    from videoprism_tpu.ops.pallas import flash_attention as flash
+
+    encoded = flash.flash_attention(
+        query_proj, key_proj, value_proj, atten_mask,
+        logit_cap=logit_cap, dtype=dtype,
+    )
+  else:
+    encoded, _ = dot_atten(
+        query_proj, key_proj, value_proj, atten_mask,
+        logit_cap=logit_cap,
+        scale_logits_by_head_dims=scale_logits_by_head_dims,
+        dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng,
+        train=train,
+        dtype=dtype,
+    )
+
+  return attention_projection(
+      params['post'], encoded, is_output_projection=True, use_bias=use_bias,
+      dtype=dtype)

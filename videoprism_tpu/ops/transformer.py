@@ -1,0 +1,304 @@
+"""Transformer block and weight-stacked layer stack.
+
+Functional re-implementation of the reference's ``TransformerFeedForward``,
+``Transformer``, ``Repeat`` and ``StackedTransformer``
+(videoprism/layers.py:316-430, 749-872, 875-937, 940-1041).
+
+TPU-first design choice: layer stacking is a ``jax.lax.scan`` over parameters
+with a **leading layer axis** — the exact layout of the public "repeated"
+checkpoints — optionally wrapped in ``jax.checkpoint`` (nothing_saveable) for
+rematerialized memory-light training.  Unlike the reference's MLX port, no
+per-layer unstacking is ever needed: the checkpoint maps 1:1 onto the scanned
+pytree and XLA compiles the stack to a single rolled loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from videoprism_tpu.ops import attention as attention_lib
+from videoprism_tpu.ops import basic
+from videoprism_tpu.ops import masks as mask_lib
+
+Array = jax.Array
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerLayerConfig:
+  """Static configuration for one transformer layer / a homogeneous stack.
+
+  Field semantics follow reference videoprism/layers.py:749-784 and
+  940-986.
+  """
+
+  num_layers: int = 0
+  hidden_dim: int = 0           # FFN hidden dim.
+  num_heads: int = 0
+  dim_per_head: int | None = None
+  norm_policy: str = 'pre'      # pre | primer_hybrid | post | post_skip
+  use_bias: bool = True
+  activation: str = 'relu'
+  enable_per_dim_scale: bool = True
+  logit_cap: float = 0.0
+  enable_causal_atten: bool = False
+  residual_weight: float = 1.0
+  atten_dropout: float = 0.0
+  residual_dropout: float = 0.0
+  relu_dropout: float = 0.0
+  scan: bool = True             # lax.scan over stacked weights vs python loop
+  remat: bool = False           # jax.checkpoint around each scanned layer
+  attention_impl: str = 'xla'   # 'xla' | 'flash'
+  dtype: Any = jnp.float32      # fprop dtype
+
+
+def transformer_ffn(
+    params: Params,
+    inputs: Array,
+    paddings: Array | None,
+    cfg: TransformerLayerConfig,
+    *,
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> Array:
+  """FFN with residual, norm policy, and padding zeroing.
+
+  Param tree (checkpoint schema)::
+
+      {'layer_norm': {...} | 'pre_layer_norm'/'post_layer_norm': {...},
+       'ffn_layer1': {'linear': {'kernel': [D, F], 'bias': [F]}},
+       'ffn_layer2': {'linear': {'kernel': [F, D], 'bias': [D]}}}
+
+  Reference: ``TransformerFeedForward`` videoprism/layers.py:370-430.
+  """
+  dtype = cfg.dtype
+  residual = inputs
+  if paddings is not None:
+    paddings = jnp.expand_dims(paddings, axis=-1)
+
+  ln = lambda name, x: basic.layer_norm(
+      params[name], x, use_bias=cfg.use_bias, dtype=dtype)
+
+  if cfg.norm_policy == 'primer_hybrid':
+    inputs = ln('pre_layer_norm', inputs)
+  elif cfg.norm_policy == 'pre':
+    inputs = ln('layer_norm', inputs)
+
+  activations = basic.feed_forward(
+      params['ffn_layer1'], inputs,
+      activation=cfg.activation, has_bias=cfg.use_bias, dtype=dtype)
+  if paddings is not None:
+    activations = activations * (1.0 - paddings)
+
+  if train and cfg.relu_dropout > 0.0:
+    rng, sub = jax.random.split(rng)
+    activations = basic.dropout(
+        sub, activations, cfg.relu_dropout, deterministic=False)
+
+  outputs = basic.feed_forward(
+      params['ffn_layer2'], activations,
+      activation='identity', has_bias=cfg.use_bias, dtype=dtype)
+  if paddings is not None:
+    outputs = outputs * (1.0 - paddings)
+
+  if cfg.norm_policy == 'primer_hybrid':
+    outputs = ln('post_layer_norm', outputs)
+  elif cfg.norm_policy == 'post':
+    outputs = ln('layer_norm', outputs)
+
+  if train and cfg.residual_dropout > 0.0:
+    rng, sub = jax.random.split(rng)
+    outputs = basic.dropout(
+        sub, outputs, cfg.residual_dropout, deterministic=False)
+
+  outputs = residual + outputs * cfg.residual_weight
+
+  if cfg.norm_policy == 'post_skip':
+    outputs = ln('layer_norm', outputs)
+  return outputs
+
+
+def transformer_layer(
+    params: Params,
+    inputs: Array,
+    paddings: Array | None,
+    atten_mask: Array,
+    cfg: TransformerLayerConfig,
+    *,
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> Array:
+  """One pre/post-norm self-attention + FFN block.
+
+  Param tree (checkpoint schema)::
+
+      {'layer_norm': {...},            # policy-dependent names
+       'self_attention': {...},        # see attention.multi_head_attention
+       'ff_layer': {...}}              # see transformer_ffn
+
+  Reference: ``Transformer`` videoprism/layers.py:796-872.
+  """
+  dtype = cfg.dtype
+  ln = lambda name, x: basic.layer_norm(
+      params[name], x, use_bias=cfg.use_bias, dtype=dtype)
+
+  if cfg.norm_policy == 'primer_hybrid':
+    inputs_normalized = ln('pre_layer_norm', inputs)
+  elif cfg.norm_policy == 'pre':
+    inputs_normalized = ln('layer_norm', inputs)
+  else:
+    inputs_normalized = inputs
+
+  atten_rng = ffn_rng = None
+  if rng is not None:
+    rng, atten_rng, res_rng, ffn_rng = jax.random.split(rng, 4)
+  else:
+    res_rng = None
+
+  atten_outputs = attention_lib.multi_head_attention(
+      params['self_attention'],
+      inputs_normalized, inputs_normalized, inputs_normalized,
+      atten_mask,
+      hidden_dim=inputs_normalized.shape[-1],
+      num_heads=cfg.num_heads,
+      dim_per_head=cfg.dim_per_head,
+      logit_cap=cfg.logit_cap,
+      enable_per_dim_scale=cfg.enable_per_dim_scale,
+      use_bias=cfg.use_bias,
+      dropout_rate=cfg.atten_dropout,
+      dropout_rng=atten_rng,
+      train=train,
+      dtype=dtype,
+      impl=cfg.attention_impl,
+  )
+
+  if cfg.norm_policy == 'primer_hybrid':
+    atten_outputs = ln('post_layer_norm', atten_outputs)
+  elif cfg.norm_policy == 'post':
+    atten_outputs = ln('layer_norm', atten_outputs)
+
+  if train and cfg.residual_dropout > 0.0:
+    atten_outputs = basic.dropout(
+        res_rng, atten_outputs, cfg.residual_dropout, deterministic=False)
+  atten_outputs = atten_outputs + inputs
+
+  if cfg.norm_policy == 'post_skip':
+    atten_outputs = ln('layer_norm', atten_outputs)
+
+  return transformer_ffn(
+      params['ff_layer'], atten_outputs, paddings, cfg,
+      train=train, rng=ffn_rng)
+
+
+def stacked_transformer(
+    params: Params,
+    inputs: Array,
+    paddings: Array,
+    cfg: TransformerLayerConfig,
+    *,
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> Array:
+  """N transformer layers; scan-over-stacked-weights or python loop.
+
+  With ``cfg.scan`` the params live under ``x_layers`` with a leading layer
+  axis (the "repeated" checkpoint layout); otherwise under ``x_layers_{i}``.
+  Reference: ``StackedTransformer`` videoprism/layers.py:988-1041 and
+  ``Repeat`` videoprism/layers.py:875-937.
+  """
+  atten_mask = mask_lib.attention_mask_for_fprop(
+      inputs, paddings, causal_attention=cfg.enable_causal_atten)
+
+  if cfg.scan:
+    layer_rngs = (
+        jax.random.split(rng, cfg.num_layers) if rng is not None else None
+    )
+
+    def body(carry, scanned):
+      layer_params, layer_rng = scanned
+      out = transformer_layer(
+          layer_params, carry, paddings, atten_mask, cfg,
+          train=train, rng=layer_rng)
+      return out, None
+
+    if cfg.remat:
+      body = jax.checkpoint(
+          body, policy=jax.checkpoint_policies.nothing_saveable,
+          prevent_cse=False)
+
+    outputs, _ = jax.lax.scan(
+        body, inputs, (params['x_layers'], layer_rngs))
+    return outputs
+
+  outputs = inputs
+  for i in range(cfg.num_layers):
+    layer_rng = None
+    if rng is not None:
+      rng, layer_rng = jax.random.split(rng)
+    outputs = transformer_layer(
+        params[f'x_layers_{i}'], outputs, paddings, atten_mask, cfg,
+        train=train, rng=layer_rng)
+  return outputs
+
+
+def atten_token_pooling(
+    params: Params,
+    tokens: Array,
+    paddings: Array | None,
+    *,
+    num_heads: int,
+    hidden_dim: int = 0,
+    num_queries: int = 1,
+    add_layer_norm: bool = True,
+    enable_per_dim_scale: bool = True,
+    use_qk_norm: bool = False,
+    use_bias: bool = True,
+    dropout: float = 0.0,
+    train: bool = False,
+    rng: jax.Array | None = None,
+    dtype=jnp.float32,
+) -> Array:
+  """Attentional token pooling with learned query vectors.
+
+  Param tree (checkpoint schema)::
+
+      {'pooling_attention_query': [num_queries, D],
+       'pooling_attention': {...},                   # MHA params
+       'pooling_attention_layer_norm': {...}}        # if add_layer_norm
+
+  Reference: ``AttenTokenPoolingLayer`` videoprism/layers.py:1044-1136.
+  """
+  input_dim = tokens.shape[-1]
+  hidden_dim = hidden_dim if hidden_dim > 0 else 4 * input_dim
+  batch_size, seq_length = tokens.shape[0], tokens.shape[-2]
+
+  query = basic.cast_floating(params['pooling_attention_query'], dtype)
+  query = jnp.tile(query[jnp.newaxis, :, :], [batch_size, 1, 1])
+
+  if paddings is None:
+    paddings = jnp.zeros([batch_size, seq_length], dtype=tokens.dtype)
+
+  atten_mask = mask_lib.paddings_to_mask(paddings, paddings.dtype)
+  outputs = attention_lib.multi_head_attention(
+      params['pooling_attention'],
+      query, tokens, tokens, atten_mask,
+      hidden_dim=hidden_dim,
+      num_heads=num_heads,
+      enable_per_dim_scale=enable_per_dim_scale,
+      use_qk_norm=use_qk_norm,
+      use_bias=use_bias,
+      train=train,
+      dtype=dtype,
+  )
+
+  if add_layer_norm:
+    outputs = basic.layer_norm(
+        params['pooling_attention_layer_norm'], outputs, dtype=dtype)
+
+  if train and dropout > 0.0:
+    outputs = basic.dropout(rng, outputs, dropout, deterministic=False)
+  return outputs
