@@ -1,0 +1,139 @@
+"""Benchmark harness: videoprism_public_v1_base clip-embedding throughput.
+
+Prints ONE JSON line:
+    {"metric": "clips_per_sec", "value": N, "unit": "clips/s/chip",
+     "vs_baseline": R, ...}
+
+Baseline: the reference's best published end-to-end forward on its own
+native tier — MLX on Apple M3 Pro, 1.42 s per (1x16x288x288 + 3 texts) pass
+(reference FLAX_TO_MLX_CONVERSION_GUIDE.md:409; BASELINE.md) — i.e. ~0.704
+clips/s.  ``vs_baseline`` is our clips/s/chip divided by that.
+
+Methodology: K forwards are chained inside one jitted ``fori_loop`` that
+reduces each output to a scalar; a single 4-byte ``device_get`` forces
+execution.  (On tunneled TPU backends ``block_until_ready`` does not actually
+block, and fetching the [B, 4096, 768] output would time the tunnel, not the
+chip.)  Per-pass time = total / K, amortizing dispatch overhead.  Sweeps
+batch size for peak throughput; p50 single-clip latency reported from the
+batch-1 runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_CLIPS_PER_SEC = 1.0 / 1.42  # reference MLX M3 Pro headline
+
+
+def _make_forward(dtype, attention_impl: str):
+  from videoprism_tpu.models import factorized_encoder as fe
+  from videoprism_tpu.models import init as init_lib
+  from videoprism_tpu.models import registry
+
+  cfg = fe.FactorizedEncoderConfig(
+      **registry.CONFIGS['videoprism_v1_base'],
+      dtype=dtype, attention_impl=attention_impl)
+  params = init_lib.init_factorized_encoder(jax.random.PRNGKey(0), cfg)
+  params = jax.device_put(params)
+
+  @functools.partial(jax.jit, static_argnames=('iters',))
+  def forward_n(params, video, iters: int):
+    def body(i, carry):
+      acc, vid = carry
+      embeddings, _ = fe.apply(params, vid, cfg, train=False)
+      s = jnp.sum(embeddings[0, 0]).astype(jnp.float32)
+      # Feed a vanishing function of this pass's output into the next
+      # pass's input: real data dependence, so XLA cannot hoist the
+      # loop-invariant forward out of the loop, and the chain serializes.
+      vid = vid + s * 1e-30
+      return acc + s, vid
+
+    acc, _ = jax.lax.fori_loop(
+        0, iters, body, (jnp.zeros((), jnp.float32), video))
+    return acc
+
+  return forward_n, params
+
+
+def _time_forward(forward_n, params, video, warmup: int, runs: int,
+                  iters: int):
+  """Returns per-forward-pass seconds over ``runs`` timed chains."""
+  import numpy as np
+
+  np.asarray(forward_n(params, video, warmup))  # compile + warm
+  times = []
+  for _ in range(runs):
+    t0 = time.perf_counter()
+    np.asarray(forward_n(params, video, iters))
+    times.append((time.perf_counter() - t0) / iters)
+  return times
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--dtype', default='bfloat16',
+                      choices=['bfloat16', 'float32'])
+  parser.add_argument('--attention', default='auto',
+                      choices=['auto', 'xla', 'flash'])
+  parser.add_argument('--batch-sizes', default='1,4,8,16')
+  parser.add_argument('--runs', type=int, default=3)
+  parser.add_argument('--warmup', type=int, default=2)
+  parser.add_argument('--iters', type=int, default=8,
+                      help='forward passes chained per timed run')
+  args = parser.parse_args()
+
+  dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
+  platform = jax.devices()[0].platform
+
+  attention = args.attention
+  if attention == 'auto':
+    attention = 'flash' if platform == 'tpu' else 'xla'
+
+  forward, params = _make_forward(dtype, attention)
+
+  best_throughput = 0.0
+  best_batch = 0
+  per_batch = {}
+  p50_latency_ms = None
+  for b in [int(x) for x in args.batch_sizes.split(',')]:
+    video = jax.device_put(
+        jax.random.uniform(
+            jax.random.PRNGKey(1), (b, 16, 288, 288, 3), jnp.float32))
+    try:
+      times = _time_forward(
+          forward, params, video, args.warmup, args.runs, args.iters)
+    except Exception as e:  # OOM at large batch: report what fits
+      per_batch[b] = f'failed: {type(e).__name__}'
+      break
+    clips_per_sec = b / statistics.median(times)
+    per_batch[b] = round(clips_per_sec, 3)
+    if b == 1:
+      p50_latency_ms = 1000.0 * statistics.median(times)
+    if clips_per_sec > best_throughput:
+      best_throughput, best_batch = clips_per_sec, b
+
+  print(json.dumps({
+      'metric': 'clips_per_sec',
+      'value': round(best_throughput, 3),
+      'unit': 'clips/s/chip',
+      'vs_baseline': round(best_throughput / BASELINE_CLIPS_PER_SEC, 2),
+      'model': 'videoprism_public_v1_base',
+      'workload': '16x288x288',
+      'platform': platform,
+      'dtype': args.dtype,
+      'attention': attention,
+      'best_batch': best_batch,
+      'p50_latency_ms': round(p50_latency_ms, 2) if p50_latency_ms else None,
+      'per_batch_clips_per_sec': per_batch,
+  }))
+
+
+if __name__ == '__main__':
+  main()

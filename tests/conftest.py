@@ -18,6 +18,14 @@ os.environ['XLA_FLAGS'] = (
     os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8'
 )
 
+# jax may already be imported by a pytest plugin, in which case the env vars
+# above were captured too late — force the config directly (safe while no
+# backend has been initialized yet).
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)
+
 _REFERENCE_PATH = '/root/reference'
 if os.path.isdir(_REFERENCE_PATH) and _REFERENCE_PATH not in sys.path:
   sys.path.insert(0, _REFERENCE_PATH)

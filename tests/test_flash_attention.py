@@ -1,0 +1,104 @@
+"""Pallas fused-attention kernel vs the XLA oracle (interpret mode on CPU;
+the same kernel compiles natively on TPU — see bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoprism_tpu.ops import attention as attention_lib
+from videoprism_tpu.ops import masks as mask_lib
+from videoprism_tpu.ops.pallas import flash_attention as flash
+
+
+def _qkv(b, t, s, n, h, seed=0):
+  ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+  q = jax.random.normal(ks[0], (b, t, n, h))
+  k = jax.random.normal(ks[1], (b, s, n, h))
+  v = jax.random.normal(ks[2], (b, s, n, h))
+  return q, k, v
+
+
+class TestFusedAttention:
+
+  @pytest.mark.parametrize('logit_cap', [0.0, 50.0])
+  def test_matches_xla_no_mask(self, logit_cap):
+    b, t, n, h = 2, 128, 2, 64
+    q, k, v = _qkv(b, t, t, n, h)
+    mask = jnp.zeros((b, 1, 1, t))
+
+    ref, _ = attention_lib.dot_atten(q, k, v, mask, logit_cap=logit_cap)
+    got = flash.flash_attention(
+        q, k, v, mask, logit_cap=logit_cap, interpret=True)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+  def test_matches_xla_with_paddings(self):
+    b, t, n, h = 2, 128, 2, 64
+    q, k, v = _qkv(b, t, t, n, h)
+    paddings = jnp.zeros((b, t)).at[:, 100:].set(1.0)
+    mask = mask_lib.paddings_to_mask(paddings)  # [B, 1, 1, S]
+
+    ref, _ = attention_lib.dot_atten(q, k, v, mask, logit_cap=50.0)
+    got = flash.flash_attention(q, k, v, mask, logit_cap=50.0,
+                                interpret=True)
+    np.testing.assert_allclose(got[:, :100], ref[:, :100], atol=1e-5)
+
+  def test_matches_xla_causal(self):
+    b, t, n, h = 1, 128, 2, 64
+    q, k, v = _qkv(b, t, t, n, h)
+    x = jnp.zeros((b, t, n * h))
+    mask = mask_lib.attention_mask_for_fprop(
+        x, jnp.zeros((b, t)), causal_attention=True)  # [1, 1, T, S]
+
+    ref, _ = attention_lib.dot_atten(q, k, v, mask, logit_cap=50.0)
+    got = flash.flash_attention(q, k, v, mask, logit_cap=50.0,
+                                interpret=True)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+  def test_cross_attention_shapes(self):
+    """T != S (e.g. pooler-style workloads padded up)."""
+    b, t, s, n, h = 1, 128, 256, 2, 64
+    q, k, v = _qkv(b, t, s, n, h)
+    mask = jnp.zeros((b, 1, 1, s))
+    ref, _ = attention_lib.dot_atten(q, k, v, mask, logit_cap=50.0)
+    got = flash.flash_attention(q, k, v, mask, logit_cap=50.0,
+                                interpret=True)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+  def test_fallback_small_sequences(self):
+    """Unsupported shapes route to the XLA path transparently."""
+    b, t, n, h = 2, 16, 2, 8
+    q, k, v = _qkv(b, t, t, n, h)
+    mask = jnp.zeros((b, 1, 1, t))
+    ref, _ = attention_lib.dot_atten(q, k, v, mask, logit_cap=50.0)
+    got = flash.flash_attention(q, k, v, mask, logit_cap=50.0,
+                                interpret=True)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+  def test_mha_flash_impl_spatial_shape(self):
+    """Full MHA with impl='flash' on the spatial-stack geometry."""
+    b, t, d, n = 4, 256, 64, 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, d))
+    paddings = jnp.zeros((b, t))
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+
+    from videoprism_tpu.models import init as init_lib
+
+    params = init_lib._attention(
+        jax.random.PRNGKey(2), d, n, d // n, per_dim_scale=False)
+
+    kwargs = dict(hidden_dim=d, num_heads=n, logit_cap=50.0,
+                  enable_per_dim_scale=False)
+    ref = attention_lib.multi_head_attention(
+        params, x, x, x, mask, impl='xla', **kwargs)
+    # interpret mode needed on CPU: patch through the interpret flag by
+    # calling the kernel wrapper directly in the dispatch path.
+    import unittest.mock as mock
+    import functools
+
+    with mock.patch.object(
+        flash, 'flash_attention',
+        functools.partial(flash.flash_attention, interpret=True)):
+      got = attention_lib.multi_head_attention(
+          params, x, x, x, mask, impl='flash', **kwargs)
+    np.testing.assert_allclose(got, ref, atol=1e-5)

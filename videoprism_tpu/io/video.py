@@ -1,0 +1,213 @@
+"""Video loading and preprocessing.
+
+Host side: OpenCV decode + uniform frame sampling with the exact semantics of
+the reference loader (reference videoprism/video_utils.py:20-152) — BGR→RGB,
+shortest-side resize + center crop (or plain resize), [0, 1] float32.
+
+Device side: :func:`preprocess_frames` is a jit-able JAX pipeline
+(resize/crop/normalize on-device) so production serving can ship compact
+uint8 frames over PCIe and do the float math on the TPU, where it fuses into
+the patch projection.  :class:`VideoPrefetcher` double-buffers host decode
+against device compute with async ``device_put``.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures
+from collections.abc import Iterable, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_video(
+    video_path: str,
+    num_frames: int = 16,
+    target_size: int = 288,
+    resize_mode: str = 'center_crop',
+) -> np.ndarray:
+  """Loads [num_frames, S, S, 3] float32 RGB in [0, 1] from a video file.
+
+  Frame indices are sampled uniformly with ``np.linspace`` over the full
+  clip, matching reference videoprism/video_utils.py:20-94.
+  """
+  try:
+    import cv2  # pytype: disable=import-error
+  except ImportError as e:
+    raise ImportError(
+        'OpenCV is required for video loading. '
+        'Install it with: pip install opencv-python') from e
+
+  cap = cv2.VideoCapture(video_path)
+  if not cap.isOpened():
+    raise ValueError(f'Could not open video file: {video_path}')
+
+  total_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+  if total_frames < num_frames:
+    cap.release()
+    raise ValueError(
+        f'Video has only {total_frames} frames, but {num_frames} requested')
+
+  frame_indices = np.linspace(0, total_frames - 1, num_frames, dtype=int)
+
+  frames = []
+  for frame_idx in frame_indices:
+    cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
+    ret, frame = cap.read()
+    if not ret:
+      cap.release()
+      raise ValueError(f'Could not read frame {frame_idx} from {video_path}')
+    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    if resize_mode == 'center_crop':
+      frame = _center_crop_resize(frame, target_size)
+    elif resize_mode == 'resize':
+      frame = cv2.resize(frame, (target_size, target_size))
+    else:
+      raise ValueError(f'Unknown resize_mode: {resize_mode}')
+    frames.append(frame)
+
+  cap.release()
+  return np.stack(frames, axis=0).astype(np.float32) / 255.0
+
+
+def _center_crop_resize(frame: np.ndarray, target_size: int) -> np.ndarray:
+  """Shortest side -> target_size, then center crop (reference
+  videoprism/video_utils.py:97-127)."""
+  import cv2  # pytype: disable=import-error
+
+  h, w = frame.shape[:2]
+  if h < w:
+    new_h = target_size
+    new_w = int(w * (target_size / h))
+  else:
+    new_w = target_size
+    new_h = int(h * (target_size / w))
+  frame = cv2.resize(frame, (new_w, new_h))
+  h, w = frame.shape[:2]
+  start_y = (h - target_size) // 2
+  start_x = (w - target_size) // 2
+  return frame[start_y:start_y + target_size, start_x:start_x + target_size]
+
+
+def load_video_batch(
+    video_paths: list[str],
+    num_frames: int = 16,
+    target_size: int = 288,
+    resize_mode: str = 'center_crop',
+    num_workers: int = 0,
+) -> np.ndarray:
+  """Loads [B, T, S, S, 3] from multiple files, optionally decoding in a
+  thread pool (OpenCV releases the GIL during decode).
+
+  Reference: videoprism/video_utils.py:130-152 (sequential only there).
+  """
+  if num_workers and len(video_paths) > 1:
+    with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
+      videos = list(pool.map(
+          lambda p: load_video(p, num_frames, target_size, resize_mode),
+          video_paths))
+  else:
+    videos = [
+        load_video(p, num_frames, target_size, resize_mode)
+        for p in video_paths
+    ]
+  return np.stack(videos, axis=0)
+
+
+def preprocess_frames(
+    frames: jax.Array,
+    target_size: int = 288,
+    resize_mode: str = 'center_crop',
+    dtype=jnp.float32,
+) -> jax.Array:
+  """Device-side preprocessing: uint8/float [..., H, W, 3] -> [0,1] frames.
+
+  jit-able; fuses into the model when composed under one ``jax.jit``.  The
+  resize matches the reference host path semantically (shortest-side resize
+  + center crop) but uses ``jax.image.resize`` bilinear filtering on-device.
+  """
+  if frames.dtype == jnp.uint8:
+    frames = frames.astype(dtype) / 255.0
+  else:
+    frames = frames.astype(dtype)
+
+  h, w = frames.shape[-3], frames.shape[-2]
+  if (h, w) == (target_size, target_size):
+    return frames
+
+  batch_shape = frames.shape[:-3]
+  if resize_mode == 'center_crop':
+    if h < w:
+      new_h, new_w = target_size, int(w * (target_size / h))
+    else:
+      new_h, new_w = int(h * (target_size / w)), target_size
+  elif resize_mode == 'resize':
+    new_h = new_w = target_size
+  else:
+    raise ValueError(f'Unknown resize_mode: {resize_mode}')
+
+  frames = jax.image.resize(
+      frames, batch_shape + (new_h, new_w, 3), method='bilinear')
+  start_y = (new_h - target_size) // 2
+  start_x = (new_w - target_size) // 2
+  return jax.lax.slice_in_dim(
+      jax.lax.slice_in_dim(frames, start_y, start_y + target_size, axis=-3),
+      start_x, start_x + target_size, axis=-2)
+
+
+class VideoPrefetcher:
+  """Overlaps host video decode with device compute.
+
+  Decodes clips in a background thread pool and eagerly ``device_put``s the
+  next batches (optionally with a sharding) so the accelerator never waits
+  on the host.  The reference has no equivalent — its demos block on OpenCV
+  between forwards.
+  """
+
+  def __init__(
+      self,
+      video_paths: Sequence[str],
+      batch_size: int,
+      num_frames: int = 16,
+      target_size: int = 288,
+      resize_mode: str = 'center_crop',
+      prefetch_depth: int = 2,
+      num_workers: int = 4,
+      sharding=None,
+  ):
+    self._paths = list(video_paths)
+    self._batch_size = batch_size
+    self._load = lambda batch: load_video_batch(
+        batch, num_frames, target_size, resize_mode, num_workers=num_workers)
+    self._prefetch_depth = prefetch_depth
+    self._sharding = sharding
+    self._pool = concurrent.futures.ThreadPoolExecutor(1)
+
+  def _batches(self) -> Iterator[list[str]]:
+    for i in range(0, len(self._paths), self._batch_size):
+      yield self._paths[i:i + self._batch_size]
+
+  def __iter__(self) -> Iterator[jax.Array]:
+    queue = collections.deque()
+    batches = self._batches()
+
+    def submit(paths):
+      queue.append(self._pool.submit(self._load, paths))
+
+    for _ in range(self._prefetch_depth):
+      paths = next(batches, None)
+      if paths is None:
+        break
+      submit(paths)
+
+    while queue:
+      host_batch = queue.popleft().result()
+      paths = next(batches, None)
+      if paths is not None:
+        submit(paths)
+      if self._sharding is not None:
+        yield jax.device_put(host_batch, self._sharding)
+      else:
+        yield jax.device_put(host_batch)

@@ -1,0 +1,165 @@
+"""Pallas TPU fused attention with tanh logit soft-cap.
+
+Why a custom kernel: stock flash attention cannot express VideoPrism's
+attention — the ``cap * tanh(logits / cap)`` soft-cap must hit the logits
+*before* masking and the fp32 softmax (reference videoprism/layers.py:586-654)
+— and the XLA fallback materializes the [B, N, T, S] fp32 logits/probs
+tensors in HBM (≈50 MB per spatial layer for one 16-frame clip), making the
+hot spatial stack bandwidth-bound.
+
+Kernel shape: grid ``(B, N, T/blk)``; each program holds one query block and
+the FULL key/value sequence in VMEM (every VideoPrism attention has S ≤ 4096,
+so K/V fit comfortably in the 16 MB VMEM), computes fp32 logits on the MXU,
+applies cap → select-mask → exact fp32 softmax on the VPU, and writes only
+the [T, H] output — probs never leave VMEM.  K/V blocks are revisited across
+the T-block grid dimension, so Pallas's pipeliner keeps them resident.
+
+Numerics match the XLA path bit-for-bit in fp32 (same op order); in bf16 the
+kernel is slightly *more* accurate (logits stay fp32 instead of rounding to
+bf16 between the matmul and the cap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def supports(t: int, s: int, block_t: int = 128) -> bool:
+  """Whether the kernel handles this (T, S) without padding logic.
+
+  Small sequences (temporal T=16, text L=65, 1-query poolers) stay on the
+  XLA path where they are already fast and VPU-lane-efficient.
+  """
+  return t % block_t == 0 and s % 128 == 0 and s >= 128
+
+
+def _attention_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, *, logit_cap: float
+):
+  q = q_ref[0, 0]  # [blk_t, H]
+  k = k_ref[0, 0]  # [S, H]
+  v = v_ref[0, 0]  # [S, H]
+
+  # Q K^T on the MXU, fp32 accumulation.
+  logits = jax.lax.dot_general(
+      q, k, (((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  )  # [blk_t, S]
+
+  # Soft cap BEFORE masking (reference videoprism/layers.py:592 note).
+  if logit_cap > 0.0:
+    logits = logit_cap * jnp.tanh(logits * (1.0 / logit_cap))
+
+  # Select-mask: mask rows broadcast over the query block if size-1.
+  mask = mask_ref[0]  # [blk_t | 1, S]
+  logits = jnp.where(mask >= _NEG_INF * 0.5, logits, _NEG_INF)
+
+  # Exact fp32 softmax (S is fully resident — no online rescaling needed).
+  row_max = jnp.max(logits, axis=-1, keepdims=True)
+  unnorm = jnp.exp(logits - row_max)
+  denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+  probs = (unnorm / denom).astype(v.dtype)
+
+  out = jax.lax.dot_general(
+      probs, v, (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  )  # [blk_t, H]
+  o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('logit_cap', 'block_t', 'interpret'))
+def fused_attention(
+    q: Array,       # [B, N, T, H]
+    k: Array,       # [B, N, S, H]
+    v: Array,       # [B, N, S, H]
+    mask: Array,    # [B|1, T|1, S] additive (-0.7*max = masked)
+    *,
+    logit_cap: float = 0.0,
+    block_t: int = 128,
+    interpret: bool = False,
+) -> Array:
+  """Head-major fused attention; returns [B, N, T, H] in q.dtype."""
+  b, n, t, h = q.shape
+  s = k.shape[2]
+  assert t % block_t == 0 and s % 128 == 0, (t, s)
+  bm, tm, _ = mask.shape
+
+  grid = (b, n, t // block_t)
+
+  q_spec = pl.BlockSpec(
+      (1, 1, block_t, h), lambda bi, ni, ti: (bi, ni, ti, 0),
+      memory_space=pltpu.VMEM)
+  kv_spec = pl.BlockSpec(
+      (1, 1, s, h), lambda bi, ni, ti: (bi, ni, 0, 0),
+      memory_space=pltpu.VMEM)
+  mask_spec = pl.BlockSpec(
+      (1, block_t if tm > 1 else 1, s),
+      lambda bi, ni, ti: (bi if bm > 1 else 0, ti if tm > 1 else 0, 0),
+      memory_space=pltpu.VMEM)
+  o_spec = pl.BlockSpec(
+      (1, 1, block_t, h), lambda bi, ni, ti: (bi, ni, ti, 0),
+      memory_space=pltpu.VMEM)
+
+  flops = 2 * b * n * t * s * h * 2  # qk^T + probs@v
+  bytes_accessed = (
+      q.size * q.dtype.itemsize + 2 * k.size * k.dtype.itemsize
+      + mask.size * 4 + q.size * q.dtype.itemsize)
+
+  return pl.pallas_call(
+      functools.partial(_attention_kernel, logit_cap=float(logit_cap)),
+      grid=grid,
+      in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
+      out_specs=o_spec,
+      out_shape=jax.ShapeDtypeStruct((b, n, t, h), q.dtype),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('parallel', 'arbitrary', 'arbitrary'),
+      ),
+      cost_estimate=pl.CostEstimate(
+          flops=flops, bytes_accessed=bytes_accessed,
+          transcendentals=b * n * t * s * (2 if logit_cap > 0 else 1)),
+      interpret=interpret,
+  )(q, k, v, mask)
+
+
+def flash_attention(
+    query: Array,       # [B, T, N, H] (post per-dim/rsqrt query scaling)
+    key: Array,         # [B, S, N, H]
+    value: Array,       # [B, S, N, H]
+    atten_mask: Array,  # [B|1, 1, T|1, S] additive mask
+    *,
+    logit_cap: float = 0.0,
+    dtype=jnp.float32,
+    block_t: int = 128,
+    interpret: bool = False,
+) -> Array:
+  """Drop-in replacement for :func:`videoprism_tpu.ops.attention.dot_atten`
+  (encoded output only), dispatching to the fused kernel when supported and
+  falling back to the XLA path otherwise."""
+  t, s = query.shape[1], key.shape[1]
+  if not supports(t, s, block_t):
+    from videoprism_tpu.ops import attention as attention_lib
+
+    encoded, _ = attention_lib.dot_atten(
+        query, key, value, atten_mask, logit_cap=logit_cap, dtype=dtype)
+    return encoded
+
+  # [B, T, N, H] -> head-major [B, N, T, H] (fused into neighbors by XLA).
+  q = jnp.transpose(query, (0, 2, 1, 3))
+  k = jnp.transpose(key, (0, 2, 1, 3))
+  v = jnp.transpose(value, (0, 2, 1, 3))
+  mask = jnp.squeeze(atten_mask, axis=1)  # heads share the mask
+
+  out = fused_attention(
+      q, k, v, mask, logit_cap=logit_cap, block_t=block_t,
+      interpret=interpret)
+  return jnp.transpose(out, (0, 2, 1, 3)).astype(dtype)

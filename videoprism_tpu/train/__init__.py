@@ -1,0 +1,16 @@
+"""Training tier: objectives and sharded train steps (TPU-native extension;
+the reference repo is inference-only, SURVEY.md §2.7)."""
+
+from videoprism_tpu.train import objectives
+from videoprism_tpu.train.train_step import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_sharded_train_step,
+    make_train_step,
+)
+
+__all__ = [
+    'TrainState', 'create_train_state', 'make_optimizer',
+    'make_sharded_train_step', 'make_train_step', 'objectives',
+]

@@ -1,0 +1,208 @@
+"""Sharded CLIP training step: pjit over a (data, model) mesh.
+
+Layout (see :mod:`videoprism_tpu.parallel.sharding`): params tensor-parallel
+over ``model`` (heads / MLP hidden / vocab), batch data-parallel over
+``data``; gradients inherit the param layout so the optimizer update is fully
+sharded too.  Rematerialization comes from the scan stack's ``remat`` flag
+(``jax.checkpoint`` with ``nothing_saveable`` — the reference's Repeat layer
+policy, videoprism/layers.py:925-929).
+
+The reference has no training code at all; this module is the TPU-native
+extension that makes the stack production-trainable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec
+
+from videoprism_tpu.models import clip as vclip
+from videoprism_tpu.models import init as init_lib
+from videoprism_tpu.parallel import mesh as mesh_lib
+from videoprism_tpu.parallel import sharding as shard_lib
+from videoprism_tpu.train import objectives
+
+Params = Any
+
+
+@dataclasses.dataclass
+class TrainState:
+  """Minimal functional train state (a pytree)."""
+
+  step: jax.Array
+  params: Params
+  log_temperature: jax.Array
+  opt_state: Any
+
+  def tree_flatten(self):
+    return ((self.step, self.params, self.log_temperature, self.opt_state),
+            None)
+
+  @classmethod
+  def tree_unflatten(cls, aux, children):
+    del aux
+    return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    weight_decay: float = 1e-4,
+    warmup_steps: int = 1000,
+    total_steps: int = 100_000,
+    b1: float = 0.9,
+    b2: float = 0.95,
+    clip_norm: float = 1.0,
+) -> optax.GradientTransformation:
+  """AdamW + cosine schedule + global-norm clipping."""
+  schedule = optax.warmup_cosine_decay_schedule(
+      init_value=0.0, peak_value=learning_rate,
+      warmup_steps=warmup_steps, decay_steps=total_steps)
+  return optax.chain(
+      optax.clip_by_global_norm(clip_norm),
+      optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+  )
+
+
+def create_train_state(
+    rng: jax.Array,
+    cfg: vclip.VideoCLIPConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    init_log_temperature: float = float(np.log(1 / 0.07)),
+    pretrained_params: Params | None = None,
+) -> TrainState:
+  params = (
+      pretrained_params if pretrained_params is not None
+      else init_lib.init_video_clip(rng, cfg))
+  log_temperature = jnp.asarray(init_log_temperature, jnp.float32)
+  trainable = (params, log_temperature)
+  opt_state = optimizer.init(trainable)
+  return TrainState(
+      step=jnp.zeros((), jnp.int32),
+      params=params,
+      log_temperature=log_temperature,
+      opt_state=opt_state,
+  )
+
+
+def clip_loss_fn(
+    trainable: tuple[Params, jax.Array],
+    batch: dict[str, jax.Array],
+    cfg: vclip.VideoCLIPConfig,
+    rng: jax.Array,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+  params, log_temperature = trainable
+  video_emb, text_emb, _ = vclip.apply(
+      params,
+      batch['video'],
+      batch['text_token_ids'],
+      batch['text_paddings'],
+      cfg,
+      train=True,
+      rng=rng,
+  )
+  return objectives.clip_contrastive_loss(
+      video_emb, text_emb, log_temperature)
+
+
+def make_train_step(cfg: vclip.VideoCLIPConfig,
+                    optimizer: optax.GradientTransformation):
+  """Returns ``step(state, batch, rng) -> (state, metrics)`` (pure, jittable)."""
+
+  def train_step(state: TrainState, batch, rng):
+    trainable = (state.params, state.log_temperature)
+    (loss, metrics), grads = jax.value_and_grad(
+        clip_loss_fn, has_aux=True)(trainable, batch, cfg, rng)
+    updates, new_opt_state = optimizer.update(
+        grads, state.opt_state, trainable)
+    new_params, new_log_temp = optax.apply_updates(trainable, updates)
+    new_state = TrainState(
+        step=state.step + 1,
+        params=new_params,
+        log_temperature=new_log_temp,
+        opt_state=new_opt_state,
+    )
+    metrics['grad_norm'] = optax.global_norm(grads)
+    return new_state, metrics
+
+  return train_step
+
+
+def make_sharded_train_step(
+    cfg: vclip.VideoCLIPConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    state: TrainState,
+):
+  """jits the train step with explicit in/out shardings over ``mesh``.
+
+  Returns (jitted_step, sharded_state): params/opt-state laid out per the
+  tensor-parallel rules, batch sharded over the data axis, metrics
+  replicated.  Donates the input state so optimizer updates are in-place in
+  HBM.
+  """
+  param_sh = shard_lib.param_shardings(state.params, mesh)
+  repl = mesh_lib.replicated(mesh)
+  opt_sh = jax.tree.map(
+      lambda leaf_sh: leaf_sh,
+      _opt_state_shardings(state.opt_state, param_sh, repl),
+      is_leaf=lambda x: isinstance(x, NamedSharding))
+  state_sh = TrainState(
+      step=repl, params=param_sh, log_temperature=repl, opt_state=opt_sh)
+  batch_sh = {
+      'video': NamedSharding(
+          mesh, PartitionSpec(mesh_lib.DATA_AXIS, None, None, None, None)),
+      'text_token_ids': NamedSharding(
+          mesh, PartitionSpec(mesh_lib.DATA_AXIS, None)),
+      'text_paddings': NamedSharding(
+          mesh, PartitionSpec(mesh_lib.DATA_AXIS, None)),
+  }
+
+  sharded_state = jax.device_put(state, state_sh)
+  step = jax.jit(
+      make_train_step(cfg, optimizer),
+      in_shardings=(state_sh, batch_sh, repl),
+      out_shardings=(state_sh, repl),
+      donate_argnums=(0,),
+  )
+  return step, sharded_state
+
+
+def _opt_state_shardings(opt_state, param_sh, repl):
+  """Optimizer state mirrors the trainable tree's sharding where shapes
+  align (adam moments), else replicates (scalars, counts)."""
+  trainable_sh = (param_sh, repl)
+
+  def assign(leaf):
+    return repl
+
+  # optax states are pytrees whose array leaves either mirror the params
+  # (moments) or are scalars.  Match by structure: where a subtree's
+  # structure equals the trainable structure, reuse the param shardings.
+  target_structure = jax.tree.structure(trainable_sh)
+
+  def recurse(node):
+    try:
+      if jax.tree.structure(node) == target_structure:
+        return trainable_sh
+    except Exception:
+      pass
+    if hasattr(node, '_fields'):  # namedtuple (check before tuple!)
+      return type(node)(*(recurse(getattr(node, f)) for f in node._fields))
+    if isinstance(node, (list, tuple)):
+      return type(node)(recurse(x) for x in node)
+    if isinstance(node, dict):
+      return {k: recurse(v) for k, v in node.items()}
+    return assign(node)
+
+  return recurse(opt_state)
