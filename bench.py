@@ -67,7 +67,10 @@ def _time_forward(forward_n, params, video, warmup: int, runs: int,
   """Returns per-forward-pass seconds over ``runs`` timed chains."""
   import numpy as np
 
-  np.asarray(forward_n(params, video, warmup))  # compile + warm
+  # Warm with the SAME static iters — a different iters is a different
+  # compiled program and the first timed run would swallow its compile.
+  for _ in range(max(1, warmup)):
+    np.asarray(forward_n(params, video, iters))
   times = []
   for _ in range(runs):
     t0 = time.perf_counter()

@@ -97,8 +97,8 @@ class TestFusedAttention:
     import functools
 
     with mock.patch.object(
-        flash, 'flash_attention',
-        functools.partial(flash.flash_attention, interpret=True)):
+        flash, 'flash_attention_head_major',
+        functools.partial(flash.flash_attention_head_major, interpret=True)):
       got = attention_lib.multi_head_attention(
           params, x, x, x, mask, impl='flash', **kwargs)
     np.testing.assert_allclose(got, ref, atol=1e-5)

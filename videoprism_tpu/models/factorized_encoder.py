@@ -174,6 +174,11 @@ def encode_with_patches(
   if rng is not None:
     rng, spatial_rng, temporal_rng = jax.random.split(rng, 3)
 
+  # Cast activations into the fprop dtype up front: without this, fp32
+  # video inputs promote every matmul back to fp32 even with bf16 params,
+  # silently forfeiting the MXU bf16 rate.
+  patches = patches.astype(dtype)
+
   patches = basic.feed_forward(
       params['patch_projection'], patches,
       activation='identity', dtype=dtype)  # (B*T, N, D)

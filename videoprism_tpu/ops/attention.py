@@ -121,6 +121,33 @@ def dot_atten(
   return encoded, probs
 
 
+def _dot_atten_head_major(
+    query: Array,   # [B, N, T, H]
+    key: Array,     # [B, N, S, H]
+    value: Array,   # [B, N, S, H]
+    atten_mask: Array,
+    *,
+    logit_cap: float = 0.0,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    train: bool = False,
+    dtype=jnp.float32,
+) -> Array:
+  """Head-major twin of :func:`dot_atten` (same math, [B,N,T,H] layout).
+
+  The layout matches both the MXU-batched matmul and the Pallas kernel, so
+  no transposes appear anywhere on the attention path.
+  """
+  logits = jnp.einsum('BNTH,BNSH->BNTS', query, key)
+  logits = _cap_logits(logits, logit_cap, dtype)
+  logits = logits.astype(jnp.float32)
+  padded_logits = mask_lib.apply_mask_to_logits(logits, atten_mask)
+  probs = jax.nn.softmax(padded_logits, axis=-1).astype(dtype)
+  probs = basic.dropout(
+      dropout_rng, probs, dropout_rate, deterministic=not train)
+  return jnp.einsum('BNTS,BNSH->BNTH', probs, value)
+
+
 def multi_head_attention(
     params: Params,
     query_vec: Array,
@@ -159,12 +186,19 @@ def multi_head_attention(
     dim_per_head = hidden_dim // num_heads
     assert dim_per_head * num_heads == hidden_dim
 
-  proj = lambda name, x: attention_projection(
-      params[name], x, is_output_projection=False, use_bias=use_bias,
-      dtype=dtype)
-  query_proj = proj('query', query_vec)  # [B, T, N, H]
-  key_proj = proj('key', key_vec)        # [B, S, N, H]
-  value_proj = proj('value', value_vec)  # [B, S, N, H]
+  # Project straight into head-major [B, N, T, H]: the layout the MXU
+  # batched matmuls and the Pallas kernel want, with zero transposes.
+  def proj(name, x):
+    w = basic.cast_floating(params[name]['w'], dtype)
+    out = jnp.einsum('BTD,DNH->BNTH', x, w)
+    if use_bias:
+      b = basic.cast_floating(params[name]['b'], dtype)
+      out = out + b[:, jnp.newaxis, :]
+    return out
+
+  query_proj = proj('query', query_vec)  # [B, N, T, H]
+  key_proj = proj('key', key_vec)        # [B, N, S, H]
+  value_proj = proj('value', value_vec)  # [B, N, S, H]
 
   if use_qk_norm:
     query_proj = basic.layer_norm(
@@ -188,21 +222,25 @@ def multi_head_attention(
   if use_flash:
     from videoprism_tpu.ops.pallas import flash_attention as flash
 
-    encoded = flash.flash_attention(
+    encoded = flash.flash_attention_head_major(
         query_proj, key_proj, value_proj, atten_mask,
         logit_cap=logit_cap, dtype=dtype,
     )
   else:
-    encoded, _ = dot_atten(
+    if scale_logits_by_head_dims:
+      query_proj = query_proj * (1.0 / np.sqrt(key_proj.shape[-1]))
+    encoded = _dot_atten_head_major(
         query_proj, key_proj, value_proj, atten_mask,
         logit_cap=logit_cap,
-        scale_logits_by_head_dims=scale_logits_by_head_dims,
         dropout_rate=dropout_rate,
         dropout_rng=dropout_rng,
         train=train,
         dtype=dtype,
     )
 
-  return attention_projection(
-      params['post'], encoded, is_output_projection=True, use_bias=use_bias,
-      dtype=dtype)
+  # Output projection from head-major: 'BNTH,DNH->BTD'.
+  w = basic.cast_floating(params['post']['w'], dtype)
+  out = jnp.einsum('BNTH,DNH->BTD', encoded, w)
+  if use_bias:
+    out = out + basic.cast_floating(params['post']['b'], dtype)
+  return out

@@ -45,23 +45,23 @@ def supports(t: int, s: int, block_t: int = 128) -> bool:
 def _attention_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref, *, logit_cap: float
 ):
-  q = q_ref[0, 0]  # [blk_t, H]
-  k = k_ref[0, 0]  # [S, H]
-  v = v_ref[0, 0]  # [S, H]
+  q = q_ref[0]  # [n_blk, blk_t, H]
+  k = k_ref[0]  # [n_blk, S, H]
+  v = v_ref[0]  # [n_blk, S, H]
 
-  # Q K^T on the MXU, fp32 accumulation.
+  # Batched-over-heads Q K^T on the MXU, fp32 accumulation.
   logits = jax.lax.dot_general(
-      q, k, (((1,), (1,)), ((), ())),
+      q, k, (((2,), (2,)), ((0,), (0,))),
       preferred_element_type=jnp.float32,
-  )  # [blk_t, S]
+  )  # [n_blk, blk_t, S]
 
   # Soft cap BEFORE masking (reference videoprism/layers.py:592 note).
   if logit_cap > 0.0:
     logits = logit_cap * jnp.tanh(logits * (1.0 / logit_cap))
 
-  # Select-mask: mask rows broadcast over the query block if size-1.
+  # Select-mask: shared across heads; rows broadcast if size-1.
   mask = mask_ref[0]  # [blk_t | 1, S]
-  logits = jnp.where(mask >= _NEG_INF * 0.5, logits, _NEG_INF)
+  logits = jnp.where(mask[None] >= _NEG_INF * 0.5, logits, _NEG_INF)
 
   # Exact fp32 softmax (S is fully resident — no online rescaling needed).
   row_max = jnp.max(logits, axis=-1, keepdims=True)
@@ -70,10 +70,26 @@ def _attention_kernel(
   probs = (unnorm / denom).astype(v.dtype)
 
   out = jax.lax.dot_general(
-      probs, v, (((1,), (0,)), ((), ())),
+      probs, v, (((2,), (1,)), ((0,), (0,))),
       preferred_element_type=jnp.float32,
-  )  # [blk_t, H]
-  o_ref[0, 0] = out.astype(o_ref.dtype)
+  )  # [n_blk, blk_t, H]
+  o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pick_head_block(n: int, s: int, h: int, block_t: int,
+                     itemsize: int, budget_bytes: int = 6 * 2**20) -> int:
+  """Largest divisor of N whose working set fits the VMEM budget.
+
+  Per-program bytes ≈ 2·(q + k + v) [double-buffered] + fp32 logits.
+  """
+  for n_blk in range(n, 0, -1):
+    if n % n_blk:
+      continue
+    qkv = (n_blk * block_t * h + 2 * n_blk * s * h) * itemsize * 2
+    logits = n_blk * block_t * s * 4
+    if qkv + logits <= budget_bytes:
+      return n_blk
+  return 1
 
 
 @functools.partial(
@@ -94,20 +110,21 @@ def fused_attention(
   assert t % block_t == 0 and s % 128 == 0, (t, s)
   bm, tm, _ = mask.shape
 
-  grid = (b, n, t // block_t)
+  n_blk = _pick_head_block(n, s, h, block_t, q.dtype.itemsize)
+  grid = (b, n // n_blk, t // block_t)
 
   q_spec = pl.BlockSpec(
-      (1, 1, block_t, h), lambda bi, ni, ti: (bi, ni, ti, 0),
+      (1, n_blk, block_t, h), lambda bi, ni, ti: (bi, ni, ti, 0),
       memory_space=pltpu.VMEM)
   kv_spec = pl.BlockSpec(
-      (1, 1, s, h), lambda bi, ni, ti: (bi, ni, 0, 0),
+      (1, n_blk, s, h), lambda bi, ni, ti: (bi, ni, 0, 0),
       memory_space=pltpu.VMEM)
   mask_spec = pl.BlockSpec(
       (1, block_t if tm > 1 else 1, s),
       lambda bi, ni, ti: (bi if bm > 1 else 0, ti if tm > 1 else 0, 0),
       memory_space=pltpu.VMEM)
   o_spec = pl.BlockSpec(
-      (1, 1, block_t, h), lambda bi, ni, ti: (bi, ni, ti, 0),
+      (1, n_blk, block_t, h), lambda bi, ni, ti: (bi, ni, ti, 0),
       memory_space=pltpu.VMEM)
 
   flops = 2 * b * n * t * s * h * 2  # qk^T + probs@v
@@ -131,6 +148,38 @@ def fused_attention(
   )(q, k, v, mask)
 
 
+def flash_attention_head_major(
+    query: Array,       # [B, N, T, H] (post per-dim/rsqrt query scaling)
+    key: Array,         # [B, N, S, H]
+    value: Array,       # [B, N, S, H]
+    atten_mask: Array,  # [B|1, 1, T|1, S] additive mask
+    *,
+    logit_cap: float = 0.0,
+    dtype=jnp.float32,
+    block_t: int = 128,
+    interpret: bool = False,
+) -> Array:
+  """Head-major fused attention with XLA fallback for unsupported shapes.
+
+  This is the zero-transpose path used by
+  :func:`videoprism_tpu.ops.attention.multi_head_attention`.
+  """
+  t, s = query.shape[2], key.shape[2]
+  if not supports(t, s, block_t):
+    from videoprism_tpu.ops import attention as attention_lib
+
+    return attention_lib._dot_atten_head_major(
+        query, key, value, atten_mask, logit_cap=logit_cap, dtype=dtype)
+
+  # Heads share the mask; fp32 in-kernel (Mosaic has no bf16 compare, and
+  # the mask encodes -0.7*dtype_max sentinels anyway).
+  mask = jnp.squeeze(atten_mask, axis=1).astype(jnp.float32)
+  out = fused_attention(
+      query, key, value, mask, logit_cap=logit_cap, block_t=block_t,
+      interpret=interpret)
+  return out.astype(dtype)
+
+
 def flash_attention(
     query: Array,       # [B, T, N, H] (post per-dim/rsqrt query scaling)
     key: Array,         # [B, S, N, H]
@@ -142,24 +191,13 @@ def flash_attention(
     block_t: int = 128,
     interpret: bool = False,
 ) -> Array:
-  """Drop-in replacement for :func:`videoprism_tpu.ops.attention.dot_atten`
-  (encoded output only), dispatching to the fused kernel when supported and
-  falling back to the XLA path otherwise."""
-  t, s = query.shape[1], key.shape[1]
-  if not supports(t, s, block_t):
-    from videoprism_tpu.ops import attention as attention_lib
-
-    encoded, _ = attention_lib.dot_atten(
-        query, key, value, atten_mask, logit_cap=logit_cap, dtype=dtype)
-    return encoded
-
-  # [B, T, N, H] -> head-major [B, N, T, H] (fused into neighbors by XLA).
-  q = jnp.transpose(query, (0, 2, 1, 3))
-  k = jnp.transpose(key, (0, 2, 1, 3))
-  v = jnp.transpose(value, (0, 2, 1, 3))
-  mask = jnp.squeeze(atten_mask, axis=1)  # heads share the mask
-
-  out = fused_attention(
-      q, k, v, mask, logit_cap=logit_cap, block_t=block_t,
+  """BTNH-layout convenience wrapper around the head-major kernel
+  (drop-in for :func:`videoprism_tpu.ops.attention.dot_atten`'s encoded
+  output)."""
+  out = flash_attention_head_major(
+      jnp.transpose(query, (0, 2, 1, 3)),
+      jnp.transpose(key, (0, 2, 1, 3)),
+      jnp.transpose(value, (0, 2, 1, 3)),
+      atten_mask, logit_cap=logit_cap, dtype=dtype, block_t=block_t,
       interpret=interpret)
-  return jnp.transpose(out, (0, 2, 1, 3)).astype(dtype)
+  return jnp.transpose(out, (0, 2, 1, 3))
