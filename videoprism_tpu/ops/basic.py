@@ -67,6 +67,7 @@ def layer_norm(
     use_bias: bool = True,
     reductions_in_fp32: bool = False,
     dtype=jnp.float32,
+    impl: str = 'auto',
 ) -> Array:
   """Layer normalization with the reference's (scale + 1.0) convention.
 
@@ -74,10 +75,33 @@ def layer_norm(
   multiplier is ``scale + 1.0`` unless ``direct_scale`` (reference
   videoprism/layers.py:246-259).
 
+  ``impl='auto'`` routes supported shapes through the fused Pallas kernel
+  on TPU (XLA's layernorm lowering is badly VPU-bound there — see
+  ``ops/pallas/layer_norm.py``); ``'xla'`` forces the plain-jnp path.
+
   Args:
     params: ``{'scale': [D], 'bias': [D]}`` (either optional per flags).
     inputs: [..., D] activations.
   """
+  if impl in ('auto', 'pallas') and use_scale and use_bias and (
+      not reductions_in_fp32):
+    from videoprism_tpu.ops.pallas import layer_norm as pallas_ln
+
+    rows = 1
+    for s in inputs.shape[:-1]:
+      rows *= s
+    on_tpu = jax.default_backend() == 'tpu'
+    if (impl == 'pallas' or on_tpu) and pallas_ln.supports(
+        rows, inputs.shape[-1]):
+      return pallas_ln.fused_layer_norm(
+          inputs,
+          cast_floating(params['scale'], dtype),
+          cast_floating(params['bias'], dtype),
+          epsilon=epsilon,
+          direct_scale=direct_scale,
+          interpret=not on_tpu,
+      )
+
   inputs_dtype = inputs.dtype
   if reductions_in_fp32:
     inputs = inputs.astype(jnp.float32)

@@ -148,6 +148,49 @@ def fused_attention(
   )(q, k, v, mask)
 
 
+def _packed_small_seq_attention(
+    query: Array, key: Array, value: Array, atten_mask: Array,
+    *, logit_cap: float, dtype, interpret: bool,
+) -> Array | None:
+  """Packs G = 128/T short self-attention sequences per 128-row MXU block.
+
+  VideoPrism's temporal attention is thousands of independent 16-token
+  sequences: as individual batched matmuls they run ~300x below MXU peak
+  (16 of 128 systolic rows live).  Packing G sequences into one block with
+  a block-diagonal mask trades 8x redundant (cross-sequence, masked-out)
+  FLOPs for full-width matmuls — a large net win since these FLOPs are
+  trivial.  Returns None when the geometry doesn't pack cleanly.
+  """
+  b, n, t, h = query.shape
+  s = key.shape[2]
+  if t != s or t < 8 or t >= 128 or 128 % t or b % (128 // t):
+    return None
+  g = 128 // t
+  bg = b // g
+
+  # [B|1, 1, T|1, S] -> dense [B, T, S] -> per-group block-diagonal
+  # [B/G, G*T, G*S] (off-diagonal blocks = large-negative = masked).
+  m = jnp.broadcast_to(
+      jnp.squeeze(atten_mask, axis=1).astype(jnp.float32), (b, t, s))
+  m = m.reshape(bg, g, t, s)
+  same_group = jnp.eye(g, dtype=bool)[None, :, None, :, None]
+  packed_mask = jnp.where(same_group, m[:, :, :, None, :], _NEG_INF)
+  packed_mask = packed_mask.reshape(bg, g * t, g * s)
+
+  def pack(x):
+    return (x.reshape(bg, g, n, t, h)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(bg, n, g * t, h))
+
+  out = fused_attention(
+      pack(query), pack(key), pack(value), packed_mask,
+      logit_cap=logit_cap, block_t=128, interpret=interpret)
+  out = (out.reshape(bg, n, g, t, h)
+         .transpose(0, 2, 1, 3, 4)
+         .reshape(b, n, t, h))
+  return out.astype(dtype)
+
+
 def flash_attention_head_major(
     query: Array,       # [B, N, T, H] (post per-dim/rsqrt query scaling)
     key: Array,         # [B, N, S, H]
@@ -166,6 +209,12 @@ def flash_attention_head_major(
   """
   t, s = query.shape[2], key.shape[2]
   if not supports(t, s, block_t):
+    packed = _packed_small_seq_attention(
+        query, key, value, atten_mask,
+        logit_cap=logit_cap, dtype=dtype, interpret=interpret)
+    if packed is not None:
+      return packed
+
     from videoprism_tpu.ops import attention as attention_lib
 
     return attention_lib._dot_atten_head_major(

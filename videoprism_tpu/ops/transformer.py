@@ -53,6 +53,7 @@ class TransformerLayerConfig:
   scan: bool = True             # lax.scan over stacked weights vs python loop
   remat: bool = False           # jax.checkpoint around each scanned layer
   attention_impl: str = 'xla'   # 'xla' | 'flash'
+  pack_small_sequences: bool = True  # pack G=128/T short seqs per MXU block
   dtype: Any = jnp.float32      # fprop dtype
 
 
@@ -209,9 +210,44 @@ def stacked_transformer(
   axis (the "repeated" checkpoint layout); otherwise under ``x_layers_{i}``.
   Reference: ``StackedTransformer`` videoprism/layers.py:988-1041 and
   ``Repeat`` videoprism/layers.py:875-937.
+
+  TPU optimization (``cfg.pack_small_sequences``): stacks over many short
+  sequences (VideoPrism's temporal encoder: thousands of independent
+  16-token sequences) are repacked as [B/G, G*T, D] with a block-diagonal
+  attention mask, so every matmul in every layer runs at full 128-row MXU
+  width.  All per-token math (projections, FFN, LN) is invariant under the
+  reshape, and masked logits exp to exactly 0.0 in the fp32 softmax, so
+  outputs are bit-identical to the unpacked layout.
   """
-  atten_mask = mask_lib.attention_mask_for_fprop(
-      inputs, paddings, causal_attention=cfg.enable_causal_atten)
+  b, t = inputs.shape[0], inputs.shape[1]
+  group = 128 // t if t < 128 and 128 % t == 0 else 1
+  packed = (
+      cfg.pack_small_sequences
+      and not cfg.enable_causal_atten
+      and group > 1
+      and b % group == 0
+  )
+  if packed:
+    d = inputs.shape[-1]
+    # Block-diagonal mask over groups: per-sequence key mask on the
+    # diagonal blocks, large-negative everywhere else.
+    key_mask = mask_lib.paddings_to_mask(paddings, inputs.dtype)  # [B,1,1,T]
+    m = jnp.broadcast_to(jnp.squeeze(key_mask, axis=(1, 2)), (b, t))
+    m = m.reshape(b // group, group, t)
+    neg = mask_lib.get_large_negative_number(inputs.dtype)
+    same_group = jnp.eye(group, dtype=bool)[None, :, None, :, None]
+    # [bg, g_q, t_q, g_k, t_k] = key mask if g_q == g_k else masked.
+    atten_mask = jnp.where(
+        same_group,
+        jnp.broadcast_to(m[:, None, None, :, :],
+                         (b // group, group, t, group, t)),
+        neg,
+    ).reshape(b // group, 1, group * t, group * t)
+    inputs = inputs.reshape(b // group, group * t, d)
+    paddings = paddings.reshape(b // group, group * t)
+  else:
+    atten_mask = mask_lib.attention_mask_for_fprop(
+        inputs, paddings, causal_attention=cfg.enable_causal_atten)
 
   if cfg.scan:
     layer_rngs = (
@@ -232,16 +268,18 @@ def stacked_transformer(
 
     outputs, _ = jax.lax.scan(
         body, inputs, (params['x_layers'], layer_rngs))
-    return outputs
+  else:
+    outputs = inputs
+    for i in range(cfg.num_layers):
+      layer_rng = None
+      if rng is not None:
+        rng, layer_rng = jax.random.split(rng)
+      outputs = transformer_layer(
+          params[f'x_layers_{i}'], outputs, paddings, atten_mask, cfg,
+          train=train, rng=layer_rng)
 
-  outputs = inputs
-  for i in range(cfg.num_layers):
-    layer_rng = None
-    if rng is not None:
-      rng, layer_rng = jax.random.split(rng)
-    outputs = transformer_layer(
-        params[f'x_layers_{i}'], outputs, paddings, atten_mask, cfg,
-        train=train, rng=layer_rng)
+  if packed:
+    outputs = outputs.reshape(b, t, outputs.shape[-1])
   return outputs
 
 
