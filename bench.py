@@ -23,11 +23,21 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import statistics
 import time
 
 import jax
-import jax.numpy as jnp
+
+# Persistent compilation cache: first bench run on a machine pays the
+# (multi-minute, remote-compile) XLA+Mosaic cost, later runs start hot.
+jax.config.update(
+    'jax_compilation_cache_dir',
+    os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                   os.path.expanduser('~/.cache/jax_comp_cache')))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+import jax.numpy as jnp  # noqa: E402
 
 BASELINE_CLIPS_PER_SEC = 1.0 / 1.42  # reference MLX M3 Pro headline
 

@@ -1,0 +1,95 @@
+"""Fused transformer block kernels vs the composed oracle (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoprism_tpu.models import init as init_lib
+from videoprism_tpu.ops import masks as mask_lib
+from videoprism_tpu.ops import transformer as tfm
+from videoprism_tpu.ops.pallas import transformer_block as tb
+
+D, N, H, F, T, B = 128, 2, 64, 256, 16, 4
+
+
+@pytest.fixture(scope='module')
+def layer_params():
+  cfg = tfm.TransformerLayerConfig(
+      num_layers=1, hidden_dim=F, num_heads=N, norm_policy='pre',
+      activation='gelu', enable_per_dim_scale=False, logit_cap=50.0)
+  return tfm.__dict__, init_lib._transformer_layer(
+      jax.random.PRNGKey(0), D, cfg), cfg
+
+
+class TestFusedBlocks:
+
+  def test_attention_block_matches_composed(self, layer_params):
+    _, params, cfg = layer_params
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, D))
+    paddings = jnp.zeros((B, T)).at[:, -3:].set(1.0)
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+
+    # Composed: LN1 -> MHA -> +x  (first half of transformer_layer).
+    from videoprism_tpu.ops import attention as al
+    from videoprism_tpu.ops import basic
+
+    h = basic.layer_norm(params['layer_norm'], x, impl='xla')
+    attn = al.multi_head_attention(
+        params['self_attention'], h, h, h, mask,
+        hidden_dim=D, num_heads=N, logit_cap=50.0,
+        enable_per_dim_scale=False)
+    ref = attn + x
+
+    attnp = params['self_attention']
+    flat_in = lambda p: (p['w'].reshape(D, N * H), p['b'].reshape(N * H))
+    wq, bq = flat_in(attnp['query'])
+    wk, bk = flat_in(attnp['key'])
+    wv, bv = flat_in(attnp['value'])
+    wo = jnp.transpose(attnp['post']['w'], (1, 2, 0)).reshape(N * H, D)
+    got = tb.fused_attention_block(
+        x, jnp.squeeze(mask, 1).astype(jnp.float32),
+        params['layer_norm']['scale'], params['layer_norm']['bias'],
+        wq, bq, wk, bk, wv, bv, wo, attnp['post']['b'],
+        num_heads=N, dim_per_head=H, logit_cap=50.0,
+        query_scale=H ** -0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+  def test_ffn_block_matches_composed(self, layer_params):
+    _, params, cfg = layer_params
+    x = jax.random.normal(jax.random.PRNGKey(2), (B * T, D))
+    paddings = jnp.zeros((B * T, 1)).at[5:9].set(1.0)
+
+    ref = tfm.transformer_ffn(
+        params['ff_layer'], x[None], paddings.reshape(1, B * T), cfg)[0]
+
+    ff = params['ff_layer']
+    got = tb.fused_ffn_block(
+        x, paddings,
+        ff['layer_norm']['scale'], ff['layer_norm']['bias'],
+        ff['ffn_layer1']['linear']['kernel'],
+        ff['ffn_layer1']['linear']['bias'],
+        ff['ffn_layer2']['linear']['kernel'],
+        ff['ffn_layer2']['linear']['bias'],
+        activation='gelu', interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+  def test_erf_approximation_accuracy(self):
+    import scipy.special as sp
+
+    x = np.linspace(-5, 5, 2001, dtype=np.float32)
+    approx = np.asarray(tb._erf(jnp.asarray(x)))
+    # A&S 7.1.26 bound is 1.5e-7 in real arithmetic; fp32 rounding adds a
+    # little.  Still ~4 orders below bf16 output rounding.
+    assert np.abs(approx - sp.erf(x)).max() < 5e-7
+
+  def test_support_predicates(self):
+    assert tb.attention_block_supported(256, 768, 768, 2)
+    assert not tb.attention_block_supported(65, 768, 768, 2)  # text len
+    assert tb.ffn_block_supported(32768, 768, 3072, 2)
+    # Large/giant FFN weights exceed VMEM (16.8/34 MB bf16): those widths
+    # fall back to the composed path until F-chunking lands.
+    assert not tb.ffn_block_supported(32768, 1024, 4096, 2)
+    assert not tb.ffn_block_supported(32768, 1408, 6144, 4)
+    # But the large attention block fits.
+    assert tb.attention_block_supported(256, 1024, 1024, 2)

@@ -100,19 +100,39 @@ class SentencePieceTokenizer(Tokenizer):
   paths load directly.
   """
 
-  def __init__(self, model_path: str = 'c4_en.model'):
+  def __init__(self, model_path: str = 'c4_en.model',
+               use_native: bool | None = None):
     local_path = _resolve_model_path(model_path)
     self._spm = spm.load_model(local_path)
     self._trie = _Trie()
     self._scores: list[float] = []
+    matchable = []
     matchable_scores = []
     for idx, piece in enumerate(self._spm.pieces):
       self._scores.append(piece.score)
-      if piece.type in (spm.NORMAL, spm.USER_DEFINED):
+      is_match = piece.type in (spm.NORMAL, spm.USER_DEFINED)
+      matchable.append(is_match)
+      if is_match:
         self._trie.insert(piece.piece, idx)
         matchable_scores.append(piece.score)
     min_score = min(matchable_scores) if matchable_scores else 0.0
     self._unk_score = min_score - _UNK_PENALTY
+
+    # Native (C++) Viterbi core; Python fallback on any failure.  Control
+    # with use_native / $VIDEOPRISM_NATIVE_TOKENIZER=0.
+    self._native = None
+    if use_native is None:
+      use_native = os.environ.get(
+          'VIDEOPRISM_NATIVE_TOKENIZER', '1') != '0'
+    if use_native and self._spm.model_type == spm.UNIGRAM:
+      try:
+        from videoprism_tpu import native as native_lib
+
+        self._native = native_lib.NativeUnigramEncoder(
+            [p.piece for p in self._spm.pieces], self._scores, matchable,
+            self._spm.unk_id, self._unk_score)
+      except (RuntimeError, OSError):
+        self._native = None
 
   # ------------------------------ normalize ------------------------------
 
@@ -193,6 +213,8 @@ class SentencePieceTokenizer(Tokenizer):
       return []
     if self._spm.model_type == spm.BPE:
       return self._encode_bpe(text)
+    if self._native is not None:
+      return self._native.encode(text)
     return self._encode_unigram(text)
 
   def decode(self, ids: Sequence[int]) -> str:

@@ -1,0 +1,110 @@
+"""Native (C++) runtime tier: ctypes bindings with build-on-demand.
+
+The compute path is JAX/XLA/Pallas; this tier covers the host-side hot
+loops the reference delegated to C++ wheels (SentencePiece).  The shared
+library is compiled on first use with the system ``g++`` and cached next to
+the sources; every native component has a pure-Python fallback, so the
+framework works (slower) on machines with no toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, 'libvp_tokenizer.so')
+_SRC_PATH = os.path.join(_HERE, 'unigram_tokenizer.cc')
+_BUILD_LOCK = threading.Lock()
+_lib = None
+_lib_error: str | None = None
+
+
+def _build() -> None:
+  cmd = ['g++', '-O3', '-fPIC', '-shared', '-std=c++17',
+         '-o', _LIB_PATH, _SRC_PATH]
+  subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def load_tokenizer_lib() -> ctypes.CDLL | None:
+  """Returns the tokenizer CDLL, building it if needed; None on failure."""
+  global _lib, _lib_error
+  if _lib is not None or _lib_error is not None:
+    return _lib
+  with _BUILD_LOCK:
+    if _lib is not None or _lib_error is not None:
+      return _lib
+    try:
+      if (not os.path.exists(_LIB_PATH)
+          or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+        _build()
+      lib = ctypes.CDLL(_LIB_PATH)
+      lib.vp_tokenizer_create.restype = ctypes.c_void_p
+      lib.vp_tokenizer_create.argtypes = [
+          ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+          ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+          ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+      ]
+      lib.vp_tokenizer_destroy.restype = None
+      lib.vp_tokenizer_destroy.argtypes = [ctypes.c_void_p]
+      lib.vp_tokenizer_encode.restype = ctypes.c_int32
+      lib.vp_tokenizer_encode.argtypes = [
+          ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+          ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+      ]
+      _lib = lib
+    except (subprocess.CalledProcessError, OSError) as e:
+      _lib_error = str(e)
+  return _lib
+
+
+class NativeUnigramEncoder:
+  """C++ Viterbi segmenter over a SentencePiece vocabulary.
+
+  Same lattice semantics as the Python encoder in
+  ``videoprism_tpu.io.tokenizers`` (validated against it in tests).
+  Raises ``RuntimeError`` at construction when the native library is
+  unavailable — callers keep the Python path as fallback.
+  """
+
+  def __init__(self, pieces: list[str], scores: list[float],
+               matchable: list[bool], unk_id: int, unk_score: float):
+    lib = load_tokenizer_lib()
+    if lib is None:
+      raise RuntimeError(f'native tokenizer unavailable: {_lib_error}')
+    self._lib = lib
+
+    blob = b''
+    offsets = [0]
+    for p in pieces:
+      blob += p.encode('utf-8')
+      offsets.append(len(blob))
+    n = len(pieces)
+    offsets_arr = (ctypes.c_int64 * (n + 1))(*offsets)
+    scores_arr = (ctypes.c_float * n)(*scores)
+    match_arr = (ctypes.c_uint8 * n)(*[1 if m else 0 for m in matchable])
+    self._handle = lib.vp_tokenizer_create(
+        blob, offsets_arr, scores_arr, match_arr, n, unk_id,
+        ctypes.c_float(unk_score))
+    if not self._handle:
+      raise RuntimeError('vp_tokenizer_create failed')
+    self._buf_size = 4096
+    self._buf = (ctypes.c_int32 * self._buf_size)()
+
+  def encode(self, normalized_text: str) -> list[int]:
+    data = normalized_text.encode('utf-8')
+    while True:
+      count = self._lib.vp_tokenizer_encode(
+          self._handle, data, len(data), self._buf, self._buf_size)
+      if count >= 0:
+        return list(self._buf[:count])
+      self._buf_size *= 2
+      self._buf = (ctypes.c_int32 * self._buf_size)()
+
+  def __del__(self):
+    handle = getattr(self, '_handle', None)
+    if handle:
+      self._lib.vp_tokenizer_destroy(handle)
+      self._handle = None

@@ -123,6 +123,92 @@ def transformer_ffn(
   return outputs
 
 
+def _try_fused_layer(
+    params: Params,
+    inputs: Array,
+    paddings: Array | None,
+    atten_mask: Array,
+    cfg: TransformerLayerConfig,
+    train: bool,
+) -> Array | None:
+  """Routes a pre-norm layer through the fused Pallas block kernels.
+
+  Returns None when unsupported (non-'pre' policies, dropout in training,
+  per-dim scale, shapes that don't fit VMEM) — the caller then runs the
+  composed path.  See ops/pallas/transformer_block.py for why this matters:
+  the composed path streams ~1 GB of activations per layer through HBM.
+  """
+  if (cfg.norm_policy != 'pre' or cfg.attention_impl != 'flash'
+      or cfg.enable_per_dim_scale or cfg.activation not in ('gelu', 'relu')):
+    return None
+  if train and (cfg.atten_dropout or cfg.residual_dropout
+                or cfg.relu_dropout):
+    return None
+  if jax.default_backend() != 'tpu':
+    return None
+
+  from videoprism_tpu.ops.pallas import transformer_block as tb
+
+  b, t, d = inputs.shape
+  attn = params['self_attention']
+  dd, n, h = attn['query']['w'].shape
+  nh_total = n * h
+  f = params['ff_layer']['ffn_layer1']['linear']['kernel'].shape[-1]
+  itemsize = inputs.dtype.itemsize
+  attn_ok = (tb.attention_block_supported(t, d, nh_total, itemsize)
+             and atten_mask.shape[-1] == t)
+  ffn_ok = tb.ffn_block_supported(b * t, d, f, itemsize)
+  if not (attn_ok or ffn_ok):
+    return None
+
+  dtype = cfg.dtype
+  cast = basic.cast_floating
+
+  if attn_ok:
+    flat_in = lambda p: (cast(p['w'], dtype).reshape(d, nh_total),
+                         cast(p['b'], dtype).reshape(nh_total))
+    wq, bq = flat_in(attn['query'])
+    wk, bk = flat_in(attn['key'])
+    wv, bv = flat_in(attn['value'])
+    wo = jnp.transpose(cast(attn['post']['w'], dtype), (1, 2, 0)
+                       ).reshape(nh_total, d)
+    bo = cast(attn['post']['b'], dtype)
+    x = tb.fused_attention_block(
+        inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32),
+        cast(params['layer_norm']['scale'], dtype),
+        cast(params['layer_norm']['bias'], dtype),
+        wq, bq, wk, bk, wv, bv, wo, bo,
+        num_heads=n, dim_per_head=h,
+        logit_cap=cfg.logit_cap, query_scale=h ** -0.5)
+  else:
+    # Composed pre-norm attention half (same math as transformer_layer).
+    normed = basic.layer_norm(
+        params['layer_norm'], inputs, use_bias=cfg.use_bias, dtype=dtype)
+    x = inputs + attention_lib.multi_head_attention(
+        attn, normed, normed, normed, atten_mask,
+        hidden_dim=d, num_heads=cfg.num_heads,
+        dim_per_head=cfg.dim_per_head, logit_cap=cfg.logit_cap,
+        enable_per_dim_scale=cfg.enable_per_dim_scale,
+        use_bias=cfg.use_bias, dtype=dtype, impl=cfg.attention_impl)
+
+  if ffn_ok:
+    ff = params['ff_layer']
+    pad_rows = (
+        paddings.reshape(b * t, 1).astype(dtype)
+        if paddings is not None else jnp.zeros((b * t, 1), dtype))
+    out = tb.fused_ffn_block(
+        x.reshape(b * t, d), pad_rows,
+        cast(ff['layer_norm']['scale'], dtype),
+        cast(ff['layer_norm']['bias'], dtype),
+        cast(ff['ffn_layer1']['linear']['kernel'], dtype),
+        cast(ff['ffn_layer1']['linear']['bias'], dtype),
+        cast(ff['ffn_layer2']['linear']['kernel'], dtype),
+        cast(ff['ffn_layer2']['linear']['bias'], dtype),
+        activation=cfg.activation)
+    return out.reshape(b, t, d)
+  return transformer_ffn(params['ff_layer'], x, paddings, cfg, train=train)
+
+
 def transformer_layer(
     params: Params,
     inputs: Array,
@@ -143,6 +229,10 @@ def transformer_layer(
 
   Reference: ``Transformer`` videoprism/layers.py:796-872.
   """
+  fused = _try_fused_layer(params, inputs, paddings, atten_mask, cfg, train)
+  if fused is not None:
+    return fused
+
   dtype = cfg.dtype
   ln = lambda name, x: basic.layer_norm(
       params[name], x, use_bias=cfg.use_bias, dtype=dtype)
