@@ -1,0 +1,85 @@
+"""Serving tier tests: shard_map data parallelism + micro-batching service."""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import videoprism_tpu as vp
+from videoprism_tpu import serving
+from videoprism_tpu.models import factorized_encoder as fe
+from videoprism_tpu.models import init as init_lib
+from videoprism_tpu.parallel import mesh as mesh_lib
+
+TINY = dict(
+    patch_size=6, pos_emb_shape=(2, 2, 2), model_dim=16,
+    num_spatial_layers=2, num_temporal_layers=1, num_heads=2, mlp_dim=32,
+    atten_logit_cap=50.0, scan=True)
+
+
+@pytest.fixture(scope='module')
+def model_and_state():
+  cfg = fe.FactorizedEncoderConfig(**TINY)
+  model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
+  state = model.init(jax.random.PRNGKey(0))
+  return model, state
+
+
+class TestDataParallelForward:
+
+  def test_matches_single_device(self, model_and_state):
+    model, state = model_and_state
+    mesh = mesh_lib.make_mesh(model_parallelism=1)  # 8-way dp
+    fwd = serving.data_parallel_forward(
+        lambda p, v: model.apply(p, v, train=False)[0], mesh)
+    video = jax.random.uniform(jax.random.PRNGKey(1), (8, 2, 12, 12, 3))
+    ref, _ = model.apply(state, video, train=False)
+    got = fwd(state, video)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # Output is actually sharded over the mesh.
+    assert len(got.sharding.device_set) == 8
+
+
+class TestEmbeddingService:
+
+  def test_embed_batch_pads_to_bucket(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(2, 4))
+    videos = np.random.default_rng(0).random((3, 2, 12, 12, 3),
+                                             np.float32)
+    out = service.embed_batch(videos)
+    assert out.shape == (3, 8, 16)
+    ref, _ = model.apply(state, jnp.asarray(videos), train=False)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-6)
+
+  def test_concurrent_requests_microbatch(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(1, 4), max_wait_ms=50)
+    service.warmup((2, 12, 12, 3))
+    service.start()
+    try:
+      rng = np.random.default_rng(1)
+      clips = [rng.random((2, 12, 12, 3), np.float32) for _ in range(6)]
+      results = [None] * 6
+
+      def worker(i):
+        results[i] = service.embed(clips[i])
+
+      threads = [threading.Thread(target=worker, args=(i,))
+                 for i in range(6)]
+      for t in threads:
+        t.start()
+      for t in threads:
+        t.join(timeout=120)
+
+      for i, clip in enumerate(clips):
+        assert results[i] is not None
+        ref, _ = model.apply(state, jnp.asarray(clip[None]),
+                             train=False)
+        np.testing.assert_allclose(
+            results[i], np.asarray(ref[0]), atol=1e-5)
+    finally:
+      service.stop()

@@ -1,0 +1,82 @@
+"""Training data pipeline tests: loader semantics + end-to-end train loop."""
+
+import jax
+import numpy as np
+import pytest
+
+from videoprism_tpu.io import spm
+from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
+from videoprism_tpu.models import clip as vclip
+from videoprism_tpu.train import (
+    create_train_state,
+    data as data_lib,
+    make_optimizer,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope='module')
+def tokenizer(tmp_path_factory):
+  pieces = [
+      spm.Piece('<unk>', 0.0, spm.UNKNOWN),
+      spm.Piece('<s>', 0.0, spm.CONTROL),
+      spm.Piece('</s>', 0.0, spm.CONTROL),
+      spm.Piece('▁', -4.0),
+  ]
+  for w in data_lib.SyntheticSource.vocab_words + ('.',):
+    pieces.append(spm.Piece('▁' + w if w != '.' else '.', -1.0))
+  model = spm.SpmModel(pieces=pieces, unk_id=0, bos_id=1, eos_id=2)
+  path = tmp_path_factory.mktemp('spm') / 'train.model'
+  spm.save_model(str(path), model)
+  return SentencePieceTokenizer(str(path), use_native=False)
+
+
+class TestBatchedLoader:
+
+  def test_shapes_and_epochs(self, tokenizer):
+    source = data_lib.SyntheticSource(num_examples=10)
+    batches = list(data_lib.batched_loader(
+        source, tokenizer, batch_size=4, num_epochs=2, max_text_len=8,
+        num_workers=2))
+    # 10 examples, batch 4, drop remainder -> 2 batches/epoch x 2 epochs.
+    assert len(batches) == 4
+    b = batches[0]
+    assert b['video'].shape == (4, 4, 36, 36, 3)
+    assert b['text_token_ids'].shape == (4, 8)
+    assert b['text_paddings'].shape == (4, 8)
+    assert str(b['text_token_ids'].dtype) == 'int32'
+
+  def test_shuffling_differs_across_epochs(self, tokenizer):
+    source = data_lib.SyntheticSource(num_examples=8)
+    batches = list(data_lib.batched_loader(
+        source, tokenizer, batch_size=8, num_epochs=2, shuffle=True,
+        max_text_len=8, num_workers=1))
+    a, b = np.asarray(batches[0]['video']), np.asarray(batches[1]['video'])
+    assert not np.array_equal(a, b)
+    # Same content modulo order.
+    np.testing.assert_allclose(
+        np.sort(a.reshape(8, -1).sum(-1)), np.sort(b.reshape(8, -1).sum(-1)),
+        rtol=1e-6)
+
+  def test_end_to_end_training_loop(self, tokenizer):
+    cfg = vclip.VideoCLIPConfig(
+        patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=1,
+        num_temporal_layers=1, mlp_dim=16, num_auxiliary_layers=0,
+        vocabulary_size=tokenizer.vocab_size, enable_causal_atten=True,
+        num_unimodal_layers=1, norm_policy='pre', model_dim=8, num_heads=2,
+        atten_logit_cap=50.0, scan=True)
+    source = data_lib.SyntheticSource(num_examples=8, num_frames=2, size=12)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=10)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    step = jax.jit(make_train_step(cfg, optimizer))
+    rng = jax.random.PRNGKey(1)
+
+    losses = []
+    for i, batch in enumerate(data_lib.batched_loader(
+        source, tokenizer, batch_size=4, num_epochs=2, max_text_len=8,
+        num_workers=1)):
+      state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+      losses.append(float(metrics['loss']))
+    assert len(losses) == 4
+    assert all(np.isfinite(losses))

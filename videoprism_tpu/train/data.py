@@ -1,0 +1,161 @@
+"""Training input pipeline: batched (video, text) examples with host
+prefetch and device sharding.
+
+The reference has no data pipeline (inference-only, SURVEY.md §2.7).  This
+module provides the training-side counterpart to
+:class:`videoprism_tpu.io.video.VideoPrefetcher`:
+
+  * :class:`VideoTextSource` — (video file, caption) pairs decoded in a
+    thread pool with the reference's frame-sampling semantics;
+  * :class:`SyntheticSource` — deterministic random clips/captions for
+    smoke tests and benchmarks;
+  * :func:`batched_loader` — shuffling, epoch iteration, tokenization via
+    the public ``tokenize_texts``, and async ``device_put`` with optional
+    mesh sharding so step N+1's batch is on-device before step N finishes.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures
+import dataclasses
+from collections.abc import Iterator, Sequence
+from typing import Any, Protocol
+
+import jax
+import numpy as np
+
+from videoprism_tpu.models import registry
+
+
+class ExampleSource(Protocol):
+
+  def __len__(self) -> int:
+    ...
+
+  def get(self, index: int) -> tuple[np.ndarray, str]:
+    """Returns ([T, H, W, 3] float32 clip, caption)."""
+
+
+@dataclasses.dataclass
+class VideoTextSource:
+  """(video path, caption) pairs decoded with the reference loader."""
+
+  video_paths: Sequence[str]
+  captions: Sequence[str]
+  num_frames: int = 16
+  target_size: int = 288
+  resize_mode: str = 'center_crop'
+
+  def __post_init__(self):
+    assert len(self.video_paths) == len(self.captions)
+
+  def __len__(self) -> int:
+    return len(self.video_paths)
+
+  def get(self, index: int) -> tuple[np.ndarray, str]:
+    from videoprism_tpu.io import video as video_lib
+
+    clip = video_lib.load_video(
+        self.video_paths[index], self.num_frames, self.target_size,
+        self.resize_mode)
+    return clip, self.captions[index]
+
+
+@dataclasses.dataclass
+class SyntheticSource:
+  """Deterministic random data; useful for tests and step benchmarks."""
+
+  num_examples: int = 64
+  num_frames: int = 4
+  size: int = 36
+  vocab_words: Sequence[str] = (
+      'person', 'dog', 'running', 'playing', 'water', 'drums', 'city')
+
+  def __len__(self) -> int:
+    return self.num_examples
+
+  def get(self, index: int) -> tuple[np.ndarray, str]:
+    rng = np.random.default_rng(index)
+    clip = rng.random(
+        (self.num_frames, self.size, self.size, 3), np.float32)
+    words = rng.choice(self.vocab_words, size=3)
+    return clip, ' '.join(words)
+
+
+def batched_loader(
+    source: ExampleSource,
+    tokenizer,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_epochs: int | None = None,
+    max_text_len: int = registry.TEXT_MAX_LEN,
+    num_workers: int = 4,
+    prefetch_depth: int = 2,
+    sharding=None,
+    drop_remainder: bool = True,
+) -> Iterator[dict[str, Any]]:
+  """Yields device-resident batches
+  ``{'video', 'text_token_ids', 'text_paddings'}``.
+
+  Decode happens in a thread pool; the next ``prefetch_depth`` batches are
+  eagerly assembled and ``device_put`` (with ``sharding`` when given, e.g.
+  ``data_sharding(mesh)``), overlapping host work with device compute.
+  """
+  rng = np.random.default_rng(seed)
+  pool = concurrent.futures.ThreadPoolExecutor(num_workers)
+
+  def epoch_indices(epoch: int) -> np.ndarray:
+    idx = np.arange(len(source))
+    if shuffle:
+      rng_e = np.random.default_rng(seed + epoch)
+      rng_e.shuffle(idx)
+    return idx
+
+  def make_batch(indices: np.ndarray) -> dict[str, Any]:
+    examples = list(pool.map(source.get, indices))
+    videos = np.stack([clip for clip, _ in examples], axis=0)
+    ids, paddings = registry.tokenize_texts(
+        tokenizer, [cap for _, cap in examples], max_length=max_text_len)
+    batch = {
+        'video': videos,
+        'text_token_ids': ids,
+        'text_paddings': paddings,
+    }
+    if sharding is not None:
+      shardings = {
+          'video': sharding(videos.ndim),
+          'text_token_ids': sharding(2),
+          'text_paddings': sharding(2),
+      }
+      return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    return {k: jax.device_put(v) for k, v in batch.items()}
+
+  def batch_index_stream():
+    epoch = 0
+    while num_epochs is None or epoch < num_epochs:
+      idx = epoch_indices(epoch)
+      limit = (len(idx) // batch_size) * batch_size if drop_remainder \
+          else len(idx)
+      for start in range(0, limit, batch_size):
+        yield idx[start:start + batch_size]
+      epoch += 1
+
+  streams = batch_index_stream()
+  pending = collections.deque()
+  submit_pool = concurrent.futures.ThreadPoolExecutor(1)
+
+  for _ in range(prefetch_depth):
+    indices = next(streams, None)
+    if indices is None:
+      break
+    pending.append(submit_pool.submit(make_batch, indices))
+
+  while pending:
+    batch = pending.popleft().result()
+    indices = next(streams, None)
+    if indices is not None:
+      pending.append(submit_pool.submit(make_batch, indices))
+    yield batch
