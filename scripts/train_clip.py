@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""End-to-end contrastive CLIP (pre)training / fine-tuning driver.
+
+The reference repo is inference-only; this makes the TPU stack trainable
+out of the box: sharded train step over a (data, model) mesh, input
+pipeline with host prefetch, periodic orbax checkpoints, metric logging.
+
+Smoke run (synthetic data, CPU or one chip):
+  python scripts/train_clip.py --synthetic --steps 10 --tiny
+
+Real data: --videos-glob 'data/*.mp4' --captions captions.txt (one caption
+per line, aligned with the sorted glob), plus a tokenizer model.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import glob
+import os
+import time
+
+import jax
+
+jax.config.update(
+    'jax_compilation_cache_dir',
+    os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                   os.path.expanduser('~/.cache/jax_comp_cache')))
+
+import numpy as np  # noqa: E402
+
+import videoprism_tpu as vp  # noqa: E402
+from videoprism_tpu.models import clip as vclip  # noqa: E402
+from videoprism_tpu.parallel import make_mesh, data_sharding  # noqa: E402
+from videoprism_tpu.train import (  # noqa: E402
+    create_train_state,
+    data as data_lib,
+    make_optimizer,
+    make_sharded_train_step,
+    make_train_step,
+)
+from videoprism_tpu.train.checkpointing import TrainCheckpointer  # noqa: E402
+
+TINY_CFG = dict(
+    patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=2,
+    num_temporal_layers=1, mlp_dim=32, num_auxiliary_layers=1,
+    enable_causal_atten=True, num_unimodal_layers=2, norm_policy='pre',
+    model_dim=16, num_heads=2, atten_logit_cap=50.0, scan=True)
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--model', default='videoprism_lvt_public_v1_base')
+  parser.add_argument('--tiny', action='store_true',
+                      help='tiny architecture for smoke tests')
+  parser.add_argument('--synthetic', action='store_true')
+  parser.add_argument('--videos-glob', default=None)
+  parser.add_argument('--captions', default=None)
+  parser.add_argument('--tokenizer-model', default=None,
+                      help='local SentencePiece model path')
+  parser.add_argument('--init-checkpoint', default=None)
+  parser.add_argument('--batch-size', type=int, default=8)
+  parser.add_argument('--steps', type=int, default=1000)
+  parser.add_argument('--learning-rate', type=float, default=1e-4)
+  parser.add_argument('--warmup-steps', type=int, default=100)
+  parser.add_argument('--model-parallelism', type=int, default=1)
+  parser.add_argument('--remat', action='store_true')
+  parser.add_argument('--checkpoint-dir', default=None)
+  parser.add_argument('--checkpoint-every', type=int, default=500)
+  parser.add_argument('--log-every', type=int, default=10)
+  parser.add_argument('--seed', type=int, default=0)
+  args = parser.parse_args()
+
+  # --- model config ---
+  if args.tiny:
+    cfg = vclip.VideoCLIPConfig(
+        **TINY_CFG, vocabulary_size=1000, remat=args.remat)
+    frames, size = 2, 12
+  else:
+    base = vp.get_model_config(args.model)
+    cfg = vclip.VideoCLIPConfig(**base, remat=args.remat)
+    frames, size = (16 if 'base' in args.model else 8), 288
+
+  # --- tokenizer + data ---
+  from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
+
+  tok_path = args.tokenizer_model or os.environ.get(
+      'VIDEOPRISM_SPM_PATH',
+      '/root/reference/videoprism/assets/testdata/test_spm.model')
+  tokenizer = SentencePieceTokenizer(tok_path)
+
+  if args.synthetic:
+    source = data_lib.SyntheticSource(
+        num_examples=max(64, args.batch_size * 4),
+        num_frames=frames, size=size)
+  else:
+    paths = sorted(glob.glob(args.videos_glob))
+    captions = open(args.captions).read().splitlines()
+    source = data_lib.VideoTextSource(
+        paths, captions, num_frames=frames, target_size=size)
+  print(f'{len(source)} training examples; config '
+        f'{"tiny" if args.tiny else args.model}')
+
+  # --- mesh + state ---
+  mesh = make_mesh(args.model_parallelism)
+  print(f'mesh: {dict(mesh.shape)} over {jax.device_count()} devices')
+
+  optimizer = make_optimizer(
+      learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+      total_steps=args.steps)
+  pretrained = None
+  if args.init_checkpoint:
+    state0 = vp.load_pretrained_weights(
+        None, checkpoint_path=args.init_checkpoint)
+    pretrained = state0.get('params', state0)
+  state = create_train_state(
+      jax.random.PRNGKey(args.seed), cfg, optimizer,
+      pretrained_params=pretrained)
+
+  if jax.device_count() > 1 or args.model_parallelism > 1:
+    step_fn, state = make_sharded_train_step(cfg, optimizer, mesh, state)
+    shard = lambda ndim: data_sharding(mesh, ndim)
+  else:
+    step_fn = jax.jit(make_train_step(cfg, optimizer))
+    shard = None
+
+  ckpt = (TrainCheckpointer(args.checkpoint_dir)
+          if args.checkpoint_dir else None)
+
+  # --- loop ---
+  loader = data_lib.batched_loader(
+      source, tokenizer, args.batch_size, seed=args.seed,
+      num_epochs=None, sharding=shard)
+  rng = jax.random.PRNGKey(args.seed + 1)
+  t0 = time.time()
+  for i, batch in enumerate(loader):
+    if i >= args.steps:
+      break
+    state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+    if i % args.log_every == 0 or i == args.steps - 1:
+      loss = float(jax.device_get(metrics['loss']))
+      acc = float(jax.device_get(metrics['accuracy_v2t']))
+      dt = time.time() - t0
+      print(f'step {i:6d}  loss {loss:.4f}  acc_v2t {acc:.3f}  '
+            f'({dt / max(i, 1):.2f}s/step)')
+    if ckpt is not None:
+      ckpt.maybe_save(int(jax.device_get(state.step)), state,
+                      every=args.checkpoint_every)
+  if ckpt is not None:
+    ckpt.wait()
+  print(f'done: {args.steps} steps in {time.time() - t0:.1f}s')
+
+
+if __name__ == '__main__':
+  main()

@@ -64,6 +64,7 @@ def make_optimizer(
     clip_norm: float = 1.0,
 ) -> optax.GradientTransformation:
   """AdamW + cosine schedule + global-norm clipping."""
+  warmup_steps = min(warmup_steps, max(total_steps // 10, 1))
   schedule = optax.warmup_cosine_decay_schedule(
       init_value=0.0, peak_value=learning_rate,
       warmup_steps=warmup_steps, decay_steps=total_steps)
