@@ -42,13 +42,13 @@ import jax.numpy as jnp  # noqa: E402
 BASELINE_CLIPS_PER_SEC = 1.0 / 1.42  # reference MLX M3 Pro headline
 
 
-def _make_forward(dtype, attention_impl: str):
+def _make_forward(dtype, attention_impl: str, config_name: str):
   from videoprism_tpu.models import factorized_encoder as fe
   from videoprism_tpu.models import init as init_lib
   from videoprism_tpu.models import registry
 
   cfg = fe.FactorizedEncoderConfig(
-      **registry.CONFIGS['videoprism_v1_base'],
+      **registry.CONFIGS[config_name],
       dtype=dtype, attention_impl=attention_impl)
   params = init_lib.init_factorized_encoder(jax.random.PRNGKey(0), cfg)
   params = jax.device_put(params)
@@ -93,6 +93,10 @@ def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--dtype', default='bfloat16',
                       choices=['bfloat16', 'float32'])
+  parser.add_argument('--model', default='base',
+                      choices=['base', 'large'],
+                      help='base: 16 frames; large: 8 frames (per the '
+                           'published checkpoint workloads)')
   parser.add_argument('--attention', default='auto',
                       choices=['auto', 'xla', 'flash'])
   parser.add_argument('--batch-sizes', default='1,4,8,16')
@@ -109,7 +113,11 @@ def main():
   if attention == 'auto':
     attention = 'flash' if platform == 'tpu' else 'xla'
 
-  forward, params = _make_forward(dtype, attention)
+  config_name = (
+      'videoprism_v1_large' if args.model == 'large' else
+      'videoprism_v1_base')
+  num_frames = 8 if args.model == 'large' else 16
+  forward, params = _make_forward(dtype, attention, config_name)
 
   best_throughput = 0.0
   best_batch = 0
@@ -118,7 +126,7 @@ def main():
   for b in [int(x) for x in args.batch_sizes.split(',')]:
     video = jax.device_put(
         jax.random.uniform(
-            jax.random.PRNGKey(1), (b, 16, 288, 288, 3), jnp.float32))
+            jax.random.PRNGKey(1), (b, num_frames, 288, 288, 3), jnp.float32))
     try:
       times = _time_forward(
           forward, params, video, args.warmup, args.runs, args.iters)
@@ -137,8 +145,8 @@ def main():
       'value': round(best_throughput, 3),
       'unit': 'clips/s/chip',
       'vs_baseline': round(best_throughput / BASELINE_CLIPS_PER_SEC, 2),
-      'model': 'videoprism_public_v1_base',
-      'workload': '16x288x288',
+      'model': f'videoprism_public_v1_{args.model}',
+      'workload': f'{num_frames}x288x288',
       'platform': platform,
       'dtype': args.dtype,
       'attention': attention,

@@ -1,0 +1,75 @@
+"""Evaluation-harness tests with analytically known answers."""
+
+import numpy as np
+
+from videoprism_tpu import evaluation
+
+
+def _orthonormal(n, d, seed=0):
+  rng = np.random.default_rng(seed)
+  q, _ = np.linalg.qr(rng.standard_normal((d, n)))
+  return q.T[:n]
+
+
+class TestRetrievalMetrics:
+
+  def test_perfect_alignment(self):
+    emb = _orthonormal(8, 16)
+    m = evaluation.retrieval_metrics(emb, emb)
+    assert m['v2t_recall@1'] == 1.0
+    assert m['t2v_recall@1'] == 1.0
+    assert m['v2t_median_rank'] == 1.0
+
+  def test_known_confusion(self):
+    # Video 0's nearest text is text 1 -> rank 1 for query 0.
+    v = _orthonormal(4, 8, seed=1)
+    t = v.copy()
+    t[[0, 1]] = t[[1, 0]]  # swap texts 0 and 1
+    m = evaluation.retrieval_metrics(v, t)
+    assert m['v2t_recall@1'] == 0.5   # queries 2, 3 still perfect
+    assert m['v2t_recall@5'] == 1.0
+
+  def test_symmetry(self):
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((6, 8)).astype(np.float32)
+    t = rng.standard_normal((6, 8)).astype(np.float32)
+    m = evaluation.retrieval_metrics(v, t)
+    m_swapped = evaluation.retrieval_metrics(t, v)
+    assert m['v2t_recall@1'] == m_swapped['t2v_recall@1']
+
+
+class TestZeroShotClassifier:
+
+  def test_prompt_ensembling_and_normalization(self):
+    d = 8
+    calls = []
+
+    def encode(texts):
+      calls.append(list(texts))
+      # Deterministic per-text embedding: hash -> basis vector mix.
+      out = np.zeros((len(texts), d), np.float32)
+      for i, t in enumerate(texts):
+        out[i, hash(t) % d] = 1.0
+        out[i, (hash(t) // 7) % d] += 0.5
+      return out
+
+    classes = ['running', 'swimming', 'drumming']
+    weights = evaluation.zero_shot_classifier(encode, classes,
+                                              batch_size=5)
+    assert weights.shape == (3, d)
+    np.testing.assert_allclose(
+        np.linalg.norm(weights, axis=-1), 1.0, atol=1e-6)
+    # All class x template prompts were encoded (batched).
+    total = sum(len(c) for c in calls)
+    assert total == 3 * len(evaluation.DEFAULT_PROMPT_TEMPLATES)
+
+  def test_classification_accuracy(self):
+    scores = np.array([
+        [0.9, 0.1, 0.0],   # correct (label 0)
+        [0.2, 0.5, 0.3],   # correct (label 1)
+        [0.6, 0.3, 0.1],   # wrong (label 2 ranked last)
+    ])
+    labels = np.array([0, 1, 2])
+    m = evaluation.classification_accuracy(scores, labels, ks=(1, 2, 3))
+    assert m['top1_accuracy'] == 2 / 3
+    assert m['top3_accuracy'] == 1.0

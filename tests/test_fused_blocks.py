@@ -74,6 +74,28 @@ class TestFusedBlocks:
         activation='gelu', interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
+  def test_chunked_ffn_matches_single(self, layer_params):
+    _, params, cfg = layer_params
+    x = jax.random.normal(jax.random.PRNGKey(3), (B * T, D))
+    paddings = jnp.zeros((B * T, 1)).at[3:6].set(1.0)
+    ff = params['ff_layer']
+    args = (x, paddings,
+            ff['layer_norm']['scale'], ff['layer_norm']['bias'],
+            ff['ffn_layer1']['linear']['kernel'],
+            ff['ffn_layer1']['linear']['bias'],
+            ff['ffn_layer2']['linear']['kernel'],
+            ff['ffn_layer2']['linear']['bias'])
+    ref = tb.fused_ffn_block(*args, activation='gelu', interpret=True)
+    for chunks in (2, 4):
+      got = tb.fused_ffn_block_chunked(
+          *args, chunks=chunks, activation='gelu', interpret=True)
+      np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                 atol=2e-6)
+
+  def test_chunk_selection(self):
+    assert tb.ffn_chunks_for(1024, 4096, 2) == 2   # large bf16
+    assert tb.ffn_chunks_for(1408, 6144, 2) == 4   # giant bf16
+
   def test_erf_approximation_accuracy(self):
     import scipy.special as sp
 

@@ -175,6 +175,116 @@ def fused_attention_block(
   )(x, mask, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
+def _apply_activation(a, activation: str):
+  if activation == 'gelu':
+    return 0.5 * a * (1.0 + _erf(a * 0.7071067811865476))
+  if activation == 'relu':
+    return jnp.maximum(a, 0.0)
+  return a
+
+
+def _ffn_chunk_kernel(
+    x_ref, resid_ref, pad_ref, ln_s_ref, ln_b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+    activation: str, epsilon: float, add_bias2: bool,
+):
+  """One F-chunk of the FFN with an explicit residual operand.
+
+  ``out = resid (+ b2·keep) + keep * act(keep * (LN(x) @ w1 + b1)) @ w2``
+  — chaining calls with ``resid = previous out`` accumulates the chunks of
+  a hidden dim too wide for a single VMEM-resident weight pair (the
+  large/giant towers).
+  """
+  x = x_ref[:]
+  keep = 1.0 - pad_ref[:].astype(jnp.float32)
+  h = _ln_f32(x, ln_s_ref, ln_b_ref, epsilon).astype(x.dtype)
+  a = jax.lax.dot_general(
+      h, w1_ref[:], (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  a = _apply_activation(a + b1_ref[:].astype(jnp.float32), activation)
+  a = (a * keep).astype(x.dtype)
+  out = jax.lax.dot_general(
+      a, w2_ref[:], (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  if add_bias2:
+    out = out + b2_ref[:].astype(jnp.float32)
+  out = out * keep + resid_ref[:].astype(jnp.float32)
+  o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _ffn_chunk_row_block(rows: int, d: int, f_chunk: int,
+                         itemsize: int) -> int | None:
+  weights = 2 * d * f_chunk * itemsize
+  for block in (512, 256, 128, 64, 32, 16, 8):
+    if rows % block:
+      continue
+    io = 2 * (3 * block * d * itemsize)  # x + resid + out, double-buffered
+    scratch = block * f_chunk * (4 + itemsize) + 2 * block * d * 4
+    if weights + io + scratch <= _FFN_BUDGET:
+      return block
+  return None
+
+
+def ffn_chunks_for(d: int, f: int, itemsize: int) -> int | None:
+  """Smallest power-of-two chunk count whose weights fit VMEM."""
+  for chunks in (2, 4, 8):
+    if f % chunks:
+      continue
+    if _ffn_chunk_row_block(8, d, f // chunks, itemsize) is not None:
+      return chunks
+  return None
+
+
+def fused_ffn_block_chunked(
+    x: Array, paddings: Array,
+    ln_scale: Array, ln_bias: Array,
+    w1: Array, b1: Array, w2: Array, b2: Array,
+    *,
+    chunks: int,
+    activation: str = 'gelu',
+    epsilon: float = 1e-6,
+    interpret: bool = False,
+) -> Array:
+  """FFN via ``chunks`` sequential F-slices (for hidden dims whose weights
+  exceed VMEM).  LN is recomputed per chunk (VPU-cheap) instead of a
+  hidden-activation HBM round trip."""
+  rows, d = x.shape
+  f = w1.shape[1]
+  fc = f // chunks
+  block_rows = _ffn_chunk_row_block(rows, d, fc, x.dtype.itemsize)
+  assert block_rows is not None, (rows, d, fc)
+
+  vec = lambda a: pl.BlockSpec((a.shape[-1],), lambda i: (0,),
+                               memory_space=pltpu.VMEM)
+  mat = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+  rowspec = pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+  padspec = pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+  out = x
+  for c in range(chunks):
+    w1c = jax.lax.slice_in_dim(w1, c * fc, (c + 1) * fc, axis=1)
+    b1c = jax.lax.slice_in_dim(b1, c * fc, (c + 1) * fc, axis=0)
+    w2c = jax.lax.slice_in_dim(w2, c * fc, (c + 1) * fc, axis=0)
+    out = pl.pallas_call(
+        functools.partial(
+            _ffn_chunk_kernel, activation=activation, epsilon=epsilon,
+            add_bias2=(c == 0)),
+        grid=(rows // block_rows,),
+        in_specs=[rowspec, rowspec, padspec,
+                  vec(ln_scale), vec(ln_bias),
+                  mat(w1c), vec(b1c), mat(w2c), vec(b2)],
+        out_specs=rowspec,
+        out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(x, out, paddings, ln_scale, ln_bias, w1c, b1c, w2c, b2)
+  return out
+
+
 def _ffn_block_kernel(
     x_ref, pad_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref, *,

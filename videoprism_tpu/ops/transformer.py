@@ -158,7 +158,8 @@ def _try_fused_layer(
   attn_ok = (tb.attention_block_supported(t, d, nh_total, itemsize)
              and atten_mask.shape[-1] == t)
   ffn_ok = tb.ffn_block_supported(b * t, d, f, itemsize)
-  if not (attn_ok or ffn_ok):
+  ffn_chunks = None if ffn_ok else tb.ffn_chunks_for(d, f, itemsize)
+  if not (attn_ok or ffn_ok or ffn_chunks):
     return None
 
   dtype = cfg.dtype
@@ -191,12 +192,12 @@ def _try_fused_layer(
         enable_per_dim_scale=cfg.enable_per_dim_scale,
         use_bias=cfg.use_bias, dtype=dtype, impl=cfg.attention_impl)
 
-  if ffn_ok:
+  if ffn_ok or ffn_chunks:
     ff = params['ff_layer']
     pad_rows = (
         paddings.reshape(b * t, 1).astype(dtype)
         if paddings is not None else jnp.zeros((b * t, 1), dtype))
-    out = tb.fused_ffn_block(
+    ffn_args = (
         x.reshape(b * t, d), pad_rows,
         cast(ff['layer_norm']['scale'], dtype),
         cast(ff['layer_norm']['bias'], dtype),
@@ -204,7 +205,12 @@ def _try_fused_layer(
         cast(ff['ffn_layer1']['linear']['bias'], dtype),
         cast(ff['ffn_layer2']['linear']['kernel'], dtype),
         cast(ff['ffn_layer2']['linear']['bias'], dtype),
-        activation=cfg.activation)
+    )
+    if ffn_ok:
+      out = tb.fused_ffn_block(*ffn_args, activation=cfg.activation)
+    else:
+      out = tb.fused_ffn_block_chunked(
+          *ffn_args, chunks=ffn_chunks, activation=cfg.activation)
     return out.reshape(b, t, d)
   return transformer_ffn(params['ff_layer'], x, paddings, cfg, train=train)
 
