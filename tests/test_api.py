@@ -145,3 +145,41 @@ class TestTextCanonicalization:
     assert text_lib.canonicalize_text('Hello,World..') == 'hello world.'
     assert text_lib.canonicalize_text('  Hello   WORLD') == 'hello world.'
     assert text_lib.canonicalize_text('') == '.'
+
+
+class TestGiantConfigs:
+  """Giant architectures have no public checkpoints but must construct
+  (reference videoprism/models.py:105-160)."""
+
+  def test_giant_shapes_via_eval_shape(self):
+    import videoprism_tpu.models.registry as registry
+
+    for builder in (registry.videoprism_v1_giant,
+                    registry.videoprism_lvt_v1_giant):
+      model = builder()
+      shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+      total = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+      assert total > 0.9e9, (builder.__name__, total)  # ~1B params
+
+  def test_classifier_builders(self):
+    import videoprism_tpu.models.registry as registry
+
+    model = registry.videoprism_vc_v1_base(num_classes=vp.K400_NUM_CLASSES)
+    assert model.config.num_classes == 400
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    assert len(jax.tree.leaves(shapes)) > 0
+
+
+class TestRuntimeKnobs:
+
+  def test_attention_impl_override(self):
+    model = vp.get_model('videoprism_public_v1_base',
+                         attention_impl='flash')
+    assert model.config.attention_impl == 'flash'
+    clf = vp.get_model(
+        None,
+        model_fn=lambda: __import__(
+            'videoprism_tpu.models.registry', fromlist=['x']
+        ).videoprism_vc_v1_base(10),
+        attention_impl='flash')
+    assert clf.config.encoder.attention_impl == 'flash'

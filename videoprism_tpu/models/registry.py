@@ -316,10 +316,14 @@ def get_model(
     model_fn: Callable[[], Model] | None = None,
     models: Mapping[str, Callable[[], Model]] | None = None,
     fprop_dtype=None,
+    attention_impl: str | None = None,
 ) -> Model:
   """Returns a VideoPrism :class:`Model` by name or HF model id.
 
-  Reference: videoprism/models.py:268-303.
+  Reference: videoprism/models.py:268-303, extended with the TPU runtime
+  knobs: ``fprop_dtype`` (e.g. ``jnp.bfloat16``) and ``attention_impl``
+  (``'flash'`` enables the fused Pallas kernels — the production serving
+  configuration; ``'xla'`` (default) is the bit-parity path).
   """
   if model_fn is None:
     assert model_name is not None
@@ -334,8 +338,19 @@ def get_model(
     model_fn = models[model_name]
 
   model = model_fn()
+  updates = {}
   if fprop_dtype is not None:
-    model = model.replace_config(dtype=jnp.dtype(fprop_dtype))
+    updates['dtype'] = jnp.dtype(fprop_dtype)
+  if attention_impl is not None:
+    updates['attention_impl'] = attention_impl
+  if updates:
+    if isinstance(model.config, vc.VideoClassifierConfig):
+      model = dataclasses.replace(
+          model, config=dataclasses.replace(
+              model.config,
+              encoder=dataclasses.replace(model.config.encoder, **updates)))
+    else:
+      model = model.replace_config(**updates)
   return model
 
 
