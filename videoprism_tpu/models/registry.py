@@ -460,16 +460,28 @@ class BoundModel:
 
 
 def _resolve_weights(model_name: str, weights_path: str | None):
-  """Finds weights: explicit path > local ``weights/`` dir > HF download."""
+  """Finds weights: explicit path > local ``weights/`` dir (including
+  reference-converter ``*_mlx`` files) > HF download."""
+  from videoprism_tpu.io import mlx_compat
+
+  def load(path: str):
+    if '_mlx' in Path(path).name:
+      # A file produced by the reference's MLX converter: unstacked
+      # layers + renamed leaves; import back to our stacked schema.
+      return jax.tree_util.tree_map(
+          jnp.asarray, mlx_compat.load_mlx_weights(path))
+    return load_pretrained_weights(model_name, checkpoint_path=path)
+
   if weights_path is not None:
-    return load_pretrained_weights(model_name, checkpoint_path=weights_path)
+    return load(weights_path)
   for candidate in (
       Path('weights') / f'{model_name}.safetensors',
       Path('weights') / f'{model_name}.npz',
+      Path('weights') / f'{model_name}_mlx.safetensors',
+      Path('weights') / f'{model_name}_mlx.npz',
   ):
     if candidate.exists():
-      return load_pretrained_weights(
-          model_name, checkpoint_path=str(candidate))
+      return load(str(candidate))
   return load_pretrained_weights(model_name)
 
 

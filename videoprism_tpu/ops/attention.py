@@ -215,10 +215,9 @@ def multi_head_attention(
       dtype=dtype,
   )
 
-  use_flash = (
-      impl == 'flash'
-      and not (dropout_rate > 0.0 and train)  # kernel has no dropout path
-  )
+  # Kernels are inference-only for now: no dropout path and no custom VJP,
+  # so training (which differentiates through here) uses the XLA path.
+  use_flash = impl == 'flash' and not train
   if use_flash:
     from videoprism_tpu.ops.pallas import flash_attention as flash
 

@@ -141,8 +141,9 @@ def _try_fused_layer(
   if (cfg.norm_policy != 'pre' or cfg.attention_impl != 'flash'
       or cfg.enable_per_dim_scale or cfg.activation not in ('gelu', 'relu')):
     return None
-  if train and (cfg.atten_dropout or cfg.residual_dropout
-                or cfg.relu_dropout):
+  if train:
+    # The fused kernels have no custom VJP (and no dropout path):
+    # training differentiates through the composed XLA ops instead.
     return None
   if jax.default_backend() != 'tpu':
     return None

@@ -67,6 +67,7 @@ class _Request:
   video: np.ndarray            # [T, H, W, 3]
   event: threading.Event
   result: np.ndarray | None = None
+  error: Exception | None = None
 
 
 class EmbeddingService:
@@ -135,6 +136,8 @@ class EmbeddingService:
     self._queue.put(req)
     if not req.event.wait(timeout):
       raise TimeoutError('embedding request timed out')
+    if req.error is not None:
+      raise req.error
     return req.result
 
   def embed_batch(self, videos: np.ndarray) -> np.ndarray:
@@ -181,9 +184,9 @@ class EmbeddingService:
         results = self.embed_batch(videos)
         for r, emb in zip(batch, results):
           r.result = emb
-      except Exception:  # surface errors to all waiters, keep serving
+      except Exception as e:  # surface errors to all waiters, keep serving
         for r in batch:
-          r.result = None
+          r.error = e
       finally:
         for r in batch:
           r.event.set()
