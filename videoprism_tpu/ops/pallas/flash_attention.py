@@ -61,12 +61,20 @@ def _attention_kernel(
 
   # Select-mask: shared across heads; rows broadcast if size-1.
   mask = mask_ref[0]  # [blk_t | 1, S]
-  logits = jnp.where(mask[None] >= _NEG_INF * 0.5, logits, _NEG_INF)
+  ok = mask[None] >= _NEG_INF * 0.5
 
   # Exact fp32 softmax (S is fully resident — no online rescaling needed).
-  row_max = jnp.max(logits, axis=-1, keepdims=True)
-  unnorm = jnp.exp(logits - row_max)
-  denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+  if logit_cap > 0.0:
+    # Capped logits are bounded by ±cap, so exp cannot overflow fp32:
+    # skip the row-max pass and zero masked entries directly.
+    unnorm = jnp.where(ok, jnp.exp(logits), 0.0)
+  else:
+    logits = jnp.where(ok, logits, _NEG_INF)
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    unnorm = jnp.exp(logits - row_max)
+  # Clamp: a fully-masked (padded) row would otherwise be 0/0 -> NaN, and
+  # that NaN poisons every query via 0 * NaN in the next layer's PV matmul.
+  denom = jnp.maximum(jnp.sum(unnorm, axis=-1, keepdims=True), 1e-30)
   probs = (unnorm / denom).astype(v.dtype)
 
   out = jax.lax.dot_general(

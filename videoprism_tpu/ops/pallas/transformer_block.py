@@ -94,13 +94,19 @@ def _attn_block_kernel(
     logits = jax.lax.dot_general(
         qn, kn, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [T, T]
+    ok = mask >= _NEG_INF * 0.5
     if logit_cap > 0.0:
+      # ±cap-bounded logits: exp cannot overflow fp32, so skip the
+      # row-max pass and zero masked entries directly.
       logits = logit_cap * jnp.tanh(logits * (1.0 / logit_cap))
-    logits = jnp.where(mask >= _NEG_INF * 0.5, logits, _NEG_INF)
-    row_max = jnp.max(logits, axis=-1, keepdims=True)
-    unnorm = jnp.exp(logits - row_max)
-    probs = (unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
-             ).astype(x.dtype)
+      unnorm = jnp.where(ok, jnp.exp(logits), 0.0)
+    else:
+      logits = jnp.where(ok, logits, _NEG_INF)
+      row_max = jnp.max(logits, axis=-1, keepdims=True)
+      unnorm = jnp.exp(logits - row_max)
+    # Clamp keeps fully-masked (padded) rows at probs=0 instead of 0/0 NaN.
+    denom = jnp.maximum(jnp.sum(unnorm, axis=-1, keepdims=True), 1e-30)
+    probs = (unnorm / denom).astype(x.dtype)
     ctx_parts.append(jax.lax.dot_general(
         probs, vn, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(x.dtype))
