@@ -93,8 +93,10 @@ class TestFusedBlocks:
                                  atol=2e-6)
 
   def test_chunk_selection(self):
-    assert tb.ffn_chunks_for(1024, 4096, 2) == 2   # large bf16
-    assert tb.ffn_chunks_for(1408, 6144, 2) == 4   # giant bf16
+    assert tb.ffn_chunks_for(32768, 1024, 4096, 2) == 2   # large bf16
+    assert tb.ffn_chunks_for(32768, 1408, 6144, 2) == 4   # giant bf16
+    # Unblockable row counts (e.g. tiny text towers) -> no chunking.
+    assert tb.ffn_chunks_for(10, 1024, 4096, 2) is None
 
   def test_erf_approximation_accuracy(self):
     import scipy.special as sp

@@ -231,12 +231,13 @@ def _ffn_chunk_row_block(rows: int, d: int, f_chunk: int,
   return None
 
 
-def ffn_chunks_for(d: int, f: int, itemsize: int) -> int | None:
-  """Smallest power-of-two chunk count whose weights fit VMEM."""
+def ffn_chunks_for(rows: int, d: int, f: int, itemsize: int) -> int | None:
+  """Smallest power-of-two chunk count whose weights fit VMEM (None when
+  no chunking makes the workload fit, e.g. rows not blockable)."""
   for chunks in (2, 4, 8):
     if f % chunks:
       continue
-    if _ffn_chunk_row_block(8, d, f // chunks, itemsize) is not None:
+    if _ffn_chunk_row_block(rows, d, f // chunks, itemsize) is not None:
       return chunks
   return None
 

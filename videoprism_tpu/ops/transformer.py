@@ -159,7 +159,8 @@ def _try_fused_layer(
   attn_ok = (tb.attention_block_supported(t, d, nh_total, itemsize)
              and atten_mask.shape[-1] == t)
   ffn_ok = tb.ffn_block_supported(b * t, d, f, itemsize)
-  ffn_chunks = None if ffn_ok else tb.ffn_chunks_for(d, f, itemsize)
+  ffn_chunks = (
+      None if ffn_ok else tb.ffn_chunks_for(b * t, d, f, itemsize))
   if not (attn_ok or ffn_ok or ffn_chunks):
     return None
 
