@@ -215,9 +215,9 @@ def multi_head_attention(
       dtype=dtype,
   )
 
-  # Kernels are inference-only for now: no dropout path and no custom VJP,
-  # so training (which differentiates through here) uses the XLA path.
-  use_flash = impl == 'flash' and not train
+  # The kernel is trainable (custom_vjp with a composed backward) but has
+  # no dropout path; dropout-in-training falls back to XLA.
+  use_flash = impl == 'flash' and not (train and dropout_rate > 0.0)
   if use_flash:
     from videoprism_tpu.ops.pallas import flash_attention as flash
 

@@ -199,6 +199,50 @@ def _packed_small_seq_attention(
   return out.astype(dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _attention_vjp(logit_cap: float, dtype_name: str, block_t: int,
+                   interpret: bool, packed: bool):
+  """custom_vjp wrapper: fused-kernel forward, composed-XLA backward.
+
+  The kernel has no transpose rules; differentiating through the composed
+  twin (same math) makes the fused path trainable — the backward replays
+  the composed ops, which is exactly what rematerialized training does
+  anyway.
+  """
+  import numpy as np
+
+  dtype = jnp.dtype(dtype_name)
+
+  def kernel_fwd(q, k, v, mask):
+    if packed:
+      return _packed_small_seq_attention(
+          q, k, v, mask, logit_cap=logit_cap, dtype=dtype,
+          interpret=interpret)
+    m = jnp.squeeze(mask, axis=1).astype(jnp.float32)
+    return fused_attention(
+        q, k, v, m, logit_cap=logit_cap, block_t=block_t,
+        interpret=interpret).astype(dtype)
+
+  def composed(q, k, v, mask):
+    from videoprism_tpu.ops import attention as attention_lib
+
+    return attention_lib._dot_atten_head_major(
+        q, k, v, mask, logit_cap=logit_cap, dtype=dtype)
+
+  f = jax.custom_vjp(kernel_fwd)
+
+  def fwd(q, k, v, mask):
+    return kernel_fwd(q, k, v, mask), (q, k, v, mask)
+
+  def bwd(residuals, g):
+    q, k, v, mask = residuals
+    _, vjp_fn = jax.vjp(composed, q, k, v, mask)
+    return vjp_fn(g)
+
+  f.defvjp(fwd, bwd)
+  return f
+
+
 def flash_attention_head_major(
     query: Array,       # [B, N, T, H] (post per-dim/rsqrt query scaling)
     key: Array,         # [B, N, S, H]
@@ -213,20 +257,24 @@ def flash_attention_head_major(
   """Head-major fused attention with XLA fallback for unsupported shapes.
 
   This is the zero-transpose path used by
-  :func:`videoprism_tpu.ops.attention.multi_head_attention`.
+  :func:`videoprism_tpu.ops.attention.multi_head_attention`.  Trainable:
+  forward runs the kernel, backward differentiates the composed twin.
   """
-  t, s = query.shape[2], key.shape[2]
+  b, n, t, h = query.shape
+  s = key.shape[2]
+  use_packed = False
   if not supports(t, s, block_t):
-    packed = _packed_small_seq_attention(
-        query, key, value, atten_mask,
-        logit_cap=logit_cap, dtype=dtype, interpret=interpret)
-    if packed is not None:
-      return packed
+    use_packed = (
+        t == s and 8 <= t < 128 and 128 % t == 0 and b % (128 // t) == 0)
+    if not use_packed:
+      from videoprism_tpu.ops import attention as attention_lib
 
-    from videoprism_tpu.ops import attention as attention_lib
+      return attention_lib._dot_atten_head_major(
+          query, key, value, atten_mask, logit_cap=logit_cap, dtype=dtype)
 
-    return attention_lib._dot_atten_head_major(
-        query, key, value, atten_mask, logit_cap=logit_cap, dtype=dtype)
+  f = _attention_vjp(float(logit_cap), jnp.dtype(dtype).name, block_t,
+                     interpret, use_packed)
+  return f(query, key, value, atten_mask)
 
   # Heads share the mask; fp32 in-kernel (Mosaic has no bf16 compare, and
   # the mask encodes -0.7*dtype_max sentinels anyway).

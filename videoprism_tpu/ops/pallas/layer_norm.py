@@ -80,6 +80,35 @@ def fused_layer_norm_2d(
   )(x, scale, bias)
 
 
+def _composed_layer_norm_2d(x, scale, bias, *, epsilon, direct_scale):
+  """jnp twin of the kernel (for the custom_vjp backward)."""
+  xf = x.astype(jnp.float32)
+  mean = jnp.mean(xf, axis=-1, keepdims=True)
+  var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+  normed = (xf - mean) * jax.lax.rsqrt(var + epsilon)
+  s = scale.astype(jnp.float32)
+  if not direct_scale:
+    s = s + 1.0
+  return (normed * s + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _ln_vjp(epsilon: float, direct_scale: bool, interpret: bool):
+  def kernel_fwd(x, scale, bias):
+    return fused_layer_norm_2d(
+        x, scale, bias, epsilon=epsilon, direct_scale=direct_scale,
+        interpret=interpret)
+
+  f = jax.custom_vjp(kernel_fwd)
+  f.defvjp(
+      lambda x, s, b: (kernel_fwd(x, s, b), (x, s, b)),
+      lambda res, g: jax.vjp(
+          functools.partial(_composed_layer_norm_2d, epsilon=epsilon,
+                            direct_scale=direct_scale), *res)[1](g),
+  )
+  return f
+
+
 def fused_layer_norm(
     x: Array,      # [..., D]
     scale: Array,  # [D]
@@ -89,13 +118,12 @@ def fused_layer_norm(
     direct_scale: bool = False,
     interpret: bool = False,
 ) -> Array:
-  """Rank-agnostic wrapper: flattens leading dims into rows."""
+  """Rank-agnostic wrapper: flattens leading dims into rows.  Trainable
+  (custom_vjp with a composed backward)."""
   d = x.shape[-1]
   lead = x.shape[:-1]
   rows = 1
   for s in lead:
     rows *= s
-  out = fused_layer_norm_2d(
-      x.reshape(rows, d), scale, bias,
-      epsilon=epsilon, direct_scale=direct_scale, interpret=interpret)
-  return out.reshape(*lead, d)
+  f = _ln_vjp(epsilon, direct_scale, interpret)
+  return f(x.reshape(rows, d), scale, bias).reshape(*lead, d)

@@ -292,6 +292,110 @@ def fused_ffn_block_chunked(
   return out
 
 
+# ---------------------------------------------------------------------------
+# Trainability: custom_vjp wrappers pairing the fused-kernel forward with a
+# composed-XLA backward (the kernels have no transpose rules).  The composed
+# twins replicate the kernel math with plain jnp ops; under rematerialized
+# training the backward replays them anyway, so this is the natural split.
+# ---------------------------------------------------------------------------
+
+
+def _composed_attention_block(
+    x, mask, ln_s, ln_b, wq, bq, wk, bk, wv, bv, wo, bo,
+    *, num_heads, dim_per_head, logit_cap, epsilon, query_scale):
+  """jnp twin of ``_attn_block_kernel`` (same math, differentiable)."""
+  xf = x.astype(jnp.float32)
+  mean = jnp.mean(xf, axis=-1, keepdims=True)
+  var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+  h = ((xf - mean) * jax.lax.rsqrt(var + epsilon)
+       * (ln_s.astype(jnp.float32) + 1.0)
+       + ln_b.astype(jnp.float32)).astype(x.dtype)
+
+  b, t, d = x.shape
+  n, hd = num_heads, dim_per_head
+
+  def proj(w, bias):
+    out = jnp.einsum('btd,de->bte', h, w) + bias
+    return out.reshape(b, t, n, hd).transpose(0, 2, 1, 3)  # [B,N,T,H]
+
+  q = proj(wq, bq) * query_scale
+  k = proj(wk, bk)
+  v = proj(wv, bv)
+  logits = jnp.einsum(
+      'BNTH,BNSH->BNTS', q, k,
+      preferred_element_type=jnp.float32)
+  if logit_cap > 0.0:
+    logits = logit_cap * jnp.tanh(logits * (1.0 / logit_cap))
+  ok = mask[:, None] >= _NEG_INF * 0.5  # [B|1,1,T|1,S]
+  unnorm = jnp.where(ok, jnp.exp(logits), 0.0)
+  denom = jnp.maximum(jnp.sum(unnorm, axis=-1, keepdims=True), 1e-30)
+  probs = (unnorm / denom).astype(x.dtype)
+  ctx = jnp.einsum('BNTS,BNSH->BNTH', probs, v)
+  ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, n * hd)
+  out = jnp.einsum('bte,ed->btd', ctx, wo) + bo
+  return (out + x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _composed_ffn_block(x, pads, ln_s, ln_b, w1, b1, w2, b2,
+                        *, activation, epsilon):
+  """jnp twin of ``_ffn_chunk_kernel``/``_ffn_block_kernel``."""
+  keep = 1.0 - pads.astype(jnp.float32)
+  xf = x.astype(jnp.float32)
+  mean = jnp.mean(xf, axis=-1, keepdims=True)
+  var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+  h = ((xf - mean) * jax.lax.rsqrt(var + epsilon)
+       * (ln_s.astype(jnp.float32) + 1.0)
+       + ln_b.astype(jnp.float32)).astype(x.dtype)
+  a = jnp.dot(h, w1, preferred_element_type=jnp.float32) + b1
+  a = _apply_activation(a, activation)
+  a = (a * keep).astype(x.dtype)
+  out = jnp.dot(a, w2, preferred_element_type=jnp.float32) + b2
+  return (out * keep + xf).astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def attention_block_vjp(num_heads: int, dim_per_head: int,
+                        logit_cap: float, epsilon: float,
+                        query_scale: float, interpret: bool = False):
+  static = dict(num_heads=num_heads, dim_per_head=dim_per_head,
+                logit_cap=logit_cap, epsilon=epsilon,
+                query_scale=query_scale)
+
+  def kernel_fwd(*args):
+    return fused_attention_block(*args, **static, interpret=interpret)
+
+  f = jax.custom_vjp(kernel_fwd)
+  f.defvjp(
+      lambda *args: (kernel_fwd(*args), args),
+      lambda res, g: jax.vjp(
+          functools.partial(_composed_attention_block, **static), *res
+      )[1](g),
+  )
+  return f
+
+
+@functools.lru_cache(maxsize=None)
+def ffn_block_vjp(activation: str, epsilon: float, chunks: int | None,
+                  interpret: bool = False):
+  def kernel_fwd(*args):
+    if chunks:
+      return fused_ffn_block_chunked(
+          *args, chunks=chunks, activation=activation, epsilon=epsilon,
+          interpret=interpret)
+    return fused_ffn_block(
+        *args, activation=activation, epsilon=epsilon, interpret=interpret)
+
+  f = jax.custom_vjp(kernel_fwd)
+  f.defvjp(
+      lambda *args: (kernel_fwd(*args), args),
+      lambda res, g: jax.vjp(
+          functools.partial(_composed_ffn_block, activation=activation,
+                            epsilon=epsilon), *res
+      )[1](g),
+  )
+  return f
+
+
 def _ffn_block_kernel(
     x_ref, pad_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref, *,

@@ -141,9 +141,10 @@ def _try_fused_layer(
   if (cfg.norm_policy != 'pre' or cfg.attention_impl != 'flash'
       or cfg.enable_per_dim_scale or cfg.activation not in ('gelu', 'relu')):
     return None
-  if train:
-    # The fused kernels have no custom VJP (and no dropout path):
-    # training differentiates through the composed XLA ops instead.
+  if train and (cfg.atten_dropout or cfg.residual_dropout
+                or cfg.relu_dropout):
+    # The kernels are trainable (custom_vjp, composed backward) but have
+    # no dropout path.
     return None
   if jax.default_backend() != 'tpu':
     return None
@@ -176,13 +177,14 @@ def _try_fused_layer(
     wo = jnp.transpose(cast(attn['post']['w'], dtype), (1, 2, 0)
                        ).reshape(nh_total, d)
     bo = cast(attn['post']['b'], dtype)
-    x = tb.fused_attention_block(
+    attn_fn = tb.attention_block_vjp(
+        num_heads=n, dim_per_head=h, logit_cap=float(cfg.logit_cap),
+        epsilon=1e-6, query_scale=h ** -0.5)
+    x = attn_fn(
         inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32),
         cast(params['layer_norm']['scale'], dtype),
         cast(params['layer_norm']['bias'], dtype),
-        wq, bq, wk, bk, wv, bv, wo, bo,
-        num_heads=n, dim_per_head=h,
-        logit_cap=cfg.logit_cap, query_scale=h ** -0.5)
+        wq, bq, wk, bk, wv, bv, wo, bo)
   else:
     # Composed pre-norm attention half (same math as transformer_layer).
     normed = basic.layer_norm(
@@ -208,12 +210,10 @@ def _try_fused_layer(
         cast(ff['ffn_layer2']['linear']['kernel'], dtype),
         cast(ff['ffn_layer2']['linear']['bias'], dtype),
     )
-    if ffn_ok:
-      out = tb.fused_ffn_block(*ffn_args, activation=cfg.activation)
-    else:
-      out = tb.fused_ffn_block_chunked(
-          *ffn_args, chunks=ffn_chunks, activation=cfg.activation)
-    return out.reshape(b, t, d)
+    ffn_fn = tb.ffn_block_vjp(
+        activation=cfg.activation, epsilon=1e-6,
+        chunks=None if ffn_ok else ffn_chunks)
+    return ffn_fn(*ffn_args).reshape(b, t, d)
   return transformer_ffn(params['ff_layer'], x, paddings, cfg, train=train)
 
 
