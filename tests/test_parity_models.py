@@ -177,6 +177,27 @@ class TestVideoCLIPParity:
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(got_v), axis=-1), 1.0, atol=1e-5)
 
+  def test_unnormalized_and_frame_paddings(self):
+    from videoprism import encoders as ref_encoders
+
+    inputs = _video()
+    frame_paddings = jnp.array([[0.0, 1.0], [0.0, 0.0]])
+    mod = ref_encoders.FactorizedVideoCLIP(**TINY_CLIP)
+    variables = mod.init(jax.random.PRNGKey(0), inputs, None, None)
+    params = _params(variables)
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+
+    ref_v, _, _ = mod.apply(
+        {'params': params}, inputs, None, None, train=False,
+        normalize=False, frame_paddings=frame_paddings)
+    got_v, _, _ = vclip.apply(
+        params, inputs, None, None, cfg, normalize=False,
+        frame_paddings=frame_paddings)
+    np.testing.assert_allclose(got_v, ref_v, atol=TOL)
+    # Unnormalized embeddings are not unit-norm.
+    norms = np.linalg.norm(np.asarray(got_v), axis=-1)
+    assert not np.allclose(norms, 1.0)
+
   def test_single_modality(self):
     from videoprism import encoders as ref_encoders
 
