@@ -133,3 +133,19 @@ class TestReferenceModelCompatibility:
   def test_reference_model_decode(self):
     t = SentencePieceTokenizer(REF_SPM)
     assert t.decode([80, 180, 60]) == 'blah'
+
+
+class TestTokenizeTextsFlags:
+
+  def test_add_bos_and_canonicalize_flags(self, fixture_model_path):
+    t = SentencePieceTokenizer(fixture_model_path)
+    # add_bos=False suppresses the bos even though bos_token >= 0.
+    ids, _ = tokenize_texts(t, ['hello'], max_length=4, add_bos=False)
+    assert ids[0][0] != 1
+    # canonicalize=False skips lowercasing/punctuation/period append:
+    # 'hello' has no trailing '.' piece then.
+    ids_canon, _ = tokenize_texts(t, ['hello'], max_length=4)
+    ids_raw, _ = tokenize_texts(t, ['hello'], max_length=4,
+                                canonicalize=False)
+    assert 13 in ids_canon[0]      # '.' piece from canonicalization
+    assert 13 not in ids_raw[0]

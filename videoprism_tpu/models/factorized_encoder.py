@@ -127,6 +127,9 @@ def apply(
   """
   b, t, h, w, c = inputs.shape
   assert h == w
+  # Cast before patch extraction: the patching is a pure permutation, so
+  # bf16-first is value-identical but halves the transpose's HBM traffic.
+  inputs = inputs.astype(cfg.dtype)
   reshaped_inputs = inputs.reshape(b * t, h, w, c)
   patches = emb_lib.image_to_patch(reshaped_inputs, cfg.patch_size)
 
