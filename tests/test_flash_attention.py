@@ -43,6 +43,21 @@ class TestFusedAttention:
                                 interpret=True)
     np.testing.assert_allclose(got[:, :100], ref[:, :100], atol=1e-5)
 
+  def test_fully_masked_rows_match_reference_uniform(self):
+    """A fully-padded sequence (every key masked) must produce uniform
+    attention like the reference softmax — not zeros or NaN — because
+    those tokens flow into downstream unmasked poolers."""
+    b, t, n, h = 2, 128, 2, 64
+    q, k, v = _qkv(b, t, t, n, h)
+    paddings = jnp.ones((b, t))  # everything padded
+    mask = mask_lib.paddings_to_mask(paddings)
+
+    ref, _ = attention_lib.dot_atten(q, k, v, mask, logit_cap=50.0)
+    got = flash.flash_attention(q, k, v, mask, logit_cap=50.0,
+                                interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
   def test_matches_xla_causal(self):
     b, t, n, h = 1, 128, 2, 64
     q, k, v = _qkv(b, t, t, n, h)

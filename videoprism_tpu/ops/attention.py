@@ -214,6 +214,10 @@ def multi_head_attention(
       dim_per_head=dim_per_head,
       dtype=dtype,
   )
+  if scale_logits_by_head_dims:
+    # Equivalent to scaling the logits (linear); applied here so both the
+    # flash and XLA branches honor the flag.
+    query_proj = query_proj * (1.0 / np.sqrt(key_proj.shape[-1]))
 
   # The kernel is trainable (custom_vjp with a composed backward) but has
   # no dropout path; dropout-in-training falls back to XLA.
@@ -226,8 +230,6 @@ def multi_head_attention(
         logit_cap=logit_cap, dtype=dtype,
     )
   else:
-    if scale_logits_by_head_dims:
-      query_proj = query_proj * (1.0 / np.sqrt(key_proj.shape[-1]))
     encoded = _dot_atten_head_major(
         query_proj, key_proj, value_proj, atten_mask,
         logit_cap=logit_cap,

@@ -66,15 +66,19 @@ def _attention_kernel(
   # Exact fp32 softmax (S is fully resident — no online rescaling needed).
   if logit_cap > 0.0:
     # Capped logits are bounded by ±cap, so exp cannot overflow fp32:
-    # skip the row-max pass and zero masked entries directly.
+    # skip the row-max pass and zero masked entries directly.  Fully-masked
+    # (padded) rows must match the reference's softmax-of-all-(-0.7max)
+    # behavior — uniform 1/S — not 0/0 NaN or zeros.
     unnorm = jnp.where(ok, jnp.exp(logits), 0.0)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    s = unnorm.shape[-1]
+    unnorm = jnp.where(denom == 0.0, 1.0, unnorm)
+    denom = jnp.where(denom == 0.0, float(s), denom)
   else:
     logits = jnp.where(ok, logits, _NEG_INF)
     row_max = jnp.max(logits, axis=-1, keepdims=True)
     unnorm = jnp.exp(logits - row_max)
-  # Clamp: a fully-masked (padded) row would otherwise be 0/0 -> NaN, and
-  # that NaN poisons every query via 0 * NaN in the next layer's PV matmul.
-  denom = jnp.maximum(jnp.sum(unnorm, axis=-1, keepdims=True), 1e-30)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
   probs = (unnorm / denom).astype(v.dtype)
 
   out = jax.lax.dot_general(
@@ -275,14 +279,6 @@ def flash_attention_head_major(
   f = _attention_vjp(float(logit_cap), jnp.dtype(dtype).name, block_t,
                      interpret, use_packed)
   return f(query, key, value, atten_mask)
-
-  # Heads share the mask; fp32 in-kernel (Mosaic has no bf16 compare, and
-  # the mask encodes -0.7*dtype_max sentinels anyway).
-  mask = jnp.squeeze(atten_mask, axis=1).astype(jnp.float32)
-  out = fused_attention(
-      query, key, value, mask, logit_cap=logit_cap, block_t=block_t,
-      interpret=interpret)
-  return out.astype(dtype)
 
 
 def flash_attention(

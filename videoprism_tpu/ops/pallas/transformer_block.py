@@ -97,15 +97,18 @@ def _attn_block_kernel(
     ok = mask >= _NEG_INF * 0.5
     if logit_cap > 0.0:
       # ±cap-bounded logits: exp cannot overflow fp32, so skip the
-      # row-max pass and zero masked entries directly.
+      # row-max pass and zero masked entries directly.  Fully-masked rows
+      # become uniform 1/S, matching the reference softmax semantics.
       logits = logit_cap * jnp.tanh(logits * (1.0 / logit_cap))
       unnorm = jnp.where(ok, jnp.exp(logits), 0.0)
+      denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+      unnorm = jnp.where(denom == 0.0, 1.0, unnorm)
+      denom = jnp.where(denom == 0.0, float(unnorm.shape[-1]), denom)
     else:
       logits = jnp.where(ok, logits, _NEG_INF)
       row_max = jnp.max(logits, axis=-1, keepdims=True)
       unnorm = jnp.exp(logits - row_max)
-    # Clamp keeps fully-masked (padded) rows at probs=0 instead of 0/0 NaN.
-    denom = jnp.maximum(jnp.sum(unnorm, axis=-1, keepdims=True), 1e-30)
+      denom = jnp.sum(unnorm, axis=-1, keepdims=True)
     probs = (unnorm / denom).astype(x.dtype)
     ctx_parts.append(jax.lax.dot_general(
         probs, vn, (((1,), (0,)), ((), ())),
@@ -324,11 +327,21 @@ def _composed_attention_block(
   logits = jnp.einsum(
       'BNTH,BNSH->BNTS', q, k,
       preferred_element_type=jnp.float32)
-  if logit_cap > 0.0:
-    logits = logit_cap * jnp.tanh(logits * (1.0 / logit_cap))
   ok = mask[:, None] >= _NEG_INF * 0.5  # [B|1,1,T|1,S]
-  unnorm = jnp.where(ok, jnp.exp(logits), 0.0)
-  denom = jnp.maximum(jnp.sum(unnorm, axis=-1, keepdims=True), 1e-30)
+  if logit_cap > 0.0:
+    # Mirror the kernel branch exactly (incl. uniform fully-masked rows).
+    logits = logit_cap * jnp.tanh(logits * (1.0 / logit_cap))
+    unnorm = jnp.where(ok, jnp.exp(logits), 0.0)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    unnorm = jnp.where(denom == 0.0, 1.0, unnorm)
+    denom = jnp.where(denom == 0.0, float(unnorm.shape[-1]), denom)
+  else:
+    # Uncapped logits are unbounded: row-max subtraction is required (the
+    # kernel does the same) or exp overflows in the backward replay.
+    logits = jnp.where(ok, logits, _NEG_INF)
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    unnorm = jnp.exp(logits - row_max)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
   probs = (unnorm / denom).astype(x.dtype)
   ctx = jnp.einsum('BNTS,BNSH->BNTH', probs, v)
   ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, n * hd)

@@ -139,7 +139,8 @@ def _try_fused_layer(
   the composed path streams ~1 GB of activations per layer through HBM.
   """
   if (cfg.norm_policy != 'pre' or cfg.attention_impl != 'flash'
-      or cfg.enable_per_dim_scale or cfg.activation not in ('gelu', 'relu')):
+      or cfg.enable_per_dim_scale or cfg.activation not in ('gelu', 'relu')
+      or cfg.residual_weight != 1.0 or not cfg.use_bias):
     return None
   if train and (cfg.atten_dropout or cfg.residual_dropout
                 or cfg.relu_dropout):

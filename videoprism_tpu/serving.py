@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import queue
+import time
 import threading
 from functools import partial
 from typing import Any, Callable
@@ -141,12 +142,17 @@ class EmbeddingService:
     return req.result
 
   def embed_batch(self, videos: np.ndarray) -> np.ndarray:
-    """Direct batched path (no queueing)."""
-    b = videos.shape[0]
-    bucket = self._bucket_for(b)
-    padded = self._pad(videos, bucket)
-    out = np.asarray(self._forward(self._state, jnp.asarray(padded)))
-    return out[:b]
+    """Direct batched path (no queueing); splits batches larger than the
+    largest bucket into bucket-sized chunks."""
+    max_bucket = self._buckets[-1]
+    outs = []
+    for start in range(0, videos.shape[0], max_bucket):
+      chunk = videos[start:start + max_bucket]
+      bucket = self._bucket_for(chunk.shape[0])
+      padded = self._pad(chunk, bucket)
+      out = np.asarray(self._forward(self._state, jnp.asarray(padded)))
+      outs.append(out[:chunk.shape[0]])
+    return np.concatenate(outs, axis=0)
 
   # ------------------------------- worker --------------------------------
 
@@ -171,11 +177,16 @@ class EmbeddingService:
       except queue.Empty:
         continue
       batch = [first]
-      deadline = self._max_wait
       max_bucket = self._buckets[-1]
+      # Absolute deadline: total queueing delay is bounded by max_wait,
+      # not max_wait per straggler.
+      deadline = time.monotonic() + self._max_wait
       while len(batch) < max_bucket:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+          break
         try:
-          batch.append(self._queue.get(timeout=deadline))
+          batch.append(self._queue.get(timeout=remaining))
         except queue.Empty:
           break
 

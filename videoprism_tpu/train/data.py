@@ -101,8 +101,9 @@ def batched_loader(
   ``{'video', 'text_token_ids', 'text_paddings'}``.
 
   Decode happens in a thread pool; the next ``prefetch_depth`` batches are
-  eagerly assembled and ``device_put`` (with ``sharding`` when given, e.g.
-  ``data_sharding(mesh)``), overlapping host work with device compute.
+  eagerly assembled and ``device_put``, overlapping host work with device
+  compute.  ``sharding`` is a callable ``ndim -> Sharding`` (e.g.
+  ``lambda ndim: data_sharding(mesh, ndim)``) applied per batch field.
   """
   rng = np.random.default_rng(seed)
   pool = concurrent.futures.ThreadPoolExecutor(num_workers)

@@ -63,8 +63,14 @@ def make_optimizer(
     b2: float = 0.95,
     clip_norm: float = 1.0,
 ) -> optax.GradientTransformation:
-  """AdamW + cosine schedule + global-norm clipping."""
-  warmup_steps = min(warmup_steps, max(total_steps // 10, 1))
+  """AdamW + cosine schedule + global-norm clipping.
+
+  ``warmup_steps`` is honored as given unless it would make the cosine
+  decay span non-positive (warmup >= total), in which case it is clamped
+  to total_steps - 1 so short smoke runs still construct.
+  """
+  if warmup_steps >= total_steps:
+    warmup_steps = max(total_steps - 1, 0)
   schedule = optax.warmup_cosine_decay_schedule(
       init_value=0.0, peak_value=learning_rate,
       warmup_steps=warmup_steps, decay_steps=total_steps)
@@ -154,10 +160,7 @@ def make_sharded_train_step(
   """
   param_sh = shard_lib.param_shardings(state.params, mesh)
   repl = mesh_lib.replicated(mesh)
-  opt_sh = jax.tree.map(
-      lambda leaf_sh: leaf_sh,
-      _opt_state_shardings(state.opt_state, param_sh, repl),
-      is_leaf=lambda x: isinstance(x, NamedSharding))
+  opt_sh = _opt_state_shardings(state.opt_state, param_sh, repl)
   state_sh = TrainState(
       step=repl, params=param_sh, log_temperature=repl, opt_state=opt_sh)
   batch_sh = {
