@@ -248,3 +248,25 @@ class TestClassifierParity:
     np.testing.assert_allclose(got_logits, ref_logits, atol=TOL)
     np.testing.assert_allclose(
         got_out['global_embeddings'], ref_out['global_embeddings'], atol=TOL)
+
+
+class TestBf16TextTower:
+
+  def test_bf16_scan_carry_with_fp32_paddings(self):
+    """Regression: fp32 text paddings must not promote bf16 activations
+    inside the FFN (it broke the scan carry's dtype invariance)."""
+    import jax.numpy as jnp
+
+    kwargs = dict(
+        vocabulary_size=50, num_class_tokens=1, enable_causal_atten=True,
+        model_dim=16, num_layers=2, mlp_dim=32, num_heads=2,
+        atten_logit_cap=50.0, scan=True, dtype=jnp.bfloat16)
+    from videoprism_tpu.models import init as init_lib
+
+    cfg = te.TextEncoderConfig(**kwargs)
+    params = init_lib.init_text_encoder(jax.random.PRNGKey(0), cfg)
+    ids = jnp.array([[5, 9, 2, 0]], dtype=jnp.int32)
+    paddings = jnp.array([[0., 0., 1., 1.]], jnp.float32)  # fp32 on purpose
+    out = te.apply(params, ids, paddings, cfg)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -79,7 +79,9 @@ def transformer_ffn(
   dtype = cfg.dtype
   residual = inputs
   if paddings is not None:
-    paddings = jnp.expand_dims(paddings, axis=-1)
+    # Match the activation dtype: fp32 paddings would silently promote
+    # bf16 activations (and break the scan carry's dtype invariance).
+    paddings = jnp.expand_dims(paddings, axis=-1).astype(inputs.dtype)
 
   ln = lambda name, x: basic.layer_norm(
       params[name], x, use_bias=cfg.use_bias, dtype=dtype)
