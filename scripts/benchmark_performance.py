@@ -83,6 +83,14 @@ def bench_flax(args, clip, text_ids, text_paddings) -> None:
 
   import jax
 
+  # The reference side is the CPU oracle.  This must run before any
+  # backend initialization — which is why --framework both dispatches the
+  # flax side to a subprocess (see main()).
+  try:
+    jax.config.update('jax_platforms', 'cpu')
+  except RuntimeError:
+    print('warning: backend already initialized; flax side may not be CPU')
+
   import videoprism_tpu as vp
 
   config = vp.get_model_config(args.model)
@@ -132,8 +140,20 @@ def main():
         f'({args.model})')
   if args.framework in ('tpu', 'both'):
     bench_tpu(args, clip, text_ids, text_paddings)
-  if args.framework in ('flax', 'both'):
+  if args.framework == 'flax':
     bench_flax(args, clip, text_ids, text_paddings)
+  elif args.framework == 'both':
+    # The flax oracle must run on CPU, but this process's backend is
+    # already the TPU after bench_tpu — rerun ourselves for the flax side.
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), '--framework', 'flax',
+           '--model', args.model, '--frames', str(args.frames),
+           '--num-texts', str(args.num_texts), '--runs', str(args.runs),
+           '--warmup', str(args.warmup)]
+    if args.checkpoint:
+      cmd += ['--checkpoint', args.checkpoint]
+    subprocess.run(cmd, check=False)
 
 
 if __name__ == '__main__':
