@@ -185,3 +185,45 @@ class TestLayerParity:
         hidden_dim=4 * d)
     assert got.shape == (b, num_queries, d)
     np.testing.assert_allclose(got, ref, atol=TOL)
+
+
+@requires_reference
+class TestSequencePackingParity:
+  """The small-sequence packing rewrite (ops/transformer.py) must be
+  numerically invisible: compare against the reference on a geometry that
+  actually triggers it (T=16, B divisible by 128/T=8)."""
+
+  @pytest.mark.parametrize('use_paddings', [False, True])
+  def test_packed_stack_matches_reference(self, use_paddings):
+    from videoprism import layers as ref_layers
+    from videoprism_tpu.ops import transformer as tfm_lib2
+
+    b, t, d, n, hid, layers = 16, 16, 16, 2, 32, 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, d))
+    paddings = jnp.zeros((b, t))
+    if use_paddings:
+      paddings = paddings.at[:4, -5:].set(1.0)
+
+    mod = ref_layers.StackedTransformer(
+        num_layers=layers, hidden_dim=hid, num_heads=n,
+        activation_fn=ref_layers.gelu,
+        internal_enable_per_dim_scale=False, atten_logit_cap=50.0,
+        scan=True)
+    variables = mod.init(jax.random.PRNGKey(2), x, paddings, train=False)
+    params = jax.tree.map(jnp.asarray, variables['params'])
+    ref = mod.apply({'params': params}, x, paddings, train=False)
+
+    cfg = tfm_lib2.TransformerLayerConfig(
+        num_layers=layers, hidden_dim=hid, num_heads=n,
+        activation='gelu', enable_per_dim_scale=False, logit_cap=50.0,
+        scan=True)
+    assert cfg.pack_small_sequences  # the default; this test relies on it
+    got = tfm_lib2.stacked_transformer(params, x, paddings, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    # And packing off gives the same numbers too.
+    import dataclasses
+    cfg_off = dataclasses.replace(cfg, pack_small_sequences=False)
+    got_off = tfm_lib2.stacked_transformer(params, x, paddings, cfg_off)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(got_off),
+                               atol=1e-6)
