@@ -62,7 +62,9 @@ def _make_forward(dtype, attention_impl: str, config_name: str):
       # Feed a vanishing function of this pass's output into the next
       # pass's input: real data dependence, so XLA cannot hoist the
       # loop-invariant forward out of the loop, and the chain serializes.
-      vid = vid + s * 1e-30
+      # Single-element in-place update — a full-tensor add here would bill
+      # ~2 ms/iter of pure measurement overhead to the model.
+      vid = vid.at[0, 0, 0, 0, 0].add(s * 1e-30)
       return acc + s, vid
 
     acc, _ = jax.lax.fori_loop(
