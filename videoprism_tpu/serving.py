@@ -48,14 +48,18 @@ def data_parallel_forward(
   Inside ``shard_map`` each device traces the single-device program, so
   Pallas kernels run unmodified per shard.
   """
-  from jax.experimental.shard_map import shard_map
+  try:
+    shard_map = partial(jax.shard_map, check_vma=False)  # jax >= 0.5
+  except AttributeError:
+    from jax.experimental.shard_map import shard_map
+
+    shard_map = partial(shard_map, check_rep=False)
 
   @partial(
       shard_map,
       mesh=mesh,
       in_specs=(PartitionSpec(), PartitionSpec(axis)),
       out_specs=PartitionSpec(axis),
-      check_rep=False,
   )
   def sharded(params, batch):
     return forward_fn(params, batch)
