@@ -83,3 +83,17 @@ class TestEmbeddingService:
             results[i], np.asarray(ref[0]), atol=1e-5)
     finally:
       service.stop()
+
+
+class TestEmbeddingServiceOversized:
+
+  def test_embed_batch_larger_than_max_bucket(self, model_and_state):
+    """Regression: batches above the largest bucket are chunked, not
+    crashed with a negative-padding error."""
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(2, 4))
+    videos = np.random.default_rng(2).random((9, 2, 12, 12, 3), np.float32)
+    out = service.embed_batch(videos)
+    assert out.shape == (9, 8, 16)
+    ref, _ = model.apply(state, jnp.asarray(videos), train=False)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
