@@ -321,6 +321,19 @@ def stacked_transformer(
   outputs are bit-identical to the unpacked layout.
   """
   b, t = inputs.shape[0], inputs.shape[1]
+  t_orig = t
+
+  # Sublane padding: awkward lengths (e.g. the text tower's 64+1 cls = 65
+  # tokens) disqualify every fused kernel (sublane multiples of 8 needed).
+  # Pad with fully-masked tokens — excluded as keys by the mask and zeroed
+  # in the FFN, so real-token outputs are unchanged — and slice back after
+  # the stack.
+  pad_t = (-t) % 8 if cfg.attention_impl == 'flash' else 0
+  if pad_t:
+    inputs = jnp.pad(inputs, ((0, 0), (0, pad_t), (0, 0)))
+    paddings = jnp.pad(paddings, ((0, 0), (0, pad_t)), constant_values=1.0)
+    t = t + pad_t
+
   group = 128 // t if t < 128 and 128 % t == 0 else 1
   packed = (
       cfg.pack_small_sequences
@@ -381,6 +394,8 @@ def stacked_transformer(
 
   if packed:
     outputs = outputs.reshape(b, t, outputs.shape[-1])
+  if pad_t:
+    outputs = outputs[:, :t_orig]
   return outputs
 
 
