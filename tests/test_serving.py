@@ -97,3 +97,18 @@ class TestEmbeddingServiceOversized:
     assert out.shape == (9, 8, 16)
     ref, _ = model.apply(state, jnp.asarray(videos), train=False)
     np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+
+class TestDataParallelOn2DMesh:
+
+  def test_dp_axis_of_2d_mesh(self, model_and_state):
+    """data_parallel_forward over the data axis of a (4, 2) mesh: batch
+    splits 4 ways, params replicated across all 8 devices."""
+    model, state = model_and_state
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # (4, 2)
+    fwd = serving.data_parallel_forward(
+        lambda p, v: model.apply(p, v, train=False)[0], mesh)
+    video = jax.random.uniform(jax.random.PRNGKey(3), (4, 2, 12, 12, 3))
+    ref, _ = model.apply(state, video, train=False)
+    got = fwd(state, video)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
