@@ -83,13 +83,17 @@ def bench_flax(args, clip, text_ids, text_paddings) -> None:
 
   import jax
 
-  # The reference side is the CPU oracle.  This must run before any
-  # backend initialization — which is why --framework both dispatches the
-  # flax side to a subprocess (see main()).
-  try:
-    jax.config.update('jax_platforms', 'cpu')
-  except RuntimeError:
-    print('warning: backend already initialized; flax side may not be CPU')
+  # The reference side is the CPU oracle.  This must take effect before
+  # any backend initialization — which is why --framework both dispatches
+  # the flax side to a subprocess (see main()).  config.update does not
+  # raise post-init, so verify the backend outcome and refuse to mislabel
+  # a TPU measurement as the CPU baseline.
+  jax.config.update('jax_platforms', 'cpu')
+  if jax.default_backend() != 'cpu':
+    raise RuntimeError(
+        'flax oracle must run on CPU but the backend is '
+        f'{jax.default_backend()!r} (already initialized?); run with '
+        '--framework flax in a fresh process')
 
   import videoprism_tpu as vp
 
@@ -144,16 +148,27 @@ def main():
     bench_flax(args, clip, text_ids, text_paddings)
   elif args.framework == 'both':
     # The flax oracle must run on CPU, but this process's backend is
-    # already the TPU after bench_tpu — rerun ourselves for the flax side.
+    # already the TPU after bench_tpu — rerun ourselves for the flax side,
+    # forwarding the original argv so both sides see identical flags.
     import subprocess
 
-    cmd = [sys.executable, os.path.abspath(__file__), '--framework', 'flax',
-           '--model', args.model, '--frames', str(args.frames),
-           '--num-texts', str(args.num_texts), '--runs', str(args.runs),
-           '--warmup', str(args.warmup)]
-    if args.checkpoint:
-      cmd += ['--checkpoint', args.checkpoint]
-    subprocess.run(cmd, check=False)
+    fwd_args = []
+    skip_next = False
+    for a in sys.argv[1:]:
+      if skip_next:
+        skip_next = False
+        continue
+      if a == '--framework':
+        skip_next = True
+        continue
+      if a.startswith('--framework='):
+        continue
+      fwd_args.append(a)
+    cmd = [sys.executable, os.path.abspath(__file__),
+           '--framework', 'flax'] + fwd_args
+    result = subprocess.run(cmd, check=False)
+    if result.returncode:
+      raise SystemExit(result.returncode)
 
 
 if __name__ == '__main__':
