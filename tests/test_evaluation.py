@@ -37,6 +37,34 @@ class TestRetrievalMetrics:
     m_swapped = evaluation.retrieval_metrics(t, v)
     assert m['v2t_recall@1'] == m_swapped['t2v_recall@1']
 
+  def test_chunked_matches_unchunked(self):
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((37, 8)).astype(np.float32)
+    t = rng.standard_normal((37, 8)).astype(np.float32)
+    m_small = evaluation.retrieval_metrics(v, t, chunk_size=5)
+    m_big = evaluation.retrieval_metrics(v, t, chunk_size=4096)
+    assert m_small == m_big
+
+  def test_ranks_matrix_helper(self):
+    sim = np.array([[0.9, 0.1, 0.5],
+                    [0.8, 0.2, 0.3],   # true score 0.2 beaten by 0.8, 0.3
+                    [0.1, 0.2, 0.7]])
+    np.testing.assert_array_equal(
+        evaluation._ranks(sim), [0, 2, 0])
+    np.testing.assert_array_equal(
+        evaluation._ranks(sim, chunk_size=1), [0, 2, 0])
+
+  def test_large_corpus_smoke(self):
+    """100k-corpus sweep: chunked path stays O(chunk*N) memory and finishes
+    fast; matched pairs with identical embeddings give perfect recall."""
+    n, d = 100_000, 8
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    m = evaluation.retrieval_metrics(v, v, ks=(1,), chunk_size=8192)
+    assert m['v2t_recall@1'] == 1.0
+    assert m['t2v_median_rank'] == 1.0
+
 
 class TestZeroShotClassifier:
 

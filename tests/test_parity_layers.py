@@ -113,6 +113,40 @@ class TestLayerParity:
         enable_per_dim_scale=per_dim_scale)
     np.testing.assert_allclose(got, ref, atol=TOL)
 
+  def test_attention_qk_norm(self):
+    """qk-norm branch (reference videoprism/layers.py:724-726): LN over the
+    per-head dim H on both q and k, applied before query scaling, with the
+    (scale+1) convention exercised via off-zero LN params."""
+    from videoprism import layers as ref_layers
+
+    b, t, d, n = 2, 6, 24, 4
+    h = d // n
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, d))
+    paddings = jnp.zeros((b, t)).at[:, -2:].set(1.0)
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+
+    mod = ref_layers.DotProductAttention(
+        hidden_dim=d, num_heads=n, use_qk_norm=True,
+        internal_enable_per_dim_scale=False, atten_logit_cap=50.0)
+    variables = mod.init(
+        jax.random.PRNGKey(2), x, x, x, atten_mask=mask, train=False)
+    params = _unwrap(variables)
+    assert 'layer_norm_q' in params and 'layer_norm_k' in params
+    # Perturb the qk LN params off their zero init so the (scale+1)
+    # convention and the bias path are actually load-bearing.
+    params['layer_norm_q']['scale'] = jnp.linspace(-0.4, 0.4, h)
+    params['layer_norm_q']['bias'] = jnp.linspace(0.2, -0.2, h)
+    params['layer_norm_k']['scale'] = jnp.linspace(0.3, -0.3, h)
+    params['layer_norm_k']['bias'] = jnp.linspace(-0.1, 0.1, h)
+
+    ref, _ = mod.apply(
+        {'params': params}, x, x, x, atten_mask=mask, train=False)
+    got = attention_lib.multi_head_attention(
+        params, x, x, x, mask,
+        hidden_dim=d, num_heads=n, logit_cap=50.0,
+        enable_per_dim_scale=False, use_qk_norm=True)
+    np.testing.assert_allclose(got, ref, atol=TOL)
+
   @pytest.mark.parametrize('norm_policy',
                            ['pre', 'post', 'post_skip', 'primer_hybrid'])
   def test_transformer_layer(self, norm_policy):

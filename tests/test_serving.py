@@ -99,6 +99,71 @@ class TestEmbeddingServiceOversized:
     np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
 
 
+class TestServiceValidation:
+
+  def test_mesh_rejects_indivisible_buckets(self, model_and_state):
+    """Regression: bucket 1 or 4 on an 8-way data axis used to fail deep
+    inside shard_map dispatch; now it is a constructor error."""
+    model, state = model_and_state
+    mesh = mesh_lib.make_mesh(model_parallelism=1)  # 8-way dp
+    with pytest.raises(ValueError, match='not divisible'):
+      serving.EmbeddingService(model, state, batch_buckets=(1, 4, 8),
+                               mesh=mesh)
+
+  def test_mesh_with_divisible_buckets_serves(self, model_and_state):
+    model, state = model_and_state
+    mesh = mesh_lib.make_mesh(model_parallelism=1)
+    service = serving.EmbeddingService(model, state, batch_buckets=(8,),
+                                       mesh=mesh)
+    videos = np.random.default_rng(5).random((3, 2, 12, 12, 3), np.float32)
+    out = service.embed_batch(videos)
+    ref, _ = model.apply(state, jnp.asarray(videos), train=False)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+  def test_bad_buckets_rejected(self, model_and_state):
+    model, state = model_and_state
+    with pytest.raises(ValueError, match='positive'):
+      serving.EmbeddingService(model, state, batch_buckets=())
+    with pytest.raises(ValueError, match='positive'):
+      serving.EmbeddingService(model, state, batch_buckets=(0, 4))
+
+  def test_embed_rejects_batched_input(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(2,))
+    with pytest.raises(ValueError, match='single clip'):
+      service.embed(np.zeros((2, 2, 12, 12, 3), np.float32))
+
+  def test_mixed_shape_requests_grouped(self, model_and_state):
+    """Two concurrent requests with different frame counts must both
+    succeed (grouped into separate sub-batches), not crash np.stack."""
+    model, state = model_and_state
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(1, 2), max_wait_ms=100)
+    service.start()
+    try:
+      rng = np.random.default_rng(6)
+      clip_a = rng.random((2, 12, 12, 3), np.float32)
+      clip_b = rng.random((4, 12, 12, 3), np.float32)
+      results = {}
+
+      def worker(name, clip):
+        results[name] = service.embed(clip)
+
+      threads = [threading.Thread(target=worker, args=('a', clip_a)),
+                 threading.Thread(target=worker, args=('b', clip_b))]
+      for t in threads:
+        t.start()
+      for t in threads:
+        t.join(timeout=120)
+
+      for name, clip in (('a', clip_a), ('b', clip_b)):
+        ref, _ = model.apply(state, jnp.asarray(clip[None]), train=False)
+        np.testing.assert_allclose(results[name], np.asarray(ref[0]),
+                                   atol=1e-5)
+    finally:
+      service.stop()
+
+
 class TestDataParallelOn2DMesh:
 
   def test_dp_axis_of_2d_mesh(self, model_and_state):

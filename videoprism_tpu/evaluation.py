@@ -32,16 +32,37 @@ DEFAULT_PROMPT_TEMPLATES = (
 )
 
 
-def _ranks(similarity: np.ndarray) -> np.ndarray:
+def _ranks(similarity: np.ndarray, *, chunk_size: int = 8192) -> np.ndarray:
   """similarity[i, j]: query i vs candidate j; truth on the diagonal.
 
-  Returns the 0-based rank of the true candidate per query.
+  Returns the 0-based rank of the true candidate per query: the number of
+  candidates scoring strictly higher than the true one (ties resolve in the
+  query's favor; with float embeddings exact ties are measure-zero).
+  Vectorized and processed in row chunks so memory stays O(chunk * N).
   """
-  order = np.argsort(-similarity, axis=1)
-  n = similarity.shape[0]
+  sim = np.asarray(similarity)
+  n = sim.shape[0]
   ranks = np.empty(n, np.int64)
-  for i in range(n):
-    ranks[i] = int(np.where(order[i] == i)[0][0])
+  for s in range(0, n, chunk_size):
+    block = sim[s:s + chunk_size]
+    rows = block.shape[0]
+    true_scores = block[np.arange(rows), np.arange(s, s + rows)]
+    ranks[s:s + rows] = np.sum(block > true_scores[:, None], axis=1)
+  return ranks
+
+
+def _paired_ranks(queries: np.ndarray, candidates: np.ndarray,
+                  chunk_size: int = 2048) -> np.ndarray:
+  """Rank of candidate i for query i without materializing the full [N, N]
+  similarity matrix (peak memory O(chunk * N) — a 100k corpus stays well
+  under a GB instead of needing a 40 GB matrix)."""
+  n = queries.shape[0]
+  ranks = np.empty(n, np.int64)
+  for s in range(0, n, chunk_size):
+    sim = queries[s:s + chunk_size] @ candidates.T
+    rows = sim.shape[0]
+    true_scores = sim[np.arange(rows), np.arange(s, s + rows)]
+    ranks[s:s + rows] = np.sum(sim > true_scores[:, None], axis=1)
   return ranks
 
 
@@ -49,15 +70,19 @@ def retrieval_metrics(
     video_embeddings: np.ndarray,   # [N, D], l2-normalized
     text_embeddings: np.ndarray,    # [N, D], aligned pairs
     ks: Sequence[int] = (1, 5, 10),
+    chunk_size: int = 2048,
 ) -> dict[str, float]:
-  """Paired text<->video retrieval metrics (the MSRVTT-1K protocol)."""
-  v = np.asarray(video_embeddings, np.float32)
-  t = np.asarray(text_embeddings, np.float32)
-  sim = v @ t.T
+  """Paired text<->video retrieval metrics (the MSRVTT-1K protocol).
+
+  Scales to large corpora: similarities are computed in query chunks, so a
+  100k-clip sweep never builds the full N x N matrix.
+  """
+  v = np.ascontiguousarray(video_embeddings, np.float32)
+  t = np.ascontiguousarray(text_embeddings, np.float32)
 
   out: dict[str, float] = {}
-  for name, s in (('v2t', sim), ('t2v', sim.T)):
-    ranks = _ranks(s)
+  for name, q, c in (('v2t', v, t), ('t2v', t, v)):
+    ranks = _paired_ranks(q, c, chunk_size=chunk_size)
     for k in ks:
       out[f'{name}_recall@{k}'] = float(np.mean(ranks < k))
     out[f'{name}_median_rank'] = float(np.median(ranks) + 1)

@@ -97,6 +97,18 @@ class EmbeddingService:
     self._model = model
     self._state = jax.device_put(state)
     self._buckets = tuple(sorted(batch_buckets))
+    if not self._buckets or any(b <= 0 for b in self._buckets):
+      raise ValueError(f'batch_buckets must be positive ints, '
+                       f'got {batch_buckets}')
+    if mesh is not None:
+      # Each bucket's batch is split over the data axis inside shard_map;
+      # an indivisible bucket would fail at dispatch time deep inside jit.
+      dp = mesh.shape[mesh_lib.DATA_AXIS]
+      bad = [b for b in self._buckets if b % dp]
+      if bad:
+        raise ValueError(
+            f'batch_buckets {bad} are not divisible by the mesh data axis '
+            f'(size {dp}); every bucket must be a multiple of it')
     self._max_wait = max_wait_ms / 1000.0
     self._mesh = mesh
     self._queue: queue.Queue[_Request] = queue.Queue()
@@ -137,7 +149,12 @@ class EmbeddingService:
 
   def embed(self, video: np.ndarray, timeout: float = 300.0) -> np.ndarray:
     """Blocking single-clip embed; batches with concurrent callers."""
-    req = _Request(video=np.asarray(video), event=threading.Event())
+    video = np.asarray(video)
+    if video.ndim != 4:
+      raise ValueError(
+          f'embed expects a single clip [T, H, W, C], got shape '
+          f'{video.shape}; use embed_batch for batched input')
+    req = _Request(video=video, event=threading.Event())
     self._queue.put(req)
     if not req.event.wait(timeout):
       raise TimeoutError('embedding request timed out')
@@ -194,14 +211,21 @@ class EmbeddingService:
         except queue.Empty:
           break
 
-      videos = np.stack([r.video for r in batch], axis=0)
-      try:
-        results = self.embed_batch(videos)
-        for r, emb in zip(batch, results):
-          r.result = emb
-      except Exception as e:  # surface errors to all waiters, keep serving
-        for r in batch:
-          r.error = e
-      finally:
-        for r in batch:
-          r.event.set()
+      # Requests with different clip shapes (variable T/H/W is supported —
+      # pos-emb interpolation) can't share one stacked batch: group by
+      # shape and run each group, so one odd clip never fails the batch.
+      groups: dict[tuple[int, ...], list[_Request]] = {}
+      for r in batch:
+        groups.setdefault(r.video.shape, []).append(r)
+      for group in groups.values():
+        videos = np.stack([r.video for r in group], axis=0)
+        try:
+          results = self.embed_batch(videos)
+          for r, emb in zip(group, results):
+            r.result = emb
+        except Exception as e:  # surface errors to all waiters, keep serving
+          for r in group:
+            r.error = e
+        finally:
+          for r in group:
+            r.event.set()
