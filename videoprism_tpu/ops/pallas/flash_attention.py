@@ -160,6 +160,232 @@ def fused_attention(
   )(q, k, v, mask)
 
 
+# ---------------------------------------------------------------------------
+# Backward kernel: flash-style attention dgrad.
+#
+# The composed backward materializes four [B, N, T, S] fp32 tensors in HBM
+# (probs in the replayed forward, then dprobs/dlogits chains) — ~400 MB per
+# spatial layer for one 2-clip step on an activation-bandwidth-bound chip.
+# This kernel recomputes probs per (head-group, T-block) entirely in VMEM,
+# emits dq per block, and accumulates dk/dv in fp32 scratch across T-blocks
+# (flushed once per (batch, head-group)).  Softmax statistics are recomputed
+# rather than saved: S is fully resident (every VideoPrism attention has
+# S <= 4096), so no online-softmax bookkeeping is needed.
+# ---------------------------------------------------------------------------
+
+
+def _attention_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, mask_ref,
+    *refs,
+    logit_cap: float, t_steps: int, with_ctx: bool,
+):
+  if with_ctx:
+    ctx_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+  else:
+    dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+  ti = pl.program_id(2)
+
+  @pl.when(ti == 0)
+  def _init():
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+  q = q_ref[0]    # [n_blk, t_blk, H]
+  k = k_ref[0]    # [n_blk, S, H]
+  v = v_ref[0]
+  do = do_ref[0]  # [n_blk, t_blk, H]
+  mask = mask_ref[0]                      # [t_blk | 1, S] fp32 additive
+  ok = (mask >= _NEG_INF * 0.5)[None]     # broadcasts over the head dim
+
+  # Recompute probs exactly as the forward kernel does (same op order, so
+  # the recomputed values match the primal bit-for-bit in fp32).
+  logits = jax.lax.dot_general(
+      q, k, (((2,), (2,)), ((0,), (0,))),
+      preferred_element_type=jnp.float32)  # [n_blk, t_blk, S]
+  if logit_cap > 0.0:
+    tanh_t = jnp.tanh(logits * (1.0 / logit_cap))
+    unnorm = jnp.where(ok, jnp.exp(logit_cap * tanh_t), 0.0)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    s_count = float(unnorm.shape[-1])
+    unnorm = jnp.where(denom == 0.0, 1.0, unnorm)
+    denom = jnp.where(denom == 0.0, s_count, denom)
+  else:
+    lm = jnp.where(ok, logits, _NEG_INF)
+    row_max = jnp.max(lm, axis=-1, keepdims=True)
+    unnorm = jnp.exp(lm - row_max)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+  probs = unnorm / denom                  # fp32 [n_blk, t_blk, S]
+
+  # dv = probs^T @ do  (probs cast to the compute dtype first, mirroring
+  # the forward's probs.astype before the PV matmul).
+  probs_c = probs.astype(v.dtype)
+  if with_ctx:
+    # Recompute the forward's context here too: the block-level backward
+    # needs ctx for the output-projection weight grad, and emitting it from
+    # this kernel saves an entire forward-kernel replay (in particular its
+    # second tanh+exp pass — the dominant VPU cost at these shapes).
+    ctx_ref[0] = jax.lax.dot_general(
+        probs_c, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(ctx_ref.dtype)
+  dv_acc[...] += jax.lax.dot_general(
+      probs_c, do, (((1,), (1,)), ((0,), (0,))),
+      preferred_element_type=jnp.float32)  # [n_blk, S, H]
+
+  # dprobs = do @ v^T; softmax vjp; entries that were masked (or whole
+  # fully-masked padded rows, which the forward renders as uniform 1/S)
+  # receive zero gradient — matching jax.vjp through the where-selects.
+  dp = jax.lax.dot_general(
+      do, v, (((2,), (2,)), ((0,), (0,))),
+      preferred_element_type=jnp.float32)  # [n_blk, t_blk, S]
+  row_dot = jnp.sum(dp * probs, axis=-1, keepdims=True)
+  dl = probs * (dp - row_dot)
+  dl = jnp.where(ok, dl, 0.0)
+  if logit_cap > 0.0:
+    # d/dl [cap * tanh(l / cap)] = 1 - tanh^2(l / cap).
+    dl = dl * (1.0 - tanh_t * tanh_t)
+  dl_c = dl.astype(q.dtype)
+
+  dq_ref[0] = jax.lax.dot_general(
+      dl_c, k, (((2,), (1,)), ((0,), (0,))),
+      preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+  dk_acc[...] += jax.lax.dot_general(
+      dl_c, q, (((1,), (1,)), ((0,), (0,))),
+      preferred_element_type=jnp.float32)  # [n_blk, S, H]
+
+  @pl.when(ti == t_steps - 1)
+  def _flush():
+    dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+_BWD_BUDGET = 12 * 2**20
+
+
+def _bwd_blocks(t: int, s: int, h: int, n: int,
+                itemsize: int) -> tuple[int, int] | None:
+  """(n_blk, t_blk) whose backward working set fits VMEM, or None."""
+  for t_blk in (512, 256, 128):
+    if t % t_blk:
+      continue
+    for n_blk in range(n, 0, -1):
+      if n % n_blk:
+        continue
+      kv = 2 * 2 * n_blk * s * h * itemsize          # k, v (double-buffered)
+      acc = 2 * n_blk * s * h * 4                    # dk/dv fp32 scratch
+      blocks = 3 * 2 * n_blk * t_blk * h * itemsize  # q, do, dq
+      temps = 3 * n_blk * t_blk * s * 4              # probs/dp/dl fp32
+      if kv + acc + blocks + temps <= _BWD_BUDGET:
+        return n_blk, t_blk
+  return None
+
+
+def bwd_supported(t: int, s: int, h: int, n: int, itemsize: int) -> bool:
+  """Whether the backward kernel handles this geometry (same alignment
+  rules as the forward, plus the VMEM fit of the dk/dv accumulators)."""
+  return (t % 128 == 0 and s % 128 == 0 and s >= 128
+          and _bwd_blocks(t, s, h, n, itemsize) is not None)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'logit_cap', 'with_ctx', 'interpret'))
+def fused_attention_bwd(
+    q: Array,       # [B, N, T, H] (as given to the forward kernel)
+    k: Array,       # [B, N, S, H]
+    v: Array,       # [B, N, S, H]
+    mask: Array,    # [B|1, T|1, S] additive fp32
+    do: Array,      # [B, N, T, H] output cotangent
+    *,
+    logit_cap: float = 0.0,
+    with_ctx: bool = False,
+    interpret: bool = False,
+):
+  """dq/dk/dv for :func:`fused_attention` without HBM probs traffic.
+
+  ``with_ctx=True`` additionally emits the forward's context (probs @ v)
+  from the same pass — (ctx, dq, dk, dv) — so a hand-written block
+  backward never replays the forward kernel (one transcendental pass
+  total instead of two).
+  """
+  b, n, t, h = q.shape
+  s = k.shape[2]
+  bm, tm, _ = mask.shape
+  blocks = _bwd_blocks(t, s, h, n, q.dtype.itemsize)
+  assert blocks is not None, (t, s, h, n)
+  n_blk, t_blk = blocks
+  t_steps = t // t_blk
+  grid = (b, n // n_blk, t_steps)
+
+  tq_spec = pl.BlockSpec(
+      (1, n_blk, t_blk, h), lambda bi, ni, ti: (bi, ni, ti, 0),
+      memory_space=pltpu.VMEM)
+  kv_spec = pl.BlockSpec(
+      (1, n_blk, s, h), lambda bi, ni, ti: (bi, ni, 0, 0),
+      memory_space=pltpu.VMEM)
+  mask_spec = pl.BlockSpec(
+      (1, t_blk if tm > 1 else 1, s),
+      lambda bi, ni, ti: (bi if bm > 1 else 0, ti if tm > 1 else 0, 0),
+      memory_space=pltpu.VMEM)
+
+  flops = (5 + with_ctx) * 2 * b * n * t * s * h
+  bytes_accessed = (3 * q.size + 4 * k.size) * q.dtype.itemsize
+
+  out_specs = [tq_spec, kv_spec, kv_spec]
+  out_shape = [
+      jax.ShapeDtypeStruct((b, n, t, h), q.dtype),
+      jax.ShapeDtypeStruct((b, n, s, h), k.dtype),
+      jax.ShapeDtypeStruct((b, n, s, h), v.dtype),
+  ]
+  if with_ctx:
+    out_specs = [tq_spec] + out_specs
+    out_shape = [jax.ShapeDtypeStruct((b, n, t, h), q.dtype)] + out_shape
+
+  return pl.pallas_call(
+      functools.partial(
+          _attention_bwd_kernel, logit_cap=float(logit_cap),
+          t_steps=t_steps, with_ctx=with_ctx),
+      grid=grid,
+      in_specs=[tq_spec, kv_spec, kv_spec, tq_spec, mask_spec],
+      out_specs=out_specs,
+      out_shape=out_shape,
+      scratch_shapes=[
+          pltpu.VMEM((n_blk, s, h), jnp.float32),
+          pltpu.VMEM((n_blk, s, h), jnp.float32),
+      ],
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
+      cost_estimate=pl.CostEstimate(
+          flops=flops, bytes_accessed=bytes_accessed,
+          transcendentals=b * n * t * s * (2 if logit_cap > 0 else 1)),
+      interpret=interpret,
+  )(q, k, v, do, mask)
+
+
+def _pack_heads(x: Array, g: int) -> Array:
+  """[B, N, T, H] -> [B/G, N, G*T, H] (G short sequences per MXU block)."""
+  b, n, t, h = x.shape
+  return (x.reshape(b // g, g, n, t, h)
+          .transpose(0, 2, 1, 3, 4)
+          .reshape(b // g, n, g * t, h))
+
+
+def _unpack_heads(x: Array, g: int, b: int) -> Array:
+  bg, n, gt, h = x.shape
+  t = gt // g
+  return (x.reshape(bg, n, g, t, h)
+          .transpose(0, 2, 1, 3, 4)
+          .reshape(b, n, t, h))
+
+
+def _pack_mask(atten_mask: Array, b: int, t: int, s: int, g: int) -> Array:
+  """[B|1, 1, T|1, S] -> block-diagonal [B/G, G*T, G*S] (fp32)."""
+  m = jnp.broadcast_to(
+      jnp.squeeze(atten_mask, axis=1).astype(jnp.float32), (b, t, s))
+  m = m.reshape(b // g, g, t, s)
+  same_group = jnp.eye(g, dtype=bool)[None, :, None, :, None]
+  packed = jnp.where(same_group, m[:, :, :, None, :], _NEG_INF)
+  return packed.reshape(b // g, g * t, g * s)
+
+
 def _packed_small_seq_attention(
     query: Array, key: Array, value: Array, atten_mask: Array,
     *, logit_cap: float, dtype, interpret: bool,
@@ -178,43 +404,25 @@ def _packed_small_seq_attention(
   if t != s or t < 8 or t >= 128 or 128 % t or b % (128 // t):
     return None
   g = 128 // t
-  bg = b // g
 
-  # [B|1, 1, T|1, S] -> dense [B, T, S] -> per-group block-diagonal
-  # [B/G, G*T, G*S] (off-diagonal blocks = large-negative = masked).
-  m = jnp.broadcast_to(
-      jnp.squeeze(atten_mask, axis=1).astype(jnp.float32), (b, t, s))
-  m = m.reshape(bg, g, t, s)
-  same_group = jnp.eye(g, dtype=bool)[None, :, None, :, None]
-  packed_mask = jnp.where(same_group, m[:, :, :, None, :], _NEG_INF)
-  packed_mask = packed_mask.reshape(bg, g * t, g * s)
-
-  def pack(x):
-    return (x.reshape(bg, g, n, t, h)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(bg, n, g * t, h))
-
+  packed_mask = _pack_mask(atten_mask, b, t, s, g)
   out = fused_attention(
-      pack(query), pack(key), pack(value), packed_mask,
-      logit_cap=logit_cap, block_t=128, interpret=interpret)
-  out = (out.reshape(bg, n, g, t, h)
-         .transpose(0, 2, 1, 3, 4)
-         .reshape(b, n, t, h))
-  return out.astype(dtype)
+      _pack_heads(query, g), _pack_heads(key, g), _pack_heads(value, g),
+      packed_mask, logit_cap=logit_cap, block_t=128, interpret=interpret)
+  return _unpack_heads(out, g, b).astype(dtype)
 
 
 @functools.lru_cache(maxsize=None)
 def _attention_vjp(logit_cap: float, dtype_name: str, block_t: int,
                    interpret: bool, packed: bool):
-  """custom_vjp wrapper: fused-kernel forward, composed-XLA backward.
+  """custom_vjp wrapper: fused-kernel forward, fused-kernel backward.
 
-  The kernel has no transpose rules; differentiating through the composed
-  twin (same math) makes the fused path trainable — the backward replays
-  the composed ops, which is exactly what rematerialized training does
-  anyway.
+  The backward runs :func:`fused_attention_bwd` (probs recomputed in VMEM,
+  never streamed through HBM) whenever the geometry supports it, falling
+  back to differentiating the composed twin otherwise.  The mask cotangent
+  is zero on the kernel path — masks derive from paddings, which are never
+  trained.
   """
-  import numpy as np
-
   dtype = jnp.dtype(dtype_name)
 
   def kernel_fwd(q, k, v, mask):
@@ -240,6 +448,25 @@ def _attention_vjp(logit_cap: float, dtype_name: str, block_t: int,
 
   def bwd(residuals, g):
     q, k, v, mask = residuals
+    b, n, t, h = q.shape
+    s = k.shape[2]
+    itemsize = q.dtype.itemsize
+    if packed:
+      gsz = 128 // t
+      if bwd_supported(gsz * t, gsz * s, h, n, itemsize):
+        dq, dk, dv = fused_attention_bwd(
+            _pack_heads(q, gsz), _pack_heads(k, gsz), _pack_heads(v, gsz),
+            _pack_mask(mask, b, t, s, gsz), _pack_heads(g.astype(q.dtype),
+                                                        gsz),
+            logit_cap=logit_cap, interpret=interpret)
+        return (_unpack_heads(dq, gsz, b), _unpack_heads(dk, gsz, b),
+                _unpack_heads(dv, gsz, b), jnp.zeros_like(mask))
+    elif bwd_supported(t, s, h, n, itemsize):
+      m = jnp.squeeze(mask, axis=1).astype(jnp.float32)
+      dq, dk, dv = fused_attention_bwd(
+          q, k, v, m, g.astype(q.dtype),
+          logit_cap=logit_cap, interpret=interpret)
+      return dq, dk, dv, jnp.zeros_like(mask)
     _, vjp_fn = jax.vjp(composed, q, k, v, mask)
     return vjp_fn(g)
 
@@ -266,6 +493,13 @@ def flash_attention_head_major(
   """
   b, n, t, h = query.shape
   s = key.shape[2]
+  if not interpret and jax.default_backend() != 'tpu':
+    # Off-TPU (and not interpreting): impl='flash' degrades gracefully to
+    # the composed math instead of failing to lower the kernel.
+    from videoprism_tpu.ops import attention as attention_lib
+
+    return attention_lib._dot_atten_head_major(
+        query, key, value, atten_mask, logit_cap=logit_cap, dtype=dtype)
   use_packed = False
   if not supports(t, s, block_t):
     use_packed = (

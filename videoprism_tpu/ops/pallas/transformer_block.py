@@ -65,7 +65,7 @@ def _attn_block_kernel(
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
     o_ref, *,
     num_heads: int, dim_per_head: int, logit_cap: float, epsilon: float,
-    query_scale: float,
+    query_scale: float, partial_out: bool = False,
 ):
   x = x_ref[0]  # [T, D]
   t = x.shape[0]
@@ -118,7 +118,10 @@ def _attn_block_kernel(
   out = jax.lax.dot_general(
       ctx, wo_ref[:], (((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
-  out = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+  if not partial_out:
+    # partial_out: the tensor-parallel caller psums the per-shard output
+    # projections first, then adds bias and residual exactly once.
+    out = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
   o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -136,7 +139,7 @@ def attention_block_supported(t: int, d: int, nh_total: int,
 
 @functools.partial(jax.jit, static_argnames=(
     'num_heads', 'dim_per_head', 'logit_cap', 'epsilon', 'query_scale',
-    'interpret'))
+    'partial_out', 'interpret'))
 def fused_attention_block(
     x: Array,          # [B, T, D]
     mask: Array,       # [B|1, T|1, T] additive fp32
@@ -151,6 +154,7 @@ def fused_attention_block(
     logit_cap: float = 0.0,
     epsilon: float = 1e-6,
     query_scale: float = 1.0,
+    partial_out: bool = False,
     interpret: bool = False,
 ) -> Array:
   b, t, d = x.shape
@@ -163,7 +167,8 @@ def fused_attention_block(
       functools.partial(
           _attn_block_kernel, num_heads=num_heads,
           dim_per_head=dim_per_head, logit_cap=float(logit_cap),
-          epsilon=epsilon, query_scale=float(query_scale)),
+          epsilon=epsilon, query_scale=float(query_scale),
+          partial_out=partial_out),
       grid=(b,),
       in_specs=[
           pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
@@ -253,11 +258,16 @@ def fused_ffn_block_chunked(
     chunks: int,
     activation: str = 'gelu',
     epsilon: float = 1e-6,
+    partial_out: bool = False,
     interpret: bool = False,
 ) -> Array:
   """FFN via ``chunks`` sequential F-slices (for hidden dims whose weights
   exceed VMEM).  LN is recomputed per chunk (VPU-cheap) instead of a
-  hidden-activation HBM round trip."""
+  hidden-activation HBM round trip.
+
+  ``partial_out``: chain from a zero residual and never add bias2 — the
+  result is this shard's raw FFN contribution for a tensor-parallel psum.
+  """
   rows, d = x.shape
   f = w1.shape[1]
   fc = f // chunks
@@ -273,7 +283,7 @@ def fused_ffn_block_chunked(
   padspec = pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
 
-  out = x
+  out = jnp.zeros_like(x) if partial_out else x
   for c in range(chunks):
     w1c = jax.lax.slice_in_dim(w1, c * fc, (c + 1) * fc, axis=1)
     b1c = jax.lax.slice_in_dim(b1, c * fc, (c + 1) * fc, axis=0)
@@ -281,7 +291,7 @@ def fused_ffn_block_chunked(
     out = pl.pallas_call(
         functools.partial(
             _ffn_chunk_kernel, activation=activation, epsilon=epsilon,
-            add_bias2=(c == 0)),
+            add_bias2=(c == 0 and not partial_out)),
         grid=(rows // block_rows,),
         in_specs=[rowspec, rowspec, padspec,
                   vec(ln_scale), vec(ln_bias),
@@ -305,8 +315,16 @@ def fused_ffn_block_chunked(
 
 def _composed_attention_block(
     x, mask, ln_s, ln_b, wq, bq, wk, bk, wv, bv, wo, bo,
-    *, num_heads, dim_per_head, logit_cap, epsilon, query_scale):
-  """jnp twin of ``_attn_block_kernel`` (same math, differentiable)."""
+    *, num_heads, dim_per_head, logit_cap, epsilon, query_scale,
+    core: str = 'xla', partial_out: bool = False, interpret: bool = False):
+  """jnp twin of ``_attn_block_kernel`` (same math, differentiable).
+
+  ``core='kernel'`` swaps the inner softmax-attention for the flash
+  fwd+bwd kernel pair: differentiating this twin then yields a backward
+  whose probs never touch HBM (XLA handles the projection/LN algebra,
+  which is plain matmul transposes).  This is what the block-level
+  custom_vjp uses on TPU.
+  """
   xf = x.astype(jnp.float32)
   mean = jnp.mean(xf, axis=-1, keepdims=True)
   var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -324,33 +342,44 @@ def _composed_attention_block(
   q = proj(wq, bq) * query_scale
   k = proj(wk, bk)
   v = proj(wv, bv)
-  logits = jnp.einsum(
-      'BNTH,BNSH->BNTS', q, k,
-      preferred_element_type=jnp.float32)
-  ok = mask[:, None] >= _NEG_INF * 0.5  # [B|1,1,T|1,S]
-  if logit_cap > 0.0:
-    # Mirror the kernel branch exactly (incl. uniform fully-masked rows).
-    logits = logit_cap * jnp.tanh(logits * (1.0 / logit_cap))
-    unnorm = jnp.where(ok, jnp.exp(logits), 0.0)
-    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-    unnorm = jnp.where(denom == 0.0, 1.0, unnorm)
-    denom = jnp.where(denom == 0.0, float(unnorm.shape[-1]), denom)
+  if core == 'kernel':
+    from videoprism_tpu.ops.pallas import flash_attention as flash
+
+    encoded = flash.flash_attention_head_major(
+        q.astype(x.dtype), k.astype(x.dtype), v.astype(x.dtype),
+        mask[:, None], logit_cap=logit_cap, dtype=x.dtype,
+        interpret=interpret)  # [B, N, T, H]
+    ctx = encoded.transpose(0, 2, 1, 3).reshape(b, t, n * hd)
   else:
-    # Uncapped logits are unbounded: row-max subtraction is required (the
-    # kernel does the same) or exp overflows in the backward replay.
-    logits = jnp.where(ok, logits, _NEG_INF)
-    row_max = jnp.max(logits, axis=-1, keepdims=True)
-    unnorm = jnp.exp(logits - row_max)
-    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-  probs = (unnorm / denom).astype(x.dtype)
-  ctx = jnp.einsum('BNTS,BNSH->BNTH', probs, v)
-  ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, n * hd)
+    logits = jnp.einsum(
+        'BNTH,BNSH->BNTS', q, k,
+        preferred_element_type=jnp.float32)
+    ok = mask[:, None] >= _NEG_INF * 0.5  # [B|1,1,T|1,S]
+    if logit_cap > 0.0:
+      # Mirror the kernel branch exactly (incl. uniform fully-masked rows).
+      logits = logit_cap * jnp.tanh(logits * (1.0 / logit_cap))
+      unnorm = jnp.where(ok, jnp.exp(logits), 0.0)
+      denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+      unnorm = jnp.where(denom == 0.0, 1.0, unnorm)
+      denom = jnp.where(denom == 0.0, float(unnorm.shape[-1]), denom)
+    else:
+      # Uncapped logits are unbounded: row-max subtraction is required (the
+      # kernel does the same) or exp overflows in the backward replay.
+      logits = jnp.where(ok, logits, _NEG_INF)
+      row_max = jnp.max(logits, axis=-1, keepdims=True)
+      unnorm = jnp.exp(logits - row_max)
+      denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    probs = (unnorm / denom).astype(x.dtype)
+    ctx = jnp.einsum('BNTS,BNSH->BNTH', probs, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, n * hd)
+  if partial_out:
+    return jnp.einsum('bte,ed->btd', ctx, wo).astype(x.dtype)
   out = jnp.einsum('bte,ed->btd', ctx, wo) + bo
   return (out + x.astype(jnp.float32)).astype(x.dtype)
 
 
 def _composed_ffn_block(x, pads, ln_s, ln_b, w1, b1, w2, b2,
-                        *, activation, epsilon):
+                        *, activation, epsilon, partial_out: bool = False):
   """jnp twin of ``_ffn_chunk_kernel``/``_ffn_block_kernel``."""
   keep = 1.0 - pads.astype(jnp.float32)
   xf = x.astype(jnp.float32)
@@ -362,48 +391,153 @@ def _composed_ffn_block(x, pads, ln_s, ln_b, w1, b1, w2, b2,
   a = jnp.dot(h, w1, preferred_element_type=jnp.float32) + b1
   a = _apply_activation(a, activation)
   a = (a * keep).astype(x.dtype)
+  if partial_out:
+    return jnp.dot(a, w2, preferred_element_type=jnp.float32
+                   ).astype(x.dtype)
   out = jnp.dot(a, w2, preferred_element_type=jnp.float32) + b2
   return (out * keep + xf).astype(x.dtype)
+
+
+def _attention_block_bwd(
+    res, g, *, num_heads, dim_per_head, logit_cap, epsilon, query_scale,
+    partial_out, interpret):
+  """Hand-written attention-block backward around the fused bwd kernel.
+
+  One kernel pass recomputes probs AND the context (so the forward kernel
+  is never replayed — a single tanh/exp sweep per layer) and emits
+  dq/dk/dv; the surrounding LN/projection algebra is explicit XLA matmuls.
+  Gradient semantics match ``jax.vjp`` of ``_composed_attention_block``.
+  """
+  from videoprism_tpu.ops.pallas import flash_attention as flash
+
+  x, mask, ln_s, ln_b, wq, bq, wk, bk, wv, bv, wo, bo = res
+  b, t, d = x.shape
+  n, hd = num_heads, dim_per_head
+
+  # --- Recompute LN + projections (cheap; the heavyweight probs stay in
+  # the kernel).
+  xf = x.astype(jnp.float32)
+  mean = jnp.mean(xf, axis=-1, keepdims=True)
+  var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+  inv_sigma = jax.lax.rsqrt(var + epsilon)
+  normed = (xf - mean) * inv_sigma
+  s1 = ln_s.astype(jnp.float32) + 1.0
+  h = (normed * s1 + ln_b.astype(jnp.float32)).astype(x.dtype)
+
+  def proj(w, bias):
+    out = jnp.einsum('btd,de->bte', h, w) + bias
+    return out.reshape(b, t, n, hd).transpose(0, 2, 1, 3)  # [B,N,T,H]
+
+  q = (proj(wq, bq) * query_scale).astype(x.dtype)
+  k = proj(wk, bk).astype(x.dtype)
+  v = proj(wv, bv).astype(x.dtype)
+
+  # --- Output-projection backward (and residual/bias cotangents).
+  gf = g.astype(jnp.float32)
+  dctx = jnp.einsum('btd,ed->bte', g, wo)  # [B, T, N*H]
+  dctx_hm = dctx.reshape(b, t, n, hd).transpose(0, 2, 1, 3).astype(x.dtype)
+
+  ctx, dq, dk, dv = flash.fused_attention_bwd(
+      q, k, v, mask.astype(jnp.float32), dctx_hm,
+      logit_cap=logit_cap, with_ctx=True, interpret=interpret)
+
+  ctx_flat = ctx.transpose(0, 2, 1, 3).reshape(b, t, n * hd)
+  dwo = jnp.einsum('bte,btd->ed', ctx_flat, gf.astype(ctx_flat.dtype))
+  # partial_out forwards omit bias and residual (the TP caller adds them
+  # once after the psum), so neither receives a cotangent here.
+  dbo = (jnp.zeros(bo.shape, jnp.float32) if partial_out
+         else jnp.sum(gf, axis=(0, 1)))
+
+  # --- q/k/v projection backward.  q was scaled AFTER bias, so the
+  # pre-scale cotangent is dq * query_scale.
+  def unproj(dp):  # [B,N,T,H] -> [B,T,N*H]
+    return dp.transpose(0, 2, 1, 3).reshape(b, t, n * hd)
+
+  dq_p = unproj(dq) * query_scale
+  dk_p = unproj(dk)
+  dv_p = unproj(dv)
+  dwq = jnp.einsum('btd,bte->de', h, dq_p)
+  dwk = jnp.einsum('btd,bte->de', h, dk_p)
+  dwv = jnp.einsum('btd,bte->de', h, dv_p)
+  dbq = jnp.sum(dq_p, axis=(0, 1))
+  dbk = jnp.sum(dk_p, axis=(0, 1))
+  dbv = jnp.sum(dv_p, axis=(0, 1))
+  dh = (jnp.einsum('bte,de->btd', dq_p, wq)
+        + jnp.einsum('bte,de->btd', dk_p, wk)
+        + jnp.einsum('bte,de->btd', dv_p, wv)).astype(jnp.float32)
+
+  # --- LayerNorm backward (h = normed * (scale+1) + bias, fp32 stats).
+  dln_s = jnp.sum(dh * normed, axis=(0, 1))
+  dln_b = jnp.sum(dh, axis=(0, 1))
+  dnormed = dh * s1
+  dxf = inv_sigma * (
+      dnormed
+      - jnp.mean(dnormed, axis=-1, keepdims=True)
+      - normed * jnp.mean(dnormed * normed, axis=-1, keepdims=True))
+  if not partial_out:
+    dxf = dxf + gf  # residual path
+  dx = dxf.astype(x.dtype)
+
+  cast = lambda val, ref: val.astype(ref.dtype)
+  return (dx, jnp.zeros_like(mask), cast(dln_s, ln_s), cast(dln_b, ln_b),
+          cast(dwq, wq), cast(dbq, bq), cast(dwk, wk), cast(dbk, bk),
+          cast(dwv, wv), cast(dbv, bv), cast(dwo, wo), cast(dbo, bo))
 
 
 @functools.lru_cache(maxsize=None)
 def attention_block_vjp(num_heads: int, dim_per_head: int,
                         logit_cap: float, epsilon: float,
-                        query_scale: float, interpret: bool = False):
+                        query_scale: float, interpret: bool = False,
+                        partial_out: bool = False):
   static = dict(num_heads=num_heads, dim_per_head=dim_per_head,
                 logit_cap=logit_cap, epsilon=epsilon,
-                query_scale=query_scale)
+                query_scale=query_scale, partial_out=partial_out)
 
   def kernel_fwd(*args):
     return fused_attention_block(*args, **static, interpret=interpret)
 
+  def bwd(res, g):
+    from videoprism_tpu.ops.pallas import flash_attention as flash
+
+    x = res[0]
+    t = x.shape[1]
+    on_tpu = interpret or jax.default_backend() == 'tpu'
+    if on_tpu and flash.bwd_supported(t, t, dim_per_head, num_heads,
+                                      x.dtype.itemsize):
+      # Hand-written backward: one combined fwd+bwd kernel pass (probs in
+      # VMEM, single transcendental sweep) + explicit XLA matmul algebra.
+      return _attention_block_bwd(res, g, **static, interpret=interpret)
+    # Fallbacks: semi-fused twin (kernel attention core) when the forward
+    # kernel fits but the backward doesn't; fully composed twin otherwise.
+    core = 'kernel' if on_tpu and flash.supports(t, t) else 'xla'
+    return jax.vjp(
+        functools.partial(_composed_attention_block, **static, core=core,
+                          interpret=interpret), *res
+    )[1](g)
+
   f = jax.custom_vjp(kernel_fwd)
-  f.defvjp(
-      lambda *args: (kernel_fwd(*args), args),
-      lambda res, g: jax.vjp(
-          functools.partial(_composed_attention_block, **static), *res
-      )[1](g),
-  )
+  f.defvjp(lambda *args: (kernel_fwd(*args), args), bwd)
   return f
 
 
 @functools.lru_cache(maxsize=None)
 def ffn_block_vjp(activation: str, epsilon: float, chunks: int | None,
-                  interpret: bool = False):
+                  interpret: bool = False, partial_out: bool = False):
   def kernel_fwd(*args):
     if chunks:
       return fused_ffn_block_chunked(
           *args, chunks=chunks, activation=activation, epsilon=epsilon,
-          interpret=interpret)
+          partial_out=partial_out, interpret=interpret)
     return fused_ffn_block(
-        *args, activation=activation, epsilon=epsilon, interpret=interpret)
+        *args, activation=activation, epsilon=epsilon,
+        partial_out=partial_out, interpret=interpret)
 
   f = jax.custom_vjp(kernel_fwd)
   f.defvjp(
       lambda *args: (kernel_fwd(*args), args),
       lambda res, g: jax.vjp(
           functools.partial(_composed_ffn_block, activation=activation,
-                            epsilon=epsilon), *res
+                            epsilon=epsilon, partial_out=partial_out), *res
       )[1](g),
   )
   return f
@@ -412,7 +546,7 @@ def ffn_block_vjp(activation: str, epsilon: float, chunks: int | None,
 def _ffn_block_kernel(
     x_ref, pad_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref, *,
-    activation: str, epsilon: float,
+    activation: str, epsilon: float, partial_out: bool = False,
 ):
   x = x_ref[:]  # [R, D]
   keep = 1.0 - pad_ref[:].astype(jnp.float32)  # [R, 1]
@@ -431,6 +565,12 @@ def _ffn_block_kernel(
   out = jax.lax.dot_general(
       a, w2_ref[:], (((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
+  if partial_out:
+    # Tensor-parallel per-shard contribution: the caller psums shards,
+    # then applies bias2/keep/residual once.  (a is keep-masked already,
+    # so padded rows are exact zeros here.)
+    o_ref[:] = out.astype(o_ref.dtype)
+    return
   out = (out + b2_ref[:].astype(jnp.float32)) * keep \
       + x.astype(jnp.float32)
   o_ref[:] = out.astype(o_ref.dtype)
@@ -460,7 +600,7 @@ def ffn_block_supported(rows: int, d: int, f: int, itemsize: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'activation', 'epsilon', 'interpret'))
+    'activation', 'epsilon', 'partial_out', 'interpret'))
 def fused_ffn_block(
     x: Array,                        # [rows, D]
     paddings: Array,                 # [rows, 1] (1.0 = padded row)
@@ -470,6 +610,7 @@ def fused_ffn_block(
     *,
     activation: str = 'gelu',
     epsilon: float = 1e-6,
+    partial_out: bool = False,
     interpret: bool = False,
 ) -> Array:
   rows, d = x.shape
@@ -482,7 +623,8 @@ def fused_ffn_block(
                                memory_space=pltpu.VMEM)
   return pl.pallas_call(
       functools.partial(
-          _ffn_block_kernel, activation=activation, epsilon=epsilon),
+          _ffn_block_kernel, activation=activation, epsilon=epsilon,
+          partial_out=partial_out),
       grid=(rows // block_rows,),
       in_specs=[
           pl.BlockSpec((block_rows, d), lambda i: (i, 0),
