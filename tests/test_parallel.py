@@ -115,6 +115,93 @@ class TestParamShardings:
                                atol=2e-5)
 
 
+class TestManualTensorParallel:
+  """shard_map TP that keeps the fused kernels (VERDICT round-1 item 2).
+
+  Geometry chosen so the per-shard shapes stay kernel-eligible: D=256,
+  4 heads x 64 -> 2 heads/shard = 128 lanes; MLP 512 -> 256/shard; 16
+  spatial tokens pack to 128-row blocks.  Kernels run in interpret mode
+  on the virtual CPU mesh.
+  """
+
+  CFG = dict(
+      patch_size=6, pos_emb_shape=(2, 4, 4), model_dim=256,
+      num_spatial_layers=2, num_temporal_layers=1, num_heads=4,
+      mlp_dim=512, atten_logit_cap=50.0, scan=True)
+
+  @pytest.fixture(scope='class')
+  def setup(self):
+    from videoprism_tpu.parallel import tp as tp_lib
+
+    cfg = fe.FactorizedEncoderConfig(**self.CFG, attention_impl='flash')
+    params = init_lib.init_factorized_encoder(jax.random.PRNGKey(0), cfg)
+    video = jax.random.uniform(jax.random.PRNGKey(1), (8, 2, 24, 24, 3))
+    ref, _ = fe.apply(params, video, cfg, train=False)
+    return tp_lib, cfg, params, video, np.asarray(ref)
+
+  def test_tp_kernels_match_single_device(self, setup):
+    tp_lib, cfg, params, video, ref = setup
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # (4, 2)
+    fwd, sharded_params = tp_lib.make_tp_encoder_forward(
+        params, cfg, mesh, kernel_interpret=True)
+    got = np.asarray(fwd(sharded_params, video))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+  def test_tp_xla_matches_single_device(self, setup):
+    tp_lib, cfg, params, video, ref = setup
+    import dataclasses
+    cfg_xla = dataclasses.replace(cfg, attention_impl='xla')
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    fwd, sharded_params = tp_lib.make_tp_encoder_forward(
+        params, cfg_xla, mesh, kernel_interpret=False)
+    got = np.asarray(fwd(sharded_params, video))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+  def test_tp_4way(self, setup):
+    tp_lib, cfg, params, video, ref = setup
+    mesh = mesh_lib.make_mesh(model_parallelism=4)  # (2, 4)
+    fwd, sharded_params = tp_lib.make_tp_encoder_forward(
+        params, cfg, mesh, kernel_interpret=True)
+    got = np.asarray(fwd(sharded_params, video))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+  def test_tp_validates_divisibility(self, setup):
+    tp_lib, cfg, params, video, ref = setup
+    import dataclasses
+    bad = dataclasses.replace(cfg, num_heads=3)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    with pytest.raises(ValueError, match='num_heads'):
+      tp_lib.validate_tp_config(bad, mesh)
+
+  def test_tp_gradients_match_single_device(self, setup):
+    """Backward through the TP shard_map (psum vjp + kernel backward)
+    agrees with the single-device gradient."""
+    tp_lib, cfg, params, video, ref = setup
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    fwd, sharded_params = tp_lib.make_tp_encoder_forward(
+        params, cfg, mesh, kernel_interpret=True)
+
+    def loss_tp(p):
+      return jnp.sum(jnp.square(fwd(p, video)))
+
+    def loss_ref(p):
+      return jnp.sum(jnp.square(fe.apply(p, video, cfg, train=False)[0]))
+
+    g_tp = jax.grad(loss_tp)(sharded_params)
+    g_ref = jax.grad(loss_ref)(params)
+    for path in (('patch_projection', 'linear', 'kernel'),
+                 ('spatial_encoder', 'transformers_stack', 'x_layers',
+                  'self_attention', 'query', 'w'),
+                 ('spatial_encoder', 'transformers_stack', 'x_layers',
+                  'ff_layer', 'ffn_layer1', 'linear', 'kernel')):
+      a, b = g_tp, g_ref
+      for k in path:
+        a, b = a[k], b[k]
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), atol=5e-4,
+          err_msg='/'.join(path))
+
+
 class TestTraining:
 
   def test_train_step_runs_and_decreases_loss(self):

@@ -69,6 +69,8 @@ class FactorizedEncoderConfig:
   remat: bool = False
   attention_impl: str = 'xla'
   dtype: Any = jnp.float32
+  tp_axis: str | None = None       # manual TP inside a shard_map (tp.py)
+  kernel_interpret: bool = False   # Pallas interpret mode (CPU mesh tests)
 
   def vit_layer_config(self, num_layers: int) -> TransformerLayerConfig:
     """ViT stack config: gelu, per-dim-scale off, non-causal.
@@ -88,6 +90,8 @@ class FactorizedEncoderConfig:
         remat=self.remat,
         attention_impl=self.attention_impl,
         dtype=self.dtype,
+        tp_axis=self.tp_axis,
+        kernel_interpret=self.kernel_interpret,
     )
 
 

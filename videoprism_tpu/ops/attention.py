@@ -169,8 +169,15 @@ def multi_head_attention(
     train: bool = False,
     dtype=jnp.float32,
     impl: str = 'xla',
+    tp_axis: str | None = None,
+    interpret: bool = False,
 ) -> Array:
   """Full MHA: q/k/v projections, attention, post projection.
+
+  ``tp_axis``: manual tensor parallelism — params are head-sharded over
+  that shard_map axis, so the post projection contracts only this shard's
+  heads; the partial outputs are psum-reduced before the (replicated)
+  bias is added.
 
   Param tree (checkpoint schema, reference videoprism/layers.py:685-746)::
 
@@ -185,6 +192,10 @@ def multi_head_attention(
   if dim_per_head is None:
     dim_per_head = hidden_dim // num_heads
     assert dim_per_head * num_heads == hidden_dim
+  if tp_axis is not None:
+    # Per-shard head count comes from the sharded param shapes; the global
+    # num_heads only fixes dim_per_head (unchanged under head sharding).
+    num_heads = params['query']['w'].shape[1]
 
   # Project straight into head-major [B, N, T, H]: the layout the MXU
   # batched matmuls and the Pallas kernel want, with zero transposes.
@@ -227,7 +238,7 @@ def multi_head_attention(
 
     encoded = flash.flash_attention_head_major(
         query_proj, key_proj, value_proj, atten_mask,
-        logit_cap=logit_cap, dtype=dtype,
+        logit_cap=logit_cap, dtype=dtype, interpret=interpret,
     )
   else:
     encoded = _dot_atten_head_major(
@@ -242,6 +253,8 @@ def multi_head_attention(
   # Output projection from head-major: 'BNTH,DNH->BTD'.
   w = basic.cast_floating(params['post']['w'], dtype)
   out = jnp.einsum('BNTH,DNH->BTD', encoded, w)
+  if tp_axis is not None:
+    out = jax.lax.psum(out, tp_axis)
   if use_bias:
     out = out + basic.cast_floating(params['post']['b'], dtype)
   return out

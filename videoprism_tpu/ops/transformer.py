@@ -55,6 +55,14 @@ class TransformerLayerConfig:
   attention_impl: str = 'xla'   # 'xla' | 'flash'
   pack_small_sequences: bool = True  # pack G=128/T short seqs per MXU block
   dtype: Any = jnp.float32      # fprop dtype
+  # Manual tensor parallelism: set to the mesh axis name when this layer
+  # runs inside a shard_map whose params are head-/hidden-sharded over that
+  # axis.  The layer then psums the attention output projection and the
+  # second FFN matmul — the only two cross-shard contractions — so the
+  # fused Pallas kernels (opaque to GSPMD) stay on the per-shard fast path.
+  tp_axis: str | None = None
+  # Run Pallas kernels in interpret mode off-TPU (multi-device CPU tests).
+  kernel_interpret: bool = False
 
 
 def transformer_ffn(
@@ -102,9 +110,20 @@ def transformer_ffn(
     activations = basic.dropout(
         sub, activations, cfg.relu_dropout, deterministic=False)
 
-  outputs = basic.feed_forward(
-      params['ffn_layer2'], activations,
-      activation='identity', has_bias=cfg.use_bias, dtype=dtype)
+  if cfg.tp_axis is not None:
+    # Hidden axis sharded: this shard's ffn_layer2 contraction is partial.
+    # psum across the model axis, then apply the (replicated) bias once.
+    outputs = basic.feed_forward(
+        params['ffn_layer2'], activations,
+        activation='identity', has_bias=False, dtype=dtype)
+    outputs = jax.lax.psum(outputs, cfg.tp_axis)
+    if cfg.use_bias:
+      outputs = outputs + basic.cast_floating(
+          params['ffn_layer2']['linear']['bias'], dtype)
+  else:
+    outputs = basic.feed_forward(
+        params['ffn_layer2'], activations,
+        activation='identity', has_bias=cfg.use_bias, dtype=dtype)
   if paddings is not None:
     outputs = outputs * (1.0 - paddings)
 
@@ -149,14 +168,16 @@ def _try_fused_layer(
     # The kernels are trainable (custom_vjp, composed backward) but have
     # no dropout path.
     return None
-  if jax.default_backend() != 'tpu':
+  interpret = cfg.kernel_interpret
+  if jax.default_backend() != 'tpu' and not interpret:
     return None
 
   from videoprism_tpu.ops.pallas import transformer_block as tb
 
+  tp = cfg.tp_axis
   b, t, d = inputs.shape
   attn = params['self_attention']
-  dd, n, h = attn['query']['w'].shape
+  dd, n, h = attn['query']['w'].shape  # n is per-shard under tp
   nh_total = n * h
   f = params['ff_layer']['ffn_layer1']['linear']['kernel'].shape[-1]
   itemsize = inputs.dtype.itemsize
@@ -182,12 +203,17 @@ def _try_fused_layer(
     bo = cast(attn['post']['b'], dtype)
     attn_fn = tb.attention_block_vjp(
         num_heads=n, dim_per_head=h, logit_cap=float(cfg.logit_cap),
-        epsilon=1e-6, query_scale=h ** -0.5)
+        epsilon=1e-6, query_scale=h ** -0.5, interpret=interpret,
+        partial_out=tp is not None)
     x = attn_fn(
         inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32),
         cast(params['layer_norm']['scale'], dtype),
         cast(params['layer_norm']['bias'], dtype),
         wq, bq, wk, bk, wv, bv, wo, bo)
+    if tp is not None:
+      # Per-shard partial projection: reduce over the model axis, then
+      # bias + residual exactly once (bo is replicated).
+      x = inputs + jax.lax.psum(x, tp) + bo
   else:
     # Composed pre-norm attention half (same math as transformer_layer).
     normed = basic.layer_norm(
@@ -197,13 +223,15 @@ def _try_fused_layer(
         hidden_dim=d, num_heads=cfg.num_heads,
         dim_per_head=cfg.dim_per_head, logit_cap=cfg.logit_cap,
         enable_per_dim_scale=cfg.enable_per_dim_scale,
-        use_bias=cfg.use_bias, dtype=dtype, impl=cfg.attention_impl)
+        use_bias=cfg.use_bias, dtype=dtype, impl=cfg.attention_impl,
+        tp_axis=tp, interpret=interpret)
 
   if ffn_ok or ffn_chunks:
     ff = params['ff_layer']
     pad_rows = (
         paddings.reshape(b * t, 1).astype(dtype)
         if paddings is not None else jnp.zeros((b * t, 1), dtype))
+    b2 = cast(ff['ffn_layer2']['linear']['bias'], dtype)
     ffn_args = (
         x.reshape(b * t, d), pad_rows,
         cast(ff['layer_norm']['scale'], dtype),
@@ -211,12 +239,18 @@ def _try_fused_layer(
         cast(ff['ffn_layer1']['linear']['kernel'], dtype),
         cast(ff['ffn_layer1']['linear']['bias'], dtype),
         cast(ff['ffn_layer2']['linear']['kernel'], dtype),
-        cast(ff['ffn_layer2']['linear']['bias'], dtype),
+        b2,
     )
     ffn_fn = tb.ffn_block_vjp(
         activation=cfg.activation, epsilon=1e-6,
-        chunks=None if ffn_ok else ffn_chunks)
-    return ffn_fn(*ffn_args).reshape(b, t, d)
+        chunks=None if ffn_ok else ffn_chunks, interpret=interpret,
+        partial_out=tp is not None)
+    out = ffn_fn(*ffn_args)
+    if tp is not None:
+      keep = 1.0 - pad_rows.astype(jnp.float32)
+      out = ((jax.lax.psum(out, tp) + b2) * keep).astype(x.dtype) \
+          + x.reshape(b * t, d)
+    return out.reshape(b, t, d)
   return transformer_ffn(params['ff_layer'], x, paddings, cfg, train=train)
 
 
@@ -276,6 +310,8 @@ def transformer_layer(
       train=train,
       dtype=dtype,
       impl=cfg.attention_impl,
+      tp_axis=cfg.tp_axis,
+      interpret=cfg.kernel_interpret,
   )
 
   if cfg.norm_policy == 'primer_hybrid':
