@@ -112,6 +112,65 @@ class TestFixtureTokenizer:
     np.testing.assert_array_equal(paddings, [[0, 0]])
 
 
+@pytest.fixture(scope='module')
+def byte_fallback_model_path(tmp_path_factory):
+  """Unigram model with trainer_spec.byte_fallback and a full <0xXX> table
+  (the layout of modern SentencePiece vocabs, e.g. T5X/Gemma-style)."""
+  pieces = [
+      spm.Piece('<unk>', 0.0, spm.UNKNOWN),
+      spm.Piece('<s>', 0.0, spm.CONTROL),
+      spm.Piece('</s>', 0.0, spm.CONTROL),
+  ]
+  pieces += [spm.Piece(f'<0x{i:02X}>', 0.0, spm.BYTE) for i in range(256)]
+  base = len(pieces)  # 259
+  pieces += [
+      spm.Piece('▁', -4.0),          # base
+      spm.Piece('▁hello', -1.0),     # base+1
+      spm.Piece('.', -2.0),          # base+2
+  ]
+  model = spm.SpmModel(
+      pieces=pieces, model_type=spm.UNIGRAM, byte_fallback=True,
+      unk_id=0, bos_id=1, eos_id=2, pad_id=-1, normalizer_name='nfkc')
+  path = tmp_path_factory.mktemp('spm_bf') / 'byte_fallback.model'
+  spm.save_model(str(path), model)
+  return str(path), base
+
+
+class TestByteFallback:
+  """SentencePiece byte-fallback semantics: UNK pieces are replaced by the
+  <0xXX> BYTE pieces of their surface's UTF-8 bytes (the encode path the
+  reference consumes via EncodeAsIds, videoprism/tokenizers.py:102-125)."""
+
+  def test_roundtrips_proto_flag(self, byte_fallback_model_path):
+    path, _ = byte_fallback_model_path
+    model = spm.load_model(path)
+    assert model.byte_fallback is True
+    assert sum(p.type == spm.BYTE for p in model.pieces) == 256
+
+  def test_oov_ascii_char_becomes_byte_piece(self, byte_fallback_model_path):
+    path, base = byte_fallback_model_path
+    t = SentencePieceTokenizer(path)
+    # 'z' (0x7A) has no piece: '▁' + <0x7A>.
+    assert t.to_int('z') == [base, 3 + 0x7A]
+
+  def test_oov_unicode_becomes_utf8_bytes(self, byte_fallback_model_path):
+    path, base = byte_fallback_model_path
+    t = SentencePieceTokenizer(path)
+    # 'é' = U+00E9 = UTF-8 C3 A9; '雪' = U+96EA = UTF-8 E9 9B AA.
+    assert t.to_int('é') == [base, 3 + 0xC3, 3 + 0xA9]
+    assert t.to_int('hello雪') == [
+        base + 1, 3 + 0xE9, 3 + 0x9B, 3 + 0xAA]
+
+  def test_known_pieces_unaffected(self, byte_fallback_model_path):
+    path, base = byte_fallback_model_path
+    t = SentencePieceTokenizer(path)
+    assert t.to_int('hello.') == [base + 1, base + 2]
+
+  def test_without_flag_stays_unk(self, fixture_model_path):
+    t = SentencePieceTokenizer(fixture_model_path)
+    assert t.to_int('z') == [3, 0]  # no byte table -> unk as before
+
+
 @pytest.mark.skipif(not os.path.exists(REF_SPM),
                     reason='reference fixture not available')
 class TestReferenceModelCompatibility:

@@ -14,6 +14,7 @@ Only the fields needed for inference-time tokenization are decoded:
                    type = 3 (enum: NORMAL=1, UNKNOWN=2, CONTROL=3,
                    USER_DEFINED=4, UNUSED=5, BYTE=6)
   TrainerSpec:     model_type = 3 (UNIGRAM=1, BPE=2, WORD=3, CHAR=4),
+                   byte_fallback = 35,
                    unk_id = 40, bos_id = 41, eos_id = 42, pad_id = 43
   NormalizerSpec:  name = 1, add_dummy_prefix = 3,
                    remove_extra_whitespaces = 4, escape_whitespaces = 5
@@ -56,6 +57,7 @@ class SpmModel:
 
   pieces: list[Piece]
   model_type: int = UNIGRAM
+  byte_fallback: bool = False
   unk_id: int = 0
   bos_id: int = 1
   eos_id: int = 2
@@ -136,6 +138,8 @@ def parse_model(data: bytes) -> SpmModel:
       for f2, w2, v2 in _iter_fields(value):
         if f2 == 3:
           model.model_type = v2
+        elif f2 == 35:
+          model.byte_fallback = bool(v2)
         elif f2 == 40:
           model.unk_id = _signed(v2)
         elif f2 == 41:
@@ -200,6 +204,7 @@ def serialize_model(model: SpmModel) -> bytes:
     out += _len_delimited(1, _serialize_piece(p))
   trainer = (
       _field(3, 0) + _varint(model.model_type)
+      + _field(35, 0) + _varint(int(model.byte_fallback))
       + _field(40, 0) + _varint(model.unk_id)
       + _field(41, 0) + _varint(model.bos_id)
       + _field(42, 0) + _varint(model.eos_id)

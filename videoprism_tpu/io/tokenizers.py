@@ -118,6 +118,20 @@ class SentencePieceTokenizer(Tokenizer):
     min_score = min(matchable_scores) if matchable_scores else 0.0
     self._unk_score = min_score - _UNK_PENALTY
 
+    # Byte-fallback table: with trainer_spec.byte_fallback, SentencePiece
+    # replaces each UNK piece in the output by the <0xXX> BYTE pieces of
+    # its surface text (sentencepiece_processor.cc post-processing; the
+    # reference consumes this via EncodeAsIds, videoprism/tokenizers.py:119).
+    self._byte_ids: dict[int, int] = {}
+    if self._spm.byte_fallback:
+      for idx, piece in enumerate(self._spm.pieces):
+        if piece.type == spm.BYTE and len(piece.piece) == 6:
+          try:
+            self._byte_ids[int(piece.piece[1:5], 16)] = idx
+          except ValueError:
+            pass
+    self._use_byte_fallback = len(self._byte_ids) == 256
+
     # Native (C++) Viterbi core; Python fallback on any failure.  Control
     # with use_native / $VIDEOPRISM_NATIVE_TOKENIZER=0.
     self._native = None
@@ -179,13 +193,23 @@ class SentencePieceTokenizer(Tokenizer):
           best[start + 1] = score
           back[start + 1] = (start, self._spm.unk_id)
 
-    ids: list[int] = []
+    spans: list[tuple[int, int, int]] = []  # (start, end, piece_id)
     pos = n
     while pos > 0:
       start, piece_id = back[pos]
-      ids.append(piece_id)
+      spans.append((start, pos, piece_id))
       pos = start
-    ids.reverse()
+    spans.reverse()
+
+    ids: list[int] = []
+    for start, end, piece_id in spans:
+      if self._use_byte_fallback and piece_id == self._spm.unk_id:
+        # SentencePiece byte fallback: the UNK piece is replaced by the
+        # <0xXX> BYTE pieces of its surface text's UTF-8 encoding.
+        ids.extend(self._byte_ids[b]
+                   for b in text[start:end].encode('utf-8'))
+      else:
+        ids.append(piece_id)
     return ids
 
   def _encode_bpe(self, text: str) -> list[int]:
@@ -214,7 +238,12 @@ class SentencePieceTokenizer(Tokenizer):
     if self._spm.model_type == spm.BPE:
       return self._encode_bpe(text)
     if self._native is not None:
-      return self._native.encode(text)
+      ids = self._native.encode(text)
+      if self._use_byte_fallback and self._spm.unk_id in ids:
+        # The native core returns ids without surface spans; byte
+        # fallback needs them, so re-encode through the Python lattice.
+        return self._encode_unigram(text)
+      return ids
     return self._encode_unigram(text)
 
   def decode(self, ids: Sequence[int]) -> str:
