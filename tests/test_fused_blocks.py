@@ -98,6 +98,45 @@ class TestFusedBlocks:
     # Unblockable row counts (e.g. tiny text towers) -> no chunking.
     assert tb.ffn_chunks_for(10, 1024, 4096, 2) is None
 
+  @pytest.mark.parametrize('use_paddings', [False, True])
+  def test_primer_hybrid_layer_fused_matches_composed(self, use_paddings):
+    """primer_hybrid (the lvt-giant norm policy) rides the fused kernels
+    in partial-output mode with a bias->post-LN->residual epilogue; the
+    full layer must match the composed path (itself oracle-tested)."""
+    import dataclasses
+
+    cfg = tfm.TransformerLayerConfig(
+        num_layers=1, hidden_dim=F, num_heads=N,
+        norm_policy='primer_hybrid', activation='gelu',
+        enable_per_dim_scale=False, logit_cap=50.0)
+    params = init_lib._transformer_layer(jax.random.PRNGKey(4), D, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 16, D))
+    paddings = jnp.zeros((8, 16))
+    if use_paddings:
+      paddings = paddings.at[:2, -5:].set(1.0)
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+
+    ref = tfm.transformer_layer(
+        params, x, paddings, mask,
+        dataclasses.replace(cfg, attention_impl='xla'))
+    fused_cfg = dataclasses.replace(
+        cfg, attention_impl='flash', kernel_interpret=True)
+    got = tfm._try_fused_layer(params, x, paddings, mask, fused_cfg,
+                               train=False)
+    assert got is not None, 'fused path must engage for primer_hybrid'
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5)
+
+    # Gradients through the partial-mode vjp epilogue agree too.
+    loss_f = lambda x: jnp.sum(jnp.square(tfm._try_fused_layer(
+        params, x, paddings, mask, fused_cfg, train=False)))
+    loss_c = lambda x: jnp.sum(jnp.square(tfm.transformer_layer(
+        params, x, paddings, mask,
+        dataclasses.replace(cfg, attention_impl='xla'))))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_f)(x)), np.asarray(jax.grad(loss_c)(x)),
+        atol=5e-4)
+
   def test_erf_approximation_accuracy(self):
     import scipy.special as sp
 

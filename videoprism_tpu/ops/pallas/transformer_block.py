@@ -50,6 +50,26 @@ def _erf(x):
   return sign * (1.0 - poly * jnp.exp(-x * x))
 
 
+# Odd minimax-style polynomial erf for the bf16 path: erf(x) ~ x * P(x^2)
+# (Chebyshev fit on [0, 2.9], clamped to +-1 outside).  No division and no
+# exp — pure FMA chain on the VPU.  Max abs error 3.3e-5 (gelu: 6.7e-5),
+# ~2 decades below bf16 output rounding, measured fp32-Horner.
+_ERF_POLY = (
+    1.1283789365e+00, -3.7611922301e-01, 1.1280096911e-01,
+    -2.6791361005e-02, 5.1454068308e-03, -8.0580644574e-04,
+    1.0091356207e-04, -9.6206842908e-06, 6.4458276001e-07,
+    -2.6608924047e-08, 5.0322833933e-10)
+
+
+def _erf_fast(x):
+  """Division/exp-free erf (bf16-accuracy); see _ERF_POLY note."""
+  u = x * x
+  acc = jnp.float32(_ERF_POLY[-1])
+  for c in _ERF_POLY[-2::-1]:
+    acc = acc * u + jnp.float32(c)
+  return jnp.clip(x * acc, -1.0, 1.0)
+
+
 def _ln_f32(x, scale_ref, bias_ref, epsilon):
   """(scale+1) layernorm in fp32; returns same dtype as x's compute use."""
   xf = x.astype(jnp.float32)
@@ -189,9 +209,12 @@ def fused_attention_block(
   )(x, mask, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
-def _apply_activation(a, activation: str):
+def _apply_activation(a, activation: str, out_dtype=jnp.float32):
   if activation == 'gelu':
-    return 0.5 * a * (1.0 + _erf(a * 0.7071067811865476))
+    # bf16 outputs can't see the fast-poly's 7e-5 error; fp32 keeps the
+    # reference-exact A&S erf.
+    erf = _erf_fast if out_dtype == jnp.bfloat16 else _erf
+    return 0.5 * a * (1.0 + erf(a * 0.7071067811865476))
   if activation == 'relu':
     return jnp.maximum(a, 0.0)
   return a
@@ -215,7 +238,8 @@ def _ffn_chunk_kernel(
   a = jax.lax.dot_general(
       h, w1_ref[:], (((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
-  a = _apply_activation(a + b1_ref[:].astype(jnp.float32), activation)
+  a = _apply_activation(a + b1_ref[:].astype(jnp.float32), activation,
+                        out_dtype=x.dtype)
   a = (a * keep).astype(x.dtype)
   out = jax.lax.dot_general(
       a, w2_ref[:], (((1,), (0,)), ((), ())),
@@ -554,11 +578,8 @@ def _ffn_block_kernel(
   a = jax.lax.dot_general(
       h, w1_ref[:], (((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
-  a = a + b1_ref[:].astype(jnp.float32)
-  if activation == 'gelu':
-    a = 0.5 * a * (1.0 + _erf(a * 0.7071067811865476))
-  elif activation == 'relu':
-    a = jnp.maximum(a, 0.0)
+  a = _apply_activation(a + b1_ref[:].astype(jnp.float32), activation,
+                        out_dtype=x.dtype)
   # Padding zeroing between the FFN matmuls and before the residual add
   # (reference videoprism/layers.py:397-411).
   a = (a * keep).astype(x.dtype)

@@ -159,7 +159,13 @@ def _try_fused_layer(
   composed path.  See ops/pallas/transformer_block.py for why this matters:
   the composed path streams ~1 GB of activations per layer through HBM.
   """
-  if (cfg.norm_policy != 'pre' or cfg.attention_impl != 'flash'
+  # primer_hybrid (the lvt-giant policy) rides the same kernels in
+  # partial-output mode: the kernel stops before bias/residual and an XLA
+  # epilogue applies bias -> post-LN -> residual (one fused elementwise
+  # pass).  'post'/'post_skip' normalize the residual stream itself and
+  # stay composed.
+  if (cfg.norm_policy not in ('pre', 'primer_hybrid')
+      or cfg.attention_impl != 'flash'
       or cfg.enable_per_dim_scale or cfg.activation not in ('gelu', 'relu')
       or cfg.residual_weight != 1.0 or not cfg.use_bias):
     return None
@@ -191,6 +197,9 @@ def _try_fused_layer(
 
   dtype = cfg.dtype
   cast = basic.cast_floating
+  primer = cfg.norm_policy == 'primer_hybrid'
+  pre_ln = 'pre_layer_norm' if primer else 'layer_norm'
+  partial = primer or tp is not None
 
   if attn_ok:
     flat_in = lambda p: (cast(p['w'], dtype).reshape(d, nh_total),
@@ -204,27 +213,39 @@ def _try_fused_layer(
     attn_fn = tb.attention_block_vjp(
         num_heads=n, dim_per_head=h, logit_cap=float(cfg.logit_cap),
         epsilon=1e-6, query_scale=h ** -0.5, interpret=interpret,
-        partial_out=tp is not None)
+        partial_out=partial)
     x = attn_fn(
         inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32),
-        cast(params['layer_norm']['scale'], dtype),
-        cast(params['layer_norm']['bias'], dtype),
+        cast(params[pre_ln]['scale'], dtype),
+        cast(params[pre_ln]['bias'], dtype),
         wq, bq, wk, bk, wv, bv, wo, bo)
-    if tp is not None:
-      # Per-shard partial projection: reduce over the model axis, then
-      # bias + residual exactly once (bo is replicated).
-      x = inputs + jax.lax.psum(x, tp) + bo
+    if partial:
+      # Epilogue (one fused XLA elementwise pass): psum the per-shard
+      # projections, then bias -> optional primer post-LN -> residual,
+      # each applied exactly once.
+      if tp is not None:
+        x = jax.lax.psum(x, tp)
+      x = x + bo
+      if primer:
+        x = basic.layer_norm(
+            params['post_layer_norm'], x, use_bias=cfg.use_bias,
+            dtype=dtype)
+      x = inputs + x
   else:
     # Composed pre-norm attention half (same math as transformer_layer).
     normed = basic.layer_norm(
-        params['layer_norm'], inputs, use_bias=cfg.use_bias, dtype=dtype)
-    x = inputs + attention_lib.multi_head_attention(
+        params[pre_ln], inputs, use_bias=cfg.use_bias, dtype=dtype)
+    x = attention_lib.multi_head_attention(
         attn, normed, normed, normed, atten_mask,
         hidden_dim=d, num_heads=cfg.num_heads,
         dim_per_head=cfg.dim_per_head, logit_cap=cfg.logit_cap,
         enable_per_dim_scale=cfg.enable_per_dim_scale,
         use_bias=cfg.use_bias, dtype=dtype, impl=cfg.attention_impl,
         tp_axis=tp, interpret=interpret)
+    if primer:
+      x = basic.layer_norm(
+          params['post_layer_norm'], x, use_bias=cfg.use_bias, dtype=dtype)
+    x = inputs + x
 
   if ffn_ok or ffn_chunks:
     ff = params['ff_layer']
@@ -234,8 +255,8 @@ def _try_fused_layer(
     b2 = cast(ff['ffn_layer2']['linear']['bias'], dtype)
     ffn_args = (
         x.reshape(b * t, d), pad_rows,
-        cast(ff['layer_norm']['scale'], dtype),
-        cast(ff['layer_norm']['bias'], dtype),
+        cast(ff[pre_ln]['scale'], dtype),
+        cast(ff[pre_ln]['bias'], dtype),
         cast(ff['ffn_layer1']['linear']['kernel'], dtype),
         cast(ff['ffn_layer1']['linear']['bias'], dtype),
         cast(ff['ffn_layer2']['linear']['kernel'], dtype),
@@ -244,12 +265,17 @@ def _try_fused_layer(
     ffn_fn = tb.ffn_block_vjp(
         activation=cfg.activation, epsilon=1e-6,
         chunks=None if ffn_ok else ffn_chunks, interpret=interpret,
-        partial_out=tp is not None)
+        partial_out=partial)
     out = ffn_fn(*ffn_args)
-    if tp is not None:
-      keep = 1.0 - pad_rows.astype(jnp.float32)
-      out = ((jax.lax.psum(out, tp) + b2) * keep).astype(x.dtype) \
-          + x.reshape(b * t, d)
+    if partial:
+      if tp is not None:
+        out = jax.lax.psum(out, tp)
+      keep = (1.0 - pad_rows).astype(dtype)
+      out = (out + b2) * keep
+      if primer:
+        out = basic.layer_norm(
+            ff['post_layer_norm'], out, use_bias=cfg.use_bias, dtype=dtype)
+      out = out + x.reshape(b * t, d)
     return out.reshape(b, t, d)
   return transformer_ffn(params['ff_layer'], x, paddings, cfg, train=train)
 
