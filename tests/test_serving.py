@@ -133,6 +133,16 @@ class TestServiceValidation:
     with pytest.raises(ValueError, match='single clip'):
       service.embed(np.zeros((2, 2, 12, 12, 3), np.float32))
 
+  def test_uint8_ingestion(self, model_and_state):
+    """uint8 clips are normalized on-device and match the fp32 path."""
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(4,))
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (3, 2, 12, 12, 3), np.uint8)
+    out_u8 = service.embed_batch(u8)
+    out_f32 = service.embed_batch(u8.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(out_u8, out_f32, atol=1e-5)
+
   def test_mixed_shape_requests_grouped(self, model_and_state):
     """Two concurrent requests with different frame counts must both
     succeed (grouped into separate sub-batches), not crash np.stack."""

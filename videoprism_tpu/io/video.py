@@ -27,8 +27,14 @@ def load_video(
     num_frames: int = 16,
     target_size: int = 288,
     resize_mode: str = 'center_crop',
+    as_uint8: bool = False,
 ) -> np.ndarray:
-  """Loads [num_frames, S, S, 3] float32 RGB in [0, 1] from a video file.
+  """Loads [num_frames, S, S, 3] RGB from a video file.
+
+  Returns float32 in [0, 1] by default (the reference contract); with
+  ``as_uint8`` the raw bytes are returned instead — 4x less host->device
+  traffic, with the /255 normalization done on-device
+  (:func:`preprocess_frames`, or automatically by ``EmbeddingService``).
 
   Frame indices are sampled uniformly with ``np.linspace`` over the full
   clip, matching reference videoprism/video_utils.py:20-94.
@@ -69,7 +75,10 @@ def load_video(
     frames.append(frame)
 
   cap.release()
-  return np.stack(frames, axis=0).astype(np.float32) / 255.0
+  stacked = np.stack(frames, axis=0)
+  if as_uint8:
+    return stacked.astype(np.uint8)
+  return stacked.astype(np.float32) / 255.0
 
 
 def _center_crop_resize(frame: np.ndarray, target_size: int) -> np.ndarray:

@@ -117,6 +117,13 @@ class EmbeddingService:
     self._running = False
 
     def forward(params, videos):
+      if videos.dtype == jnp.uint8:
+        # uint8 ingestion: clients ship raw bytes (4x less host->HBM
+        # traffic than fp32); the [0,1] normalization runs on-device and
+        # fuses into the model's input cast.
+        model_dtype = getattr(getattr(self._model, 'config', None),
+                              'dtype', jnp.float32)
+        videos = videos.astype(model_dtype) / 255.0
       out = self._model.apply(params, videos, train=False)
       emb = out[0] if isinstance(out, tuple) else out
       return emb
@@ -139,10 +146,12 @@ class EmbeddingService:
       self._thread.join(timeout=30)
       self._thread = None
 
-  def warmup(self, clip_shape: tuple[int, int, int, int]) -> None:
-    """Pre-compiles every bucket for the given [T, H, W, 3] clip shape."""
+  def warmup(self, clip_shape: tuple[int, int, int, int],
+             dtype=np.float32) -> None:
+    """Pre-compiles every bucket for the given [T, H, W, 3] clip shape
+    (pass ``np.uint8`` when clients will ship raw bytes)."""
     for b in self._buckets:
-      video = np.zeros((b,) + clip_shape, np.float32)
+      video = np.zeros((b,) + clip_shape, dtype)
       np.asarray(jnp.sum(self._forward(self._state, jnp.asarray(video))))
 
   # ------------------------------- client --------------------------------
