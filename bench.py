@@ -115,7 +115,7 @@ def main():
                       choices=['float32', 'uint8'],
                       help='staged input dtype; uint8 measures the '
                            'production serving path (on-device /255)')
-  parser.add_argument('--batch-sizes', default='1,4,8,16')
+  parser.add_argument('--batch-sizes', default='1,8,16,32')
   parser.add_argument('--runs', type=int, default=3)
   parser.add_argument('--warmup', type=int, default=2)
   parser.add_argument('--iters', type=int, default=8,

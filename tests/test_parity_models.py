@@ -40,6 +40,25 @@ def _video(b=2, t=2, hw=12, seed=3):
   return jax.random.uniform(jax.random.PRNGKey(seed), (b, t, hw, hw, 3))
 
 
+class TestConvPatchEmbed:
+  """The flash-impl conv patch embed (strided conv == rearrange+matmul by
+  linearity) must agree with the reference-exact rearrange path."""
+
+  def test_conv_equals_rearrange(self):
+    import dataclasses
+
+    inputs = _video(b=2, t=2, hw=12)
+    cfg = fe.FactorizedEncoderConfig(**TINY_ENCODER, scan=True)
+    from videoprism_tpu.models import init as init_lib
+
+    params = init_lib.init_factorized_encoder(jax.random.PRNGKey(0), cfg)
+    ref, _ = fe.apply(params, inputs, cfg)  # xla: rearrange + matmul
+    got, _ = fe.apply(
+        params, inputs,
+        dataclasses.replace(cfg, attention_impl='flash'))  # conv embed
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 @requires_reference
 class TestFactorizedEncoderParity:
 
