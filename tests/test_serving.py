@@ -174,6 +174,26 @@ class TestServiceValidation:
       service.stop()
 
 
+class TestTensorParallelService:
+
+  def test_tp_service_matches_single_device(self, model_and_state):
+    """EmbeddingService(tensor_parallel=True): params head/hidden-sharded
+    over the model axis, batch over data — output equals single-device."""
+    model, state = model_and_state
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # (4, 2)
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(4,), mesh=mesh, tensor_parallel=True)
+    videos = np.random.default_rng(8).random((4, 2, 12, 12, 3), np.float32)
+    out = service.embed_batch(videos)
+    ref, _ = model.apply(state, jnp.asarray(videos), train=False)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+  def test_tp_requires_mesh(self, model_and_state):
+    model, state = model_and_state
+    with pytest.raises(ValueError, match='requires a mesh'):
+      serving.EmbeddingService(model, state, tensor_parallel=True)
+
+
 class TestDataParallelOn2DMesh:
 
   def test_dp_axis_of_2d_mesh(self, model_and_state):

@@ -93,7 +93,14 @@ class EmbeddingService:
       batch_buckets: tuple[int, ...] = (1, 4, 8),
       max_wait_ms: float = 5.0,
       mesh=None,
+      tensor_parallel: bool = False,
   ):
+    """``tensor_parallel=True`` (requires ``mesh``) serves a video encoder
+    with the shard_map TP path (:mod:`videoprism_tpu.parallel.tp`): params
+    head/hidden-sharded over the model axis, batch over the data axis, and
+    the fused Pallas kernels kept per-shard — for towers too large to
+    replicate per chip.  Default (False) is replicated-params data
+    parallelism."""
     self._model = model
     self._state = jax.device_put(state)
     self._buckets = tuple(sorted(batch_buckets))
@@ -116,7 +123,7 @@ class EmbeddingService:
     self._thread: threading.Thread | None = None
     self._running = False
 
-    def forward(params, videos):
+    def normalize(videos):
       if videos.dtype == jnp.uint8:
         # uint8 ingestion: clients ship raw bytes (4x less host->HBM
         # traffic than fp32); the [0,1] normalization runs on-device and
@@ -124,11 +131,28 @@ class EmbeddingService:
         model_dtype = getattr(getattr(self._model, 'config', None),
                               'dtype', jnp.float32)
         videos = videos.astype(model_dtype) / 255.0
-      out = self._model.apply(params, videos, train=False)
+      return videos
+
+    def forward(params, videos):
+      out = self._model.apply(params, normalize(videos), train=False)
       emb = out[0] if isinstance(out, tuple) else out
       return emb
 
-    if mesh is not None:
+    if tensor_parallel:
+      if mesh is None:
+        raise ValueError('tensor_parallel=True requires a mesh')
+      from videoprism_tpu.parallel import tp as tp_lib
+
+      cfg = getattr(model, 'config', None)
+      if not hasattr(cfg, 'num_spatial_layers'):
+        raise ValueError(
+            'tensor_parallel serving currently supports video encoders '
+            f'(FactorizedEncoderConfig); got {type(cfg).__name__}')
+      tp_fwd, self._state = tp_lib.make_tp_encoder_forward(
+          model._unwrap(self._state), cfg, mesh)
+      self._forward = lambda params, videos: tp_fwd(
+          params, normalize(videos))
+    elif mesh is not None:
       self._forward = data_parallel_forward(forward, mesh)
     else:
       self._forward = jax.jit(forward)
