@@ -149,14 +149,16 @@ def apply(
     pb = basic.cast_floating(
         params['patch_projection']['linear']['bias'], cfg.dtype)
     p = cfg.patch_size
+    # No preferred_element_type: the MXU accumulates fp32 internally and
+    # rounds to the operand dtype, matching the dense path's rounding —
+    # and conv's gradient transpose rule rejects mixed operand/cotangent
+    # dtypes that a fp32 preferred output would create under training.
     out = jax.lax.conv_general_dilated(
         reshaped_inputs, pw.reshape(p, p, c, pw.shape[-1]),
         window_strides=(p, p), padding='VALID',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     num_patches = out.shape[1] * out.shape[2]
-    projected = (out.astype(cfg.dtype) + pb).reshape(
-        b * t, num_patches, pw.shape[-1])
+    projected = (out + pb).reshape(b * t, num_patches, pw.shape[-1])
     patches = projected
   else:
     patches = emb_lib.image_to_patch(reshaped_inputs, cfg.patch_size)
