@@ -1,0 +1,49 @@
+"""Real multi-process (multi-host-shaped) integration test.
+
+Spawns two OS processes, each owning two virtual CPU devices, wires them
+with ``parallel.distributed.initialize`` (our jax.distributed wrapper),
+and runs a TP+DP GSPMD-sharded encoder forward over the 4-device global
+mesh — actual cross-process collectives, not a mock.  This is the
+single-machine stand-in for a 2-host TPU pod slice.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), '_mh_worker.py')
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+  with socket.socket() as s:
+    s.bind(('127.0.0.1', 0))
+    return s.getsockname()[1]
+
+
+def test_two_process_sharded_forward():
+  port = _free_port()
+  env = dict(os.environ)
+  env['PYTHONPATH'] = _REPO + os.pathsep + env.get('PYTHONPATH', '')
+  procs = [
+      subprocess.Popen(
+          [sys.executable, _WORKER, str(i), '2', str(port)],
+          stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+          env=env)
+      for i in range(2)
+  ]
+  outputs = []
+  try:
+    for p in procs:
+      out, _ = p.communicate(timeout=240)
+      outputs.append(out)
+  finally:
+    for p in procs:
+      if p.poll() is None:
+        p.kill()
+  for i, (p, out) in enumerate(zip(procs, outputs)):
+    assert p.returncode == 0, f'proc {i} failed:\n{out[-3000:]}'
+    assert f'MULTIHOST-OK proc={i}' in out, out[-3000:]

@@ -24,8 +24,14 @@ def initialize(
   With no arguments, relies on TPU metadata / environment auto-detection
   (works on Cloud TPU VMs).  Safe to call unconditionally: single-process
   runs are detected and skipped.
+
+  Must run before anything initializes the XLA backend, so the guard only
+  inspects jax's distributed global state — calling e.g.
+  ``jax.process_count()`` here would itself initialize the backend and
+  make ``jax.distributed.initialize`` unusable (found by the real
+  two-process test, tests/test_multiprocess.py).
   """
-  if jax.process_count() > 1 or _already_initialized():
+  if _already_initialized():
     return
   explicit = coordinator_address is not None
   auto = any(
