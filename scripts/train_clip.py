@@ -71,6 +71,8 @@ def main():
   parser.add_argument('--remat', action='store_true')
   parser.add_argument('--checkpoint-dir', default=None)
   parser.add_argument('--checkpoint-every', type=int, default=500)
+  parser.add_argument('--metrics-dir', default=None,
+                      help='JSONL metrics sink (defaults to checkpoint-dir)')
   parser.add_argument('--log-every', type=int, default=10)
   parser.add_argument('--seed', type=int, default=0)
   args = parser.parse_args()
@@ -132,26 +134,32 @@ def main():
           if args.checkpoint_dir else None)
 
   # --- loop ---
+  from videoprism_tpu.utils.logging import MetricsLogger
+
   loader = data_lib.batched_loader(
       source, tokenizer, args.batch_size, seed=args.seed,
       num_epochs=None, sharding=shard)
   rng = jax.random.PRNGKey(args.seed + 1)
   t0 = time.time()
+  logger = MetricsLogger(args.checkpoint_dir or args.metrics_dir,
+                         console_every=args.log_every)
   for i, batch in enumerate(loader):
     if i >= args.steps:
       break
     state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
     if i % args.log_every == 0 or i == args.steps - 1:
-      loss = float(jax.device_get(metrics['loss']))
-      acc = float(jax.device_get(metrics['accuracy_v2t']))
-      dt = time.time() - t0
-      print(f'step {i:6d}  loss {loss:.4f}  acc_v2t {acc:.3f}  '
-            f'({dt / max(i, 1):.2f}s/step)')
+      logger.log(i, metrics,
+                 sec_per_step=round((time.time() - t0) / max(i, 1), 3))
     if ckpt is not None:
-      ckpt.maybe_save(int(jax.device_get(state.step)), state,
-                      every=args.checkpoint_every)
+      if ckpt.maybe_save(int(jax.device_get(state.step)), state,
+                         every=args.checkpoint_every):
+        logger.event('checkpoint_saved',
+                     step=int(jax.device_get(state.step)))
   if ckpt is not None:
     ckpt.wait()
+  logger.event('run_complete', steps=args.steps,
+               wall_seconds=round(time.time() - t0, 1))
+  logger.close()
   print(f'done: {args.steps} steps in {time.time() - t0:.1f}s')
 
 
