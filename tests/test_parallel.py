@@ -202,6 +202,61 @@ class TestManualTensorParallel:
           err_msg='/'.join(path))
 
 
+class TestManualTPTraining:
+  """The shard_map TP train step (kernels kept per-shard) must produce
+  the same loss and updated params as the plain single-device step."""
+
+  def test_tp_step_matches_single_device(self):
+    from videoprism_tpu.train import make_tp_train_step
+
+    # Heads/MLP divisible by tp=2; pooler hidden = 4*D = 64 divisible.
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=100)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    batch = _batch(b=8)
+    rng = jax.random.PRNGKey(1)
+
+    ref_step = jax.jit(make_train_step(cfg, optimizer))
+    ref_state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    ref_state, ref_metrics = ref_step(ref_state, batch, rng)
+
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # (4, 2)
+    step, tp_state = make_tp_train_step(cfg, optimizer, mesh, state)
+    tp_state, tp_metrics = step(tp_state, batch, rng)
+
+    assert np.isclose(float(tp_metrics['loss']), float(ref_metrics['loss']),
+                      atol=1e-5)
+    np.testing.assert_allclose(
+        float(tp_metrics['grad_norm']), float(ref_metrics['grad_norm']),
+        rtol=1e-4)
+    # Updated params identical (spot-check sharded + replicated leaves).
+    for path in (('vision_encoder', 'spatial_encoder', 'transformers_stack',
+                  'x_layers', 'self_attention', 'query', 'w'),
+                 ('vision_encoder', 'spatial_encoder', 'transformers_stack',
+                  'x_layers', 'layer_norm', 'scale'),
+                 ('contrastive_vision_pooler', 'pooling_attention',
+                  'post', 'w'),
+                 ('text_encoder', 'token_emb', 'emb_var'),
+                 ('vision_encoder', 'patch_projection', 'linear', 'kernel')):
+      a, b = tp_state.params, ref_state.params
+      for k in path:
+        a, b = a[k], b[k]
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), atol=2e-5,
+          err_msg='/'.join(path))
+
+  def test_tp_step_validates_divisibility(self):
+    from videoprism_tpu.train import make_tp_train_step
+
+    cfg = vclip.VideoCLIPConfig(**{**TINY_CLIP, 'num_heads': 3})
+    optimizer = make_optimizer(warmup_steps=1, total_steps=10)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    with pytest.raises(ValueError, match='not divisible'):
+      make_tp_train_step(cfg, optimizer, mesh, state)
+
+
 class TestTraining:
 
   def test_train_step_runs_and_decreases_loss(self):

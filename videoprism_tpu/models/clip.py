@@ -50,6 +50,8 @@ class VideoCLIPConfig:
   remat: bool = False
   attention_impl: str = 'xla'
   dtype: Any = jnp.float32
+  tp_axis: str | None = None       # manual TP inside a shard_map
+  kernel_interpret: bool = False
 
   def vision_config(self) -> fe.FactorizedEncoderConfig:
     """The vision tower always uses pre-norm (reference
@@ -68,6 +70,8 @@ class VideoCLIPConfig:
         remat=self.remat,
         attention_impl=self.attention_impl,
         dtype=self.dtype,
+        tp_axis=self.tp_axis,
+        kernel_interpret=self.kernel_interpret,
     )
 
   def text_config(self) -> te.TextEncoderConfig:
@@ -87,6 +91,8 @@ class VideoCLIPConfig:
         remat=self.remat,
         attention_impl=self.attention_impl,
         dtype=self.dtype,
+        tp_axis=self.tp_axis,
+        kernel_interpret=self.kernel_interpret,
     )
 
 
@@ -130,7 +136,8 @@ def encode_vision(
   pool = lambda tokens: atten_token_pooling(
       params['contrastive_vision_pooler'], tokens, None,
       num_heads=cfg.num_heads, hidden_dim=cfg.model_dim * 4,
-      num_queries=1, train=train, dtype=dtype)
+      num_queries=1, train=train, dtype=dtype,
+      tp_axis=cfg.tp_axis, interpret=cfg.kernel_interpret)
 
   video_embeddings = jnp.squeeze(pool(vision_features), axis=-2)
   if normalize:

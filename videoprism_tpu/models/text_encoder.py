@@ -43,6 +43,8 @@ class TextEncoderConfig:
   remat: bool = False
   attention_impl: str = 'xla'
   dtype: Any = jnp.float32
+  tp_axis: str | None = None       # manual TP inside a shard_map
+  kernel_interpret: bool = False
 
   def layer_config(self) -> TransformerLayerConfig:
     """Causal relu stack (reference videoprism/encoders.py:742-755)."""
@@ -59,6 +61,8 @@ class TextEncoderConfig:
         remat=self.remat,
         attention_impl=self.attention_impl,
         dtype=self.dtype,
+        tp_axis=self.tp_axis,
+        kernel_interpret=self.kernel_interpret,
     )
 
 

@@ -477,6 +477,8 @@ def atten_token_pooling(
     train: bool = False,
     rng: jax.Array | None = None,
     dtype=jnp.float32,
+    tp_axis: str | None = None,
+    interpret: bool = False,
 ) -> Array:
   """Attentional token pooling with learned query vectors.
 
@@ -509,6 +511,8 @@ def atten_token_pooling(
       use_bias=use_bias,
       train=train,
       dtype=dtype,
+      tp_axis=tp_axis,
+      interpret=interpret,
   )
 
   if add_layer_norm:

@@ -9,8 +9,10 @@ from videoprism_tpu.train.train_step import (
     make_sharded_train_step,
     make_train_step,
 )
+from videoprism_tpu.train.tp_train_step import make_tp_train_step
 
 __all__ = [
     'TrainState', 'create_train_state', 'make_optimizer',
-    'make_sharded_train_step', 'make_train_step', 'objectives',
+    'make_sharded_train_step', 'make_tp_train_step', 'make_train_step',
+    'objectives',
 ]
