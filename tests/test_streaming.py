@@ -1,0 +1,87 @@
+"""Long-video streaming inference: windowing, incremental yield, pooling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import videoprism_tpu as vp
+from videoprism_tpu import streaming
+from videoprism_tpu.models import factorized_encoder as fe
+from videoprism_tpu.models import init as init_lib
+
+TINY = dict(
+    patch_size=6, pos_emb_shape=(2, 2, 2), model_dim=16,
+    num_spatial_layers=1, num_temporal_layers=1, num_heads=2, mlp_dim=32,
+    atten_logit_cap=50.0, scan=True)
+
+
+class TestWindowing:
+
+  def test_exact_windows(self):
+    frames = np.arange(32, dtype=np.float32).reshape(32, 1, 1, 1)
+    w = streaming.window_frames(frames, window=16)
+    assert w.shape == (2, 16, 1, 1, 1)
+    assert w[0, 0, 0, 0, 0] == 0 and w[1, 0, 0, 0, 0] == 16
+
+  def test_tail_right_aligned(self):
+    frames = np.arange(40, dtype=np.float32).reshape(40, 1, 1, 1)
+    w = streaming.window_frames(frames, window=16)
+    assert w.shape == (3, 16, 1, 1, 1)
+    assert w[2, 0, 0, 0, 0] == 24  # right-aligned tail window
+
+  def test_overlapping_stride(self):
+    frames = np.arange(32, dtype=np.float32).reshape(32, 1, 1, 1)
+    w = streaming.window_frames(frames, window=16, stride=8)
+    assert w.shape == (3, 16, 1, 1, 1)
+    assert [w[i, 0, 0, 0, 0] for i in range(3)] == [0, 8, 16]
+
+  def test_short_video_repeat_pad(self):
+    frames = np.arange(10, dtype=np.float32).reshape(10, 1, 1, 1)
+    w = streaming.window_frames(frames, window=16)
+    assert w.shape == (1, 16, 1, 1, 1)
+    assert (w[0, 10:, 0, 0, 0] == 9).all()  # last frame repeated
+
+  def test_drop_final(self):
+    frames = np.arange(40, dtype=np.float32).reshape(40, 1, 1, 1)
+    w = streaming.window_frames(frames, window=16, pad_final=False)
+    assert w.shape == (2, 16, 1, 1, 1)
+
+
+class TestStreaming:
+
+  @pytest.fixture(scope='class')
+  def embed_fn(self):
+    cfg = fe.FactorizedEncoderConfig(**TINY)
+    params = init_lib.init_factorized_encoder(jax.random.PRNGKey(0), cfg)
+    fwd = jax.jit(lambda v: jnp.mean(
+        fe.apply(params, v, cfg, train=False)[0], axis=1))
+    return lambda v: fwd(jnp.asarray(v, jnp.float32))
+
+  def test_stream_matches_batch(self, embed_fn):
+    """Incremental streaming over chunked input == one-shot windowing."""
+    rng = np.random.default_rng(0)
+    frames = rng.random((8, 12, 12, 3), np.float32)  # 4 windows of 2
+    windows = streaming.window_frames(frames, window=2)
+    ref = np.asarray(embed_fn(windows))
+
+    # Feed as uneven live chunks; batch 3 windows per forward.
+    chunks = [frames[:3], frames[3:4], frames[4:]]
+    got = list(streaming.stream_embeddings(
+        embed_fn, iter(chunks), window=2, batch_windows=3))
+    np.testing.assert_allclose(np.stack(got), ref, atol=1e-5)
+
+  def test_embed_long_video(self, embed_fn):
+    rng = np.random.default_rng(1)
+    frames = rng.random((10, 12, 12, 3), np.float32)  # 5 windows of 2
+    video_emb, per_window = streaming.embed_long_video(
+        embed_fn, frames, window=2, batch_windows=2)
+    assert per_window.shape == (5, 16)
+    assert video_emb.shape == (16,)
+    np.testing.assert_allclose(np.linalg.norm(video_emb), 1.0, atol=1e-5)
+
+  def test_aggregate_is_normalized_mean(self):
+    emb = np.array([[3.0, 0.0], [0.0, 4.0]], np.float32)
+    pooled = streaming.aggregate(emb)
+    expected = np.array([0.5, 0.5]) / np.linalg.norm([0.5, 0.5])
+    np.testing.assert_allclose(pooled, expected, atol=1e-6)
