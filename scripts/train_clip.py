@@ -141,8 +141,10 @@ def main():
       num_epochs=None, sharding=shard)
   rng = jax.random.PRNGKey(args.seed + 1)
   t0 = time.time()
-  logger = MetricsLogger(args.checkpoint_dir or args.metrics_dir,
-                         console_every=args.log_every)
+  # console_every=1: this loop already throttles log() calls to log_every
+  # (and always logs the final step).
+  logger = MetricsLogger(args.metrics_dir or args.checkpoint_dir,
+                         console_every=1)
   for i, batch in enumerate(loader):
     if i >= args.steps:
       break

@@ -133,6 +133,41 @@ class TestServiceValidation:
     with pytest.raises(ValueError, match='single clip'):
       service.embed(np.zeros((2, 2, 12, 12, 3), np.float32))
 
+  def test_mixed_dtype_requests_grouped(self, model_and_state):
+    """Regression: a uint8 clip queued with a float32 clip of the same
+    shape must not be np.stack-promoted past the /255 normalization."""
+    model, state = model_and_state
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(1, 2), max_wait_ms=100)
+    service.start()
+    try:
+      rng = np.random.default_rng(9)
+      clip_u8 = rng.integers(0, 256, (2, 12, 12, 3), np.uint8)
+      clip_f32 = rng.random((2, 12, 12, 3)).astype(np.float32)
+      results = {}
+
+      def worker(name, clip):
+        results[name] = service.embed(clip)
+
+      threads = [threading.Thread(target=worker, args=('u8', clip_u8)),
+                 threading.Thread(target=worker, args=('f32', clip_f32))]
+      for t in threads:
+        t.start()
+      for t in threads:
+        t.join(timeout=120)
+
+      ref_u8, _ = model.apply(
+          state, jnp.asarray(clip_u8[None].astype(np.float32) / 255.0),
+          train=False)
+      ref_f32, _ = model.apply(state, jnp.asarray(clip_f32[None]),
+                               train=False)
+      np.testing.assert_allclose(results['u8'], np.asarray(ref_u8[0]),
+                                 atol=1e-5)
+      np.testing.assert_allclose(results['f32'], np.asarray(ref_f32[0]),
+                                 atol=1e-5)
+    finally:
+      service.stop()
+
   def test_uint8_ingestion(self, model_and_state):
     """uint8 clips are normalized on-device and match the fp32 path."""
     model, state = model_and_state

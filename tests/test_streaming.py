@@ -47,6 +47,12 @@ class TestWindowing:
     w = streaming.window_frames(frames, window=16, pad_final=False)
     assert w.shape == (2, 16, 1, 1, 1)
 
+  def test_drop_final_short_video_is_empty(self):
+    """pad_final=False must actually drop a sub-window video, not pad it."""
+    frames = np.arange(10, dtype=np.float32).reshape(10, 1, 1, 1)
+    w = streaming.window_frames(frames, window=16, pad_final=False)
+    assert w.shape == (0, 16, 1, 1, 1)
+
 
 class TestStreaming:
 
@@ -79,6 +85,18 @@ class TestStreaming:
     assert per_window.shape == (5, 16)
     assert video_emb.shape == (16,)
     np.testing.assert_allclose(np.linalg.norm(video_emb), 1.0, atol=1e-5)
+
+  def test_overlap_stride_no_spurious_tail(self, embed_fn):
+    """Regression: with stride < window the buffer retains covered overlap
+    frames; they must not be re-emitted as an extra padded tail window."""
+    rng = np.random.default_rng(2)
+    frames = rng.random((4, 12, 12, 3), np.float32)
+    # window=4, stride=2, T=4: exactly one window covers everything.
+    got = list(streaming.stream_embeddings(
+        embed_fn, frames, window=4, stride=2, batch_windows=2))
+    assert len(got) == 1
+    ref = streaming.window_frames(frames, window=4, stride=2)
+    assert ref.shape[0] == 1
 
   def test_aggregate_is_normalized_mean(self):
     emb = np.array([[3.0, 0.0], [0.0, 4.0]], np.float32)

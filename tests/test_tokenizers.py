@@ -170,6 +170,27 @@ class TestByteFallback:
     t = SentencePieceTokenizer(fixture_model_path)
     assert t.to_int('z') == [3, 0]  # no byte table -> unk as before
 
+  def test_bpe_path_uses_byte_fallback(self, tmp_path):
+    """Regression: byte fallback must apply on the BPE path too, not just
+    the unigram lattice."""
+    pieces = [
+        spm.Piece('<unk>', 0.0, spm.UNKNOWN),
+        spm.Piece('<s>', 0.0, spm.CONTROL),
+        spm.Piece('</s>', 0.0, spm.CONTROL),
+    ]
+    pieces += [spm.Piece(f'<0x{i:02X}>', 0.0, spm.BYTE) for i in range(256)]
+    base = len(pieces)
+    pieces += [spm.Piece('▁', -1.0), spm.Piece('a', -2.0),
+               spm.Piece('▁a', -0.5)]
+    model = spm.SpmModel(
+        pieces=pieces, model_type=spm.BPE, byte_fallback=True,
+        unk_id=0, normalizer_name='nfkc')
+    path = str(tmp_path / 'bpe_bf.model')
+    spm.save_model(path, model)
+    t = SentencePieceTokenizer(path)
+    # 'a' merges to '▁a'; 'é' (UTF-8 C3 A9) has no piece -> byte pieces.
+    assert t.to_int('aé') == [base + 2, 3 + 0xC3, 3 + 0xA9]
+
 
 @pytest.mark.skipif(not os.path.exists(REF_SPM),
                     reason='reference fixture not available')

@@ -86,7 +86,15 @@ def main():
 
   # Weights: checkpoint if given, else the reference module's random init.
   if args.checkpoint:
-    state = vp.load_pretrained_weights(None, checkpoint_path=args.checkpoint)
+    import os
+
+    if os.path.exists(args.checkpoint):
+      state = vp.load_pretrained_weights(
+          None, checkpoint_path=args.checkpoint)
+    else:
+      # Registry model name -> HuggingFace download (the
+      # WEIGHTS-VALIDATION.md first-network-session recipe).
+      state = vp.load_pretrained_weights(args.checkpoint)
     params = state['params'] if 'params' in state else state
   else:
     print('No checkpoint given: using reference random init '

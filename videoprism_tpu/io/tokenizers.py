@@ -229,7 +229,18 @@ class SentencePieceTokenizer(Tokenizer):
         break
       symbols[best_idx:best_idx + 2] = [symbols[best_idx]
                                         + symbols[best_idx + 1]]
-    return [piece_ids.get(s, self._spm.unk_id) for s in symbols]
+    ids: list[int] = []
+    for s in symbols:
+      pid = piece_ids.get(s)
+      if pid is not None:
+        ids.append(pid)
+      elif self._use_byte_fallback:
+        # Same post-processing as the unigram path: OOV surface -> its
+        # UTF-8 <0xXX> BYTE pieces instead of unk.
+        ids.extend(self._byte_ids[b] for b in s.encode('utf-8'))
+      else:
+        ids.append(self._spm.unk_id)
+    return ids
 
   def encode(self, text: str) -> list[int]:
     text = self._normalize(text)

@@ -40,6 +40,22 @@ def make_mesh(
   return Mesh(grid, (data_axis, model_axis))
 
 
+def shard_map_compat(fn, mesh: Mesh, in_specs, out_specs):
+  """``jax.shard_map`` with replication checks off, falling back to the
+  pre-0.5 ``jax.experimental.shard_map`` API.  The single home for this
+  shim — TP, TP training, and DP serving all route through it."""
+  try:
+    from functools import partial
+
+    return partial(jax.shard_map, check_vma=False)(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+  except AttributeError:  # jax < 0.5
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=False)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, PartitionSpec())
 

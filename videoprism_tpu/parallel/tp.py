@@ -21,7 +21,6 @@ the kernels stay on the fast path.  See ops/transformer.py
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -31,17 +30,6 @@ from videoprism_tpu.parallel import mesh as mesh_lib
 from videoprism_tpu.parallel import sharding as shard_lib
 
 Params = Any
-
-
-def _shard_map(fn, mesh, in_specs, out_specs):
-  try:
-    return partial(jax.shard_map, check_vma=False)(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-  except AttributeError:  # jax < 0.5
-    from jax.experimental.shard_map import shard_map
-
-    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                     check_rep=False)
 
 
 def validate_tp_config(cfg, mesh: Mesh) -> None:
@@ -87,6 +75,6 @@ def make_tp_encoder_forward(
     emb, _ = fe.apply(p, video, tp_cfg, train=train)
     return emb
 
-  sharded = _shard_map(
+  sharded = mesh_lib.shard_map_compat(
       fwd, mesh, in_specs=(param_specs, video_spec), out_specs=out_spec)
   return jax.jit(sharded), sharded_params

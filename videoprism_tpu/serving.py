@@ -48,23 +48,13 @@ def data_parallel_forward(
   Inside ``shard_map`` each device traces the single-device program, so
   Pallas kernels run unmodified per shard.
   """
-  try:
-    shard_map = partial(jax.shard_map, check_vma=False)  # jax >= 0.5
-  except AttributeError:
-    from jax.experimental.shard_map import shard_map
-
-    shard_map = partial(shard_map, check_rep=False)
-
-  @partial(
-      shard_map,
-      mesh=mesh,
-      in_specs=(PartitionSpec(), PartitionSpec(axis)),
-      out_specs=PartitionSpec(axis),
-  )
   def sharded(params, batch):
     return forward_fn(params, batch)
 
-  return jax.jit(sharded)
+  return jax.jit(mesh_lib.shard_map_compat(
+      sharded, mesh,
+      in_specs=(PartitionSpec(), PartitionSpec(axis)),
+      out_specs=PartitionSpec(axis)))
 
 
 @dataclasses.dataclass
@@ -245,11 +235,13 @@ class EmbeddingService:
           break
 
       # Requests with different clip shapes (variable T/H/W is supported —
-      # pos-emb interpolation) can't share one stacked batch: group by
-      # shape and run each group, so one odd clip never fails the batch.
-      groups: dict[tuple[int, ...], list[_Request]] = {}
+      # pos-emb interpolation) or dtypes (uint8 vs float) can't share one
+      # stacked batch — np.stack would silently promote uint8 to float
+      # WITHOUT the /255 normalization.  Group by (shape, dtype) and run
+      # each group, so one odd clip never fails or corrupts the batch.
+      groups: dict[tuple, list[_Request]] = {}
       for r in batch:
-        groups.setdefault(r.video.shape, []).append(r)
+        groups.setdefault((r.video.shape, r.video.dtype.str), []).append(r)
       for group in groups.values():
         videos = np.stack([r.video for r in group], axis=0)
         try:

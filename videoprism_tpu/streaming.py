@@ -50,11 +50,11 @@ def window_frames(
   stride = window if stride is None else stride
   if stride <= 0 or window <= 0:
     raise ValueError(f'window={window} and stride={stride} must be > 0')
-  starts = list(range(0, max(t - window, 0) + 1, stride))
+  starts = list(range(0, t - window + 1, stride))  # full windows only
   if pad_final and (not starts or starts[-1] + window < t):
     starts.append(max(t - window, 0))  # tail window, right-aligned
-  if not starts:
-    starts = [0]
+  if not starts:  # pad_final=False and t < window: nothing to emit
+    return np.zeros((0, window) + frames.shape[1:], frames.dtype)
 
   windows = []
   for s in starts:
@@ -87,6 +87,8 @@ def stream_embeddings(
 
   buffer: np.ndarray | None = None
   pending: list[np.ndarray] = []
+  total = 0      # frames seen so far
+  covered = 0    # absolute end index of the last emitted window
 
   def flush(force: bool = False):
     nonlocal pending
@@ -102,15 +104,19 @@ def stream_embeddings(
 
   for chunk in frames_iter:
     chunk = np.asarray(chunk)
+    total += chunk.shape[0]
     buffer = chunk if buffer is None else np.concatenate(
         [buffer, chunk], axis=0)
     while buffer.shape[0] >= window:
       pending.append(buffer[:window])
+      covered = total - buffer.shape[0] + window
       buffer = buffer[stride:]
     yield from flush()
 
-  if buffer is not None and buffer.shape[0] > 0:
-    # Tail shorter than a window: pad by repeating the last frame.
+  # With stride < window the buffer retains already-covered overlap
+  # frames; only emit a padded tail window when frames beyond the last
+  # window's end actually exist.
+  if buffer is not None and buffer.shape[0] > 0 and total > covered:
     reps = np.repeat(buffer[-1:], max(window - buffer.shape[0], 0), axis=0)
     pending.append(np.concatenate([buffer, reps], axis=0)[:window])
   yield from flush(force=True)

@@ -22,7 +22,6 @@ partition ``pallas_call``.  This module builds the shard_map alternative:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax
@@ -37,17 +36,6 @@ from videoprism_tpu.train import objectives
 from videoprism_tpu.train.train_step import TrainState, _opt_state_shardings
 
 Params = Any
-
-
-def _shard_map(fn, mesh, in_specs, out_specs):
-  try:
-    return partial(jax.shard_map, check_vma=False)(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-  except AttributeError:  # jax < 0.5
-    from jax.experimental.shard_map import shard_map
-
-    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                     check_rep=False)
 
 
 def _tp_param_specs(params: Params) -> Params:
@@ -96,7 +84,7 @@ def make_tp_train_step(
     t_emb = jax.lax.all_gather(t_emb, data, axis=0, tiled=True)
     return objectives.clip_contrastive_loss(v_emb, t_emb, log_temperature)
 
-  sharded_loss = _shard_map(
+  sharded_loss = mesh_lib.shard_map_compat(
       global_loss, mesh,
       in_specs=(
           param_specs, repl,
