@@ -92,6 +92,95 @@ class TestFusedBlocks:
       np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                  atol=2e-6)
 
+  def test_chunked_attention_matches_single(self, layer_params):
+    """Head-group-chunked attention block == monolithic kernel (which is
+    itself oracle-tested above), incl. the partial-output TP mode."""
+    _, params, cfg = layer_params
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, T, D))
+    paddings = jnp.zeros((B, T)).at[:, -3:].set(1.0)
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+    mask2 = jnp.squeeze(mask, 1).astype(jnp.float32)
+
+    attnp = params['self_attention']
+    flat_in = lambda p: (p['w'].reshape(D, N * H), p['b'].reshape(N * H))
+    wq, bq = flat_in(attnp['query'])
+    wk, bk = flat_in(attnp['key'])
+    wv, bv = flat_in(attnp['value'])
+    wo = jnp.transpose(attnp['post']['w'], (1, 2, 0)).reshape(N * H, D)
+    args = (x, mask2, params['layer_norm']['scale'],
+            params['layer_norm']['bias'],
+            wq, bq, wk, bk, wv, bv, wo, attnp['post']['b'])
+    for partial_out in (False, True):
+      ref = tb.fused_attention_block(
+          *args, num_heads=N, dim_per_head=H, logit_cap=50.0,
+          query_scale=H ** -0.5, partial_out=partial_out, interpret=True)
+      got = tb.fused_attention_block_chunked(
+          *args, num_heads=N, dim_per_head=H, chunks=2, logit_cap=50.0,
+          query_scale=H ** -0.5, partial_out=partial_out, interpret=True)
+      np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                 atol=2e-6)
+
+  def test_chunked_attention_gradients(self, layer_params):
+    _, params, cfg = layer_params
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, T, D))
+    mask = jnp.zeros((2, 1, T), jnp.float32)
+    attnp = params['self_attention']
+    flat_in = lambda p: (p['w'].reshape(D, N * H), p['b'].reshape(N * H))
+    wq, bq = flat_in(attnp['query'])
+    wk, bk = flat_in(attnp['key'])
+    wv, bv = flat_in(attnp['value'])
+    wo = jnp.transpose(attnp['post']['w'], (1, 2, 0)).reshape(N * H, D)
+    args = (x, mask, params['layer_norm']['scale'],
+            params['layer_norm']['bias'],
+            wq, bq, wk, bk, wv, bv, wo, attnp['post']['b'])
+
+    fn = tb.attention_block_vjp(
+        num_heads=N, dim_per_head=H, logit_cap=50.0, epsilon=1e-6,
+        query_scale=H ** -0.5, interpret=True, chunks=2)
+    ref_fn = lambda *a: tb._composed_attention_block(
+        *a, num_heads=N, dim_per_head=H, logit_cap=50.0, epsilon=1e-6,
+        query_scale=H ** -0.5)
+    g_kernel = jax.grad(lambda a: jnp.sum(jnp.square(fn(*a))))(args)
+    g_ref = jax.grad(lambda a: jnp.sum(jnp.square(ref_fn(*a))))(args)
+    for gk, gr in zip(g_kernel, g_ref):
+      np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
+
+  def test_attention_chunk_selection(self):
+    # giant (D=1408, 16 heads x 88): monolithic weights are 15.9 MB bf16
+    # -> 4 head groups of 4 fit.
+    assert tb.attention_chunks_for(256, 1408, 16, 88, 2) == 4
+    # base/large fit the monolithic kernel -> no chunking.
+    assert tb.attention_chunks_for(256, 768, 12, 64, 2) is None
+    assert tb.attention_chunks_for(256, 1024, 16, 64, 2) is None
+    # text lengths (65) stay composed either way.
+    assert tb.attention_chunks_for(65, 1408, 16, 88, 2) is None
+
+  def test_giant_width_layer_routes_chunked(self):
+    """A giant-width layer engages the fused path end-to-end (chunked
+    attention + chunked FFN) and matches the composed layer."""
+    import dataclasses
+
+    d, n, h, f = 1408, 16, 88, 512
+    cfg = tfm.TransformerLayerConfig(
+        num_layers=1, hidden_dim=f, num_heads=n, dim_per_head=h,
+        norm_policy='pre', activation='gelu',
+        enable_per_dim_scale=False, logit_cap=50.0)
+    params = init_lib._transformer_layer(jax.random.PRNGKey(8), d, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, d)) * 0.1
+    paddings = jnp.zeros((2, 8))
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+
+    assert tb.attention_chunks_for(8, d, n, h, x.dtype.itemsize) is not None
+    ref = tfm.transformer_layer(
+        params, x, paddings, mask,
+        dataclasses.replace(cfg, attention_impl='xla'))
+    got = tfm._try_fused_layer(
+        params, x, paddings, mask,
+        dataclasses.replace(cfg, attention_impl='flash',
+                            kernel_interpret=True), train=False)
+    assert got is not None, 'fused path must engage at giant widths'
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
   def test_chunk_selection(self):
     assert tb.ffn_chunks_for(32768, 1024, 4096, 2) == 2   # large bf16
     assert tb.ffn_chunks_for(32768, 1408, 6144, 2) == 4   # giant bf16

@@ -240,14 +240,22 @@ def encode_with_patches(
       params['spatial_encoder'], patches,
       cfg.vit_layer_config(cfg.num_spatial_layers),
       paddings=patches_paddings, train=train, rng=spatial_rng)
-  features = basic.layer_norm(params['spatial_ln'], features, dtype=dtype)
-  spatial_features = features
 
-  # Regroup to per-token temporal sequences: (b t) n d -> (b n) t d.
   n = features.shape[1]
   d = features.shape[2]
-  features = features.reshape(b, t, n, d).transpose(0, 2, 1, 3)
-  features = features.reshape(b * n, t, d)
+
+  # Fused boundary path (flash impl): each inter-stack boundary
+  # (LN + regroup transpose + pos-emb add) is one Pallas pass — one HBM
+  # read + one write instead of ~3 round trips (the LN kernel is opaque
+  # to XLA, so the transpose can't fuse into it).  See ops/pallas/boundary.
+  from videoprism_tpu.ops.pallas import boundary as boundary_lib
+
+  use_boundary = (
+      cfg.attention_impl == 'flash'
+      and (cfg.kernel_interpret or jax.default_backend() == 'tpu')
+      and boundary_lib.boundary_supported(n, t, d, jnp.dtype(dtype).itemsize)
+      and not contains(return_intermediate, 'spatial_features'))
+
   temporal_paddings = None
   if patches_paddings is not None:
     temporal_paddings = (
@@ -262,17 +270,41 @@ def encode_with_patches(
       params['temporal_pos_emb'], temporal_seq_length, dtype=dtype)
   if temporal_seq_length != t:
     temporal_pos_emb = emb_lib.interpolate_emb_1d(temporal_pos_emb, t)
-  features = features + temporal_pos_emb
+
+  spatial_features = None
+  if use_boundary:
+    st = boundary_lib.spatial_to_temporal_vjp(
+        b, t, interpret=cfg.kernel_interpret)
+    features = st(
+        features,
+        basic.cast_floating(params['spatial_ln']['scale'], dtype),
+        basic.cast_floating(params['spatial_ln']['bias'], dtype),
+        temporal_pos_emb)
+  else:
+    features = basic.layer_norm(params['spatial_ln'], features, dtype=dtype)
+    spatial_features = features
+    # Regroup to per-token temporal sequences: (b t) n d -> (b n) t d.
+    features = features.reshape(b, t, n, d).transpose(0, 2, 1, 3)
+    features = features.reshape(b * n, t, d)
+    features = features + temporal_pos_emb
 
   features = vision_transformer(
       params['temporal_encoder'], features,
       cfg.vit_layer_config(cfg.num_temporal_layers),
       paddings=temporal_paddings, train=train, rng=temporal_rng)
-  features = basic.layer_norm(params['temporal_ln'], features, dtype=dtype)
-
-  # (b n) t d -> b (t n) d.
-  features = features.reshape(b, n, t, d).transpose(0, 2, 1, 3)
-  features = features.reshape(b, t * n, d)
+  if use_boundary:
+    ts = boundary_lib.temporal_to_output_vjp(
+        b, n, interpret=cfg.kernel_interpret)
+    features = ts(
+        features,
+        basic.cast_floating(params['temporal_ln']['scale'], dtype),
+        basic.cast_floating(params['temporal_ln']['bias'], dtype))
+  else:
+    features = basic.layer_norm(
+        params['temporal_ln'], features, dtype=dtype)
+    # (b n) t d -> b (t n) d.
+    features = features.reshape(b, n, t, d).transpose(0, 2, 1, 3)
+    features = features.reshape(b, t * n, d)
 
   outputs = {}
   if contains(return_intermediate, 'spatial_features'):

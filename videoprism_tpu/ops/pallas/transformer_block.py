@@ -80,32 +80,15 @@ def _ln_f32(x, scale_ref, bias_ref, epsilon):
   return normed * scale + bias_ref[:].astype(jnp.float32)
 
 
-def _attn_block_kernel(
-    x_ref, mask_ref, ln_s_ref, ln_b_ref,
-    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-    o_ref, *,
-    num_heads: int, dim_per_head: int, logit_cap: float, epsilon: float,
-    query_scale: float, partial_out: bool = False,
-):
-  x = x_ref[0]  # [T, D]
-  t = x.shape[0]
-  h = _ln_f32(x, ln_s_ref, ln_b_ref, epsilon).astype(x.dtype)  # [T, D]
+def _heads_attention(q, k, v, mask, num_heads, dim_per_head, logit_cap,
+                     out_dtype):
+  """Per-head soft-capped softmax attention, fully in VMEM.
 
-  def proj(w_ref, b_ref):
-    out = jax.lax.dot_general(
-        h, w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return out + b_ref[:].astype(jnp.float32)
-
-  q = (proj(wq_ref, bq_ref) * query_scale).astype(x.dtype)  # [T, N*H]
-  k = proj(wk_ref, bk_ref).astype(x.dtype)
-  v = proj(wv_ref, bv_ref).astype(x.dtype)
-
-  mask = mask_ref[0]  # [T|1, T]
+  q is pre-scaled.  Heads are statically unrolled (num_heads is a
+  trace-time constant; Mosaic has no dynamic_slice).  Returns [T, N*H].
+  """
   nh = dim_per_head
-
-  # Per-head attention, fully in VMEM; statically unrolled over heads
-  # (num_heads is a trace-time constant; Mosaic has no dynamic_slice).
+  ok = mask >= _NEG_INF * 0.5
   ctx_parts = []
   for n in range(num_heads):
     qn = q[:, n * nh:(n + 1) * nh]  # [T, H]
@@ -114,7 +97,6 @@ def _attn_block_kernel(
     logits = jax.lax.dot_general(
         qn, kn, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [T, T]
-    ok = mask >= _NEG_INF * 0.5
     if logit_cap > 0.0:
       # ±cap-bounded logits: exp cannot overflow fp32, so skip the
       # row-max pass and zero masked entries directly.  Fully-masked rows
@@ -129,11 +111,35 @@ def _attn_block_kernel(
       row_max = jnp.max(logits, axis=-1, keepdims=True)
       unnorm = jnp.exp(logits - row_max)
       denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-    probs = (unnorm / denom).astype(x.dtype)
+    probs = (unnorm / denom).astype(out_dtype)
     ctx_parts.append(jax.lax.dot_general(
         probs, vn, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(x.dtype))
-  ctx = jnp.concatenate(ctx_parts, axis=1)  # [T, N*H]
+        preferred_element_type=jnp.float32).astype(out_dtype))
+  return jnp.concatenate(ctx_parts, axis=1)  # [T, N*H]
+
+
+def _attn_block_kernel(
+    x_ref, mask_ref, ln_s_ref, ln_b_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    o_ref, *,
+    num_heads: int, dim_per_head: int, logit_cap: float, epsilon: float,
+    query_scale: float, partial_out: bool = False,
+):
+  x = x_ref[0]  # [T, D]
+  h = _ln_f32(x, ln_s_ref, ln_b_ref, epsilon).astype(x.dtype)  # [T, D]
+
+  def proj(w_ref, b_ref):
+    out = jax.lax.dot_general(
+        h, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out + b_ref[:].astype(jnp.float32)
+
+  q = (proj(wq_ref, bq_ref) * query_scale).astype(x.dtype)  # [T, N*H]
+  k = proj(wk_ref, bk_ref).astype(x.dtype)
+  v = proj(wv_ref, bv_ref).astype(x.dtype)
+
+  ctx = _heads_attention(q, k, v, mask_ref[0], num_heads, dim_per_head,
+                         logit_cap, x.dtype)
 
   out = jax.lax.dot_general(
       ctx, wo_ref[:], (((1,), (0,)), ((), ())),
@@ -207,6 +213,162 @@ def fused_attention_block(
           dimension_semantics=('arbitrary',)),
       interpret=interpret,
   )(x, mask, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _attn_chunk_kernel(
+    x_ref, *rest,
+    num_heads: int, dim_per_head: int, logit_cap: float, epsilon: float,
+    query_scale: float, first: bool, partial_out: bool,
+):
+  """One head-group chunk of the attention block with an explicit residual.
+
+  ``out = resid + ctx_chunk @ wo_chunk`` — chaining calls with
+  ``resid = previous out`` accumulates head groups whose combined
+  projection weights are too wide for a single VMEM-resident kernel (the
+  giant tower: 15.9 MB bf16 at D=1408).  The first chunk seeds the chain
+  with ``x + bo`` (or zero under ``partial_out``, where the TP caller
+  psums shards then applies bias/residual once).  LN is recomputed per
+  chunk (VPU-cheap) instead of a normed-activation HBM round trip.
+  """
+  if first:
+    (mask_ref, ln_s_ref, ln_b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+     wv_ref, bv_ref, wo_ref, bo_ref, o_ref) = rest
+    resid_ref = None
+  else:
+    (resid_ref, mask_ref, ln_s_ref, ln_b_ref, wq_ref, bq_ref, wk_ref,
+     bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, o_ref) = rest
+
+  x = x_ref[0]  # [T, D]
+  h = _ln_f32(x, ln_s_ref, ln_b_ref, epsilon).astype(x.dtype)
+
+  def proj(w_ref, b_ref):
+    out = jax.lax.dot_general(
+        h, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out + b_ref[:].astype(jnp.float32)
+
+  q = (proj(wq_ref, bq_ref) * query_scale).astype(x.dtype)  # [T, G*H]
+  k = proj(wk_ref, bk_ref).astype(x.dtype)
+  v = proj(wv_ref, bv_ref).astype(x.dtype)
+
+  ctx = _heads_attention(q, k, v, mask_ref[0], num_heads, dim_per_head,
+                         logit_cap, x.dtype)
+
+  out = jax.lax.dot_general(
+      ctx, wo_ref[:], (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  if first:
+    if not partial_out:
+      out = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+  else:
+    out = out + resid_ref[0].astype(jnp.float32)
+  o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _attn_chunk_fits(t: int, d: int, gh: int, itemsize: int) -> bool:
+  weights = 4 * d * gh * itemsize            # single-buffered slices
+  io = 2 * (3 * t * d * itemsize)            # x + resid + out, dbl-buffered
+  temps = (t * d * itemsize                  # h
+           + 3 * t * gh * (4 + itemsize)     # q/k/v fp32 + low-prec casts
+           + t * t * 4                       # per-head logits/probs (fp32)
+           + t * gh * itemsize               # ctx
+           + t * d * 4)                      # fp32 output accumulator
+  return weights + io + temps < 14 * 2**20
+
+
+def attention_chunks_for(t: int, d: int, num_heads: int, dim_per_head: int,
+                         itemsize: int) -> int | None:
+  """Smallest head-group chunk count making the attention block
+  VMEM-resident (None when the monolithic kernel fits — it is strictly
+  better — or when no chunking fits).  Capped at 4 chunks: each chunk
+  streams x/resid/out once, so beyond 4 the extra activation traffic
+  exceeds what the composed path's LN/q/k/v/ctx round trips cost."""
+  nh_total = num_heads * dim_per_head
+  if not (t % 8 == 0 and t <= 1024 and d % 128 == 0):
+    return None
+  if attention_block_supported(t, d, nh_total, itemsize):
+    return None
+  for chunks in (2, 4):
+    if num_heads % chunks:
+      continue
+    if _attn_chunk_fits(t, d, (num_heads // chunks) * dim_per_head,
+                        itemsize):
+      return chunks
+  return None
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'num_heads', 'dim_per_head', 'chunks', 'logit_cap', 'epsilon',
+    'query_scale', 'partial_out', 'interpret'))
+def fused_attention_block_chunked(
+    x: Array,          # [B, T, D]
+    mask: Array,       # [B|1, T|1, T] additive fp32
+    ln_scale: Array, ln_bias: Array,   # [D]
+    wq: Array, bq: Array,              # [D, N*H], [N*H]
+    wk: Array, bk: Array,
+    wv: Array, bv: Array,
+    wo: Array, bo: Array,              # [N*H, D], [D]
+    *,
+    num_heads: int,
+    dim_per_head: int,
+    chunks: int,
+    logit_cap: float = 0.0,
+    epsilon: float = 1e-6,
+    query_scale: float = 1.0,
+    partial_out: bool = False,
+    interpret: bool = False,
+) -> Array:
+  """Attention block via ``chunks`` sequential head-group slices (for
+  projection weights that exceed VMEM; see :func:`attention_chunks_for`).
+
+  Head-major weight layout makes head groups contiguous column (wq/wk/wv)
+  / row (wo) slices, so each chunk is an independent exact sub-attention
+  whose output projections sum to the full block output.
+  """
+  b, t, d = x.shape
+  bm, tm, _ = mask.shape
+  g = num_heads // chunks
+  gh = g * dim_per_head
+  vec = lambda a: pl.BlockSpec((a.shape[-1],), lambda i: (0,),
+                               memory_space=pltpu.VMEM)
+  mat = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+  xspec = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+  mspec = pl.BlockSpec((1, tm, t), lambda i: (i if bm > 1 else 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+  out = None
+  for c in range(chunks):
+    sl_col = lambda a: jax.lax.slice_in_dim(a, c * gh, (c + 1) * gh, axis=1)
+    sl_vec = lambda a: jax.lax.slice_in_dim(a, c * gh, (c + 1) * gh, axis=0)
+    wqc, bqc = sl_col(wq), sl_vec(bq)
+    wkc, bkc = sl_col(wk), sl_vec(bk)
+    wvc, bvc = sl_col(wv), sl_vec(bv)
+    woc = jax.lax.slice_in_dim(wo, c * gh, (c + 1) * gh, axis=0)
+    first = c == 0
+    operands = ([x] + ([] if first else [out])
+                + [mask, ln_scale, ln_bias,
+                   wqc, bqc, wkc, bkc, wvc, bvc, woc, bo])
+    in_specs = ([xspec] + ([] if first else [xspec])
+                + [mspec, vec(ln_scale), vec(ln_bias),
+                   mat(wqc), vec(bqc), mat(wkc), vec(bkc),
+                   mat(wvc), vec(bvc), mat(woc), vec(bo)])
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_chunk_kernel, num_heads=g, dim_per_head=dim_per_head,
+            logit_cap=float(logit_cap), epsilon=epsilon,
+            query_scale=float(query_scale), first=first,
+            partial_out=partial_out),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(*operands)
+  return out
 
 
 def _apply_activation(a, activation: str, out_dtype=jnp.float32):
@@ -512,12 +674,16 @@ def _attention_block_bwd(
 def attention_block_vjp(num_heads: int, dim_per_head: int,
                         logit_cap: float, epsilon: float,
                         query_scale: float, interpret: bool = False,
-                        partial_out: bool = False):
+                        partial_out: bool = False,
+                        chunks: int | None = None):
   static = dict(num_heads=num_heads, dim_per_head=dim_per_head,
                 logit_cap=logit_cap, epsilon=epsilon,
                 query_scale=query_scale, partial_out=partial_out)
 
   def kernel_fwd(*args):
+    if chunks:
+      return fused_attention_block_chunked(
+          *args, **static, chunks=chunks, interpret=interpret)
     return fused_attention_block(*args, **static, interpret=interpret)
 
   def bwd(res, g):

@@ -187,12 +187,15 @@ def _try_fused_layer(
   nh_total = n * h
   f = params['ff_layer']['ffn_layer1']['linear']['kernel'].shape[-1]
   itemsize = inputs.dtype.itemsize
-  attn_ok = (tb.attention_block_supported(t, d, nh_total, itemsize)
-             and atten_mask.shape[-1] == t)
+  mask_ok = atten_mask.shape[-1] == t
+  attn_ok = tb.attention_block_supported(t, d, nh_total, itemsize) and mask_ok
+  attn_chunks = (
+      tb.attention_chunks_for(t, d, n, h, itemsize)
+      if mask_ok and not attn_ok else None)
   ffn_ok = tb.ffn_block_supported(b * t, d, f, itemsize)
   ffn_chunks = (
       None if ffn_ok else tb.ffn_chunks_for(b * t, d, f, itemsize))
-  if not (attn_ok or ffn_ok or ffn_chunks):
+  if not (attn_ok or attn_chunks or ffn_ok or ffn_chunks):
     return None
 
   dtype = cfg.dtype
@@ -201,7 +204,7 @@ def _try_fused_layer(
   pre_ln = 'pre_layer_norm' if primer else 'layer_norm'
   partial = primer or tp is not None
 
-  if attn_ok:
+  if attn_ok or attn_chunks:
     flat_in = lambda p: (cast(p['w'], dtype).reshape(d, nh_total),
                          cast(p['b'], dtype).reshape(nh_total))
     wq, bq = flat_in(attn['query'])
@@ -213,7 +216,7 @@ def _try_fused_layer(
     attn_fn = tb.attention_block_vjp(
         num_heads=n, dim_per_head=h, logit_cap=float(cfg.logit_cap),
         epsilon=1e-6, query_scale=h ** -0.5, interpret=interpret,
-        partial_out=partial)
+        partial_out=partial, chunks=attn_chunks)
     x = attn_fn(
         inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32),
         cast(params[pre_ln]['scale'], dtype),
