@@ -28,6 +28,7 @@ def load_video(
     target_size: int = 288,
     resize_mode: str = 'center_crop',
     as_uint8: bool = False,
+    backend: str = 'auto',
 ) -> np.ndarray:
   """Loads [num_frames, S, S, 3] RGB from a video file.
 
@@ -38,7 +39,22 @@ def load_video(
 
   Frame indices are sampled uniformly with ``np.linspace`` over the full
   clip, matching reference videoprism/video_utils.py:20-94.
+
+  ``backend``: 'ffmpeg' uses the native C++ decoder (single sequential
+  decode pass, no per-frame container seeks — see
+  native/video_decoder.cc); 'opencv' the reference-mirroring cv2 loop;
+  'auto' prefers ffmpeg and falls back.
   """
+  if backend not in ('auto', 'ffmpeg', 'opencv'):
+    raise ValueError(f'unknown backend {backend!r}')
+  if backend in ('auto', 'ffmpeg'):
+    try:
+      return _load_video_native(video_path, num_frames, target_size,
+                                resize_mode, as_uint8)
+    except RuntimeError:
+      # Native library unavailable (no toolchain / FFmpeg dev libs).
+      if backend == 'ffmpeg':
+        raise
   try:
     import cv2  # pytype: disable=import-error
   except ImportError as e:
@@ -81,6 +97,31 @@ def load_video(
   return stacked.astype(np.float32) / 255.0
 
 
+def _load_video_native(
+    video_path: str,
+    num_frames: int,
+    target_size: int,
+    resize_mode: str,
+    as_uint8: bool,
+) -> np.ndarray:
+  """FFmpeg path: one sequential decode pass, convert-on-keep."""
+  from videoprism_tpu import native
+
+  if resize_mode not in ('center_crop', 'resize'):
+    raise ValueError(f'Unknown resize_mode: {resize_mode}')
+  with native.NativeVideoDecoder(video_path) as dec:
+    total_frames = dec.num_frames
+    if total_frames < num_frames:
+      raise ValueError(
+          f'Video has only {total_frames} frames, but {num_frames} '
+          f'requested')
+    indices = np.linspace(0, total_frames - 1, num_frames, dtype=np.int64)
+    frames = dec.sample(indices, target_size, resize_mode)
+  if as_uint8:
+    return frames
+  return frames.astype(np.float32) / 255.0
+
+
 def _center_crop_resize(frame: np.ndarray, target_size: int) -> np.ndarray:
   """Shortest side -> target_size, then center crop (reference
   videoprism/video_utils.py:97-127)."""
@@ -106,22 +147,20 @@ def load_video_batch(
     target_size: int = 288,
     resize_mode: str = 'center_crop',
     num_workers: int = 0,
+    backend: str = 'auto',
 ) -> np.ndarray:
   """Loads [B, T, S, S, 3] from multiple files, optionally decoding in a
-  thread pool (OpenCV releases the GIL during decode).
+  thread pool (both the native decoder and OpenCV release the GIL).
 
   Reference: videoprism/video_utils.py:130-152 (sequential only there).
   """
+  load = lambda p: load_video(p, num_frames, target_size, resize_mode,
+                              backend=backend)
   if num_workers and len(video_paths) > 1:
     with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
-      videos = list(pool.map(
-          lambda p: load_video(p, num_frames, target_size, resize_mode),
-          video_paths))
+      videos = list(pool.map(load, video_paths))
   else:
-    videos = [
-        load_video(p, num_frames, target_size, resize_mode)
-        for p in video_paths
-    ]
+    videos = [load(p) for p in video_paths]
   return np.stack(videos, axis=0)
 
 

@@ -60,6 +60,126 @@ def load_tokenizer_lib() -> ctypes.CDLL | None:
   return _lib
 
 
+_VIDEO_LIB_PATH = os.path.join(_HERE, 'libvp_video.so')
+_VIDEO_SRC_PATH = os.path.join(_HERE, 'video_decoder.cc')
+_video_lib = None
+_video_lib_error: str | None = None
+
+
+def _build_video() -> None:
+  cmd = ['g++', '-O3', '-fPIC', '-shared', '-std=c++17',
+         '-o', _VIDEO_LIB_PATH, _VIDEO_SRC_PATH,
+         '-lavformat', '-lavcodec', '-lavutil', '-lswscale']
+  subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def load_video_lib() -> ctypes.CDLL | None:
+  """Returns the FFmpeg decoder CDLL, building on first use; None when the
+  toolchain or the FFmpeg dev libraries are absent (callers fall back to
+  the OpenCV path in io/video.py)."""
+  global _video_lib, _video_lib_error
+  if _video_lib is not None or _video_lib_error is not None:
+    return _video_lib
+  with _BUILD_LOCK:
+    if _video_lib is not None or _video_lib_error is not None:
+      return _video_lib
+    try:
+      if (not os.path.exists(_VIDEO_LIB_PATH)
+          or os.path.getmtime(_VIDEO_LIB_PATH)
+          < os.path.getmtime(_VIDEO_SRC_PATH)):
+        _build_video()
+      lib = ctypes.CDLL(_VIDEO_LIB_PATH)
+      lib.vp_decoder_open.restype = ctypes.c_void_p
+      lib.vp_decoder_open.argtypes = [
+          ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+      lib.vp_decoder_info.restype = ctypes.c_int
+      lib.vp_decoder_info.argtypes = [
+          ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+          ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+          ctypes.POINTER(ctypes.c_double)]
+      lib.vp_decoder_sample.restype = ctypes.c_int
+      lib.vp_decoder_sample.argtypes = [
+          ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+          ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+      lib.vp_decoder_close.restype = None
+      lib.vp_decoder_close.argtypes = [ctypes.c_void_p]
+      _video_lib = lib
+    except (subprocess.CalledProcessError, OSError) as e:
+      _video_lib_error = getattr(e, 'stderr', None) or str(e)
+  return _video_lib
+
+
+def video_lib_error() -> str | None:
+  return _video_lib_error
+
+
+class NativeVideoDecoder:
+  """Sequential-decode FFmpeg reader (see video_decoder.cc).
+
+  Raises ``RuntimeError`` at construction when the native library is
+  unavailable — ``io/video.py`` keeps the OpenCV path as fallback.
+  """
+
+  def __init__(self, path: str):
+    import numpy as np
+
+    lib = load_video_lib()
+    if lib is None:
+      raise RuntimeError(f'native video decoder unavailable: '
+                         f'{_video_lib_error}')
+    self._lib = lib
+    self._np = np
+    err = ctypes.create_string_buffer(256)
+    self._handle = lib.vp_decoder_open(path.encode(), err, 256)
+    if not self._handle:
+      raise ValueError(err.value.decode() or f'could not open {path}')
+    nf = ctypes.c_int64()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    fps = ctypes.c_double()
+    lib.vp_decoder_info(self._handle, ctypes.byref(nf), ctypes.byref(w),
+                        ctypes.byref(h), ctypes.byref(fps))
+    self.num_frames = nf.value
+    self.width = w.value
+    self.height = h.value
+    self.fps = fps.value
+
+  def sample(self, indices, target_size: int,
+             resize_mode: str = 'center_crop'):
+    """Decodes the (sorted) frame indices -> uint8 [n, S, S, 3] RGB."""
+    np = self._np
+    idx = np.asarray(indices, np.int64)
+    assert (np.diff(idx) >= 0).all(), 'indices must be sorted'
+    n = len(idx)
+    out = np.empty((n, target_size, target_size, 3), np.uint8)
+    mode = {'center_crop': 0, 'resize': 1}[resize_mode]
+    written = self._lib.vp_decoder_sample(
+        self._handle,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        target_size, mode)
+    if written != n:
+      raise ValueError(
+          f'decoded only {written}/{n} requested frames (stream ended '
+          f'early; container frame count was {self.num_frames})')
+    return out
+
+  def close(self):
+    handle = getattr(self, '_handle', None)
+    if handle:
+      self._lib.vp_decoder_close(handle)
+      self._handle = None
+
+  def __del__(self):
+    self.close()
+
+  def __enter__(self):
+    return self
+
+  def __exit__(self, *exc):
+    self.close()
+
+
 class NativeUnigramEncoder:
   """C++ Viterbi segmenter over a SentencePiece vocabulary.
 
