@@ -43,7 +43,7 @@ BASELINE_CLIPS_PER_SEC = 1.0 / 1.42  # reference MLX M3 Pro headline
 
 
 def _make_forward(dtype, attention_impl: str, config_name: str,
-                  input_dtype: str = 'float32'):
+                  input_dtype: str = 'float32', quantize: str = 'none'):
   from videoprism_tpu.models import factorized_encoder as fe
   from videoprism_tpu.models import init as init_lib
   from videoprism_tpu.models import registry
@@ -52,6 +52,10 @@ def _make_forward(dtype, attention_impl: str, config_name: str,
       **registry.CONFIGS[config_name],
       dtype=dtype, attention_impl=attention_impl)
   params = init_lib.init_factorized_encoder(jax.random.PRNGKey(0), cfg)
+  if quantize == 'int8':
+    from videoprism_tpu import quantization
+
+    params = quantization.quantize_for_serving(params)
   params = jax.device_put(params)
   uint8_in = input_dtype == 'uint8'
 
@@ -115,6 +119,11 @@ def main():
                       choices=['float32', 'uint8'],
                       help='staged input dtype; uint8 measures the '
                            'production serving path (on-device /255)')
+  parser.add_argument('--quantize', default='none',
+                      choices=['none', 'int8'],
+                      help='int8: W8A8 serving kernels (halved weight '
+                           'streaming; wins at small batch on '
+                           'large/giant)')
   parser.add_argument('--batch-sizes', default='1,8,16,32')
   parser.add_argument('--runs', type=int, default=3)
   parser.add_argument('--warmup', type=int, default=2)
@@ -131,7 +140,8 @@ def main():
 
   config_name = f'videoprism_v1_{args.model}'
   num_frames = 16 if args.model == 'base' else 8
-  forward, params = _make_forward(dtype, attention, config_name, args.input)
+  forward, params = _make_forward(dtype, attention, config_name, args.input,
+                                  args.quantize)
 
   best_throughput = 0.0
   best_batch = 0
@@ -169,6 +179,7 @@ def main():
       'dtype': args.dtype,
       'attention': attention,
       'input': args.input,
+      'quantize': args.quantize,
       'best_batch': best_batch,
       'p50_latency_ms': round(p50_latency_ms, 2) if p50_latency_ms else None,
       'per_batch_clips_per_sec': per_batch,

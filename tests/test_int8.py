@@ -1,0 +1,237 @@
+"""Int8 (W8A8) serving path: quantization round-trip, kernel parity vs
+the dequantized composed oracle, and full-model quality."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoprism_tpu import quantization as q
+from videoprism_tpu.models import init as init_lib
+from videoprism_tpu.ops import masks as mask_lib
+from videoprism_tpu.ops import transformer as tfm
+from videoprism_tpu.ops.pallas import int8_blocks as i8
+
+D, N, H, F, T, B = 128, 2, 64, 256, 16, 4
+
+
+def _cos(a, b):
+  a = np.asarray(a, np.float32).ravel()
+  b = np.asarray(b, np.float32).ravel()
+  return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+@pytest.fixture(scope='module')
+def layer():
+  cfg = tfm.TransformerLayerConfig(
+      num_layers=1, hidden_dim=F, num_heads=N, norm_policy='pre',
+      activation='gelu', enable_per_dim_scale=False, logit_cap=50.0)
+  params = init_lib._transformer_layer(jax.random.PRNGKey(0), D, cfg)
+  return params, cfg
+
+
+class TestQuantization:
+
+  def test_round_trip_close(self, layer):
+    params, _ = layer
+    qp = q.quantize_for_serving({'x': params})['x']
+    assert qp['self_attention']['query']['w'].dtype == jnp.int8
+    assert qp['self_attention']['query']['w_scale'].shape == (N, H)
+    assert qp['self_attention']['post']['w_scale'].shape == (D,)
+    assert qp['ff_layer']['ffn_layer1']['linear']['kernel_scale'].shape \
+        == (F,)
+    assert q.is_quantized(qp)
+    deq = q.dequantize({'x': qp}, jnp.float32)['x']
+    w0 = np.asarray(params['self_attention']['query']['w'])
+    w1 = np.asarray(deq['self_attention']['query']['w'])
+    # per-channel symmetric int8: error bounded by scale/2 per element
+    bound = np.abs(w0).max(axis=0, keepdims=True) / 127.0
+    assert (np.abs(w0 - w1) <= bound * 0.51 + 1e-8).all()
+    assert 'w_scale' not in deq['self_attention']['query']
+
+  def test_stacked_leaves_get_per_layer_scales(self):
+    cfg = tfm.TransformerLayerConfig(
+        num_layers=3, hidden_dim=F, num_heads=N, norm_policy='pre',
+        activation='gelu', enable_per_dim_scale=False, scan=True)
+    params = init_lib._stacked_transformer(
+        jax.random.PRNGKey(1), D, cfg)
+    qp = q.quantize_for_serving(params)
+    wq = qp['x_layers']['self_attention']['query']
+    assert wq['w'].dtype == jnp.int8 and wq['w'].shape == (3, D, N, H)
+    assert wq['w_scale'].shape == (3, N, H)
+    post = qp['x_layers']['self_attention']['post']
+    assert post['w_scale'].shape == (3, D)
+
+  def test_non_matmul_leaves_untouched(self, layer):
+    params, _ = layer
+    qp = q.quantize_for_serving(params)
+    assert qp['layer_norm']['scale'].dtype != jnp.int8
+    assert qp['self_attention']['query']['b'].dtype != jnp.int8
+
+
+class TestInt8Kernels:
+
+  def test_ffn_matches_dequantized_composed(self, layer):
+    params, cfg = layer
+    x = jax.random.normal(jax.random.PRNGKey(2), (B * T, D))
+    pads = jnp.zeros((B * T, 1)).at[5:9].set(1.0)
+    qp = q.quantize_for_serving(params)
+    deq = q.dequantize(qp, jnp.float32)
+
+    ref = tfm.transformer_ffn(
+        deq['ff_layer'], x[None], pads.reshape(1, B * T), cfg)[0]
+
+    ff = qp['ff_layer']
+    for chunks in (1, 2):
+      got = i8.int8_ffn_block_chunked(
+          x, pads,
+          ff['layer_norm']['scale'], ff['layer_norm']['bias'],
+          ff['ffn_layer1']['linear']['kernel'],
+          ff['ffn_layer1']['linear']['kernel_scale'],
+          ff['ffn_layer1']['linear']['bias'],
+          ff['ffn_layer2']['linear']['kernel'],
+          ff['ffn_layer2']['linear']['kernel_scale'],
+          ff['ffn_layer2']['linear']['bias'],
+          chunks=chunks, activation='gelu', interpret=True)
+      assert _cos(got, ref) > 0.9995
+
+  def test_attention_matches_dequantized_composed(self, layer):
+    params, cfg = layer
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, T, D))
+    paddings = jnp.zeros((B, T)).at[:, -3:].set(1.0)
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+    qp = q.quantize_for_serving(params)
+    deq = q.dequantize(qp, jnp.float32)
+
+    from videoprism_tpu.ops.pallas import transformer_block as tb
+
+    attnp = deq['self_attention']
+    flat = lambda p: (p['w'].reshape(D, N * H), p['b'].reshape(N * H))
+    wq, bq = flat(attnp['query'])
+    wk, bk = flat(attnp['key'])
+    wv, bv = flat(attnp['value'])
+    wo = jnp.transpose(attnp['post']['w'], (1, 2, 0)).reshape(N * H, D)
+    ref = tb._composed_attention_block(
+        x, jnp.squeeze(mask, 1).astype(jnp.float32),
+        deq['layer_norm']['scale'], deq['layer_norm']['bias'],
+        wq, bq, wk, bk, wv, bv, wo, attnp['post']['b'],
+        num_heads=N, dim_per_head=H, logit_cap=50.0, epsilon=1e-6,
+        query_scale=H ** -0.5)
+
+    qa = qp['self_attention']
+    flat8 = lambda p: (p['w'].reshape(D, N * H),
+                       p['w_scale'].reshape(N * H).astype(jnp.float32),
+                       p['b'].reshape(N * H))
+    wq8, sq, bq = flat8(qa['query'])
+    wk8, sk, bk = flat8(qa['key'])
+    wv8, sv, bv = flat8(qa['value'])
+    wo8 = jnp.transpose(qa['post']['w'], (1, 2, 0)).reshape(N * H, D)
+    so = qa['post']['w_scale'].astype(jnp.float32)
+    for chunks in (1, 2):
+      got = i8.int8_attention_block_chunked(
+          x, jnp.squeeze(mask, 1).astype(jnp.float32),
+          qp['layer_norm']['scale'], qp['layer_norm']['bias'],
+          wq8, sq, bq, wk8, sk, bk, wv8, sv, bv, wo8, so,
+          qa['post']['b'],
+          num_heads=N, dim_per_head=H, chunks=chunks, logit_cap=50.0,
+          query_scale=H ** -0.5, interpret=True)
+      assert _cos(got, ref) > 0.9995
+
+  def test_layer_dispatch_engages_int8(self, layer):
+    params, cfg = layer
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, T, D)) * 0.3
+    paddings = jnp.zeros((B, T))
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+    qp = q.quantize_for_serving(params)
+    fused_cfg = dataclasses.replace(
+        cfg, attention_impl='flash', kernel_interpret=True)
+
+    got = tfm._try_fused_int8_layer(qp, x, paddings, mask, fused_cfg,
+                                    train=False)
+    assert got is not None, 'int8 path must engage'
+    ref = tfm.transformer_layer(
+        q.dequantize(qp, jnp.float32), x, paddings, mask,
+        dataclasses.replace(cfg, attention_impl='xla'))
+    assert _cos(got, ref) > 0.999
+
+    # Quantized params through the public layer entry (any policy/path).
+    via_layer = tfm.transformer_layer(qp, x, paddings, mask, fused_cfg)
+    np.testing.assert_allclose(
+        np.asarray(via_layer), np.asarray(got), atol=1e-6)
+
+  def test_quantized_composed_fallback(self, layer):
+    """Unsupported config (xla impl) falls back to dequantize+composed."""
+    params, cfg = layer
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, T, D)) * 0.3
+    paddings = jnp.zeros((B, T))
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+    qp = q.quantize_for_serving(params)
+    got = tfm.transformer_layer(
+        qp, x, paddings, mask,
+        dataclasses.replace(cfg, attention_impl='xla'))
+    ref = tfm.transformer_layer(
+        q.dequantize(qp, jnp.float32), x, paddings, mask,
+        dataclasses.replace(cfg, attention_impl='xla'))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+class TestQuantizedCheckpoint:
+
+  def test_quantize_save_load_roundtrip(self, tmp_path):
+    """Offline-quantized checkpoints reload and serve (the int8 dtype is
+    the routing marker, so the artifact is self-describing)."""
+    import subprocess
+    import sys
+
+    from videoprism_tpu.io import checkpoints
+    from videoprism_tpu.models import factorized_encoder as fe
+
+    cfg = fe.FactorizedEncoderConfig(
+        patch_size=6, pos_emb_shape=(2, 2, 2), model_dim=D,
+        num_spatial_layers=1, num_temporal_layers=1, num_heads=N,
+        mlp_dim=F, atten_logit_cap=50.0)
+    params = init_lib.init_factorized_encoder(jax.random.PRNGKey(8), cfg)
+    src = str(tmp_path / 'ckpt.npz')
+    dst = str(tmp_path / 'ckpt_int8.npz')
+    checkpoints.save_checkpoint(src, params)
+
+    import pathlib
+    script = str(pathlib.Path(__file__).resolve().parent.parent
+                 / 'scripts' / 'quantize_checkpoint.py')
+    res = subprocess.run([sys.executable, script, src, dst],
+                         capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+
+    loaded = checkpoints.load_checkpoint(dst)
+    assert q.is_quantized(
+        jax.tree_util.tree_map(
+            jnp.asarray,
+            loaded['spatial_encoder']['transformers_stack']['x_layers']))
+    video = jax.random.normal(jax.random.PRNGKey(9), (1, 2, 12, 12, 3))
+    ref, _ = fe.apply(params, video, cfg)
+    got, _ = fe.apply(
+        jax.tree_util.tree_map(jnp.asarray, loaded), video, cfg)
+    assert _cos(got, ref) > 0.995
+
+
+class TestInt8Model:
+
+  def test_encoder_quality(self):
+    """Quantized factorized encoder holds cosine > 0.995 vs fp32."""
+    from videoprism_tpu.models import factorized_encoder as fe
+
+    cfg = fe.FactorizedEncoderConfig(
+        patch_size=18, pos_emb_shape=(4, 4, 4), model_dim=D,
+        num_spatial_layers=2, num_temporal_layers=1, num_heads=N,
+        mlp_dim=F, atten_logit_cap=50.0)
+    params = init_lib.init_factorized_encoder(jax.random.PRNGKey(6), cfg)
+    video = jax.random.normal(jax.random.PRNGKey(7), (2, 4, 72, 72, 3))
+
+    ref, _ = fe.apply(params, video, cfg)
+    qp = q.quantize_for_serving(params)
+    fused_cfg = dataclasses.replace(
+        cfg, attention_impl='flash', kernel_interpret=True)
+    got, _ = fe.apply(qp, video, fused_cfg)
+    assert _cos(got, ref) > 0.995

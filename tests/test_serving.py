@@ -168,6 +168,34 @@ class TestServiceValidation:
     finally:
       service.stop()
 
+  def test_int8_quantized_serving(self, model_and_state):
+    """quantize='int8' serves close-to-fp32 embeddings (this tiny model
+    falls back to dequantize+composed on CPU — the plumbing and quality
+    contract are what's under test)."""
+    model, state = model_and_state
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(2,), quantize='int8')
+    ref_service = serving.EmbeddingService(model, state, batch_buckets=(2,))
+    clip = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(7), (2, 12, 12, 3)))
+    service.start(); ref_service.start()
+    try:
+      got = np.asarray(service.embed(clip), np.float32).ravel()
+      ref = np.asarray(ref_service.embed(clip), np.float32).ravel()
+    finally:
+      service.stop(); ref_service.stop()
+    cos = float(np.dot(got, ref)
+                / (np.linalg.norm(got) * np.linalg.norm(ref)))
+    assert cos > 0.995
+
+  def test_int8_rejects_tensor_parallel(self, model_and_state):
+    model, state = model_and_state
+    with pytest.raises(ValueError, match='mutually exclusive'):
+      serving.EmbeddingService(model, state, quantize='int8',
+                               tensor_parallel=True)
+    with pytest.raises(ValueError, match='unknown quantize'):
+      serving.EmbeddingService(model, state, quantize='int4')
+
   def test_uint8_ingestion(self, model_and_state):
     """uint8 clips are normalized on-device and match the fp32 path."""
     model, state = model_and_state

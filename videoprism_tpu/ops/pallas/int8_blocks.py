@@ -1,0 +1,308 @@
+"""Int8 (W8A8) fused transformer-block kernels for serving.
+
+Weight-streaming-bound regime only: this chip's MXU runs int8 at the SAME
+rate as bf16 (measured — no 2x int8 mode through this lowering), so int8
+buys nothing at throughput batches where activations dominate.  What it
+halves is weight HBM traffic and weight VMEM, which dominates small-batch
+latency serving of the large/giant towers: measured at giant FFN geometry
+(D=1408, F=6144), batch-1 is 2.75 -> 1.75 ms/layer-half (-36%) while
+batch-8 is neutral (2.14 -> 2.08 ms).  Quality: per-output-channel weight
+scales + dynamic per-row activation scales hold cosine > 0.9998 per block.
+
+Scheme:
+  * weights: symmetric int8, per output channel (``quantization.py``);
+  * activations: symmetric int8 per row, scales computed in-kernel from
+    the row max (one VPU pass; exact zero rows quantize to zero);
+  * matmuls: int8 x int8 -> int32 on the MXU, rescaled fp32 in epilogue;
+  * LN, softmax, gelu, residuals: fp32/bf16 exactly as the bf16 kernels.
+
+Inference-only (no custom_vjp): the training path keeps bf16 weights.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from videoprism_tpu.ops.pallas.transformer_block import (
+    _apply_activation,
+    _heads_attention,
+    _ln_f32,
+)
+
+Array = jax.Array
+
+
+def quant_rows(h):
+  """Symmetric per-row int8 quantization of fp32 rows.
+
+  Returns (q int8, scale fp32 [rows, 1]).  All-zero rows get a clamped
+  scale and quantize to exact zeros.
+  """
+  s = jnp.max(jnp.abs(h), axis=-1, keepdims=True) * (1.0 / 127.0)
+  s = jnp.maximum(s, 1e-12)
+  q = jnp.clip(jnp.round(h * (1.0 / s)), -127.0, 127.0).astype(jnp.int8)
+  return q, s
+
+
+# ---------------------------------------------------------------------------
+# FFN block (chunked over F like the bf16 fused_ffn_block_chunked).
+# ---------------------------------------------------------------------------
+
+
+def _ffn_int8_chunk_kernel(
+    x_ref, resid_ref, pad_ref, ln_s_ref, ln_b_ref,
+    w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *,
+    activation: str, epsilon: float, add_bias2: bool,
+):
+  """One F-chunk: ``out = resid (+ b2*keep) + keep * deq(q(act(deq(
+  q(LN(x)) @ w1) + b1)) @ w2)`` — same chaining contract as the bf16
+  ``_ffn_chunk_kernel`` (ops/pallas/transformer_block.py)."""
+  x = x_ref[:]
+  keep = 1.0 - pad_ref[:].astype(jnp.float32)
+  h = _ln_f32(x, ln_s_ref, ln_b_ref, epsilon)
+  h8, hs = quant_rows(h)
+  acc = jax.lax.dot_general(
+      h8, w1_ref[:], (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.int32)
+  a = acc.astype(jnp.float32) * hs * s1_ref[:].astype(jnp.float32)
+  a = _apply_activation(a + b1_ref[:].astype(jnp.float32), activation,
+                        out_dtype=x.dtype)
+  a = a * keep
+  a8, as_ = quant_rows(a)
+  acc2 = jax.lax.dot_general(
+      a8, w2_ref[:], (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.int32)
+  out = acc2.astype(jnp.float32) * as_ * s2_ref[:].astype(jnp.float32)
+  if add_bias2:
+    out = out + b2_ref[:].astype(jnp.float32)
+  out = out * keep + resid_ref[:].astype(jnp.float32)
+  o_ref[:] = out.astype(o_ref.dtype)
+
+
+_INT8_BUDGET = 14 * 2**20
+
+
+def _ffn_int8_row_block(rows: int, d: int, f_chunk: int,
+                        act_itemsize: int) -> int | None:
+  weights = 2 * d * f_chunk  # int8, single-buffered
+  for block in (512, 256, 128, 64, 32, 16, 8):
+    if rows % block:
+      continue
+    io = 2 * (3 * block * d * act_itemsize)
+    # fp32 h + int8 h8 + fp32/int8 hidden + fp32 out accumulator
+    scratch = (block * d * 5 + block * f_chunk * 9 + block * d * 4)
+    if weights + io + scratch <= _INT8_BUDGET:
+      return block
+  return None
+
+
+def ffn_int8_chunks_for(rows: int, d: int, f: int,
+                        act_itemsize: int) -> int | None:
+  for chunks in (1, 2, 4, 8):
+    if f % chunks:
+      continue
+    if _ffn_int8_row_block(rows, d, f // chunks, act_itemsize) is not None:
+      return chunks
+  return None
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'chunks', 'activation', 'epsilon', 'interpret'))
+def int8_ffn_block_chunked(
+    x: Array, paddings: Array,           # [rows, D], [rows, 1]
+    ln_scale: Array, ln_bias: Array,     # [D]
+    w1: Array, s1: Array, b1: Array,     # int8 [D, F], fp32 [F], [F]
+    w2: Array, s2: Array, b2: Array,     # int8 [F, D], fp32 [D], [D]
+    *,
+    chunks: int,
+    activation: str = 'gelu',
+    epsilon: float = 1e-6,
+    interpret: bool = False,
+) -> Array:
+  rows, d = x.shape
+  f = w1.shape[1]
+  fc = f // chunks
+  block_rows = _ffn_int8_row_block(rows, d, fc, x.dtype.itemsize)
+  assert block_rows is not None, (rows, d, fc)
+
+  vec = lambda a: pl.BlockSpec((a.shape[-1],), lambda i: (0,),
+                               memory_space=pltpu.VMEM)
+  mat = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+  rowspec = pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+  padspec = pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+  out = x
+  for c in range(chunks):
+    w1c = jax.lax.slice_in_dim(w1, c * fc, (c + 1) * fc, axis=1)
+    s1c = jax.lax.slice_in_dim(s1, c * fc, (c + 1) * fc, axis=0)
+    b1c = jax.lax.slice_in_dim(b1, c * fc, (c + 1) * fc, axis=0)
+    w2c = jax.lax.slice_in_dim(w2, c * fc, (c + 1) * fc, axis=0)
+    out = pl.pallas_call(
+        functools.partial(
+            _ffn_int8_chunk_kernel, activation=activation,
+            epsilon=epsilon, add_bias2=(c == 0)),
+        grid=(rows // block_rows,),
+        in_specs=[rowspec, rowspec, padspec,
+                  vec(ln_scale), vec(ln_bias),
+                  mat(w1c), vec(s1c), vec(b1c),
+                  mat(w2c), vec(s2), vec(b2)],
+        out_specs=rowspec,
+        out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(x, out, paddings, ln_scale, ln_bias, w1c, s1c, b1c, w2c, s2, b2)
+  return out
+
+
+# ---------------------------------------------------------------------------
+# Attention block (chunked over head groups like
+# fused_attention_block_chunked; chunks=1 covers the monolithic case).
+# ---------------------------------------------------------------------------
+
+
+def _attn_int8_chunk_kernel(
+    x_ref, *rest,
+    num_heads: int, dim_per_head: int, logit_cap: float, epsilon: float,
+    query_scale: float, first: bool,
+):
+  if first:
+    (mask_ref, ln_s_ref, ln_b_ref,
+     wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+     wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref, o_ref) = rest
+    resid_ref = None
+  else:
+    (resid_ref, mask_ref, ln_s_ref, ln_b_ref,
+     wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+     wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref, o_ref) = rest
+
+  x = x_ref[0]  # [T, D]
+  h = _ln_f32(x, ln_s_ref, ln_b_ref, epsilon)
+  h8, hs = quant_rows(h)
+
+  def proj(w_ref, s_ref, b_ref):
+    acc = jax.lax.dot_general(
+        h8, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * hs * s_ref[:].astype(jnp.float32)
+            + b_ref[:].astype(jnp.float32))
+
+  q = (proj(wq_ref, sq_ref, bq_ref) * query_scale).astype(x.dtype)
+  k = proj(wk_ref, sk_ref, bk_ref).astype(x.dtype)
+  v = proj(wv_ref, sv_ref, bv_ref).astype(x.dtype)
+
+  ctx = _heads_attention(q, k, v, mask_ref[0], num_heads, dim_per_head,
+                         logit_cap, x.dtype)
+
+  c8, cs = quant_rows(ctx.astype(jnp.float32))
+  acc = jax.lax.dot_general(
+      c8, wo_ref[:], (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.int32)
+  out = acc.astype(jnp.float32) * cs * so_ref[:].astype(jnp.float32)
+  if first:
+    out = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+  else:
+    out = out + resid_ref[0].astype(jnp.float32)
+  o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _attn_int8_chunk_fits(t: int, d: int, gh: int,
+                          act_itemsize: int) -> bool:
+  weights = 4 * d * gh  # int8, single-buffered
+  io = 2 * (3 * t * d * act_itemsize)
+  temps = (t * d * 5                       # fp32 h + int8 h8
+           + 3 * t * gh * (4 + act_itemsize + 1)  # q/k/v fp32+cast+int8
+           + t * t * 4                     # logits/probs
+           + t * gh * (act_itemsize + 1)   # ctx + ctx int8
+           + t * d * 4)                    # fp32 out accumulator
+  return weights + io + temps < _INT8_BUDGET
+
+
+def attention_int8_chunks_for(t: int, d: int, num_heads: int,
+                              dim_per_head: int,
+                              act_itemsize: int) -> int | None:
+  if not (t % 8 == 0 and t <= 1024 and d % 128 == 0):
+    return None
+  for chunks in (1, 2, 4):
+    if num_heads % chunks:
+      continue
+    if _attn_int8_chunk_fits(t, d, (num_heads // chunks) * dim_per_head,
+                             act_itemsize):
+      return chunks
+  return None
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'num_heads', 'dim_per_head', 'chunks', 'logit_cap', 'epsilon',
+    'query_scale', 'interpret'))
+def int8_attention_block_chunked(
+    x: Array,          # [B, T, D]
+    mask: Array,       # [B|1, T|1, T] additive fp32
+    ln_scale: Array, ln_bias: Array,
+    wq: Array, sq: Array, bq: Array,   # int8 [D, N*H], fp32 [N*H], [N*H]
+    wk: Array, sk: Array, bk: Array,
+    wv: Array, sv: Array, bv: Array,
+    wo: Array, so: Array, bo: Array,   # int8 [N*H, D], fp32 [D], [D]
+    *,
+    num_heads: int,
+    dim_per_head: int,
+    chunks: int,
+    logit_cap: float = 0.0,
+    epsilon: float = 1e-6,
+    query_scale: float = 1.0,
+    interpret: bool = False,
+) -> Array:
+  b, t, d = x.shape
+  bm, tm, _ = mask.shape
+  g = num_heads // chunks
+  gh = g * dim_per_head
+  vec = lambda a: pl.BlockSpec((a.shape[-1],), lambda i: (0,),
+                               memory_space=pltpu.VMEM)
+  mat = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+  xspec = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+  mspec = pl.BlockSpec((1, tm, t), lambda i: (i if bm > 1 else 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+  out = None
+  for c in range(chunks):
+    sl_col = lambda a: jax.lax.slice_in_dim(a, c * gh, (c + 1) * gh, axis=1)
+    sl_vec = lambda a: jax.lax.slice_in_dim(a, c * gh, (c + 1) * gh, axis=0)
+    wqc, sqc, bqc = sl_col(wq), sl_vec(sq), sl_vec(bq)
+    wkc, skc, bkc = sl_col(wk), sl_vec(sk), sl_vec(bk)
+    wvc, svc, bvc = sl_col(wv), sl_vec(sv), sl_vec(bv)
+    woc = jax.lax.slice_in_dim(wo, c * gh, (c + 1) * gh, axis=0)
+    first = c == 0
+    operands = ([x] + ([] if first else [out])
+                + [mask, ln_scale, ln_bias,
+                   wqc, sqc, bqc, wkc, skc, bkc, wvc, svc, bvc,
+                   woc, so, bo])
+    in_specs = ([xspec] + ([] if first else [xspec])
+                + [mspec, vec(ln_scale), vec(ln_bias),
+                   mat(wqc), vec(sqc), vec(bqc),
+                   mat(wkc), vec(skc), vec(bkc),
+                   mat(wvc), vec(svc), vec(bvc),
+                   mat(woc), vec(so), vec(bo)])
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_int8_chunk_kernel, num_heads=g,
+            dim_per_head=dim_per_head, logit_cap=float(logit_cap),
+            epsilon=epsilon, query_scale=float(query_scale), first=first),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(*operands)
+  return out

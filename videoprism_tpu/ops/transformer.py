@@ -283,6 +283,84 @@ def _try_fused_layer(
   return transformer_ffn(params['ff_layer'], x, paddings, cfg, train=train)
 
 
+def _try_fused_int8_layer(
+    params: Params,
+    inputs: Array,
+    paddings: Array | None,
+    atten_mask: Array,
+    cfg: TransformerLayerConfig,
+    train: bool,
+) -> Array | None:
+  """Routes an int8-quantized pre-norm layer through the W8A8 kernels.
+
+  Inference-only and 'pre'-policy-only; anything else returns None and
+  the caller dequantizes for the composed/bf16-fused paths.  See
+  ops/pallas/int8_blocks.py for when int8 pays on this chip.
+  """
+  if (train or cfg.norm_policy != 'pre' or cfg.attention_impl != 'flash'
+      or cfg.enable_per_dim_scale or cfg.activation not in ('gelu', 'relu')
+      or cfg.residual_weight != 1.0 or not cfg.use_bias
+      or cfg.tp_axis is not None):
+    return None
+  interpret = cfg.kernel_interpret
+  if jax.default_backend() != 'tpu' and not interpret:
+    return None
+
+  from videoprism_tpu.ops.pallas import int8_blocks as i8
+
+  b, t, d = inputs.shape
+  attn = params['self_attention']
+  dd, n, h = attn['query']['w'].shape
+  nh_total = n * h
+  f = params['ff_layer']['ffn_layer1']['linear']['kernel'].shape[-1]
+  itemsize = inputs.dtype.itemsize
+  if atten_mask.shape[-1] != t:
+    return None
+  attn_chunks = i8.attention_int8_chunks_for(t, d, n, h, itemsize)
+  ffn_chunks = i8.ffn_int8_chunks_for(b * t, d, f, itemsize)
+  if attn_chunks is None or ffn_chunks is None:
+    return None
+
+  dtype = cfg.dtype
+  cast = basic.cast_floating
+
+  flat_in = lambda p: (p['w'].reshape(d, nh_total),
+                       p['w_scale'].reshape(nh_total).astype(jnp.float32),
+                       cast(p['b'], dtype).reshape(nh_total))
+  wq, sq, bq = flat_in(attn['query'])
+  wk, sk, bk = flat_in(attn['key'])
+  wv, sv, bv = flat_in(attn['value'])
+  wo = jnp.transpose(attn['post']['w'], (1, 2, 0)).reshape(nh_total, d)
+  so = attn['post']['w_scale'].astype(jnp.float32)
+  bo = cast(attn['post']['b'], dtype)
+  x = i8.int8_attention_block_chunked(
+      inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32),
+      cast(params['layer_norm']['scale'], dtype),
+      cast(params['layer_norm']['bias'], dtype),
+      wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
+      num_heads=n, dim_per_head=h, chunks=attn_chunks,
+      logit_cap=float(cfg.logit_cap), epsilon=1e-6,
+      query_scale=h ** -0.5, interpret=interpret)
+
+  ff = params['ff_layer']
+  pad_rows = (
+      paddings.reshape(b * t, 1).astype(dtype)
+      if paddings is not None else jnp.zeros((b * t, 1), dtype))
+  out = i8.int8_ffn_block_chunked(
+      x.reshape(b * t, d), pad_rows,
+      cast(ff['layer_norm']['scale'], dtype),
+      cast(ff['layer_norm']['bias'], dtype),
+      ff['ffn_layer1']['linear']['kernel'],
+      ff['ffn_layer1']['linear']['kernel_scale'].astype(jnp.float32),
+      cast(ff['ffn_layer1']['linear']['bias'], dtype),
+      ff['ffn_layer2']['linear']['kernel'],
+      ff['ffn_layer2']['linear']['kernel_scale'].astype(jnp.float32),
+      cast(ff['ffn_layer2']['linear']['bias'], dtype),
+      chunks=ffn_chunks, activation=cfg.activation, epsilon=1e-6,
+      interpret=interpret)
+  return out.reshape(b, t, d)
+
+
 def transformer_layer(
     params: Params,
     inputs: Array,
@@ -303,6 +381,16 @@ def transformer_layer(
 
   Reference: ``Transformer`` videoprism/layers.py:796-872.
   """
+  from videoprism_tpu import quantization
+
+  if quantization.is_quantized(params):
+    fused = _try_fused_int8_layer(
+        params, inputs, paddings, atten_mask, cfg, train)
+    if fused is not None:
+      return fused
+    # Unsupported geometry/policy: dequantize and take the normal paths.
+    params = quantization.dequantize(params, cfg.dtype)
+
   fused = _try_fused_layer(params, inputs, paddings, atten_mask, cfg, train)
   if fused is not None:
     return fused

@@ -84,13 +84,28 @@ class EmbeddingService:
       max_wait_ms: float = 5.0,
       mesh=None,
       tensor_parallel: bool = False,
+      quantize: str | None = None,
   ):
     """``tensor_parallel=True`` (requires ``mesh``) serves a video encoder
     with the shard_map TP path (:mod:`videoprism_tpu.parallel.tp`): params
     head/hidden-sharded over the model axis, batch over the data axis, and
     the fused Pallas kernels kept per-shard — for towers too large to
     replicate per chip.  Default (False) is replicated-params data
-    parallelism."""
+    parallelism.
+
+    ``quantize='int8'`` converts the transformer matmul weights to W8A8
+    serving kernels (halved weight streaming/VMEM; wins at small batch on
+    the large/giant towers — see ops/pallas/int8_blocks.py).  Not
+    combinable with ``tensor_parallel``."""
+    if quantize not in (None, 'int8'):
+      raise ValueError(f'unknown quantize mode {quantize!r}')
+    if quantize and tensor_parallel:
+      raise ValueError('quantize and tensor_parallel are mutually '
+                       'exclusive (int8 kernels are single-shard)')
+    if quantize == 'int8':
+      from videoprism_tpu import quantization
+
+      state = quantization.quantize_for_serving(state)
     self._model = model
     self._state = jax.device_put(state)
     self._buckets = tuple(sorted(batch_buckets))
