@@ -161,6 +161,30 @@ class TestInt8Kernels:
     np.testing.assert_allclose(
         np.asarray(via_layer), np.asarray(got), atol=1e-6)
 
+  def test_mixed_dispatch_ffn_only(self, layer):
+    """Attention geometry the int8 block can't take (t % 8 != 0, like the
+    aux encoder's 4096 exceeding the t cap) still gets the int8 FFN: the
+    attention half runs dequantized, the FFN half on the W8A8 kernel."""
+    params, cfg = layer
+    t = 20  # t % 8 != 0 -> attention_int8_chunks_for returns None
+    from videoprism_tpu.ops.pallas import int8_blocks as i8
+    assert i8.attention_int8_chunks_for(t, D, N, H, 4) is None
+    assert i8.ffn_int8_chunks_for(4 * t, D, F, 4) is not None
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, t, D)) * 0.3
+    paddings = jnp.zeros((4, t))
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+    qp = q.quantize_for_serving(params)
+    fused_cfg = dataclasses.replace(
+        cfg, attention_impl='flash', kernel_interpret=True)
+    got = tfm._try_fused_int8_layer(qp, x, paddings, mask, fused_cfg,
+                                    train=False)
+    assert got is not None, 'mixed int8 path must engage'
+    ref = tfm.transformer_layer(
+        q.dequantize(qp, jnp.float32), x, paddings, mask,
+        dataclasses.replace(cfg, attention_impl='xla'))
+    assert _cos(got, ref) > 0.999
+
   def test_quantized_composed_fallback(self, layer):
     """Unsupported config (xla impl) falls back to dequantize+composed."""
     params, cfg = layer

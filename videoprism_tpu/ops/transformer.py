@@ -308,41 +308,66 @@ def _try_fused_int8_layer(
 
   from videoprism_tpu.ops.pallas import int8_blocks as i8
 
+  from videoprism_tpu import quantization
+
   b, t, d = inputs.shape
   attn = params['self_attention']
   dd, n, h = attn['query']['w'].shape
   nh_total = n * h
   f = params['ff_layer']['ffn_layer1']['linear']['kernel'].shape[-1]
   itemsize = inputs.dtype.itemsize
-  if atten_mask.shape[-1] != t:
-    return None
-  attn_chunks = i8.attention_int8_chunks_for(t, d, n, h, itemsize)
+  mask_ok = atten_mask.shape[-1] == t
+  attn_chunks = (
+      i8.attention_int8_chunks_for(t, d, n, h, itemsize) if mask_ok
+      else None)
   ffn_chunks = i8.ffn_int8_chunks_for(b * t, d, f, itemsize)
-  if attn_chunks is None or ffn_chunks is None:
+  if attn_chunks is None and ffn_chunks is None:
     return None
 
   dtype = cfg.dtype
   cast = basic.cast_floating
 
-  flat_in = lambda p: (p['w'].reshape(d, nh_total),
-                       p['w_scale'].reshape(nh_total).astype(jnp.float32),
-                       cast(p['b'], dtype).reshape(nh_total))
-  wq, sq, bq = flat_in(attn['query'])
-  wk, sk, bk = flat_in(attn['key'])
-  wv, sv, bv = flat_in(attn['value'])
-  wo = jnp.transpose(attn['post']['w'], (1, 2, 0)).reshape(nh_total, d)
-  so = attn['post']['w_scale'].astype(jnp.float32)
-  bo = cast(attn['post']['b'], dtype)
-  x = i8.int8_attention_block_chunked(
-      inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32),
-      cast(params['layer_norm']['scale'], dtype),
-      cast(params['layer_norm']['bias'], dtype),
-      wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
-      num_heads=n, dim_per_head=h, chunks=attn_chunks,
-      logit_cap=float(cfg.logit_cap), epsilon=1e-6,
-      query_scale=h ** -0.5, interpret=interpret)
+  if attn_chunks is not None:
+    flat_in = lambda p: (
+        p['w'].reshape(d, nh_total),
+        p['w_scale'].reshape(nh_total).astype(jnp.float32),
+        cast(p['b'], dtype).reshape(nh_total))
+    wq, sq, bq = flat_in(attn['query'])
+    wk, sk, bk = flat_in(attn['key'])
+    wv, sv, bv = flat_in(attn['value'])
+    wo = jnp.transpose(attn['post']['w'], (1, 2, 0)).reshape(nh_total, d)
+    so = attn['post']['w_scale'].astype(jnp.float32)
+    bo = cast(attn['post']['b'], dtype)
+    x = i8.int8_attention_block_chunked(
+        inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32),
+        cast(params['layer_norm']['scale'], dtype),
+        cast(params['layer_norm']['bias'], dtype),
+        wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
+        num_heads=n, dim_per_head=h, chunks=attn_chunks,
+        logit_cap=float(cfg.logit_cap), epsilon=1e-6,
+        query_scale=h ** -0.5, interpret=interpret)
+  else:
+    # Geometry the int8 attention block can't take (e.g. the 4096-token
+    # CLIP auxiliary encoder): dequantize the attention half and run the
+    # normal composed/flash path; the FFN half below stays int8.
+    attn_deq = quantization.dequantize(
+        {'self_attention': attn}, dtype)['self_attention']
+    normed = basic.layer_norm(
+        params['layer_norm'], inputs, use_bias=cfg.use_bias, dtype=dtype)
+    x = attention_lib.multi_head_attention(
+        attn_deq, normed, normed, normed, atten_mask,
+        hidden_dim=d, num_heads=cfg.num_heads,
+        dim_per_head=cfg.dim_per_head, logit_cap=cfg.logit_cap,
+        enable_per_dim_scale=cfg.enable_per_dim_scale,
+        use_bias=cfg.use_bias, dtype=dtype, impl=cfg.attention_impl,
+        interpret=interpret)
+    x = inputs + x
 
   ff = params['ff_layer']
+  if ffn_chunks is None:
+    ff_deq = quantization.dequantize({'ff_layer': ff}, dtype)['ff_layer']
+    return transformer_ffn(ff_deq, x, paddings, cfg, train=train)
+
   pad_rows = (
       paddings.reshape(b * t, 1).astype(dtype)
       if paddings is not None else jnp.zeros((b * t, 1), dtype))
