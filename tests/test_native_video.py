@@ -71,8 +71,32 @@ class TestNativeDecoder:
   def test_bad_file_raises(self, tmp_path):
     p = tmp_path / 'not_a_video.mp4'
     p.write_bytes(b'garbage')
-    with pytest.raises(ValueError):
+    with pytest.raises(native.NativeDecodeError):
       native.NativeVideoDecoder(str(p))
+    # Explicit ffmpeg backend surfaces the failure; 'auto' falls back to
+    # OpenCV (which then raises its own error for this file).
+    with pytest.raises(native.NativeDecodeError):
+      video_lib.load_video(str(p), num_frames=2, target_size=32,
+                           backend='ffmpeg')
+    with pytest.raises(ValueError):
+      video_lib.load_video(str(p), num_frames=2, target_size=32,
+                           backend='auto')
+
+  def test_long_gop_seek_terminates(self, tmp_path_factory):
+    """Sparse sampling from a long clip must terminate and pick exact
+    frames even when seeks land well before the target (regression for
+    the re-seek-in-place hang)."""
+    path = str(tmp_path_factory.mktemp('lvid') / 'long.mp4')
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*'mp4v'), 30, (64, 48))
+    for i in range(300):
+      writer.write(np.full((48, 64, 3), (i * 7) % 251, np.uint8))
+    writer.release()
+    clip = video_lib.load_video(path, num_frames=8, target_size=32,
+                                as_uint8=True, backend='ffmpeg')
+    means = clip.reshape(8, -1).mean(axis=1)
+    expect = (np.linspace(0, 299, 8, dtype=np.int64) * 7) % 251
+    assert np.abs(means - expect).max() <= 4, (means, expect)
 
   def test_gradient_crop_geometry(self, tmp_path_factory):
     """A horizontal-gradient frame checks that the shortest-side resize +

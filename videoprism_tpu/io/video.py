@@ -52,7 +52,10 @@ def load_video(
       return _load_video_native(video_path, num_frames, target_size,
                                 resize_mode, as_uint8)
     except RuntimeError:
-      # Native library unavailable (no toolchain / FFmpeg dev libs).
+      # Library unavailable (no toolchain / FFmpeg dev libs) or a
+      # NativeDecodeError (this FFmpeg build can't open/fully decode the
+      # stream): fall back to OpenCV, which may have other codec plugins.
+      # Semantic errors (too-few-frames ValueError) propagate.
       if backend == 'ffmpeg':
         raise
   try:

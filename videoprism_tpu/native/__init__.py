@@ -113,6 +113,16 @@ def video_lib_error() -> str | None:
   return _video_lib_error
 
 
+class NativeDecodeError(RuntimeError):
+  """The native decoder could not open or fully decode this stream.
+
+  Subclasses RuntimeError (not ValueError) so ``backend='auto'`` callers
+  can fall back to another backend on decoder limitations while
+  backend-independent semantic errors (e.g. too-few-frames ValueError)
+  still propagate.
+  """
+
+
 class NativeVideoDecoder:
   """Sequential-decode FFmpeg reader (see video_decoder.cc).
 
@@ -132,7 +142,8 @@ class NativeVideoDecoder:
     err = ctypes.create_string_buffer(256)
     self._handle = lib.vp_decoder_open(path.encode(), err, 256)
     if not self._handle:
-      raise ValueError(err.value.decode() or f'could not open {path}')
+      raise NativeDecodeError(err.value.decode() or
+                              f'could not open {path}')
     nf = ctypes.c_int64()
     w = ctypes.c_int()
     h = ctypes.c_int()
@@ -159,7 +170,7 @@ class NativeVideoDecoder:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         target_size, mode)
     if written != n:
-      raise ValueError(
+      raise NativeDecodeError(
           f'decoded only {written}/{n} requested frames (stream ended '
           f'early; container frame count was {self.num_frames})')
     return out

@@ -167,6 +167,8 @@ int vp_decoder_sample(void* handle, const int64_t* indices, int n,
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
   int64_t frame_idx = 0;   // index of the NEXT frame the codec emits
+  int64_t last_seek_want = -1;  // guards against re-seeking in place
+  bool pending_sync = false;    // post-seek, before a PTS-bearing frame
   int written = 0;
   bool draining = false;
 
@@ -196,12 +198,19 @@ int vp_decoder_sample(void* handle, const int64_t* indices, int n,
     if (!can_index || written >= n) return;
     const int64_t want = indices[written];
     if (want >= frame_idx && want - frame_idx < kSeekGap) return;
+    // One seek attempt per target: a backward seek may legitimately land
+    // a whole GOP (>= kSeekGap) before `want` — decoding forward from
+    // there must not trigger another identical seek (infinite loop on
+    // long-GOP H.264).
+    if (want == last_seek_want) return;
     const int64_t ts =
         start_ts + static_cast<int64_t>(want / d->fps / tb);
     if (av_seek_frame(d->fmt, d->stream_index, ts,
                       AVSEEK_FLAG_BACKWARD) >= 0) {
       avcodec_flush_buffers(d->codec);
       draining = false;
+      last_seek_want = want;
+      pending_sync = true;
       // frame_idx is re-derived from the first post-seek PTS below; mark
       // unknown-but-behind so we don't immediately re-seek.
       frame_idx = want;  // provisional; corrected on next decoded frame
@@ -227,12 +236,18 @@ int vp_decoder_sample(void* handle, const int64_t* indices, int n,
     while ((r = avcodec_receive_frame(d->codec, frame)) == 0 &&
            written < n) {
       int64_t idx = frame_idx;
-      if (can_index && frame->best_effort_timestamp != AV_NOPTS_VALUE) {
+      const bool has_ts =
+          frame->best_effort_timestamp != AV_NOPTS_VALUE;
+      if (can_index && has_ts) {
         // Exact index from the timestamp (robust across seeks).
         idx = static_cast<int64_t>(
             (frame->best_effort_timestamp - start_ts) * tb * d->fps + 0.5);
+        pending_sync = false;
       }
-      keep(frame, idx);
+      // Post-seek frames without a timestamp have an UNKNOWN index (the
+      // provisional frame_idx is just the seek target): never write them
+      // as if they were the requested frame.
+      if (!pending_sync) keep(frame, idx);
       frame_idx = idx + 1;
       av_frame_unref(frame);
       maybe_seek();

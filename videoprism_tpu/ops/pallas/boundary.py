@@ -64,12 +64,14 @@ def _ts_kernel(x_ref, s_ref, b_ref, o_ref, *, epsilon: float):
 
 
 def _n_block(n: int, t: int, d: int, itemsize: int) -> int | None:
-  # The ~20 bytes/element covers the fp32 LN temporaries plus the
-  # unrolled slice copies on the kernel stack (scoped-VMEM limited).
+  # Per-element kernel-stack bytes: three fp32 LN temporaries (x, normed,
+  # scaled result) plus the cast value and the unrolled slice copies at
+  # the activation itemsize (scoped-VMEM limited, ~16 MB).
+  per_elem = 12 + 2 * itemsize
   for block in (256, 128, 64, 32, 16, 8):
     if n % block:
       continue
-    if block * t * d * 20 <= 8 * 2**20:
+    if block * t * d * per_elem <= 8 * 2**20:
       return block
   return None
 
