@@ -147,6 +147,30 @@ class TestManualTensorParallel:
     got = np.asarray(fwd(sharded_params, video))
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
+  def test_tp_int8_matches_single_device(self, setup):
+    """int8 + TP: scales shard with their weights, kernels run per-shard
+    in partial-output mode.  Per-shard activation quantization sees
+    different column subsets than single-device, so compare by cosine."""
+    import dataclasses
+
+    from videoprism_tpu import quantization as q
+
+    tp_lib, cfg, params, video, ref = setup
+    qp = q.quantize_for_serving(params)
+    single, _ = fe.apply(
+        qp, video, dataclasses.replace(cfg, kernel_interpret=True),
+        train=False)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    fwd, sharded = tp_lib.make_tp_encoder_forward(
+        qp, cfg, mesh, kernel_interpret=True)
+    got = np.asarray(fwd(sharded, video)).astype(np.float32).ravel()
+
+    for other in (np.asarray(single, np.float32).ravel(),
+                  ref.astype(np.float32).ravel()):
+      cos = float(np.dot(got, other)
+                  / (np.linalg.norm(got) * np.linalg.norm(other)))
+      assert cos > 0.995, cos
+
   def test_tp_xla_matches_single_device(self, setup):
     tp_lib, cfg, params, video, ref = setup
     import dataclasses

@@ -188,11 +188,8 @@ class TestServiceValidation:
                 / (np.linalg.norm(got) * np.linalg.norm(ref)))
     assert cos > 0.995
 
-  def test_int8_rejects_tensor_parallel(self, model_and_state):
+  def test_unknown_quantize_rejected(self, model_and_state):
     model, state = model_and_state
-    with pytest.raises(ValueError, match='mutually exclusive'):
-      serving.EmbeddingService(model, state, quantize='int8',
-                               tensor_parallel=True)
     with pytest.raises(ValueError, match='unknown quantize'):
       serving.EmbeddingService(model, state, quantize='int4')
 

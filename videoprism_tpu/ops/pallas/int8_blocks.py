@@ -61,7 +61,10 @@ def _ffn_int8_chunk_kernel(
 ):
   """One F-chunk: ``out = resid (+ b2*keep) + keep * deq(q(act(deq(
   q(LN(x)) @ w1) + b1)) @ w2)`` — same chaining contract as the bf16
-  ``_ffn_chunk_kernel`` (ops/pallas/transformer_block.py)."""
+  ``_ffn_chunk_kernel`` (ops/pallas/transformer_block.py).  The
+  tensor-parallel partial mode is expressed by the caller chaining from a
+  zero residual with ``add_bias2=False`` (the TP epilogue psums shards,
+  then applies bias/keep/residual once)."""
   x = x_ref[:]
   keep = 1.0 - pad_ref[:].astype(jnp.float32)
   h = _ln_f32(x, ln_s_ref, ln_b_ref, epsilon)
@@ -112,7 +115,7 @@ def ffn_int8_chunks_for(rows: int, d: int, f: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'chunks', 'activation', 'epsilon', 'interpret'))
+    'chunks', 'activation', 'epsilon', 'partial_out', 'interpret'))
 def int8_ffn_block_chunked(
     x: Array, paddings: Array,           # [rows, D], [rows, 1]
     ln_scale: Array, ln_bias: Array,     # [D]
@@ -122,8 +125,11 @@ def int8_ffn_block_chunked(
     chunks: int,
     activation: str = 'gelu',
     epsilon: float = 1e-6,
+    partial_out: bool = False,
     interpret: bool = False,
 ) -> Array:
+  """``partial_out``: chain from a zero residual and never add bias2 —
+  this shard's raw FFN contribution for a tensor-parallel psum."""
   rows, d = x.shape
   f = w1.shape[1]
   fc = f // chunks
@@ -139,7 +145,7 @@ def int8_ffn_block_chunked(
   padspec = pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
 
-  out = x
+  out = jnp.zeros_like(x) if partial_out else x
   for c in range(chunks):
     w1c = jax.lax.slice_in_dim(w1, c * fc, (c + 1) * fc, axis=1)
     s1c = jax.lax.slice_in_dim(s1, c * fc, (c + 1) * fc, axis=0)
@@ -148,7 +154,7 @@ def int8_ffn_block_chunked(
     out = pl.pallas_call(
         functools.partial(
             _ffn_int8_chunk_kernel, activation=activation,
-            epsilon=epsilon, add_bias2=(c == 0)),
+            epsilon=epsilon, add_bias2=(c == 0 and not partial_out)),
         grid=(rows // block_rows,),
         in_specs=[rowspec, rowspec, padspec,
                   vec(ln_scale), vec(ln_bias),
@@ -172,7 +178,7 @@ def int8_ffn_block_chunked(
 def _attn_int8_chunk_kernel(
     x_ref, *rest,
     num_heads: int, dim_per_head: int, logit_cap: float, epsilon: float,
-    query_scale: float, first: bool,
+    query_scale: float, first: bool, partial_out: bool = False,
 ):
   if first:
     (mask_ref, ln_s_ref, ln_b_ref,
@@ -208,7 +214,10 @@ def _attn_int8_chunk_kernel(
       preferred_element_type=jnp.int32)
   out = acc.astype(jnp.float32) * cs * so_ref[:].astype(jnp.float32)
   if first:
-    out = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
+    # partial_out: the tensor-parallel caller psums per-shard projections
+    # first, then adds bias and residual exactly once.
+    if not partial_out:
+      out = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
   else:
     out = out + resid_ref[0].astype(jnp.float32)
   o_ref[0] = out.astype(o_ref.dtype)
@@ -242,7 +251,7 @@ def attention_int8_chunks_for(t: int, d: int, num_heads: int,
 
 @functools.partial(jax.jit, static_argnames=(
     'num_heads', 'dim_per_head', 'chunks', 'logit_cap', 'epsilon',
-    'query_scale', 'interpret'))
+    'query_scale', 'partial_out', 'interpret'))
 def int8_attention_block_chunked(
     x: Array,          # [B, T, D]
     mask: Array,       # [B|1, T|1, T] additive fp32
@@ -258,6 +267,7 @@ def int8_attention_block_chunked(
     logit_cap: float = 0.0,
     epsilon: float = 1e-6,
     query_scale: float = 1.0,
+    partial_out: bool = False,
     interpret: bool = False,
 ) -> Array:
   b, t, d = x.shape
@@ -296,7 +306,8 @@ def int8_attention_block_chunked(
         functools.partial(
             _attn_int8_chunk_kernel, num_heads=g,
             dim_per_head=dim_per_head, logit_cap=float(logit_cap),
-            epsilon=epsilon, query_scale=float(query_scale), first=first),
+            epsilon=epsilon, query_scale=float(query_scale), first=first,
+            partial_out=partial_out),
         grid=(b,),
         in_specs=in_specs,
         out_specs=xspec,

@@ -299,8 +299,7 @@ def _try_fused_int8_layer(
   """
   if (train or cfg.norm_policy != 'pre' or cfg.attention_impl != 'flash'
       or cfg.enable_per_dim_scale or cfg.activation not in ('gelu', 'relu')
-      or cfg.residual_weight != 1.0 or not cfg.use_bias
-      or cfg.tp_axis is not None):
+      or cfg.residual_weight != 1.0 or not cfg.use_bias):
     return None
   interpret = cfg.kernel_interpret
   if jax.default_backend() != 'tpu' and not interpret:
@@ -310,6 +309,8 @@ def _try_fused_int8_layer(
 
   from videoprism_tpu import quantization
 
+  tp = cfg.tp_axis
+  partial = tp is not None
   b, t, d = inputs.shape
   attn = params['self_attention']
   dd, n, h = attn['query']['w'].shape
@@ -345,7 +346,12 @@ def _try_fused_int8_layer(
         wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
         num_heads=n, dim_per_head=h, chunks=attn_chunks,
         logit_cap=float(cfg.logit_cap), epsilon=1e-6,
-        query_scale=h ** -0.5, interpret=interpret)
+        query_scale=h ** -0.5, partial_out=partial, interpret=interpret)
+    if partial:
+      # Per-shard heads contribute partial output projections: psum over
+      # the model axis, then bias (replicated) + residual exactly once.
+      x = jax.lax.psum(x, tp)
+      x = inputs + (x + bo)
   else:
     # Geometry the int8 attention block can't take (e.g. the 4096-token
     # CLIP auxiliary encoder): dequantize the attention half and run the
@@ -360,7 +366,7 @@ def _try_fused_int8_layer(
         dim_per_head=cfg.dim_per_head, logit_cap=cfg.logit_cap,
         enable_per_dim_scale=cfg.enable_per_dim_scale,
         use_bias=cfg.use_bias, dtype=dtype, impl=cfg.attention_impl,
-        interpret=interpret)
+        tp_axis=tp, interpret=interpret)
     x = inputs + x
 
   ff = params['ff_layer']
@@ -371,6 +377,7 @@ def _try_fused_int8_layer(
   pad_rows = (
       paddings.reshape(b * t, 1).astype(dtype)
       if paddings is not None else jnp.zeros((b * t, 1), dtype))
+  b2 = cast(ff['ffn_layer2']['linear']['bias'], dtype)
   out = i8.int8_ffn_block_chunked(
       x.reshape(b * t, d), pad_rows,
       cast(ff['layer_norm']['scale'], dtype),
@@ -380,9 +387,14 @@ def _try_fused_int8_layer(
       cast(ff['ffn_layer1']['linear']['bias'], dtype),
       ff['ffn_layer2']['linear']['kernel'],
       ff['ffn_layer2']['linear']['kernel_scale'].astype(jnp.float32),
-      cast(ff['ffn_layer2']['linear']['bias'], dtype),
+      b2,
       chunks=ffn_chunks, activation=cfg.activation, epsilon=1e-6,
-      interpret=interpret)
+      partial_out=partial, interpret=interpret)
+  if partial:
+    # Per-shard hidden slices: psum, then bias/keep/residual once.
+    out = jax.lax.psum(out, tp)
+    keep = (1.0 - pad_rows).astype(dtype)
+    out = (out + b2) * keep + x.reshape(b * t, d)
   return out.reshape(b, t, d)
 
 

@@ -46,19 +46,24 @@ def partition_spec_for(path: tuple[str, ...], rank: int) -> PartitionSpec:
     return keys[-len(names):] == names
 
   # Attention projections, self-attention and poolers alike: (.., D, N, H).
+  # Int8 trees carry per-output-channel `w_scale` ([.., N, H] for q/k/v —
+  # follows the head split; [.., D] for post — replicated by default).
   for proj in ('query', 'key', 'value'):
     if tail(proj, 'w'):
       return _spec(rank, None, MODEL_AXIS, None)
-    if tail(proj, 'b'):
+    if tail(proj, 'b') or tail(proj, 'w_scale'):
       return _spec(rank, MODEL_AXIS, None)
   if tail('post', 'w'):
     return _spec(rank, None, MODEL_AXIS, None)
-  # post/b is [D]: replicated (output of the head-contraction all-reduce).
+  # post/b and post/w_scale are [D]: replicated (output of the
+  # head-contraction all-reduce).
 
-  # Transformer MLP: split the hidden axis.
+  # Transformer MLP: split the hidden axis (kernel_scale [.., F] follows;
+  # ffn_layer2's kernel_scale [.., D] is replicated by default).
   if tail('ffn_layer1', 'linear', 'kernel'):
     return _spec(rank, None, MODEL_AXIS)
-  if tail('ffn_layer1', 'linear', 'bias'):
+  if tail('ffn_layer1', 'linear', 'bias') or tail(
+      'ffn_layer1', 'linear', 'kernel_scale'):
     return _spec(rank, MODEL_AXIS)
   if tail('ffn_layer2', 'linear', 'kernel'):
     return _spec(rank, MODEL_AXIS, None)

@@ -95,13 +95,11 @@ class EmbeddingService:
 
     ``quantize='int8'`` converts the transformer matmul weights to W8A8
     serving kernels (halved weight streaming/VMEM; wins at small batch on
-    the large/giant towers — see ops/pallas/int8_blocks.py).  Not
-    combinable with ``tensor_parallel``."""
+    the large/giant towers — see ops/pallas/int8_blocks.py).  Composes
+    with ``tensor_parallel``: scales shard alongside their weights and
+    the int8 kernels run per-shard in partial-output mode."""
     if quantize not in (None, 'int8'):
       raise ValueError(f'unknown quantize mode {quantize!r}')
-    if quantize and tensor_parallel:
-      raise ValueError('quantize and tensor_parallel are mutually '
-                       'exclusive (int8 kernels are single-shard)')
     if quantize == 'int8':
       from videoprism_tpu import quantization
 
