@@ -86,6 +86,64 @@ class TestStreaming:
     assert video_emb.shape == (16,)
     np.testing.assert_allclose(np.linalg.norm(video_emb), 1.0, atol=1e-5)
 
+  def test_embed_video_file_matches_in_memory(self, embed_fn, tmp_path):
+    """File-level streaming (chunked decode, constant host memory) ==
+    decode-everything + embed_long_video, for both decode backends."""
+    cv2 = pytest.importorskip('cv2')
+
+    path = str(tmp_path / 'long.mp4')
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*'mp4v'), 12, (16, 12))
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+      writer.write(rng.integers(0, 255, (12, 16, 3), dtype=np.uint8))
+    writer.release()
+
+    from videoprism_tpu.io import video as video_lib
+
+    for backend in ('opencv', 'ffmpeg'):
+      try:
+        chunks = list(video_lib.frame_reader(
+            path, target_size=12, frame_stride=2, chunk_frames=7,
+            backend=backend))
+      except RuntimeError as e:
+        assert backend == 'ffmpeg'
+        pytest.skip(f'native decoder unavailable: {e}')
+      frames = np.concatenate(chunks, axis=0)
+      assert frames.shape == (25, 12, 12, 3) and frames.dtype == np.uint8
+
+      ref_emb, ref_windows = streaming.embed_long_video(
+          embed_fn, frames, window=4, batch_windows=2)
+      got_emb, got_windows = streaming.embed_video_file(
+          embed_fn, path, window=4, frame_stride=2, batch_windows=2,
+          target_size=12, backend=backend)
+      np.testing.assert_allclose(got_windows, ref_windows, atol=1e-5)
+      np.testing.assert_allclose(got_emb, ref_emb, atol=1e-5)
+
+  def test_frame_reader_backends_agree(self, tmp_path):
+    cv2 = pytest.importorskip('cv2')
+
+    from videoprism_tpu import native
+    from videoprism_tpu.io import video as video_lib
+
+    if native.load_video_lib() is None:
+      pytest.skip('native decoder unavailable')
+    path = str(tmp_path / 'seq.mp4')
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*'mp4v'), 12, (16, 12))
+    for i in range(40):
+      writer.write(np.full((12, 16, 3), (i * 6) % 251, np.uint8))
+    writer.release()
+
+    ff = np.concatenate(list(video_lib.frame_reader(
+        path, target_size=12, frame_stride=3, chunk_frames=5,
+        backend='ffmpeg')), axis=0)
+    cv = np.concatenate(list(video_lib.frame_reader(
+        path, target_size=12, frame_stride=3, chunk_frames=5,
+        backend='opencv')), axis=0)
+    assert ff.shape == cv.shape == (14, 12, 12, 3)
+    assert np.abs(ff.astype(int) - cv.astype(int)).max() <= 3
+
   def test_overlap_stride_no_spurious_tail(self, embed_fn):
     """Regression: with stride < window the buffer retains covered overlap
     frames; they must not be re-emitted as an extra padded tail window."""

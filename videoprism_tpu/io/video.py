@@ -125,6 +125,94 @@ def _load_video_native(
   return frames.astype(np.float32) / 255.0
 
 
+def frame_reader(
+    video_path: str,
+    *,
+    target_size: int = 288,
+    resize_mode: str = 'center_crop',
+    frame_stride: int = 1,
+    chunk_frames: int = 128,
+    backend: str = 'auto',
+) -> Iterator[np.ndarray]:
+  """Yields uint8 RGB [<=chunk_frames, S, S, 3] chunks sequentially.
+
+  Reads every ``frame_stride``-th frame of the whole clip without ever
+  materializing the full video — the long-video input path for
+  :func:`videoprism_tpu.streaming.embed_video_file` (a 10-minute 30 fps
+  clip at 288^2 is ~4.5 GB decoded; chunks stay ~30 MB).  Prefers the
+  native FFmpeg decoder (sequential decode, PTS-indexed) and falls back
+  to an OpenCV read loop.
+  """
+  if frame_stride <= 0 or chunk_frames <= 0:
+    raise ValueError(f'frame_stride={frame_stride} and '
+                     f'chunk_frames={chunk_frames} must be > 0')
+  if backend not in ('auto', 'ffmpeg', 'opencv'):
+    raise ValueError(f'unknown backend {backend!r}')
+
+  if backend in ('auto', 'ffmpeg'):
+    # Fall back to OpenCV only on OPEN/metadata failures; once native
+    # decoding has started (frames yielded), errors propagate — silently
+    # restarting with cv2 would duplicate already-yielded frames.
+    dec = None
+    try:
+      from videoprism_tpu import native
+
+      dec = native.NativeVideoDecoder(video_path)
+      # Repeated sample() calls rely on PTS-derived frame indexing; a
+      # stream without a usable rate can't support it.
+      if dec.num_frames <= 0 or dec.fps <= 0:
+        dec.close()
+        dec = None
+        if backend == 'ffmpeg':
+          raise RuntimeError(
+              f'{video_path}: no frame count/fps metadata; sequential '
+              f'chunked reads need PTS indexing')
+    except RuntimeError:
+      if backend == 'ffmpeg':
+        raise
+      dec = None
+    if dec is not None:
+      try:
+        indices = np.arange(0, dec.num_frames, frame_stride,
+                            dtype=np.int64)
+        for start in range(0, len(indices), chunk_frames):
+          yield dec.sample(indices[start:start + chunk_frames],
+                           target_size, resize_mode)
+        return
+      finally:
+        dec.close()
+
+  import cv2  # pytype: disable=import-error
+
+  cap = cv2.VideoCapture(video_path)
+  if not cap.isOpened():
+    raise ValueError(f'Could not open video file: {video_path}')
+  try:
+    chunk: list[np.ndarray] = []
+    idx = 0
+    while True:
+      ret, frame = cap.read()
+      if not ret:
+        break
+      if idx % frame_stride == 0:
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if resize_mode == 'center_crop':
+          frame = _center_crop_resize(frame, target_size)
+        elif resize_mode == 'resize':
+          frame = cv2.resize(frame, (target_size, target_size))
+        else:
+          raise ValueError(f'Unknown resize_mode: {resize_mode}')
+        chunk.append(frame.astype(np.uint8))
+        if len(chunk) == chunk_frames:
+          yield np.stack(chunk, axis=0)
+          chunk = []
+      idx += 1
+    if chunk:
+      yield np.stack(chunk, axis=0)
+  finally:
+    cap.release()
+
+
 def _center_crop_resize(frame: np.ndarray, target_size: int) -> np.ndarray:
   """Shortest side -> target_size, then center crop (reference
   videoprism/video_utils.py:97-127)."""

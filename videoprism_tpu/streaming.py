@@ -151,3 +151,40 @@ def embed_long_video(
       batch_windows=batch_windows))
   stacked = np.stack(per_window, axis=0)
   return aggregate(stacked, normalize=normalize), stacked
+
+
+def embed_video_file(
+    embed_fn,                    # [B, window, H, W, 3] -> [B, D]
+    video_path: str,
+    *,
+    window: int = 16,
+    stride: int | None = None,
+    frame_stride: int = 1,
+    batch_windows: int = 8,
+    target_size: int = 288,
+    resize_mode: str = 'center_crop',
+    normalize: bool = True,
+    backend: str = 'auto',
+) -> tuple[np.ndarray, np.ndarray]:
+  """File-to-embedding for arbitrarily long videos, constant host memory.
+
+  Frames decode incrementally (:func:`videoprism_tpu.io.video.frame_reader`
+  — the native FFmpeg decoder when available) and stream straight into
+  windowed forwards; the full video is never materialized on the host.
+  ``frame_stride`` subsamples the clip temporally (e.g. 30 fps source,
+  ``frame_stride=15`` -> 2 fps windows).  Returns (video_embedding [D],
+  window_embeddings [N, D]).
+  """
+  from videoprism_tpu.io import video as video_io
+
+  reader = video_io.frame_reader(
+      video_path, target_size=target_size, resize_mode=resize_mode,
+      frame_stride=frame_stride, chunk_frames=window * batch_windows,
+      backend=backend)
+  per_window = list(stream_embeddings(
+      embed_fn, reader, window=window, stride=stride,
+      batch_windows=batch_windows))
+  if not per_window:
+    raise ValueError(f'{video_path}: no frames decoded')
+  stacked = np.stack(per_window, axis=0)
+  return aggregate(stacked, normalize=normalize), stacked
