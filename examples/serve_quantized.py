@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Int8-quantized serving + long-video streaming, end to end.
+
+Two production patterns the reference has no equivalent for:
+
+  1. **Int8 serving**: quantize the transformer matmul weights to W8A8
+     once (offline via ``scripts/quantize_checkpoint.py`` or in-process
+     as below) — measured +20%/+12%/+27% throughput on base/large/giant
+     with whole-encoder cosine > 0.995 (docs/DESIGN.md).
+  2. **Long-video streaming**: a file of any length embeds with constant
+     host memory — frames decode in chunks (native FFmpeg decoder) and
+     stream straight into fixed-shape windowed forwards.
+
+  python examples/serve_quantized.py VIDEO.mp4 [--model base]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import videoprism_tpu as vp
+from videoprism_tpu import quantization, streaming
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('video')
+  parser.add_argument('--model', default='base', choices=['base', 'large'])
+  parser.add_argument('--checkpoint', default=None,
+                      help='optional local npz/safetensors (random init '
+                           'otherwise — embeddings are then meaningless, '
+                           'the flow is what this demos)')
+  parser.add_argument('--window', type=int, default=16)
+  parser.add_argument('--frame-stride', type=int, default=2)
+  args = parser.parse_args()
+
+  name = f'videoprism_public_v1_{args.model}'
+  model = vp.get_model(name, fprop_dtype=jnp.bfloat16,
+                       attention_impl='flash')
+  if args.checkpoint:
+    state = vp.load_pretrained_weights(None,
+                                       checkpoint_path=args.checkpoint)
+  else:
+    state = model.init(jax.random.PRNGKey(0))
+
+  # One call: every transformer matmul weight becomes per-channel int8;
+  # the int8 leaf dtype routes forwards onto the W8A8 kernels.
+  state = quantization.quantize_for_serving(state)
+
+  fwd = jax.jit(lambda v: model.apply(state, v, train=False)[0])
+
+  def embed_fn(windows):  # [B, T, S, S, 3] uint8 -> [B, D]
+    v = jnp.asarray(windows, jnp.bfloat16) / 255.0
+    return np.asarray(jnp.mean(fwd(v), axis=1).astype(jnp.float32))
+
+  video_emb, per_window = streaming.embed_video_file(
+      embed_fn, args.video, window=args.window,
+      frame_stride=args.frame_stride)
+  print(f'{args.video}: {per_window.shape[0]} windows -> '
+        f'video embedding {video_emb.shape}, '
+        f'|v|={np.linalg.norm(video_emb):.4f}')
+
+
+if __name__ == '__main__':
+  main()
