@@ -59,14 +59,27 @@ def main():
                        ).astype(jnp.bfloat16),
             'bias': jnp.zeros((d,), jnp.bfloat16)}}}
 
-  bf16_chunks = tb.ffn_chunks_for(rows, d, f, 2) or 1
-  bf16_fn = jax.jit(lambda x: tb.fused_ffn_block_chunked(
-      x, pads, ln_s, ln_b,
-      ff['ffn_layer1']['linear']['kernel'],
-      ff['ffn_layer1']['linear']['bias'],
-      ff['ffn_layer2']['linear']['kernel'],
-      ff['ffn_layer2']['linear']['bias'],
-      chunks=bf16_chunks, activation='gelu'))
+  # Mirror the production dispatch: monolithic kernel when the weights
+  # fit, F-chunked otherwise (ops/transformer.py _try_fused_layer).
+  if tb.ffn_block_supported(rows, d, f, 2):
+    bf16_chunks = 1
+    bf16_fn = jax.jit(lambda x: tb.fused_ffn_block(
+        x, pads, ln_s, ln_b,
+        ff['ffn_layer1']['linear']['kernel'],
+        ff['ffn_layer1']['linear']['bias'],
+        ff['ffn_layer2']['linear']['kernel'],
+        ff['ffn_layer2']['linear']['bias'],
+        activation='gelu'))
+  else:
+    bf16_chunks = tb.ffn_chunks_for(rows, d, f, 2)
+    assert bf16_chunks is not None, (rows, d, f)
+    bf16_fn = jax.jit(lambda x: tb.fused_ffn_block_chunked(
+        x, pads, ln_s, ln_b,
+        ff['ffn_layer1']['linear']['kernel'],
+        ff['ffn_layer1']['linear']['bias'],
+        ff['ffn_layer2']['linear']['kernel'],
+        ff['ffn_layer2']['linear']['bias'],
+        chunks=bf16_chunks, activation='gelu'))
   t_bf16 = time_fn(bf16_fn, x)
 
   qff = quantization.quantize_for_serving({'ff_layer': ff})['ff_layer']
