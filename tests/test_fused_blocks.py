@@ -147,8 +147,9 @@ class TestFusedBlocks:
 
   def test_attention_chunk_selection(self):
     # giant (D=1408, 16 heads x 88): monolithic weights are 15.9 MB bf16
-    # -> 4 head groups of 4 fit.
-    assert tb.attention_chunks_for(256, 1408, 16, 88, 2) == 4
+    # -> 2 head groups of 8 fit (weights+temps vs the scoped stack;
+    # pipeline buffers don't count — measured on hardware).
+    assert tb.attention_chunks_for(256, 1408, 16, 88, 2) == 2
     # base/large fit the monolithic kernel -> no chunking.
     assert tb.attention_chunks_for(256, 768, 12, 64, 2) is None
     assert tb.attention_chunks_for(256, 1024, 16, 64, 2) is None

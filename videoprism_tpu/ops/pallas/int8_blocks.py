@@ -225,14 +225,16 @@ def _attn_int8_chunk_kernel(
 
 def _attn_int8_chunk_fits(t: int, d: int, gh: int,
                           act_itemsize: int) -> bool:
+  # Weights + in-kernel temporaries vs the scoped-VMEM stack; pipeline
+  # buffers are separate (see transformer_block._attn_chunk_fits) —
+  # giant rides 2 chunks instead of 4 (-31% per attention layer).
   weights = 4 * d * gh  # int8, single-buffered
-  io = 2 * (3 * t * d * act_itemsize)
   temps = (t * d * 5                       # fp32 h + int8 h8
            + 3 * t * gh * (4 + act_itemsize + 1)  # q/k/v fp32+cast+int8
            + t * t * 4                     # logits/probs
            + t * gh * (act_itemsize + 1)   # ctx + ctx int8
            + t * d * 4)                    # fp32 out accumulator
-  return weights + io + temps < _INT8_BUDGET
+  return weights + temps < _INT8_BUDGET
 
 
 def attention_int8_chunks_for(t: int, d: int, num_heads: int,

@@ -266,14 +266,18 @@ def _attn_chunk_kernel(
 
 
 def _attn_chunk_fits(t: int, d: int, gh: int, itemsize: int) -> bool:
+  # Weight slices + in-kernel temporaries against the ~16 MB scoped-VMEM
+  # stack; the x/resid/out pipeline buffers are allocated separately and
+  # must NOT be counted here (measured: giant gh=704 bf16 = 13.95 MB by
+  # this formula compiles and runs 32% faster than the 4-chunk split the
+  # old io-inclusive estimate forced).
   weights = 4 * d * gh * itemsize            # single-buffered slices
-  io = 2 * (3 * t * d * itemsize)            # x + resid + out, dbl-buffered
   temps = (t * d * itemsize                  # h
            + 3 * t * gh * (4 + itemsize)     # q/k/v fp32 + low-prec casts
            + t * t * 4                       # per-head logits/probs (fp32)
            + t * gh * itemsize               # ctx
            + t * d * 4)                      # fp32 output accumulator
-  return weights + io + temps < 14 * 2**20
+  return weights + temps < 14 * 2**20
 
 
 def attention_chunks_for(t: int, d: int, num_heads: int, dim_per_head: int,
