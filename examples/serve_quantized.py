@@ -5,7 +5,7 @@ Two production patterns the reference has no equivalent for:
 
   1. **Int8 serving**: quantize the transformer matmul weights to W8A8
      once (offline via ``scripts/quantize_checkpoint.py`` or in-process
-     as below) — measured +20%/+12%/+27% throughput on base/large/giant
+     as below) — measured +20%/+12%/+31% throughput on base/large/giant
      with whole-encoder cosine > 0.995 (docs/DESIGN.md).
   2. **Long-video streaming**: a file of any length embeds with constant
      host memory — frames decode in chunks (native FFmpeg decoder) and

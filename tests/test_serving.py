@@ -248,6 +248,23 @@ class TestTensorParallelService:
     ref, _ = model.apply(state, jnp.asarray(videos), train=False)
     np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
 
+  def test_tp_int8_service(self, model_and_state):
+    """quantize='int8' composes with tensor_parallel at the service level
+    (scales shard with their weights; the quantized tree is never
+    materialized as a full single-device replica)."""
+    model, state = model_and_state
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # (4, 2)
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(4,), mesh=mesh, tensor_parallel=True,
+        quantize='int8')
+    videos = np.random.default_rng(9).random((4, 2, 12, 12, 3), np.float32)
+    out = np.asarray(service.embed_batch(videos), np.float32)
+    ref = np.asarray(
+        model.apply(state, jnp.asarray(videos), train=False)[0], np.float32)
+    g, r = out.ravel(), ref.ravel()
+    cos = float(np.dot(g, r) / (np.linalg.norm(g) * np.linalg.norm(r)))
+    assert cos > 0.995, cos
+
   def test_tp_requires_mesh(self, model_and_state):
     model, state = model_and_state
     with pytest.raises(ValueError, match='requires a mesh'):

@@ -143,12 +143,21 @@ def frame_reader(
   native FFmpeg decoder (sequential decode, PTS-indexed) and falls back
   to an OpenCV read loop.
   """
+  # Validate eagerly (this is a plain function returning a generator, so
+  # bad arguments raise at the call site, not at the first next()).
   if frame_stride <= 0 or chunk_frames <= 0:
     raise ValueError(f'frame_stride={frame_stride} and '
                      f'chunk_frames={chunk_frames} must be > 0')
   if backend not in ('auto', 'ffmpeg', 'opencv'):
     raise ValueError(f'unknown backend {backend!r}')
+  if resize_mode not in ('center_crop', 'resize'):
+    raise ValueError(f'Unknown resize_mode: {resize_mode}')
+  return _frame_reader_gen(video_path, target_size, resize_mode,
+                           frame_stride, chunk_frames, backend)
 
+
+def _frame_reader_gen(video_path, target_size, resize_mode, frame_stride,
+                      chunk_frames, backend) -> Iterator[np.ndarray]:
   if backend in ('auto', 'ffmpeg'):
     # Fall back to OpenCV only on OPEN/metadata failures; once native
     # decoding has started (frames yielded), errors propagate — silently

@@ -159,6 +159,8 @@ class NativeVideoDecoder:
              resize_mode: str = 'center_crop'):
     """Decodes the (sorted) frame indices -> uint8 [n, S, S, 3] RGB."""
     np = self._np
+    if resize_mode not in ('center_crop', 'resize'):
+      raise ValueError(f'Unknown resize_mode: {resize_mode}')
     idx = np.asarray(indices, np.int64)
     assert (np.diff(idx) >= 0).all(), 'indices must be sorted'
     n = len(idx)

@@ -105,7 +105,11 @@ class EmbeddingService:
 
       state = quantization.quantize_for_serving(state)
     self._model = model
-    self._state = jax.device_put(state)
+    # tensor_parallel: keep the tree on host — make_tp_encoder_forward
+    # device_puts each leaf straight into its sharded layout below;
+    # an eager device_put here would materialize a full replica on one
+    # chip, defeating TP's reason to exist for over-sized towers.
+    self._state = state if tensor_parallel else jax.device_put(state)
     self._buckets = tuple(sorted(batch_buckets))
     if not self._buckets or any(b <= 0 for b in self._buckets):
       raise ValueError(f'batch_buckets must be positive ints, '
