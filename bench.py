@@ -124,7 +124,7 @@ def main():
                       help='int8: W8A8 serving kernels (halved weight '
                            'streaming; wins at small batch on '
                            'large/giant)')
-  parser.add_argument('--batch-sizes', default='1,8,16,32')
+  parser.add_argument('--batch-sizes', default='1,8,16,32,64')
   parser.add_argument('--runs', type=int, default=3)
   parser.add_argument('--warmup', type=int, default=2)
   parser.add_argument('--iters', type=int, default=8,
