@@ -28,6 +28,10 @@ from videoprism_tpu.ops.pallas import transformer_block as tb
 
 
 def time_fn(f, *args, iters=20):
+  # Python-loop dispatches carry ~1 ms/call of tunnel overhead (see
+  # CLAUDE.md); ABSOLUTE numbers here are inflated by that constant —
+  # deltas between variants remain valid.  Whole-model truth comes from
+  # bench.py's lax.fori_loop chaining.
   np.asarray(jnp.sum(f(*args).astype(jnp.float32)))
   t = time.perf_counter()
   for _ in range(iters):

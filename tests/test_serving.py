@@ -248,6 +248,23 @@ class TestTensorParallelService:
     ref, _ = model.apply(state, jnp.asarray(videos), train=False)
     np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
 
+  def test_dp_mesh_int8_service(self, model_and_state):
+    """quantize='int8' under data-parallel shard_map serving: replicated
+    quantized params, per-shard dispatch (dequant fallback on CPU)."""
+    model, state = model_and_state
+    mesh = mesh_lib.make_mesh(model_parallelism=1)  # 8-way dp
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(8,), mesh=mesh, quantize='int8')
+    videos = np.random.default_rng(10).random((8, 2, 12, 12, 3),
+                                              np.float32)
+    out = np.asarray(service.embed_batch(videos), np.float32)
+    ref = np.asarray(
+        model.apply(state, jnp.asarray(videos), train=False)[0],
+        np.float32)
+    g, r = out.ravel(), ref.ravel()
+    cos = float(np.dot(g, r) / (np.linalg.norm(g) * np.linalg.norm(r)))
+    assert cos > 0.995, cos
+
   def test_tp_int8_service(self, model_and_state):
     """quantize='int8' composes with tensor_parallel at the service level
     (scales shard with their weights; the quantized tree is never
