@@ -56,6 +56,11 @@ def time_fn(fn, *args, iters=20, runs=5):
 
 
 def main():
+  import argparse
+
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.parse_args()  # no flags; --help documents the workload
+
   from videoprism_tpu.models import init as init_lib
   from videoprism_tpu.ops import masks as mask_lib
   from videoprism_tpu.ops import transformer as tfm
