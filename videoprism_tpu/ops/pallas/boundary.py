@@ -28,16 +28,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Same fp32/(scale+1) LN as the block kernels; works on refs and arrays
+# alike (``a[:]`` is a full slice for both).
+from videoprism_tpu.ops.pallas.transformer_block import _ln_f32 as _ln_rows
+
 Array = jax.Array
-
-
-def _ln_rows(x, scale_ref, bias_ref, epsilon):
-  xf = x.astype(jnp.float32)
-  mean = jnp.mean(xf, axis=-1, keepdims=True)
-  var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-  normed = (xf - mean) * jax.lax.rsqrt(var + epsilon)
-  return (normed * (scale_ref[:].astype(jnp.float32) + 1.0)
-          + bias_ref[:].astype(jnp.float32))
 
 
 def _st_kernel(x_ref, s_ref, b_ref, pos_ref, o_ref, *, epsilon: float):

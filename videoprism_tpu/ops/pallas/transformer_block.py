@@ -32,7 +32,6 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
-_VMEM_BUDGET = 13 * 2**20
 
 
 def _erf(x):
