@@ -188,6 +188,25 @@ class TestServiceValidation:
                 / (np.linalg.norm(got) * np.linalg.norm(ref)))
     assert cos > 0.995
 
+  def test_stats(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(2,))
+    assert service.stats()['requests_served'] == 0
+    clip = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(11), (2, 12, 12, 3)))
+    service.start()
+    try:
+      service.embed(clip)
+      service.embed(clip)
+    finally:
+      service.stop()
+    s = service.stats()
+    assert s['requests_served'] == 2
+    assert s['batches_run'] >= 1
+    assert s['errors'] == 0
+    assert s['batch_latency_p50_s'] > 0
+    assert s['batch_latency_p99_s'] >= s['batch_latency_p50_s']
+
   def test_unknown_quantize_rejected(self, model_and_state):
     model, state = model_and_state
     with pytest.raises(ValueError, match='unknown quantize'):

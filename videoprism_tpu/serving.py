@@ -21,6 +21,7 @@ request shape.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import time
@@ -129,6 +130,11 @@ class EmbeddingService:
     self._compiled: dict[int, Any] = {}
     self._thread: threading.Thread | None = None
     self._running = False
+    self._stats_lock = threading.Lock()
+    self._requests_served = 0
+    self._batches_run = 0
+    self._errors = 0
+    self._batch_latencies = collections.deque(maxlen=1024)  # seconds
 
     def normalize(videos):
       if videos.dtype == jnp.uint8:
@@ -176,6 +182,22 @@ class EmbeddingService:
     if self._thread is not None:
       self._thread.join(timeout=30)
       self._thread = None
+
+  def stats(self) -> dict[str, Any]:
+    """Service-side counters: requests/batches/errors and batch-latency
+    percentiles (seconds, last 1024 batches) — the observability hook a
+    production deployment scrapes."""
+    with self._stats_lock:
+      lat = sorted(self._batch_latencies)
+      pct = (lambda p: lat[min(int(p * len(lat)), len(lat) - 1)]
+             if lat else None)
+      return {
+          'requests_served': self._requests_served,
+          'batches_run': self._batches_run,
+          'errors': self._errors,
+          'batch_latency_p50_s': pct(0.50),
+          'batch_latency_p99_s': pct(0.99),
+      }
 
   def warmup(self, clip_shape: tuple[int, int, int, int],
              dtype=np.float32) -> None:
@@ -261,13 +283,20 @@ class EmbeddingService:
         groups.setdefault((r.video.shape, r.video.dtype.str), []).append(r)
       for group in groups.values():
         videos = np.stack([r.video for r in group], axis=0)
+        t0 = time.monotonic()
         try:
           results = self.embed_batch(videos)
           for r, emb in zip(group, results):
             r.result = emb
+          with self._stats_lock:
+            self._requests_served += len(group)
+            self._batches_run += 1
+            self._batch_latencies.append(time.monotonic() - t0)
         except Exception as e:  # surface errors to all waiters, keep serving
           for r in group:
             r.error = e
+          with self._stats_lock:
+            self._errors += len(group)
         finally:
           for r in group:
             r.event.set()
