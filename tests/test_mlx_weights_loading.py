@@ -44,3 +44,17 @@ class TestMlxWeightFileLoading:
     emb, _ = bound(jnp.zeros((1, 2, 12, 12, 3)), train=False)
     ref, _ = fe.apply(params, jnp.zeros((1, 2, 12, 12, 3)), cfg)
     np.testing.assert_array_equal(np.asarray(emb), np.asarray(ref))
+
+    # quantize='int8' through the same public loader: int8 leaves, close
+    # embeddings (dequantize fallback on CPU).
+    q_bound = vp.load_video_encoder(name, quantize='int8')
+    assert (q_bound.params['spatial_encoder']['transformers_stack']
+            ['x_layers']['self_attention']['query']['w'].dtype == jnp.int8)
+    video = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 12, 12, 3))
+    q_emb, _ = q_bound(video, train=False)
+    r, g = (np.asarray(fe.apply(params, video, cfg)[0], np.float32).ravel(),
+            np.asarray(q_emb, np.float32).ravel())
+    cos = float(np.dot(g, r) / (np.linalg.norm(g) * np.linalg.norm(r)))
+    assert cos > 0.995, cos
+    with pytest.raises(ValueError, match='unknown quantize'):
+      vp.load_video_encoder(name, quantize='fp4')

@@ -485,31 +485,53 @@ def _resolve_weights(model_name: str, weights_path: str | None):
   return load_pretrained_weights(model_name)
 
 
-def load_model(model_name: str, weights_path: str | None = None) -> BoundModel:
+def _maybe_quantize(params, quantize: str | None):
+  if quantize is None:
+    return params
+  if quantize != 'int8':
+    raise ValueError(f'unknown quantize mode {quantize!r}')
+  from videoprism_tpu import quantization
+
+  return quantization.quantize_for_serving(params)
+
+
+def load_model(model_name: str, weights_path: str | None = None,
+               *, fprop_dtype=None, attention_impl: str | None = None,
+               quantize: str | None = None) -> BoundModel:
   """Loads a pretrained video-text CLIP model with weights bound.
 
-  Reference: videoprism/models_mlx.py:91-143.
+  Reference: videoprism/models_mlx.py:91-143, extended with the TPU
+  serving knobs (``fprop_dtype``/``attention_impl`` as in
+  :func:`get_model`; ``quantize='int8'`` converts the transformer matmul
+  weights to the W8A8 serving kernels — see ``videoprism_tpu.quantization``).
   """
   if 'lvt' not in model_name:
     raise ValueError(
         f'`{model_name}` is not a video-text (lvt) model; use '
         'load_video_encoder() for vision-only backbones.')
-  model = get_model(model_name)
-  params = _resolve_weights(model_name, weights_path)
+  model = get_model(model_name, fprop_dtype=fprop_dtype,
+                    attention_impl=attention_impl)
+  params = _maybe_quantize(
+      _resolve_weights(model_name, weights_path), quantize)
   return BoundModel(model, params)
 
 
 def load_video_encoder(
-    model_name: str, weights_path: str | None = None) -> BoundModel:
+    model_name: str, weights_path: str | None = None,
+    *, fprop_dtype=None, attention_impl: str | None = None,
+    quantize: str | None = None) -> BoundModel:
   """Loads a pretrained vision-only backbone with weights bound.
 
-  Reference: videoprism/models_mlx.py:146-210.
+  Reference: videoprism/models_mlx.py:146-210 (+ TPU serving knobs, see
+  :func:`load_model`).
   """
   if 'lvt' in model_name:
     raise ValueError(
         f'`{model_name}` is a video-text model; use load_model() instead.')
-  model = get_model(model_name)
-  params = _resolve_weights(model_name, weights_path)
+  model = get_model(model_name, fprop_dtype=fprop_dtype,
+                    attention_impl=attention_impl)
+  params = _maybe_quantize(
+      _resolve_weights(model_name, weights_path), quantize)
   return BoundModel(model, params)
 
 
