@@ -70,6 +70,21 @@ class TestQuantization:
     assert qp['layer_norm']['scale'].dtype != jnp.int8
     assert qp['self_attention']['query']['b'].dtype != jnp.int8
 
+  def test_on_host_matches_device_bitwise(self, layer):
+    """The numpy (host) path must produce the identical int8 tree so TP
+    serving can quantize without committing the tree to one chip."""
+    params, _ = layer
+    host_in = jax.tree.map(np.asarray, params)
+    qp_dev = q.quantize_for_serving(params)
+    qp_host = q.quantize_for_serving(host_in, on_host=True)
+    dev_leaves, dev_def = jax.tree.flatten(qp_dev)
+    host_leaves, host_def = jax.tree.flatten(qp_host)
+    assert dev_def == host_def
+    for d, h in zip(dev_leaves, host_leaves):
+      assert isinstance(h, np.ndarray)  # never committed to a device
+      assert np.asarray(d).dtype == h.dtype
+      np.testing.assert_array_equal(np.asarray(d), h)
+
 
 class TestInt8Kernels:
 

@@ -50,6 +50,11 @@ class TestMlxWeightFileLoading:
     q_bound = vp.load_video_encoder(name, quantize='int8')
     assert (q_bound.params['spatial_encoder']['transformers_stack']
             ['x_layers']['self_attention']['query']['w'].dtype == jnp.int8)
+    # int8 only pays on the fused path: attention_impl defaults to
+    # 'flash' when quantizing, and forcing 'xla' warns.
+    assert q_bound.model.config.attention_impl == 'flash'
+    with pytest.warns(UserWarning, match='int8'):
+      vp.load_video_encoder(name, quantize='int8', attention_impl='xla')
     video = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 12, 12, 3))
     q_emb, _ = q_bound(video, train=False)
     r, g = (np.asarray(fe.apply(params, video, cfg)[0], np.float32).ravel(),

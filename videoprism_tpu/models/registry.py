@@ -495,6 +495,26 @@ def _maybe_quantize(params, quantize: str | None):
   return quantization.quantize_for_serving(params)
 
 
+def _quantize_attention_impl(attention_impl: str | None,
+                             quantize: str | None) -> str | None:
+  """int8 only pays on the fused flash path — with 'xla' the weights get
+  dequantized inside every jitted forward, strictly slower than bf16.
+  Default to 'flash' when quantizing; warn if 'xla' was forced."""
+  if quantize != 'int8':
+    return attention_impl
+  if attention_impl is None:
+    return 'flash'
+  if attention_impl == 'xla':
+    import warnings
+
+    warnings.warn(
+        "quantize='int8' with attention_impl='xla' dequantizes the weights "
+        "inside every forward pass (slower than unquantized); use "
+        "attention_impl='flash' to engage the int8 kernels.",
+        stacklevel=3)
+  return attention_impl
+
+
 def load_model(model_name: str, weights_path: str | None = None,
                *, fprop_dtype=None, attention_impl: str | None = None,
                quantize: str | None = None) -> BoundModel:
@@ -509,6 +529,7 @@ def load_model(model_name: str, weights_path: str | None = None,
     raise ValueError(
         f'`{model_name}` is not a video-text (lvt) model; use '
         'load_video_encoder() for vision-only backbones.')
+  attention_impl = _quantize_attention_impl(attention_impl, quantize)
   model = get_model(model_name, fprop_dtype=fprop_dtype,
                     attention_impl=attention_impl)
   params = _maybe_quantize(
@@ -528,6 +549,7 @@ def load_video_encoder(
   if 'lvt' in model_name:
     raise ValueError(
         f'`{model_name}` is a video-text model; use load_model() instead.')
+  attention_impl = _quantize_attention_impl(attention_impl, quantize)
   model = get_model(model_name, fprop_dtype=fprop_dtype,
                     attention_impl=attention_impl)
   params = _maybe_quantize(

@@ -162,7 +162,10 @@ class NativeVideoDecoder:
     if resize_mode not in ('center_crop', 'resize'):
       raise ValueError(f'Unknown resize_mode: {resize_mode}')
     idx = np.asarray(indices, np.int64)
-    assert (np.diff(idx) >= 0).all(), 'indices must be sorted'
+    # Not an assert: under `python -O` unsorted indices would silently
+    # skip frames and surface as a misleading 'stream ended early' error.
+    if not (np.diff(idx) >= 0).all():
+      raise ValueError('indices must be sorted (non-decreasing)')
     n = len(idx)
     out = np.empty((n, target_size, target_size, 3), np.uint8)
     mode = {'center_crop': 0, 'resize': 1}[resize_mode]

@@ -25,6 +25,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = dict[str, Any]
 
@@ -43,6 +44,20 @@ def _quantize_leaf(w: jax.Array, contract_axes: tuple[int, ...]):
   s = jnp.maximum(s, 1e-12)
   q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
   return q, jnp.squeeze(s, axis=contract_axes)
+
+
+def _quantize_leaf_host(w, contract_axes: tuple[int, ...]):
+  """Numpy twin of :func:`_quantize_leaf` — never touches a device.
+
+  Used when the tree must stay on host (tensor-parallel serving shards
+  each leaf straight into its TP layout later; committing the full tree
+  to one chip first would defeat TP for over-replica-sized towers).
+  np.round matches jnp.round (both round-half-to-even)."""
+  wf = np.asarray(w, dtype=np.float32)
+  s = np.abs(wf).max(axis=contract_axes, keepdims=True) / 127.0
+  s = np.maximum(s, 1e-12)
+  q = np.clip(np.round(wf / s), -127, 127).astype(np.int8)
+  return q, np.squeeze(s, axis=contract_axes)
 
 
 def _dequantize_leaf(q: jax.Array, scale: jax.Array,
@@ -77,8 +92,14 @@ def _walk(tree: Params, fn) -> Params:
   return out
 
 
-def quantize_for_serving(params: Params) -> Params:
-  """Returns a new tree with transformer matmul weights in int8."""
+def quantize_for_serving(params: Params, *, on_host: bool = False) -> Params:
+  """Returns a new tree with transformer matmul weights in int8.
+
+  ``on_host=True`` runs the quantization math leaf-wise in numpy so no
+  device ever holds the full tree (required by tensor-parallel serving,
+  which shards each leaf into its TP layout afterwards).
+  """
+  leaf = _quantize_leaf_host if on_host else _quantize_leaf
 
   def visit(key, sub):
     if key == 'self_attention' and all(
@@ -89,14 +110,14 @@ def quantize_for_serving(params: Params) -> Params:
         w = sub[name]['w']
         if w.dtype == jnp.int8:
           continue
-        q, s = _quantize_leaf(w, _axes(w.ndim, _is_stacked(w, kind), kind))
+        q, s = leaf(w, _axes(w.ndim, _is_stacked(w, kind), kind))
         new[name] = dict(sub[name], w=q, w_scale=s)
       return new
     if key in ('ffn_layer1', 'ffn_layer2') and 'linear' in sub:
       w = sub['linear']['kernel']
       if w.dtype == jnp.int8:
         return dict(sub)
-      q, s = _quantize_leaf(w, _axes(w.ndim, w.ndim == 3, 'ffn'))
+      q, s = leaf(w, _axes(w.ndim, w.ndim == 3, 'ffn'))
       return dict(sub, linear=dict(sub['linear'], kernel=q,
                                    kernel_scale=s))
     return None

@@ -104,7 +104,10 @@ class EmbeddingService:
     if quantize == 'int8':
       from videoprism_tpu import quantization
 
-      state = quantization.quantize_for_serving(state)
+      # Under TP the tree must stay on host (see the device_put note
+      # below) — quantize leaf-wise in numpy so no chip ever holds it.
+      state = quantization.quantize_for_serving(
+          state, on_host=tensor_parallel)
     self._model = model
     # tensor_parallel: keep the tree on host — make_tp_encoder_forward
     # device_puts each leaf straight into its sharded layout below;
