@@ -41,6 +41,34 @@ import jax.numpy as jnp  # noqa: E402
 
 BASELINE_CLIPS_PER_SEC = 1.0 / 1.42  # reference MLX M3 Pro headline
 
+# Measured matmul ceiling of this chip on model-shaped bf16 matmuls
+# (CLAUDE.md; direct probing — the chip's datasheet peak is higher but
+# unreachable at these tile aspects).  MFU is reported against it so
+# regressions vs speed-of-light are visible per round.
+MEASURED_PEAK_TFLOPS = 214.0
+
+
+def _model_flops_per_clip(cfg, num_frames: int) -> float:
+  """Analytic forward FLOPs for one clip through a FactorizedEncoder.
+
+  Counts the matmuls only (2*M*N*K per matmul): patch embedding, q/k/v/post
+  projections, attention logits+context, and the two FFN matmuls — the
+  >99% of the arithmetic.  LN/softmax/gelu are VPU-side and excluded.
+  """
+  d, f = cfg.model_dim, cfg.mlp_dim
+  t = num_frames
+  tokens_per_frame = (288 // cfg.patch_size) ** 2          # 256
+  n_tok = t * tokens_per_frame
+  patch_dim = cfg.patch_size * cfg.patch_size * 3          # 972
+  embed = 2 * patch_dim * d * n_tok
+  per_token_layer = 8 * d * d + 4 * d * f                  # qkvo + ffn
+  attn_seq = lambda s: 4 * s * s * d                       # logits + ctx
+  spatial = cfg.num_spatial_layers * (
+      n_tok * per_token_layer + t * attn_seq(tokens_per_frame))
+  temporal = cfg.num_temporal_layers * (
+      n_tok * per_token_layer + tokens_per_frame * attn_seq(t))
+  return float(embed + spatial + temporal)
+
 
 def _make_forward(dtype, attention_impl: str, config_name: str,
                   input_dtype: str = 'float32', quantize: str = 'none'):
@@ -84,7 +112,7 @@ def _make_forward(dtype, attention_impl: str, config_name: str,
         0, iters, body, (jnp.zeros((), jnp.float32), video))
     return acc
 
-  return forward_n, params
+  return forward_n, params, cfg
 
 
 def _time_forward(forward_n, params, video, warmup: int, runs: int,
@@ -140,8 +168,9 @@ def main():
 
   config_name = f'videoprism_v1_{args.model}'
   num_frames = 16 if args.model == 'base' else 8
-  forward, params = _make_forward(dtype, attention, config_name, args.input,
-                                  args.quantize)
+  forward, params, cfg = _make_forward(dtype, attention, config_name,
+                                       args.input, args.quantize)
+  flops_per_clip = _model_flops_per_clip(cfg, num_frames)
 
   best_throughput = 0.0
   best_batch = 0
@@ -183,6 +212,12 @@ def main():
       'best_batch': best_batch,
       'p50_latency_ms': round(p50_latency_ms, 2) if p50_latency_ms else None,
       'per_batch_clips_per_sec': per_batch,
+      'flops_per_clip': flops_per_clip,
+      # Model-FLOPs utilization vs the chip's MEASURED matmul ceiling
+      # (214 TFLOP/s bf16, CLAUDE.md) — only meaningful on TPU.
+      'mfu': (round(best_throughput * flops_per_clip
+                    / (MEASURED_PEAK_TFLOPS * 1e12), 4)
+              if platform == 'tpu' else None),
   }))
 
 

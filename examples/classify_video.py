@@ -17,13 +17,16 @@ import jax.numpy as jnp
 import numpy as np
 
 import videoprism_tpu as vp
+from videoprism_tpu import assets
 from videoprism_tpu.io import video as video_lib
 from videoprism_tpu.utils import profiling
 
 
 def main():
   parser = argparse.ArgumentParser()
-  parser.add_argument('video')
+  parser.add_argument(
+      'video', nargs='?', default=assets.demo_video_path(),
+      help='path to an mp4 (default: the bundled demo clip)')
   parser.add_argument('--model', default='videoprism_public_v1_base')
   parser.add_argument('--num-classes', type=int, default=vp.K400_NUM_CLASSES)
   parser.add_argument('--frames', type=int, default=16)

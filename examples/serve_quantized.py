@@ -23,12 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 
 import videoprism_tpu as vp
+from videoprism_tpu import assets
 from videoprism_tpu import quantization, streaming
 
 
 def main():
   parser = argparse.ArgumentParser()
-  parser.add_argument('video')
+  parser.add_argument(
+      'video', nargs='?', default=assets.demo_video_path(),
+      help='path to an mp4 (default: the bundled demo clip)')
   parser.add_argument('--model', default='base', choices=['base', 'large'])
   parser.add_argument('--checkpoint', default=None,
                       help='optional local npz/safetensors (random init '

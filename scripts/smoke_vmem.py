@@ -174,6 +174,10 @@ def _check(label, fn, ref, gate, results):
 
 
 def main():
+  import argparse
+
+  parser = argparse.ArgumentParser(description=__doc__.split('\n')[0])
+  parser.parse_args()
   if jax.default_backend() != 'tpu':
     print('SKIP: smoke_vmem.py requires a real TPU '
           f'(backend={jax.default_backend()}). The budget formulas can '

@@ -11,6 +11,10 @@ setup(
     long_description=open('README.md').read(),
     long_description_content_type='text/markdown',
     packages=find_packages(include=['videoprism_tpu*']),
+    package_data={
+        'videoprism_tpu': ['assets/demo.mp4', 'assets/testdata/*.model',
+                           'native/*.cc'],
+    },
     python_requires='>=3.10',
     install_requires=[
         'jax>=0.4.30',

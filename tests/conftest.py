@@ -27,7 +27,12 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
 
 _REFERENCE_PATH = '/root/reference'
-if os.path.isdir(_REFERENCE_PATH) and _REFERENCE_PATH not in sys.path:
+# VIDEOPRISM_TPU_NO_REFERENCE=1 simulates an absent reference checkout:
+# oracle/compat tests must skip cleanly and everything else (incl. the
+# bundled-asset goldens) must stay green — the self-containedness contract.
+_NO_REFERENCE = os.environ.get('VIDEOPRISM_TPU_NO_REFERENCE') == '1'
+if (not _NO_REFERENCE and os.path.isdir(_REFERENCE_PATH)
+    and _REFERENCE_PATH not in sys.path):
   sys.path.insert(0, _REFERENCE_PATH)
 
 import pytest  # noqa: E402
@@ -40,7 +45,14 @@ def rng():
   return jax.random.PRNGKey(0)
 
 
+def reference_file(path: str) -> bool:
+  """Whether a reference-checkout data file may be used by tests."""
+  return not _NO_REFERENCE and os.path.exists(path)
+
+
 def has_reference() -> bool:
+  if _NO_REFERENCE:
+    return False
   try:
     import videoprism  # noqa: F401
 

@@ -6,12 +6,15 @@ import string
 
 import pytest
 
+from tests import conftest
+
 from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
 
 REF_SPM = '/root/reference/videoprism/assets/testdata/test_spm.model'
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(REF_SPM), reason='reference fixture not available')
+    not conftest.reference_file(REF_SPM),
+    reason='reference fixture not available')
 
 
 @pytest.fixture(scope='module')

@@ -16,6 +16,8 @@ import os
 import numpy as np
 import pytest
 
+from tests import conftest
+
 from videoprism_tpu.io import spm
 from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
 from videoprism_tpu.models import tokenize_texts
@@ -192,7 +194,7 @@ class TestByteFallback:
     assert t.to_int('aé') == [base + 2, 3 + 0xC3, 3 + 0xA9]
 
 
-@pytest.mark.skipif(not os.path.exists(REF_SPM),
+@pytest.mark.skipif(not conftest.reference_file(REF_SPM),
                     reason='reference fixture not available')
 class TestReferenceModelCompatibility:
   """Our parser+Viterbi must reproduce the C++ sentencepiece golden ids from
