@@ -162,6 +162,35 @@ def run_ffn(name, t, d, f, results):
            0.99 if label.startswith('int8') else 0.999, results)
 
 
+def run_long_attention(name, t, d, n, h, results):
+  """The beyond-T-cap int8 path (aux-encoder geometry): row-blocked int8
+  projections around the bf16 flash core."""
+  ops = _attn_operands(jax.random.PRNGKey(hash(name) % 2**31), t, d, n, h)
+  kw = dict(num_heads=n, dim_per_head=h, logit_cap=50.0,
+            query_scale=h ** -0.5)
+  ref = tb._composed_attention_block(
+      ops['x'], ops['mask'], ops['ln_s'], ops['ln_b'],
+      ops['wq'], ops['bq'], ops['wk'], ops['bk'],
+      ops['wv'], ops['bv'], ops['wo'], ops['bo'], epsilon=1e-6, **kw)
+  _force(ref)
+  if not i8.attn_int8_projection_supported(
+      BATCH * t, d, n * h, DTYPE.dtype.itemsize):
+    results.append((f'{name} attn proj+flash (t={t})', False,
+                    'projection path unexpectedly unsupported'))
+    return
+  wq8, sq = _quant_cols(ops['wq'])
+  wk8, sk = _quant_cols(ops['wk'])
+  wv8, sv = _quant_cols(ops['wv'])
+  wo8, so = _quant_cols(ops['wo'])
+  mask4d = ops['mask'][:, None]  # [1, 1, 1, T] additive
+  _check(f'{name} attn proj+flash (t={t} d={d})',
+         lambda: i8.int8_projected_flash_attention(
+             ops['x'], mask4d, ops['ln_s'], ops['ln_b'],
+             wq8, sq, ops['bq'], wk8, sk, ops['bk'], wv8, sv, ops['bv'],
+             wo8, so, ops['bo'], epsilon=1e-6, **kw),
+         ref, 0.99, results)
+
+
 def _check(label, fn, ref, gate, results):
   try:
     out = fn()
@@ -187,6 +216,11 @@ def main():
   for name, t, d, n, h, f in GEOMETRIES:
     run_attention(name, t, d, n, h, results)
     run_ffn(name, t, d, f, results)
+  # Beyond-T-cap (aux encoder) int8 projection path; t=2048 keeps the
+  # composed oracle's [N,T,T] probs affordable while exercising the same
+  # kernels as the real t=4096.
+  run_long_attention('aux-base', 2048, 768, 12, 64, results)
+  run_long_attention('aux-large', 2048, 1024, 16, 64, results)
   width = max(len(r[0]) for r in results)
   failed = 0
   for label, ok, detail in results:

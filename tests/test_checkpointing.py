@@ -23,6 +23,7 @@ TINY_CLIP = dict(
 
 class TestTrainCheckpointer:
 
+  @pytest.mark.slow
   def test_save_restore_roundtrip(self, tmp_path):
     cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
     optimizer = make_optimizer(warmup_steps=1, total_steps=10)
@@ -60,6 +61,7 @@ class TestTrainCheckpointer:
     assert ckpt.latest_step() == 4
     ckpt.close()
 
+  @pytest.mark.slow
   def test_cross_mesh_restore(self, tmp_path):
     """Save on a (4,2) TP+DP mesh, restore into an (8,1) pure-DP layout:
     orbax reshards to the template's shardings and values are identical

@@ -1,6 +1,7 @@
 """Evaluation-harness tests with analytically known answers."""
 
 import numpy as np
+import pytest
 
 from videoprism_tpu import evaluation
 
@@ -54,6 +55,7 @@ class TestRetrievalMetrics:
     np.testing.assert_array_equal(
         evaluation._ranks(sim, chunk_size=1), [0, 2, 0])
 
+  @pytest.mark.slow
   def test_large_corpus_smoke(self):
     """100k-corpus sweep: chunked path stays O(chunk*N) memory and finishes
     fast; matched pairs with identical embeddings give perfect recall."""

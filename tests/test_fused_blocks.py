@@ -156,6 +156,7 @@ class TestFusedBlocks:
     # text lengths (65) stay composed either way.
     assert tb.attention_chunks_for(65, 1408, 16, 88, 2) is None
 
+  @pytest.mark.slow
   def test_giant_width_layer_routes_chunked(self):
     """A giant-width layer engages the fused path end-to-end (chunked
     attention + chunked FFN) and matches the composed layer."""

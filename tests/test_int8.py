@@ -177,9 +177,10 @@ class TestInt8Kernels:
         np.asarray(via_layer), np.asarray(got), atol=1e-6)
 
   def test_mixed_dispatch_ffn_only(self, layer):
-    """Attention geometry the int8 block can't take (t % 8 != 0, like the
-    aux encoder's 4096 exceeding the t cap) still gets the int8 FFN: the
-    attention half runs dequantized, the FFN half on the W8A8 kernel."""
+    """Attention geometry the int8 BLOCK kernel can't take (t % 8 != 0)
+    still serves int8: the attention half routes through the row-blocked
+    projection kernels + flash core, the FFN half through the W8A8 FFN
+    kernel.  (Before round 3 the attention half dequantized here.)"""
     params, cfg = layer
     t = 20  # t % 8 != 0 -> attention_int8_chunks_for returns None
     from videoprism_tpu.ops.pallas import int8_blocks as i8
@@ -216,8 +217,110 @@ class TestInt8Kernels:
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+class TestInt8LongSeqAttention:
+  """Sequences beyond the block kernel's T cap (the 4096-token CLIP aux
+  encoder): int8 projections around the bf16 flash core, no per-step
+  dequantization."""
+
+  def _flat_weights(self, params):
+    attn = params['self_attention']
+    nh = N * H
+    flat = lambda p: (p['w'].reshape(D, nh),
+                      p['w_scale'].reshape(nh).astype(jnp.float32),
+                      p['b'].reshape(nh).astype(jnp.float32))
+    wq, sq, bq = flat(attn['query'])
+    wk, sk, bk = flat(attn['key'])
+    wv, sv, bv = flat(attn['value'])
+    wo = jnp.transpose(attn['post']['w'], (1, 2, 0)).reshape(nh, D)
+    so = attn['post']['w_scale'].astype(jnp.float32)
+    bo = attn['post']['b'].astype(jnp.float32)
+    return (wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo)
+
+  def test_projected_flash_matches_dequantized_composed(self, layer):
+    from videoprism_tpu.ops.pallas import transformer_block as tb
+
+    params, _ = layer
+    qp = q.quantize_for_serving(params)
+    w = self._flat_weights(qp)
+    x = (jax.random.normal(jax.random.PRNGKey(7), (2, 256, D)) * 0.3
+         ).astype(jnp.float32)
+    mask = jnp.zeros((1, 1, 1, 256), jnp.float32)
+    ln_s = params['layer_norm']['scale'].astype(jnp.float32)
+    ln_b = params['layer_norm']['bias'].astype(jnp.float32)
+    got = i8.int8_projected_flash_attention(
+        x, mask, ln_s, ln_b, *w, num_heads=N, dim_per_head=H,
+        logit_cap=50.0, query_scale=H ** -0.5, interpret=True)
+    deq = q.dequantize(qp, jnp.float32)
+    attn_d = deq['self_attention']
+    nh = N * H
+    ref = tb._composed_attention_block(
+        x, mask[:, 0], ln_s, ln_b,
+        attn_d['query']['w'].reshape(D, nh),
+        attn_d['query']['b'].reshape(nh),
+        attn_d['key']['w'].reshape(D, nh),
+        attn_d['key']['b'].reshape(nh),
+        attn_d['value']['w'].reshape(D, nh),
+        attn_d['value']['b'].reshape(nh),
+        jnp.transpose(attn_d['post']['w'], (1, 2, 0)).reshape(nh, D),
+        attn_d['post']['b'],
+        num_heads=N, dim_per_head=H, logit_cap=50.0, epsilon=1e-6,
+        query_scale=H ** -0.5)
+    assert _cos(got, ref) > 0.999
+    assert np.isfinite(np.asarray(got, np.float32)).all()
+
+  def test_partial_out_psum_contract(self, layer):
+    """partial_out returns the raw projection: adding bias + residual
+    outside must equal the non-partial output."""
+    params, _ = layer
+    qp = q.quantize_for_serving(params)
+    w = self._flat_weights(qp)
+    bo = w[-1]
+    x = (jax.random.normal(jax.random.PRNGKey(8), (1, 64, D)) * 0.3
+         ).astype(jnp.float32)
+    mask = jnp.zeros((1, 1, 1, 64), jnp.float32)
+    ln_s = params['layer_norm']['scale'].astype(jnp.float32)
+    ln_b = params['layer_norm']['bias'].astype(jnp.float32)
+    kw = dict(num_heads=N, dim_per_head=H, logit_cap=50.0,
+              query_scale=H ** -0.5, interpret=True)
+    full = i8.int8_projected_flash_attention(
+        x, mask, ln_s, ln_b, *w, **kw)
+    part = i8.int8_projected_flash_attention(
+        x, mask, ln_s, ln_b, *w, partial_out=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(x + (part + bo)), np.asarray(full), atol=1e-4)
+
+  def test_dispatch_engages_beyond_t_cap_without_dequant(self, layer,
+                                                         monkeypatch):
+    """t=1280 exceeds the block kernel's 1024 cap: the dispatch must take
+    the projected-flash path and never call dequantize in the forward."""
+    params, cfg = layer
+    t = 1280
+    assert i8.attention_int8_chunks_for(t, D, N, H, 4) is None
+    assert i8.attn_int8_projection_supported(2 * t, D, N * H, 4)
+
+    def boom(*a, **k):
+      raise AssertionError('dequantize called inside the int8 forward')
+
+    qp = q.quantize_for_serving(params)
+    x = (jax.random.normal(jax.random.PRNGKey(9), (2, t, D)) * 0.3
+         ).astype(jnp.float32)
+    paddings = jnp.zeros((2, t))
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+    fused_cfg = dataclasses.replace(
+        cfg, attention_impl='flash', kernel_interpret=True)
+    ref = tfm.transformer_layer(
+        q.dequantize(qp, jnp.float32), x, paddings, mask,
+        dataclasses.replace(cfg, attention_impl='xla'))
+    monkeypatch.setattr(q, 'dequantize', boom)
+    got = tfm._try_fused_int8_layer(qp, x, paddings, mask, fused_cfg,
+                                    train=False)
+    assert got is not None, 'projected int8 path must engage'
+    assert _cos(got, ref) > 0.999
+
+
 class TestQuantizedCheckpoint:
 
+  @pytest.mark.slow
   def test_quantize_save_load_roundtrip(self, tmp_path):
     """Offline-quantized checkpoints reload and serve (the int8 dtype is
     the routing marker, so the artifact is self-describing)."""

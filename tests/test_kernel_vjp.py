@@ -63,6 +63,7 @@ class TestKernelVjp:
     assert np.isfinite(np.asarray(gk)).all()
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gc), atol=2e-4)
 
+  @pytest.mark.slow
   def test_ffn_block_forward_and_grad(self, layer_params):
     params, _ = layer_params
     ff = params['ff_layer']

@@ -34,6 +34,7 @@ def tiny_registry(monkeypatch):
 
 class TestLoadClassifier:
 
+  @pytest.mark.slow
   def test_from_lvt_checkpoint(self, tiny_registry, tmp_path):
     clip_cfg = vclip.VideoCLIPConfig(**TINY_LVT)
     clip_params = init_lib.init_video_clip(jax.random.PRNGKey(0), clip_cfg)

@@ -197,6 +197,7 @@ class TestManualTensorParallel:
     with pytest.raises(ValueError, match='num_heads'):
       tp_lib.validate_tp_config(bad, mesh)
 
+  @pytest.mark.slow
   def test_tp_gradients_match_single_device(self, setup):
     """Backward through the TP shard_map (psum vjp + kernel backward)
     agrees with the single-device gradient."""
@@ -230,6 +231,7 @@ class TestManualTPTraining:
   """The shard_map TP train step (kernels kept per-shard) must produce
   the same loss and updated params as the plain single-device step."""
 
+  @pytest.mark.slow
   def test_tp_step_matches_single_device(self):
     from videoprism_tpu.train import make_tp_train_step
 
@@ -283,6 +285,7 @@ class TestManualTPTraining:
 
 class TestTraining:
 
+  @pytest.mark.slow
   def test_train_step_runs_and_decreases_loss(self):
     cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
     optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
@@ -299,6 +302,7 @@ class TestTraining:
     assert int(state.step) == 5
     assert losses[-1] < losses[0], losses
 
+  @pytest.mark.slow
   def test_sharded_train_step(self):
     cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
     optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,

@@ -228,6 +228,7 @@ class TestSequencePackingParity:
   actually triggers it (T=16, B divisible by 128/T=8)."""
 
   @pytest.mark.parametrize('use_paddings', [False, True])
+  @pytest.mark.slow
   def test_packed_stack_matches_reference(self, use_paddings):
     from videoprism import layers as ref_layers
     from videoprism_tpu.ops import transformer as tfm_lib2

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tests.conftest import requires_reference
 from videoprism_tpu.models import classifier as vc
 from videoprism_tpu.models import clip as vclip

@@ -54,6 +54,7 @@ class TestEmbeddingService:
     ref, _ = model.apply(state, jnp.asarray(videos), train=False)
     np.testing.assert_allclose(out, np.asarray(ref), atol=1e-6)
 
+  @pytest.mark.slow
   def test_concurrent_requests_microbatch(self, model_and_state):
     model, state = model_and_state
     service = serving.EmbeddingService(

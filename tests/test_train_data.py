@@ -58,6 +58,7 @@ class TestBatchedLoader:
         np.sort(a.reshape(8, -1).sum(-1)), np.sort(b.reshape(8, -1).sum(-1)),
         rtol=1e-6)
 
+  @pytest.mark.slow
   def test_end_to_end_training_loop(self, tokenizer):
     cfg = vclip.VideoCLIPConfig(
         patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=1,

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tests.conftest import requires_reference
 from videoprism_tpu.models import clip as vclip
 from videoprism_tpu.models import factorized_encoder as fe

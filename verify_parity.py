@@ -53,12 +53,21 @@ def main():
   parser.add_argument('--frames', type=int, default=4,
                       help='frames for the synthetic clip (random-init mode)')
   parser.add_argument('--gate', type=float, default=PASS_GATE)
+  parser.add_argument('--json', action='store_true',
+                      help='emit a final machine-readable JSON line '
+                           '(consumed by scripts/validate_release.py)')
   args = parser.parse_args()
 
   try:
     ref_encoders = _load_reference()
   except ImportError as e:
     print(f'SKIP: reference oracle not importable ({e})')
+    if args.json:
+      import json
+
+      print(json.dumps({
+          'harness': 'verify_parity', 'model': args.model,
+          'pass': None, 'skip': f'oracle not importable: {e}'}))
     return 0
 
   import videoprism_tpu as vp
@@ -131,6 +140,13 @@ def main():
   ok = worst < args.gate
   print(f'\n{"PASS" if ok else "FAIL"}: worst diff {worst:.3e} '
         f'(gate {args.gate:g}; reference repo used 1e-3)')
+  if args.json:
+    import json
+
+    print(json.dumps({
+        'harness': 'verify_parity', 'model': args.model,
+        'checkpoint': args.checkpoint, 'worst_abs_diff': float(worst),
+        'gate': args.gate, 'pass': bool(ok)}))
   return 0 if ok else 1
 
 

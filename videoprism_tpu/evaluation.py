@@ -27,7 +27,7 @@ import numpy as np
 DEFAULT_PROMPT_TEMPLATES = (
     'a video of {}.',
     'a video of a person {}.',
-    'a example of {}.',
+    'an example of {}.',
     '{}.',
 )
 

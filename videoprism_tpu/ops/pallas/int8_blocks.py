@@ -319,3 +319,210 @@ def int8_attention_block_chunked(
         interpret=interpret,
     )(*operands)
   return out
+
+
+# ---------------------------------------------------------------------------
+# Long-sequence attention (e.g. the 4096-token CLIP auxiliary encoder,
+# reference videoprism/encoders.py:846-857): the whole-sequence block
+# kernel above caps T at 1024, so long geometries quantize only the
+# PROJECTIONS (row-blocked over T like the FFN kernels — any T) and run
+# the attention core through the bf16 flash kernel, which already streams
+# T=4096.  Weights stay int8 end-to-end; nothing dequantizes in the
+# per-step graph (the round-2 fallback re-dequantized every forward).
+# ---------------------------------------------------------------------------
+
+
+def _qkv_int8_kernel(
+    x_ref, ln_s_ref, ln_b_ref,
+    wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+    wv_ref, sv_ref, bv_ref, q_ref, k_ref, v_ref, *,
+    epsilon: float, query_scale: float,
+):
+  x = x_ref[:]
+  h = _ln_f32(x, ln_s_ref, ln_b_ref, epsilon)
+  h8, hs = quant_rows(h)
+
+  def proj(w_ref, s_ref, b_ref):
+    acc = jax.lax.dot_general(
+        h8, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * hs * s_ref[:].astype(jnp.float32)
+            + b_ref[:].astype(jnp.float32))
+
+  q_ref[:] = (proj(wq_ref, sq_ref, bq_ref) * query_scale).astype(q_ref.dtype)
+  k_ref[:] = proj(wk_ref, sk_ref, bk_ref).astype(k_ref.dtype)
+  v_ref[:] = proj(wv_ref, sv_ref, bv_ref).astype(v_ref.dtype)
+
+
+def _out_int8_kernel(
+    ctx_ref, resid_ref, wo_ref, so_ref, bo_ref, o_ref, *,
+    partial_out: bool,
+):
+  c8, cs = quant_rows(ctx_ref[:].astype(jnp.float32))
+  acc = jax.lax.dot_general(
+      c8, wo_ref[:], (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.int32)
+  out = acc.astype(jnp.float32) * cs * so_ref[:].astype(jnp.float32)
+  if not partial_out:
+    # partial_out: the tensor-parallel caller psums per-shard projections
+    # first, then adds bias and residual exactly once.
+    out = out + bo_ref[:].astype(jnp.float32) + resid_ref[:].astype(
+        jnp.float32)
+  o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _qkv_int8_row_block(rows: int, d: int, nh: int,
+                        act_itemsize: int) -> int | None:
+  weights = 3 * d * nh  # int8, single-buffered
+  for block in (512, 256, 128, 64, 32, 16, 8):
+    if rows % block:
+      continue
+    io = 2 * (block * d + 3 * block * nh) * act_itemsize
+    # fp32 h + int8 h8 + 3x fp32 projection accumulators
+    temps = block * d * 5 + 3 * block * nh * 4
+    if weights + io + temps <= _INT8_BUDGET:
+      return block
+  return None
+
+
+def _out_int8_row_block(rows: int, nh: int, d: int,
+                        act_itemsize: int) -> int | None:
+  weights = nh * d
+  for block in (512, 256, 128, 64, 32, 16, 8):
+    if rows % block:
+      continue
+    io = 2 * (block * nh + 2 * block * d) * act_itemsize
+    temps = block * nh * 5 + block * d * 4
+    if weights + io + temps <= _INT8_BUDGET:
+      return block
+  return None
+
+
+def attn_int8_projection_supported(rows: int, d: int, nh: int,
+                                   act_itemsize: int) -> bool:
+  return (
+      d % 128 == 0 and nh % 128 == 0
+      and _qkv_int8_row_block(rows, d, nh, act_itemsize) is not None
+      and _out_int8_row_block(rows, nh, d, act_itemsize) is not None)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'epsilon', 'query_scale', 'interpret'))
+def int8_qkv_projection(
+    x: Array,                          # [rows, D]
+    ln_scale: Array, ln_bias: Array,   # [D]
+    wq: Array, sq: Array, bq: Array,   # int8 [D, N*H], fp32 [N*H], [N*H]
+    wk: Array, sk: Array, bk: Array,
+    wv: Array, sv: Array, bv: Array,
+    *,
+    epsilon: float = 1e-6,
+    query_scale: float = 1.0,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+  """Fused LN + W8A8 q/k/v projections, row-blocked (any sequence length).
+
+  One LN + one activation quantization feeds all three matmuls; the
+  query scale is folded into q (so the attention core takes q as-is)."""
+  rows, d = x.shape
+  nh = wq.shape[1]
+  block = _qkv_int8_row_block(rows, d, nh, x.dtype.itemsize)
+  assert block is not None, (rows, d, nh)
+  vec = lambda a: pl.BlockSpec((a.shape[-1],), lambda i: (0,),
+                               memory_space=pltpu.VMEM)
+  mat = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+  rowspec_d = pl.BlockSpec((block, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+  rowspec_nh = pl.BlockSpec((block, nh), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+  out = jax.ShapeDtypeStruct((rows, nh), x.dtype)
+  return pl.pallas_call(
+      functools.partial(_qkv_int8_kernel, epsilon=epsilon,
+                        query_scale=float(query_scale)),
+      grid=(rows // block,),
+      in_specs=[rowspec_d, vec(ln_scale), vec(ln_bias),
+                mat(wq), vec(sq), vec(bq),
+                mat(wk), vec(sk), vec(bk),
+                mat(wv), vec(sv), vec(bv)],
+      out_specs=(rowspec_nh, rowspec_nh, rowspec_nh),
+      out_shape=(out, out, out),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('arbitrary',)),
+      interpret=interpret,
+  )(x, ln_scale, ln_bias, wq, sq, bq, wk, sk, bk, wv, sv, bv)
+
+
+@functools.partial(jax.jit, static_argnames=('partial_out', 'interpret'))
+def int8_out_projection(
+    ctx: Array,                        # [rows, N*H]
+    resid: Array,                      # [rows, D] (pre-attention input)
+    wo: Array, so: Array, bo: Array,   # int8 [N*H, D], fp32 [D], [D]
+    *,
+    partial_out: bool = False,
+    interpret: bool = False,
+) -> Array:
+  """W8A8 attention output projection (+ bias + residual), row-blocked."""
+  rows, nh = ctx.shape
+  d = wo.shape[1]
+  block = _out_int8_row_block(rows, nh, d, resid.dtype.itemsize)
+  assert block is not None, (rows, nh, d)
+  vec = lambda a: pl.BlockSpec((a.shape[-1],), lambda i: (0,),
+                               memory_space=pltpu.VMEM)
+  mat = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+  return pl.pallas_call(
+      functools.partial(_out_int8_kernel, partial_out=partial_out),
+      grid=(rows // block,),
+      in_specs=[pl.BlockSpec((block, nh), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                mat(wo), vec(so), vec(bo)],
+      out_specs=pl.BlockSpec((block, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((rows, d), resid.dtype),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('arbitrary',)),
+      interpret=interpret,
+  )(ctx, resid, wo, so, bo)
+
+
+def int8_projected_flash_attention(
+    x: Array,            # [B, T, D]
+    atten_mask: Array,   # [B|1, 1, T|1, T] additive fp32
+    ln_scale: Array, ln_bias: Array,
+    wq: Array, sq: Array, bq: Array,   # int8 [D, N*H] + fp32 scales/biases
+    wk: Array, sk: Array, bk: Array,
+    wv: Array, sv: Array, bv: Array,
+    wo: Array, so: Array, bo: Array,   # int8 [N*H, D]
+    *,
+    num_heads: int,
+    dim_per_head: int,
+    logit_cap: float = 0.0,
+    epsilon: float = 1e-6,
+    query_scale: float = 1.0,
+    partial_out: bool = False,
+    interpret: bool = False,
+) -> Array:
+  """Full attention half for sequences beyond the block kernel's T cap:
+  int8 LN+QKV projection -> bf16 flash core -> int8 output projection.
+
+  Returns ``x + attn(x)`` (or the raw per-shard projection when
+  ``partial_out`` — the TP caller psums, then adds bias + residual)."""
+  from videoprism_tpu.ops.pallas import flash_attention as flash
+
+  b, t, d = x.shape
+  n, h = num_heads, dim_per_head
+  rows = b * t
+  x2d = x.reshape(rows, d)
+  q, k, v = int8_qkv_projection(
+      x2d, ln_scale, ln_bias, wq, sq, bq, wk, sk, bk, wv, sv, bv,
+      epsilon=epsilon, query_scale=query_scale, interpret=interpret)
+  to_heads = lambda a: a.reshape(b, t, n, h).transpose(0, 2, 1, 3)
+  encoded = flash.flash_attention_head_major(
+      to_heads(q), to_heads(k), to_heads(v), atten_mask,
+      logit_cap=logit_cap, dtype=x.dtype, interpret=interpret)
+  ctx = encoded.transpose(0, 2, 1, 3).reshape(rows, n * h)
+  out = int8_out_projection(
+      ctx, x2d, wo, so, bo, partial_out=partial_out, interpret=interpret)
+  return out.reshape(b, t, d)

@@ -321,14 +321,17 @@ def _try_fused_int8_layer(
   attn_chunks = (
       i8.attention_int8_chunks_for(t, d, n, h, itemsize) if mask_ok
       else None)
+  attn_proj_ok = (
+      attn_chunks is None and mask_ok
+      and i8.attn_int8_projection_supported(b * t, d, nh_total, itemsize))
   ffn_chunks = i8.ffn_int8_chunks_for(b * t, d, f, itemsize)
-  if attn_chunks is None and ffn_chunks is None:
+  if attn_chunks is None and not attn_proj_ok and ffn_chunks is None:
     return None
 
   dtype = cfg.dtype
   cast = basic.cast_floating
 
-  if attn_chunks is not None:
+  if attn_chunks is not None or attn_proj_ok:
     flat_in = lambda p: (
         p['w'].reshape(d, nh_total),
         p['w_scale'].reshape(nh_total).astype(jnp.float32),
@@ -339,22 +342,34 @@ def _try_fused_int8_layer(
     wo = jnp.transpose(attn['post']['w'], (1, 2, 0)).reshape(nh_total, d)
     so = attn['post']['w_scale'].astype(jnp.float32)
     bo = cast(attn['post']['b'], dtype)
-    x = i8.int8_attention_block_chunked(
-        inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32),
-        cast(params['layer_norm']['scale'], dtype),
-        cast(params['layer_norm']['bias'], dtype),
-        wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
-        num_heads=n, dim_per_head=h, chunks=attn_chunks,
-        logit_cap=float(cfg.logit_cap), epsilon=1e-6,
-        query_scale=h ** -0.5, partial_out=partial, interpret=interpret)
+    ln_s = cast(params['layer_norm']['scale'], dtype)
+    ln_b = cast(params['layer_norm']['bias'], dtype)
+    if attn_chunks is not None:
+      x = i8.int8_attention_block_chunked(
+          inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32),
+          ln_s, ln_b,
+          wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
+          num_heads=n, dim_per_head=h, chunks=attn_chunks,
+          logit_cap=float(cfg.logit_cap), epsilon=1e-6,
+          query_scale=h ** -0.5, partial_out=partial, interpret=interpret)
+    else:
+      # Sequences beyond the block kernel's T cap (the 4096-token CLIP
+      # auxiliary encoder): int8 projections (row-blocked, any T) around
+      # the bf16 flash attention core — weights stay int8 end-to-end.
+      x = i8.int8_projected_flash_attention(
+          inputs, atten_mask.astype(jnp.float32), ln_s, ln_b,
+          wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
+          num_heads=n, dim_per_head=h, logit_cap=float(cfg.logit_cap),
+          epsilon=1e-6, query_scale=h ** -0.5, partial_out=partial,
+          interpret=interpret)
     if partial:
       # Per-shard heads contribute partial output projections: psum over
       # the model axis, then bias (replicated) + residual exactly once.
       x = jax.lax.psum(x, tp)
       x = inputs + (x + bo)
   else:
-    # Geometry the int8 attention block can't take (e.g. the 4096-token
-    # CLIP auxiliary encoder): dequantize the attention half and run the
+    # Geometry neither int8 attention path can take (e.g. a mask shorter
+    # than the sequence): dequantize the attention half and run the
     # normal composed/flash path; the FFN half below stays int8.
     attn_deq = quantization.dequantize(
         {'self_attention': attn}, dtype)['self_attention']
