@@ -155,8 +155,15 @@ def main():
   parser.add_argument('--batch-sizes', default='1,8,16,32,64')
   parser.add_argument('--runs', type=int, default=3)
   parser.add_argument('--warmup', type=int, default=2)
-  parser.add_argument('--iters', type=int, default=8,
-                      help='forward passes chained per timed run')
+  parser.add_argument('--iters', type=int, default=0,
+                      help='forward passes chained per timed run; 0 = '
+                           'auto, max(8, 256//batch) — small batches '
+                           'chain more passes so the one-per-dispatch '
+                           'tunnel RTT (~23 ms measured on this axon '
+                           'link) is amortized equally per clip. '
+                           'Round-2 b1 numbers under-read by ~27% '
+                           'because 8 iters left ~2.9 ms of RTT on '
+                           'every 7 ms pass.')
   args = parser.parse_args()
 
   dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
@@ -172,11 +179,26 @@ def main():
                                        args.input, args.quantize)
   flops_per_clip = _model_flops_per_clip(cfg, num_frames)
 
+  # One-dispatch overhead (tunnel RTT + launch): timed on a trivial
+  # program with the same scalar-fetch mechanism, reported so the
+  # asymptotic per-pass numbers below have context.
+  import numpy as np
+  tiny = jax.device_put(jnp.zeros((8, 128), jnp.float32))
+  null = jax.jit(lambda x: jnp.sum(x))
+  np.asarray(null(tiny))
+  rtt = []
+  for _ in range(5):
+    t0 = time.perf_counter()
+    np.asarray(null(tiny))
+    rtt.append(time.perf_counter() - t0)
+  rtt_ms = 1000.0 * statistics.median(rtt)
+
   best_throughput = 0.0
   best_batch = 0
   per_batch = {}
   p50_latency_ms = None
   for b in [int(x) for x in args.batch_sizes.split(',')]:
+    iters = args.iters or max(8, 256 // b)
     shape = (b, num_frames, 288, 288, 3)
     if args.input == 'uint8':
       video = jax.device_put(jax.random.randint(
@@ -186,7 +208,7 @@ def main():
           jax.random.uniform(jax.random.PRNGKey(1), shape, jnp.float32))
     try:
       times = _time_forward(
-          forward, params, video, args.warmup, args.runs, args.iters)
+          forward, params, video, args.warmup, args.runs, iters)
     except Exception as e:  # OOM at large batch: report what fits
       per_batch[b] = f'failed: {type(e).__name__}'
       break
@@ -212,6 +234,7 @@ def main():
       'best_batch': best_batch,
       'p50_latency_ms': round(p50_latency_ms, 2) if p50_latency_ms else None,
       'per_batch_clips_per_sec': per_batch,
+      'dispatch_rtt_ms': round(rtt_ms, 2),
       'flops_per_clip': flops_per_clip,
       # Model-FLOPs utilization vs the chip's MEASURED matmul ceiling
       # (214 TFLOP/s bf16, CLAUDE.md) — only meaningful on TPU.

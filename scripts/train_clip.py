@@ -20,6 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
+import dataclasses
 import glob
 import os
 import time
@@ -68,14 +69,31 @@ def main():
   parser.add_argument('--learning-rate', type=float, default=1e-4)
   parser.add_argument('--warmup-steps', type=int, default=100)
   parser.add_argument('--model-parallelism', type=int, default=1)
+  parser.add_argument('--tp-impl', default='gspmd',
+                      choices=['gspmd', 'manual'],
+                      help='tensor-parallel lowering: gspmd (XLA SPMD '
+                           'partitioner, attention_impl=xla) or manual '
+                           '(shard_map with per-shard fused Pallas '
+                           'kernels + explicit psums — the fastest '
+                           'measured training config, train/'
+                           'tp_train_step.py)')
   parser.add_argument('--remat', action='store_true')
   parser.add_argument('--checkpoint-dir', default=None)
   parser.add_argument('--checkpoint-every', type=int, default=500)
   parser.add_argument('--metrics-dir', default=None,
                       help='JSONL metrics sink (defaults to checkpoint-dir)')
   parser.add_argument('--log-every', type=int, default=10)
+  parser.add_argument('--cpu-devices', type=int, default=0,
+                      help='force CPU with N virtual devices (multi-chip '
+                           'smoke without TPU hardware); must be the '
+                           'first device-touching flag to take effect')
   parser.add_argument('--seed', type=int, default=0)
   args = parser.parse_args()
+
+  if args.cpu_devices:
+    # Before any device query (the axon plugin ignores JAX_PLATFORMS env).
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_num_cpu_devices', args.cpu_devices)
 
   # --- model config ---
   if args.tiny:
@@ -90,9 +108,10 @@ def main():
   # --- tokenizer + data ---
   from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
 
+  from videoprism_tpu import assets
+
   tok_path = args.tokenizer_model or os.environ.get(
-      'VIDEOPRISM_SPM_PATH',
-      '/root/reference/videoprism/assets/testdata/test_spm.model')
+      'VIDEOPRISM_SPM_PATH', assets.test_spm_path())
   tokenizer = SentencePieceTokenizer(tok_path)
 
   if args.synthetic:
@@ -123,7 +142,17 @@ def main():
       jax.random.PRNGKey(args.seed), cfg, optimizer,
       pretrained_params=pretrained)
 
-  if jax.device_count() > 1 or args.model_parallelism > 1:
+  if args.tp_impl == 'manual' and (
+      jax.device_count() > 1 or args.model_parallelism > 1):
+    from videoprism_tpu.train.tp_train_step import make_tp_train_step
+
+    # Manual TP keeps the fused kernels per shard ('flash' is its point;
+    # off-TPU the dispatch degrades to the composed path per layer).
+    flash_cfg = dataclasses.replace(cfg, attention_impl='flash')
+    step_fn, state = make_tp_train_step(
+        flash_cfg, optimizer, mesh, state)
+    shard = lambda ndim: data_sharding(mesh, ndim)
+  elif jax.device_count() > 1 or args.model_parallelism > 1:
     step_fn, state = make_sharded_train_step(cfg, optimizer, mesh, state)
     shard = lambda ndim: data_sharding(mesh, ndim)
   else:

@@ -27,3 +27,20 @@ def test_script_help_runs(script):
       [sys.executable, str(script), '--help'],
       capture_output=True, text=True, timeout=120, env=env)
   assert res.returncode == 0, f'{script.name} --help failed:\n{res.stderr}'
+
+
+@pytest.mark.slow
+def test_train_cli_manual_tp_smoke():
+  """The fastest measured training config (manual TP + fused kernels,
+  train/tp_train_step.py) is reachable from the CLI: --tp-impl manual on
+  a virtual 8-device CPU mesh runs real steps."""
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(_ROOT) + os.pathsep + env.get('PYTHONPATH', '')
+  res = subprocess.run(
+      [sys.executable, str(_ROOT / 'scripts' / 'train_clip.py'),
+       '--synthetic', '--tiny', '--steps', '2', '--tp-impl', 'manual',
+       '--model-parallelism', '2', '--cpu-devices', '8',
+       '--batch-size', '8'],
+      capture_output=True, text=True, timeout=500, env=env)
+  assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+  assert 'done: 2 steps' in res.stdout

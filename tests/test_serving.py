@@ -307,6 +307,53 @@ class TestTensorParallelService:
     with pytest.raises(ValueError, match='requires a mesh'):
       serving.EmbeddingService(model, state, tensor_parallel=True)
 
+  def test_tp_clip_vision_service(self):
+    """tensor_parallel serving of an lvt tower: the vision side (encoder
+    + aux ViT + contrastive pooler + l2-norm) runs Megatron-sharded and
+    matches the single-device CLIP video embeddings."""
+    import videoprism_tpu as vp
+    from videoprism_tpu.models import clip as vclip
+    from videoprism_tpu.models import init as init_lib
+
+    cfg = vclip.VideoCLIPConfig(
+        patch_size=6, pos_emb_shape=(2, 2, 2), model_dim=16,
+        num_spatial_layers=2, num_temporal_layers=1,
+        num_auxiliary_layers=1, num_heads=2, mlp_dim=32,
+        vocabulary_size=64, num_unimodal_layers=1, atten_logit_cap=50.0)
+    state = init_lib.init_video_clip(jax.random.PRNGKey(3), cfg)
+    model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # (4, 2)
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(4,), mesh=mesh, tensor_parallel=True)
+    videos = np.random.default_rng(11).random((4, 2, 12, 12, 3),
+                                              np.float32)
+    out = service.embed_batch(videos)
+    ref, _, _ = vclip.apply(state, jnp.asarray(videos), None, None, cfg,
+                            train=False)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+  def test_tp_classifier_service(self):
+    """tensor_parallel serving of a classifier (encoder + TP-aware
+    pooler + head) matches single-device logits."""
+    import videoprism_tpu as vp
+    from videoprism_tpu.models import classifier as vc
+    from videoprism_tpu.models import factorized_encoder as fe
+    from videoprism_tpu.models import init as init_lib
+
+    cfg = vc.VideoClassifierConfig(
+        encoder=fe.FactorizedEncoderConfig(**TINY), num_classes=10)
+    state = init_lib.init_video_classifier(jax.random.PRNGKey(4), cfg)
+    model = vp.Model(cfg, vc.apply, init_lib.init_video_classifier)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # (4, 2)
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(4,), mesh=mesh, tensor_parallel=True)
+    videos = np.random.default_rng(12).random((4, 2, 12, 12, 3),
+                                              np.float32)
+    out = service.embed_batch(videos)
+    ref, _ = vc.apply(state, jnp.asarray(videos), cfg, train=False)
+    assert out.shape == (4, 10)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
 
 class TestDataParallelOn2DMesh:
 

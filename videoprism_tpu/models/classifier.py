@@ -67,7 +67,9 @@ def apply(
       params['atten_pooler'], features, None,
       num_heads=cfg.encoder.num_heads,
       hidden_dim=cfg.encoder.model_dim,
-      num_queries=1, train=train, dtype=dtype)
+      num_queries=1, train=train, dtype=dtype,
+      tp_axis=cfg.encoder.tp_axis,
+      interpret=cfg.encoder.kernel_interpret)
   embeddings = jnp.squeeze(embeddings, axis=-2)
 
   if fe.contains(return_intermediate, 'global_embeddings'):

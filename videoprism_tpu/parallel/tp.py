@@ -78,3 +78,92 @@ def make_tp_encoder_forward(
   sharded = mesh_lib.shard_map_compat(
       fwd, mesh, in_specs=(param_specs, video_spec), out_specs=out_spec)
   return jax.jit(sharded), sharded_params
+
+
+def _clip_param_specs(params: Params) -> Params:
+  """Megatron layout for a CLIP tree, vocabulary embedding replicated
+  (same convention as train.tp_train_step: 32k x D is small and a plain
+  replicated lookup beats a masked-lookup+psum under manual TP)."""
+  from jax.sharding import PartitionSpec as PS
+
+  specs = shard_lib.param_partition_specs(params)
+  if 'text_encoder' in specs and 'token_emb' in specs['text_encoder']:
+    specs['text_encoder']['token_emb'] = jax.tree.map(
+        lambda _: PS(), specs['text_encoder']['token_emb'],
+        is_leaf=lambda x: isinstance(x, PS))
+  return specs
+
+
+def make_tp_clip_vision_forward(
+    params: Params,
+    cfg,
+    mesh: Mesh,
+    *,
+    train: bool = False,
+    kernel_interpret: bool = False,
+) -> tuple[Callable[[Params, jax.Array], jax.Array], Params]:
+  """Tensor+data-parallel CLIP *video* embedding with fused kernels.
+
+  Serves the vision side of an lvt tower (FactorizedEncoder + auxiliary
+  ViT + contrastive pooler + l2-norm): params Megatron-sharded over
+  ``model`` (vision, aux, pooler and the unused-but-resident text tower
+  alike; vocabulary embedding replicated), batch over ``data``.  The
+  text tower is skipped via the None-modality contract
+  (reference videoprism/encoders.py:783-910).
+  """
+  from videoprism_tpu.models import clip as vclip
+
+  validate_tp_config(cfg, mesh)
+  tp_cfg = dataclasses.replace(
+      cfg, tp_axis=mesh_lib.MODEL_AXIS, kernel_interpret=kernel_interpret)
+
+  param_specs = _clip_param_specs(params)
+  sharded_params = jax.device_put(
+      params, jax.tree.map(
+          lambda s: jax.sharding.NamedSharding(mesh, s), param_specs,
+          is_leaf=lambda x: isinstance(x, PartitionSpec)))
+  video_spec = PartitionSpec(mesh_lib.DATA_AXIS, None, None, None, None)
+  out_spec = PartitionSpec(mesh_lib.DATA_AXIS, None)
+
+  def fwd(p, video):
+    v_emb, _, _ = vclip.apply(p, video, None, None, tp_cfg, train=train)
+    return v_emb
+
+  sharded = mesh_lib.shard_map_compat(
+      fwd, mesh, in_specs=(param_specs, video_spec), out_specs=out_spec)
+  return jax.jit(sharded), sharded_params
+
+
+def make_tp_classifier_forward(
+    params: Params,
+    cfg,
+    mesh: Mesh,
+    *,
+    train: bool = False,
+    kernel_interpret: bool = False,
+) -> tuple[Callable[[Params, jax.Array], jax.Array], Params]:
+  """Tensor+data-parallel video classifier (encoder + pooler + head).
+
+  ``cfg`` is a :class:`VideoClassifierConfig`; the TP knobs live on its
+  nested encoder config.  Returns logits [B, num_classes].
+  """
+  from videoprism_tpu.models import classifier as vc
+
+  validate_tp_config(cfg.encoder, mesh)
+  tp_cfg = dataclasses.replace(
+      cfg, encoder=dataclasses.replace(
+          cfg.encoder, tp_axis=mesh_lib.MODEL_AXIS,
+          kernel_interpret=kernel_interpret))
+
+  param_specs = shard_lib.param_partition_specs(params)
+  sharded_params = shard_lib.shard_params(params, mesh)
+  video_spec = PartitionSpec(mesh_lib.DATA_AXIS, None, None, None, None)
+  out_spec = PartitionSpec(mesh_lib.DATA_AXIS, None)
+
+  def fwd(p, video):
+    logits, _ = vc.apply(p, video, tp_cfg, train=train)
+    return logits
+
+  sharded = mesh_lib.shard_map_compat(
+      fwd, mesh, in_specs=(param_specs, video_spec), out_specs=out_spec)
+  return jax.jit(sharded), sharded_params

@@ -157,15 +157,26 @@ class EmbeddingService:
     if tensor_parallel:
       if mesh is None:
         raise ValueError('tensor_parallel=True requires a mesh')
+      from videoprism_tpu.models import classifier as vc_mod
+      from videoprism_tpu.models import clip as vclip_mod
       from videoprism_tpu.parallel import tp as tp_lib
 
       cfg = getattr(model, 'config', None)
-      if not hasattr(cfg, 'num_spatial_layers'):
+      raw = model._unwrap(self._state)
+      if isinstance(cfg, vclip_mod.VideoCLIPConfig):
+        # lvt towers: serve the vision side (encoder+aux+pooler+l2).
+        tp_fwd, self._state = tp_lib.make_tp_clip_vision_forward(
+            raw, cfg, mesh)
+      elif isinstance(cfg, vc_mod.VideoClassifierConfig):
+        tp_fwd, self._state = tp_lib.make_tp_classifier_forward(
+            raw, cfg, mesh)
+      elif hasattr(cfg, 'num_spatial_layers'):
+        tp_fwd, self._state = tp_lib.make_tp_encoder_forward(
+            raw, cfg, mesh)
+      else:
         raise ValueError(
-            'tensor_parallel serving currently supports video encoders '
-            f'(FactorizedEncoderConfig); got {type(cfg).__name__}')
-      tp_fwd, self._state = tp_lib.make_tp_encoder_forward(
-          model._unwrap(self._state), cfg, mesh)
+            f'tensor_parallel serving: unsupported config '
+            f'{type(cfg).__name__}')
       self._forward = lambda params, videos: tp_fwd(
           params, normalize(videos))
     elif mesh is not None:
