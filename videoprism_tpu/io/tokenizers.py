@@ -132,6 +132,12 @@ class SentencePieceTokenizer(Tokenizer):
             pass
     self._use_byte_fallback = len(self._byte_ids) == 256
 
+    # piece -> id for the BPE merge loop (built once; rebuilding per
+    # encode call would be O(vocab) per string).
+    self._piece_ids: dict[str, int] = {
+        p.piece: i for i, p in enumerate(self._spm.pieces)
+        if p.type in (spm.NORMAL, spm.USER_DEFINED)}
+
     # Native (C++) Viterbi core; Python fallback on any failure.  Control
     # with use_native / $VIDEOPRISM_NATIVE_TOKENIZER=0.
     self._native = None
@@ -215,8 +221,7 @@ class SentencePieceTokenizer(Tokenizer):
   def _encode_bpe(self, text: str) -> list[int]:
     """Score-ordered greedy merging (SentencePiece BPE semantics: repeatedly
     merge the adjacent pair whose merged piece has the highest score)."""
-    piece_ids = {p.piece: i for i, p in enumerate(self._spm.pieces)
-                 if p.type in (spm.NORMAL, spm.USER_DEFINED)}
+    piece_ids = self._piece_ids
     symbols = list(text)
     while True:
       best_score, best_idx, best_id = float('-inf'), -1, -1
