@@ -191,6 +191,53 @@ def run_long_attention(name, t, d, n, h, results):
          ref, 0.99, results)
 
 
+def run_mono_layer(name, t, d, n, h, f, results):
+  """The int8 whole-layer kernel (attention + FFN in one pallas_call) —
+  the _layer_int8_cfg budget can only overflow on hardware."""
+  nh = n * h
+  cfg = i8._layer_int8_cfg(t, d, nh, f, n, DTYPE.dtype.itemsize)
+  if cfg is None:
+    results.append((f'{name} layer mono (t={t} d={d})', False,
+                    'mono layer unexpectedly unsupported'))
+    return
+  ops = _attn_operands(jax.random.PRNGKey(hash(name) % 2**31), t, d, n, h)
+  key = jax.random.PRNGKey((hash(name) + 2) % 2**31)
+  ks = jax.random.split(key, 4)
+  mk = lambda k, shape, s=0.02: (s * jax.random.normal(k, shape)).astype(
+      DTYPE)
+  ln2_s, ln2_b = mk(ks[0], (d,)), mk(ks[1], (d,))
+  w1, b1 = mk(ks[2], (d, f)), mk(ks[0], (f,))
+  w2, b2 = mk(ks[3], (f, d)), mk(ks[1], (d,))
+  kw = dict(num_heads=n, dim_per_head=h, logit_cap=50.0,
+            query_scale=h ** -0.5)
+
+  x1 = tb._composed_attention_block(
+      ops['x'], ops['mask'], ops['ln_s'], ops['ln_b'],
+      ops['wq'], ops['bq'], ops['wk'], ops['bk'],
+      ops['wv'], ops['bv'], ops['wo'], ops['bo'], epsilon=1e-6, **kw)
+  pads = jnp.zeros((BATCH * t, 1), DTYPE)
+  ref = tb._composed_ffn_block(
+      x1.reshape(BATCH * t, d), pads, ln2_s, ln2_b, w1, b1, w2, b2,
+      activation='gelu', epsilon=1e-6).reshape(BATCH, t, d)
+  _force(ref)
+
+  wq8, sq = _quant_cols(ops['wq'])
+  wk8, sk = _quant_cols(ops['wk'])
+  wv8, sv = _quant_cols(ops['wv'])
+  wo8, so = _quant_cols(ops['wo'])
+  w18, s1 = _quant_cols(w1)
+  w28, s2 = _quant_cols(w2)
+  hc, fc = cfg
+  _check(f'{name} layer mono hc={hc} fc={fc} (t={t} d={d} f={f})',
+         lambda: i8.int8_layer_block(
+             ops['x'], ops['mask'], pads.reshape(BATCH, t, 1),
+             ops['ln_s'], ops['ln_b'],
+             wq8, sq, ops['bq'], wk8, sk, ops['bk'], wv8, sv, ops['bv'],
+             wo8, so, ops['bo'], ln2_s, ln2_b,
+             w18, s1, b1, w28, s2, b2, epsilon=1e-6, **kw),
+         ref, 0.99, results)
+
+
 def _check(label, fn, ref, gate, results):
   try:
     out = fn()
@@ -221,6 +268,12 @@ def main():
   # kernels as the real t=4096.
   run_long_attention('aux-base', 2048, 768, 12, 64, results)
   run_long_attention('aux-large', 2048, 1024, 16, 64, results)
+  # Int8 whole-layer kernel: every geometry _layer_int8_cfg admits in
+  # production (base spatial/temporal, base+large text towers).
+  run_mono_layer('base-spatial', 256, 768, 12, 64, 3072, results)
+  run_mono_layer('base-temporal', 128, 768, 12, 64, 3072, results)
+  run_mono_layer('text-base', 64, 768, 12, 64, 3072, results)
+  run_mono_layer('text-large', 64, 1024, 16, 64, 4096, results)
   width = max(len(r[0]) for r in results)
   failed = 0
   for label, ok, detail in results:

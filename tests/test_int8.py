@@ -201,6 +201,72 @@ class TestInt8Kernels:
         dataclasses.replace(cfg, attention_impl='xla'))
     assert _cos(got, ref) > 0.999
 
+  def test_mono_layer_matches_two_kernel_chain(self, layer):
+    """The whole-layer kernel (one pallas_call per layer) matches the
+    chained attention+FFN kernels and the dequantized composed oracle,
+    including padding handling and in-kernel head/FFN chunking."""
+    params, cfg = layer
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, T, D)) * 0.3
+    paddings = jnp.zeros((B, T)).at[:, -2:].set(1.0)
+    mask = mask_lib.attention_mask_for_fprop(x, paddings)
+    mask2d = jnp.squeeze(mask, 1).astype(jnp.float32)
+    qp = q.quantize_for_serving(params)
+
+    qa = qp['self_attention']
+    flat8 = lambda p: (p['w'].reshape(D, N * H),
+                       p['w_scale'].reshape(N * H).astype(jnp.float32),
+                       p['b'].reshape(N * H))
+    wq8, sq, bq = flat8(qa['query'])
+    wk8, sk, bk = flat8(qa['key'])
+    wv8, sv, bv = flat8(qa['value'])
+    wo8 = jnp.transpose(qa['post']['w'], (1, 2, 0)).reshape(N * H, D)
+    so = qa['post']['w_scale'].astype(jnp.float32)
+    ff = qp['ff_layer']
+    args = (
+        x, mask2d, paddings[..., None].astype(x.dtype),
+        qp['layer_norm']['scale'], qp['layer_norm']['bias'],
+        wq8, sq, bq, wk8, sk, bk, wv8, sv, bv, wo8, so, qa['post']['b'],
+        ff['layer_norm']['scale'], ff['layer_norm']['bias'],
+        ff['ffn_layer1']['linear']['kernel'],
+        ff['ffn_layer1']['linear']['kernel_scale'].astype(jnp.float32),
+        ff['ffn_layer1']['linear']['bias'],
+        ff['ffn_layer2']['linear']['kernel'],
+        ff['ffn_layer2']['linear']['kernel_scale'].astype(jnp.float32),
+        ff['ffn_layer2']['linear']['bias'])
+    kw = dict(num_heads=N, dim_per_head=H, logit_cap=50.0, epsilon=1e-6,
+              query_scale=H ** -0.5, activation='gelu', interpret=True)
+
+    # Two-kernel chain (the pre-existing int8 path).
+    chained = i8.int8_attention_block_chunked(
+        x, mask2d, qp['layer_norm']['scale'], qp['layer_norm']['bias'],
+        wq8, sq, bq, wk8, sk, bk, wv8, sv, bv, wo8, so, qa['post']['b'],
+        num_heads=N, dim_per_head=H, chunks=1, logit_cap=50.0,
+        query_scale=H ** -0.5, interpret=True)
+    chained = i8.int8_ffn_block_chunked(
+        chained.reshape(B * T, D),
+        paddings.reshape(B * T, 1).astype(x.dtype),
+        ff['layer_norm']['scale'], ff['layer_norm']['bias'],
+        ff['ffn_layer1']['linear']['kernel'],
+        ff['ffn_layer1']['linear']['kernel_scale'].astype(jnp.float32),
+        ff['ffn_layer1']['linear']['bias'],
+        ff['ffn_layer2']['linear']['kernel'],
+        ff['ffn_layer2']['linear']['kernel_scale'].astype(jnp.float32),
+        ff['ffn_layer2']['linear']['bias'],
+        chunks=1, activation='gelu', interpret=True).reshape(B, T, D)
+
+    ref = tfm.transformer_layer(
+        q.dequantize(qp, jnp.float32), x, paddings, mask,
+        dataclasses.replace(cfg, attention_impl='xla'))
+
+    for hc, fc in ((1, 1), (2, 2), (1, 2)):
+      got = i8.int8_layer_block(*args, head_chunks=hc, ffn_chunks=fc, **kw)
+      assert _cos(got, ref) > 0.999, (hc, fc)
+    # Unchunked, the mono kernel IS the chain's math: bit-identical.
+    # (Chunked variants quantize ctx/hidden per group — finer scales, a
+    # deliberate scheme difference bounded by one quant step.)
+    got11 = i8.int8_layer_block(*args, head_chunks=1, ffn_chunks=1, **kw)
+    np.testing.assert_array_equal(np.asarray(got11), np.asarray(chained))
+
   def test_quantized_composed_fallback(self, layer):
     """Unsupported config (xla impl) falls back to dequantize+composed."""
     params, cfg = layer

@@ -322,6 +322,241 @@ def int8_attention_block_chunked(
 
 
 # ---------------------------------------------------------------------------
+# Whole-layer kernel: attention + FFN in ONE pallas_call.  int8 weights
+# halve the resident footprint (base layer: 7.1 MB vs 14.2 bf16 — the
+# reason the bf16 mono-layer was measured infeasible, docs/DESIGN.md),
+# so the full layer's weights + one sequence of activations fit VMEM.
+# This removes the attention->FFN x round trip entirely: per layer, x
+# streams HBM->VMEM once and the layer output streams back once.  Head
+# groups and F chunks are looped INSIDE the kernel (static unroll), so
+# chunking costs VMEM pressure only, never extra HBM traffic.
+# ---------------------------------------------------------------------------
+
+
+def _layer_int8_kernel(
+    x_ref, mask_ref, pad_ref,
+    ln1_s_ref, ln1_b_ref,
+    wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+    wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref,
+    ln2_s_ref, ln2_b_ref,
+    w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    o_ref, *,
+    num_heads: int, dim_per_head: int, logit_cap: float, epsilon: float,
+    query_scale: float, activation: str, head_chunks: int, ffn_chunks: int,
+):
+  """One sequence through a full pre-norm layer, W8A8 end to end.
+
+  Matches the chained two-kernel semantics exactly: attention half =
+  ``_attn_int8_chunk_kernel`` math (bf16 round of the half-layer output
+  included, so the FFN half sees the same dtype boundary), FFN half =
+  ``_ffn_int8_chunk_kernel`` math with the same per-chunk activation
+  quantization.
+  """
+  x = x_ref[0]  # [T, D]
+  t, d = x.shape
+  nh = num_heads * dim_per_head
+  gh = nh // head_chunks
+  g = num_heads // head_chunks
+
+  # ---- attention half ----
+  h = _ln_f32(x, ln1_s_ref, ln1_b_ref, epsilon)
+  h8, hs = quant_rows(h)
+  attn_acc = None
+  for c in range(head_chunks):
+    lo, hi = c * gh, (c + 1) * gh
+
+    def proj(w_ref, s_ref, b_ref):
+      acc = jax.lax.dot_general(
+          h8, w_ref[:, lo:hi], (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.int32)
+      return (acc.astype(jnp.float32) * hs
+              * s_ref[lo:hi].astype(jnp.float32)
+              + b_ref[lo:hi].astype(jnp.float32))
+
+    q = (proj(wq_ref, sq_ref, bq_ref) * query_scale).astype(x.dtype)
+    k = proj(wk_ref, sk_ref, bk_ref).astype(x.dtype)
+    v = proj(wv_ref, sv_ref, bv_ref).astype(x.dtype)
+    ctx = _heads_attention(q, k, v, mask_ref[0], g, dim_per_head,
+                           logit_cap, x.dtype)
+    c8, cs = quant_rows(ctx.astype(jnp.float32))
+    part = jax.lax.dot_general(
+        c8, wo_ref[lo:hi, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * cs * so_ref[:].astype(jnp.float32)
+    attn_acc = part if attn_acc is None else attn_acc + part
+  x1 = (attn_acc + bo_ref[:].astype(jnp.float32)
+        + x.astype(jnp.float32)).astype(x.dtype)
+
+  # ---- FFN half ----
+  keep = 1.0 - pad_ref[0].astype(jnp.float32)  # [T, 1]
+  h2 = _ln_f32(x1, ln2_s_ref, ln2_b_ref, epsilon)
+  h2_8, h2s = quant_rows(h2)
+  f = w1_ref.shape[1]
+  fc = f // ffn_chunks
+  ffn_acc = None
+  for c in range(ffn_chunks):
+    lo, hi = c * fc, (c + 1) * fc
+    a = jax.lax.dot_general(
+        h2_8, w1_ref[:, lo:hi], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * h2s * s1_ref[lo:hi].astype(jnp.float32)
+    a = _apply_activation(a + b1_ref[lo:hi].astype(jnp.float32),
+                          activation, out_dtype=x.dtype)
+    a = a * keep
+    a8, as_ = quant_rows(a)
+    part = jax.lax.dot_general(
+        a8, w2_ref[lo:hi, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * as_ * s2_ref[:].astype(jnp.float32)
+    ffn_acc = part if ffn_acc is None else ffn_acc + part
+  out = ((ffn_acc + b2_ref[:].astype(jnp.float32)) * keep
+         + x1.astype(jnp.float32))
+  o_ref[0] = out.astype(o_ref.dtype)
+
+
+# Hardware-calibrated (one tunneled v5e-class chip, base geometry;
+# re-run scripts/smoke_vmem.py after changing either constant):
+#   * _LAYER_BUDGET: total peak the formula may reach and still compile
+#     — (hc=2, fc=1) at t=256/d=768/f=3072 lands at 16.8 MB by this
+#     model and runs; Mosaic's liveness reuse between the attention and
+#     FFN halves is what makes the mono kernel viable at all.
+#   * _LAYER_ATTN_GROUP_CAP: per-head-group transient ceiling.  Fitting
+#     is not the whole story — t=256 with hc=1 (4.4 MB group) compiles
+#     but runs 9% SLOWER than hc=2 (2.3 MB): past ~2.5 MB the group's
+#     q/k/v temporaries crowd the double-buffered pipeline.  Measured
+#     per-layer (b64/b1/temporal): chain 2.82/2.61/3.26 ms vs mono
+#     2.50/1.75/2.53 ms.
+_LAYER_BUDGET = 17 * 2**20
+_LAYER_ATTN_GROUP_CAP = int(2.5 * 2**20)
+
+
+def _layer_int8_cfg(t: int, d: int, nh_total: int, f: int,
+                    num_heads: int, act_itemsize: int
+                    ) -> tuple[int, int] | None:
+  """(head_chunks, ffn_chunks) for the mono-layer kernel, or None.
+
+  Peak model: resident int8 weights + persistent activations (x/out
+  pipeline buffers, mask, h8, the bf16 half-layer output) + the larger
+  of the attention-group / FFN-chunk transient sets (Mosaic's VMEM
+  allocator reuses dead buffers between the two halves).  Head chunks
+  are chosen by the measured group cap, FFN chunks as few as fit.
+  """
+  if not (t % 8 == 0 and t <= 1024 and d % 128 == 0
+          and nh_total % 128 == 0 and f % 128 == 0):
+    return None
+  weights = 4 * d * nh_total + 2 * d * f  # int8, single-buffered
+  persistent = (
+      2 * 2 * t * d * act_itemsize   # x + out, double-buffered pipeline
+      + 2 * t * t * 4                # mask (double-buffered)
+      + t * d * 5                    # h fp32 + h8 int8 (live through attn)
+      + t * d * act_itemsize         # x1 (bf16 half-layer output)
+      + t * d * 4)                   # running fp32 accumulator
+
+  def attn_peak(gh):
+    return (3 * t * gh * (4 + act_itemsize)  # q/k/v fp32 + casts
+            + t * t * 4                      # logits/probs
+            + t * gh * (act_itemsize + 1))   # ctx + ctx int8
+
+  head_chunks = None
+  for hc in (1, 2, 4):
+    if num_heads % hc or (nh_total // hc) % 128:
+      continue
+    if attn_peak(nh_total // hc) <= _LAYER_ATTN_GROUP_CAP:
+      head_chunks = hc
+      break
+  if head_chunks is None:
+    return None
+  for fcks in (1, 2, 4, 8):
+    if f % fcks or (f // fcks) % 128:
+      continue
+    ffn_peak = t * (f // fcks) * (4 + act_itemsize + 1)
+    if (weights + persistent
+        + max(attn_peak(nh_total // head_chunks), ffn_peak)
+        <= _LAYER_BUDGET):
+      return head_chunks, fcks
+  return None
+
+
+def int8_layer_supported(t: int, d: int, nh_total: int, f: int,
+                         num_heads: int, act_itemsize: int) -> bool:
+  return _layer_int8_cfg(t, d, nh_total, f, num_heads,
+                         act_itemsize) is not None
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'num_heads', 'dim_per_head', 'logit_cap', 'epsilon', 'query_scale',
+    'activation', 'head_chunks', 'ffn_chunks', 'interpret'))
+def int8_layer_block(
+    x: Array,          # [B, T, D]
+    mask: Array,       # [B|1, T|1, T] additive fp32
+    paddings: Array,   # [B, T, 1]
+    ln1_scale: Array, ln1_bias: Array,
+    wq: Array, sq: Array, bq: Array,   # int8 [D, N*H], fp32 [N*H], [N*H]
+    wk: Array, sk: Array, bk: Array,
+    wv: Array, sv: Array, bv: Array,
+    wo: Array, so: Array, bo: Array,   # int8 [N*H, D], fp32 [D], [D]
+    ln2_scale: Array, ln2_bias: Array,
+    w1: Array, s1: Array, b1: Array,   # int8 [D, F], fp32 [F], [F]
+    w2: Array, s2: Array, b2: Array,   # int8 [F, D], fp32 [D], [D]
+    *,
+    num_heads: int,
+    dim_per_head: int,
+    logit_cap: float = 0.0,
+    epsilon: float = 1e-6,
+    query_scale: float = 1.0,
+    activation: str = 'gelu',
+    head_chunks: int | None = None,
+    ffn_chunks: int | None = None,
+    interpret: bool = False,
+) -> Array:
+  """Full pre-norm transformer layer in one kernel; see module comment."""
+  b, t, d = x.shape
+  bm, tm, _ = mask.shape
+  nh = wq.shape[1]
+  f = w1.shape[1]
+  if head_chunks is None or ffn_chunks is None:
+    cfg = _layer_int8_cfg(t, d, nh, f, num_heads, x.dtype.itemsize)
+    assert cfg is not None, (t, d, nh, f)
+    head_chunks, ffn_chunks = cfg
+
+  vec = lambda a: pl.BlockSpec((a.shape[-1],), lambda i: (0,),
+                               memory_space=pltpu.VMEM)
+  mat = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+  xspec = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+  mspec = pl.BlockSpec((1, tm, t), lambda i: (i if bm > 1 else 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+  pspec = pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+  return pl.pallas_call(
+      functools.partial(
+          _layer_int8_kernel, num_heads=num_heads,
+          dim_per_head=dim_per_head, logit_cap=float(logit_cap),
+          epsilon=epsilon, query_scale=float(query_scale),
+          activation=activation, head_chunks=head_chunks,
+          ffn_chunks=ffn_chunks),
+      grid=(b,),
+      in_specs=[xspec, mspec, pspec,
+                vec(ln1_scale), vec(ln1_bias),
+                mat(wq), vec(sq), vec(bq),
+                mat(wk), vec(sk), vec(bk),
+                mat(wv), vec(sv), vec(bv),
+                mat(wo), vec(so), vec(bo),
+                vec(ln2_scale), vec(ln2_bias),
+                mat(w1), vec(s1), vec(b1),
+                mat(w2), vec(s2), vec(b2)],
+      out_specs=xspec,
+      out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=('arbitrary',)),
+      interpret=interpret,
+  )(x, mask, paddings, ln1_scale, ln1_bias,
+    wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
+    ln2_scale, ln2_bias, w1, s1, b1, w2, s2, b2)
+
+
+# ---------------------------------------------------------------------------
 # Long-sequence attention (e.g. the 4096-token CLIP auxiliary encoder,
 # reference videoprism/encoders.py:846-857): the whole-sequence block
 # kernel above caps T at 1024, so long geometries quantize only the

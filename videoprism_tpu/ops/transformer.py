@@ -331,6 +331,48 @@ def _try_fused_int8_layer(
   dtype = cfg.dtype
   cast = basic.cast_floating
 
+  # Whole-layer kernel (attention + FFN in one pallas_call): int8 weights
+  # halve the resident footprint, so base-scale layers fit entirely in
+  # VMEM and x round-trips HBM once per LAYER instead of once per half.
+  # Small-grid (latency) regime only — measured per-layer with chained
+  # fori_loop timing: -6%/-5% at 64/16-sequence grids, but +2% at 256
+  # (large grids pipeline the two-kernel chain better than per-sequence
+  # mono programs); b*t<=16384 is the measured crossover.  Replicated
+  # serving only (TP partial outputs need the psum between the halves,
+  # so TP keeps the two-kernel path).
+  if (not partial and mask_ok and b * t <= 16384
+      and i8.int8_layer_supported(t, d, nh_total, f, n, itemsize)):
+    flat_in = lambda p: (
+        p['w'].reshape(d, nh_total),
+        p['w_scale'].reshape(nh_total).astype(jnp.float32),
+        cast(p['b'], dtype).reshape(nh_total))
+    wq, sq, bq = flat_in(attn['query'])
+    wk, sk, bk = flat_in(attn['key'])
+    wv, sv, bv = flat_in(attn['value'])
+    wo = jnp.transpose(attn['post']['w'], (1, 2, 0)).reshape(nh_total, d)
+    so = attn['post']['w_scale'].astype(jnp.float32)
+    bo = cast(attn['post']['b'], dtype)
+    ff = params['ff_layer']
+    pads = (paddings.reshape(b, t, 1).astype(dtype)
+            if paddings is not None else jnp.zeros((b, t, 1), dtype))
+    out = i8.int8_layer_block(
+        inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32), pads,
+        cast(params['layer_norm']['scale'], dtype),
+        cast(params['layer_norm']['bias'], dtype),
+        wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
+        cast(ff['layer_norm']['scale'], dtype),
+        cast(ff['layer_norm']['bias'], dtype),
+        ff['ffn_layer1']['linear']['kernel'],
+        ff['ffn_layer1']['linear']['kernel_scale'].astype(jnp.float32),
+        cast(ff['ffn_layer1']['linear']['bias'], dtype),
+        ff['ffn_layer2']['linear']['kernel'],
+        ff['ffn_layer2']['linear']['kernel_scale'].astype(jnp.float32),
+        cast(ff['ffn_layer2']['linear']['bias'], dtype),
+        num_heads=n, dim_per_head=h, logit_cap=float(cfg.logit_cap),
+        epsilon=1e-6, query_scale=h ** -0.5, activation=cfg.activation,
+        interpret=interpret)
+    return out
+
   if attn_chunks is not None or attn_proj_ok:
     flat_in = lambda p: (
         p['w'].reshape(d, nh_total),
