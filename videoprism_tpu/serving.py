@@ -240,15 +240,32 @@ class EmbeddingService:
 
   def embed_batch(self, videos: np.ndarray) -> np.ndarray:
     """Direct batched path (no queueing); splits batches larger than the
-    largest bucket into bucket-sized chunks."""
+    largest bucket into bucket-sized chunks.
+
+    Chunks are pipelined two-deep: JAX dispatch is asynchronous, so chunk
+    i+1's host->device transfer and compute launch overlap chunk i's
+    compute and device->host fetch (the fetch is the only blocking call).
+    Depth 2 bounds device memory to two in-flight input/output pairs —
+    classic double buffering.
+    """
     max_bucket = self._buckets[-1]
     outs = []
+    inflight: collections.deque = collections.deque()
+
+    def drain():
+      out, n = inflight.popleft()
+      outs.append(np.asarray(out)[:n])
+
     for start in range(0, videos.shape[0], max_bucket):
       chunk = videos[start:start + max_bucket]
       bucket = self._bucket_for(chunk.shape[0])
       padded = self._pad(chunk, bucket)
-      out = np.asarray(self._forward(self._state, jnp.asarray(padded)))
-      outs.append(out[:chunk.shape[0]])
+      out = self._forward(self._state, jnp.asarray(padded))
+      inflight.append((out, chunk.shape[0]))
+      if len(inflight) >= 2:
+        drain()
+    while inflight:
+      drain()
     return np.concatenate(outs, axis=0)
 
   # ------------------------------- worker --------------------------------
