@@ -47,8 +47,14 @@ def main():
   parser.add_argument('--quantize', default='none', choices=['none', 'int8'])
   parser.add_argument('--runs', type=int, default=3)
   parser.add_argument('--warmup', type=int, default=2)
-  parser.add_argument('--iters', type=int, default=8)
+  parser.add_argument('--iters', type=int, default=0,
+                      help='forwards chained per timed run; 0 = auto, '
+                           'max(8, 256 // clips) — same RTT-amortization '
+                           'rule as bench.py so small workloads do not '
+                           'under-read by the ~25 ms tunnel dispatch RTT')
   args = parser.parse_args()
+  if not args.iters:
+    args.iters = max(8, 256 // max(1, args.clips))
 
   import videoprism_tpu as vp
   from videoprism_tpu.models import clip as vclip

@@ -61,6 +61,9 @@ class TestFixtureTokenizer:
     t = SentencePieceTokenizer(fixture_model_path)
     assert t.vocab_size == 16
     assert (t.bos_token, t.eos_token, t.pad_token) == (1, 2, -1)
+    # Resolved on-disk path is exposed (validate_release.py hands the
+    # same binary to the sentencepiece C++ wheel for the release diff).
+    assert t.model_path == str(fixture_model_path)
 
   def test_viterbi_goldens(self, fixture_model_path):
     t = SentencePieceTokenizer(fixture_model_path)

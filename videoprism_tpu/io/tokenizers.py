@@ -103,6 +103,10 @@ class SentencePieceTokenizer(Tokenizer):
   def __init__(self, model_path: str = 'c4_en.model',
                use_native: bool | None = None):
     local_path = _resolve_model_path(model_path)
+    # Resolved on-disk path: lets tools hand the same binary model to an
+    # external implementation (scripts/validate_release.py diffs against
+    # the sentencepiece C++ wheel via this).
+    self.model_path = local_path
     self._spm = spm.load_model(local_path)
     self._trie = _Trie()
     self._scores: list[float] = []

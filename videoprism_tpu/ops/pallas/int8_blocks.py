@@ -705,13 +705,18 @@ def int8_out_projection(
                                memory_space=pltpu.VMEM)
   mat = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
+  # partial_out kernels never read resid: keep its pipeline block at one
+  # row (constant index map) so no [rows, D] stream is wasted on it.
+  resid_spec = (
+      pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+      if partial_out else
+      pl.BlockSpec((block, d), lambda i: (i, 0), memory_space=pltpu.VMEM))
   return pl.pallas_call(
       functools.partial(_out_int8_kernel, partial_out=partial_out),
       grid=(rows // block,),
       in_specs=[pl.BlockSpec((block, nh), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, d), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                resid_spec,
                 mat(wo), vec(so), vec(bo)],
       out_specs=pl.BlockSpec((block, d), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
