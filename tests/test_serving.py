@@ -332,6 +332,34 @@ class TestTensorParallelService:
                             train=False)
     np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
 
+  def test_tp_int8_clip_vision_service(self):
+    """int8 + tensor_parallel on an lvt vision tower — the giant-tower
+    production serving combination (host-side quantization, scales
+    Megatron-sharded alongside their weights)."""
+    import videoprism_tpu as vp
+    from videoprism_tpu.models import clip as vclip
+    from videoprism_tpu.models import init as init_lib
+
+    cfg = vclip.VideoCLIPConfig(
+        patch_size=6, pos_emb_shape=(2, 2, 2), model_dim=16,
+        num_spatial_layers=2, num_temporal_layers=1,
+        num_auxiliary_layers=1, num_heads=2, mlp_dim=32,
+        vocabulary_size=64, num_unimodal_layers=1, atten_logit_cap=50.0)
+    state = init_lib.init_video_clip(jax.random.PRNGKey(5), cfg)
+    model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # (4, 2)
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(4,), mesh=mesh, tensor_parallel=True,
+        quantize='int8')
+    videos = np.random.default_rng(13).random((4, 2, 12, 12, 3),
+                                              np.float32)
+    out = np.asarray(service.embed_batch(videos), np.float32)
+    ref, _, _ = vclip.apply(state, jnp.asarray(videos), None, None, cfg,
+                            train=False)
+    g, r = out.ravel(), np.asarray(ref, np.float32).ravel()
+    cos = float(np.dot(g, r) / (np.linalg.norm(g) * np.linalg.norm(r)))
+    assert cos > 0.995, cos
+
   def test_tp_classifier_service(self):
     """tensor_parallel serving of a classifier (encoder + TP-aware
     pooler + head) matches single-device logits."""
