@@ -161,3 +161,67 @@ class TestStreaming:
     pooled = streaming.aggregate(emb)
     expected = np.array([0.5, 0.5]) / np.linalg.norm([0.5, 0.5])
     np.testing.assert_allclose(pooled, expected, atol=1e-6)
+
+
+class TestStreamingPooler:
+  """Exact online-softmax pooling == one-shot atten_token_pooling."""
+
+  def _pooler_params(self, d=16, num_heads=2, hidden=64, seed=0):
+    return init_lib._atten_pooling(
+        jax.random.PRNGKey(seed), d, hidden, num_heads)
+
+  def test_chunked_equals_one_shot(self):
+    from videoprism_tpu.ops.transformer import atten_token_pooling
+
+    d, heads, hidden = 16, 2, 64
+    params = self._pooler_params(d, heads, hidden)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (3, 40, d))
+
+    want = atten_token_pooling(
+        params, tokens, None, num_heads=heads, hidden_dim=hidden)
+
+    pooler = streaming.StreamingPooler(
+        params, num_heads=heads, hidden_dim=hidden)
+    for start in (0, 16, 32):  # ragged chunks: 16 + 16 + 8
+      pooler.update(tokens[:, start:start + 16])
+    got = pooler.finalize()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+  def test_paddings_and_masked_prefix(self):
+    """A fully masked first chunk must be wiped by later real tokens,
+    matching the one-shot softmax over the concatenated paddings."""
+    from videoprism_tpu.ops.transformer import atten_token_pooling
+
+    d, heads, hidden = 16, 2, 64
+    params = self._pooler_params(d, heads, hidden)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (2, 24, d))
+    paddings = np.zeros((2, 24), np.float32)
+    paddings[:, :8] = 1.0          # fully masked first chunk
+    paddings[0, 20:] = 1.0         # ragged tail on one sequence
+    paddings = jnp.asarray(paddings)
+
+    want = atten_token_pooling(
+        params, tokens, paddings, num_heads=heads, hidden_dim=hidden)
+
+    pooler = streaming.StreamingPooler(
+        params, num_heads=heads, hidden_dim=hidden)
+    for start in (0, 8, 16):
+      pooler.update(tokens[:, start:start + 8], paddings[:, start:start + 8])
+    got = pooler.finalize()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+  def test_functional_api_and_errors(self):
+    d, heads, hidden = 16, 2, 64
+    params = self._pooler_params(d, heads, hidden)
+    state = streaming.pooler_init(2, num_heads=heads, hidden_dim=hidden)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (2, 8, d))
+    state = streaming.pooler_update(
+        params, state, tokens, num_heads=heads, hidden_dim=hidden)
+    out = streaming.pooler_finalize(params, state)
+    assert out.shape == (2, 1, d)
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError):
+      streaming.StreamingPooler(
+          params, num_heads=heads, hidden_dim=hidden).finalize()

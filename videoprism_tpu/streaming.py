@@ -153,6 +153,171 @@ def embed_long_video(
   return aggregate(stacked, normalize=normalize), stacked
 
 
+def pooler_init(
+    batch_size: int,
+    *,
+    num_heads: int,
+    hidden_dim: int,
+    num_queries: int = 1,
+) -> tuple[Array, Array, Array]:
+  """Zero state for EXACT streaming attentional pooling.
+
+  The contrastive/classifier pooler is 1-query attention over all tokens
+  (reference videoprism/layers.py:1044-1136) — which is an online softmax,
+  so it can run over an unbounded token stream flash-style: keep
+  ``(row max m, exp-sum denom, value-weighted numerator)`` per head and
+  rescale on a new max.  ``pooler_finalize`` then equals pooling the
+  concatenated sequence in one shot, with only O(window) tokens resident.
+
+  State starts at the mask value (-0.7*max), matching the reference's
+  softmax-of-all-masked = uniform convention: a fully masked prefix
+  contributes uniform weights until the first real token wipes it
+  (``exp(mask_value - real_max)`` underflows to exactly 0, as in the
+  one-shot softmax).
+  """
+  from videoprism_tpu.ops import masks as mask_lib
+
+  h = hidden_dim // num_heads
+  assert h * num_heads == hidden_dim
+  neg = mask_lib.get_large_negative_number(jnp.float32)
+  m = jnp.full((batch_size, num_heads, num_queries, 1), neg, jnp.float32)
+  denom = jnp.zeros((batch_size, num_heads, num_queries, 1), jnp.float32)
+  num = jnp.zeros((batch_size, num_heads, num_queries, h), jnp.float32)
+  return m, denom, num
+
+
+def pooler_update(
+    params,
+    state: tuple[Array, Array, Array],
+    tokens: Array,            # [B, S_chunk, D]
+    paddings: Array | None = None,
+    *,
+    num_heads: int,
+    hidden_dim: int = 0,
+    enable_per_dim_scale: bool = True,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+) -> tuple[Array, Array, Array]:
+  """Folds one token chunk into the streaming-pooler state (jittable).
+
+  ``params`` is the ``atten_token_pooling`` tree
+  (``pooling_attention_query`` / ``pooling_attention`` / ...); chunk
+  projections and logits match
+  :func:`videoprism_tpu.ops.transformer.atten_token_pooling` exactly.
+  """
+  from videoprism_tpu.ops import basic
+  from videoprism_tpu.ops import masks as mask_lib
+
+  input_dim = tokens.shape[-1]
+  hidden_dim = hidden_dim if hidden_dim > 0 else 4 * input_dim
+  dim_per_head = hidden_dim // num_heads
+  batch_size = tokens.shape[0]
+  m, denom, num = state
+
+  query_vec = basic.cast_floating(params['pooling_attention_query'], dtype)
+  query_vec = jnp.tile(query_vec[jnp.newaxis], [batch_size, 1, 1])
+  mha = params['pooling_attention']
+
+  def proj(name, x):
+    w = basic.cast_floating(mha[name]['w'], dtype)
+    out = jnp.einsum('BTD,DNH->BNTH', x, w)
+    if use_bias:
+      out = out + basic.cast_floating(mha[name]['b'], dtype)[:, jnp.newaxis]
+    return out
+
+  q = proj('query', query_vec)
+  k = proj('key', tokens)
+  v = proj('value', tokens)
+  if enable_per_dim_scale:
+    q = basic.per_dim_scale(mha['per_dim_scale'], q, dtype=dtype)
+  else:
+    q = q * (dim_per_head ** -0.5)
+
+  logits = jnp.einsum('BNQH,BNSH->BNQS', q, k).astype(jnp.float32)
+  if paddings is not None:
+    logits = mask_lib.apply_mask_to_logits(
+        logits, mask_lib.paddings_to_mask(paddings, jnp.float32))
+
+  m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+  scale = jnp.exp(m - m_new)
+  p = jnp.exp(logits - m_new)
+  denom = denom * scale + jnp.sum(p, axis=-1, keepdims=True)
+  num = num * scale + jnp.einsum(
+      'BNQS,BNSH->BNQH', p.astype(dtype), v).astype(jnp.float32)
+  return m_new, denom, num
+
+
+def pooler_finalize(
+    params,
+    state: tuple[Array, Array, Array],
+    *,
+    add_layer_norm: bool = True,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+) -> Array:
+  """Streaming-pooler state -> pooled output [B, num_queries, D]."""
+  from videoprism_tpu.ops import basic
+
+  m, denom, num = state
+  encoded = (num / jnp.maximum(denom, 1e-30)).astype(dtype)  # [B,N,Q,H]
+  mha = params['pooling_attention']
+  post_w = basic.cast_floating(mha['post']['w'], dtype)
+  outputs = jnp.einsum('BNQH,DNH->BQD', encoded, post_w)
+  if use_bias:
+    outputs = outputs + basic.cast_floating(mha['post']['b'], dtype)
+  if add_layer_norm:
+    outputs = basic.layer_norm(
+        params['pooling_attention_layer_norm'], outputs, dtype=dtype)
+  return outputs
+
+
+class StreamingPooler:
+  """Exact attentional pooling over an unbounded token stream.
+
+  Use with any model family whose pooler attends over encoder tokens
+  (classifier, contrastive pooler with ``num_auxiliary_layers == 0``):
+  feed each window's tokens through :meth:`update` and call
+  :meth:`finalize` for a result equal to pooling the concatenated
+  sequence — a semantically exact alternative to the mean-of-window
+  aggregation in :func:`aggregate`.  (With auxiliary layers present the
+  aux ViT still needs the full sequence; shard that with
+  ``parallel.sp`` instead.)
+  """
+
+  def __init__(self, params, *, num_heads: int, hidden_dim: int = 0,
+               num_queries: int = 1, enable_per_dim_scale: bool = True,
+               add_layer_norm: bool = True, use_bias: bool = True,
+               dtype=jnp.float32):
+    self._params = params
+    self._kw = dict(num_heads=num_heads, hidden_dim=hidden_dim,
+                    enable_per_dim_scale=enable_per_dim_scale,
+                    use_bias=use_bias, dtype=dtype)
+    self._num_queries = num_queries
+    self._finalize_kw = dict(add_layer_norm=add_layer_norm,
+                             use_bias=use_bias, dtype=dtype)
+    self._num_heads = num_heads
+    self._state = None
+    self._update = jax.jit(
+        lambda s, t, p: pooler_update(self._params, s, t, p, **self._kw))
+    self._update_nopad = jax.jit(
+        lambda s, t: pooler_update(self._params, s, t, None, **self._kw))
+
+  def update(self, tokens: Array, paddings: Array | None = None) -> None:
+    if self._state is None:
+      hidden = self._kw['hidden_dim'] or 4 * tokens.shape[-1]
+      self._state = pooler_init(
+          tokens.shape[0], num_heads=self._num_heads, hidden_dim=hidden,
+          num_queries=self._num_queries)
+    self._state = (self._update(self._state, tokens, paddings)
+                   if paddings is not None
+                   else self._update_nopad(self._state, tokens))
+
+  def finalize(self) -> Array:
+    if self._state is None:
+      raise ValueError('StreamingPooler.finalize before any update()')
+    return pooler_finalize(self._params, self._state, **self._finalize_kw)
+
+
 def embed_video_file(
     embed_fn,                    # [B, window, H, W, 3] -> [B, D]
     video_path: str,
