@@ -225,3 +225,54 @@ class TestStreamingPooler:
     with pytest.raises(ValueError):
       streaming.StreamingPooler(
           params, num_heads=heads, hidden_dim=hidden).finalize()
+
+
+class TestClassifyLongVideo:
+
+  def _setup(self):
+    from videoprism_tpu.models import classifier as vc
+
+    enc_cfg = fe.FactorizedEncoderConfig(
+        patch_size=6, pos_emb_shape=(2, 2, 2), model_dim=16,
+        num_spatial_layers=1, num_temporal_layers=1, num_heads=2,
+        mlp_dim=32, atten_logit_cap=50.0, scan=True)
+    cfg = vc.VideoClassifierConfig(encoder=enc_cfg, num_classes=5)
+    params = init_lib.init_video_classifier(jax.random.PRNGKey(0), cfg)
+    return params, cfg
+
+  def test_exact_pooling_over_windows(self):
+    """Logits == classifying the concatenated window tokens one-shot."""
+    from videoprism_tpu.ops import basic
+    from videoprism_tpu.ops.transformer import atten_token_pooling
+
+    params, cfg = self._setup()
+    frames = np.random.default_rng(0).random((10, 12, 12, 3)).astype(
+        np.float32)  # windows [0:4], [4:8], tail [6:10]
+
+    got = streaming.classify_long_video(
+        params, cfg, frames, window=4, batch_windows=2)
+
+    # The stream repeat-pads the tail window (live-feed semantics) rather
+    # than right-aligning like window_frames: compare against the stream's
+    # own windows (window extraction itself is pinned by TestWindowFrames).
+    wins = np.concatenate(
+        [b[:n] for b, n in streaming._iter_window_batches(
+            frames, window=4, stride=None, batch_windows=2)], axis=0)
+    tokens = jnp.concatenate([
+        fe.apply(params['encoder'], wins[i:i + 1], cfg.encoder,
+                 train=False)[0]
+        for i in range(wins.shape[0])], axis=1)
+    emb = jnp.squeeze(atten_token_pooling(
+        params['atten_pooler'], tokens, None,
+        num_heads=cfg.encoder.num_heads,
+        hidden_dim=cfg.encoder.model_dim), axis=-2)
+    want = basic.feed_forward(
+        params['projection'], emb, activation='identity')[0]
+    assert got.shape == (5,)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-5)
+
+  def test_empty_raises(self):
+    params, cfg = self._setup()
+    with pytest.raises(ValueError):
+      streaming.classify_long_video(
+          params, cfg, np.zeros((0, 12, 12, 3), np.float32), window=4)

@@ -66,20 +66,18 @@ def window_frames(
   return np.stack(windows, axis=0)
 
 
-def stream_embeddings(
-    embed_fn,                    # [B, window, H, W, 3] -> [B, D]
+def _iter_window_batches(
     frames_iter: Iterator[np.ndarray] | np.ndarray,
     *,
-    window: int = 16,
-    stride: int | None = None,
-    batch_windows: int = 8,
-) -> Iterator[np.ndarray]:
-  """Yields per-window embeddings [D] as soon as they're computed.
+    window: int,
+    stride: int | None,
+    batch_windows: int,
+) -> Iterator[tuple[np.ndarray, int]]:
+  """Buffers frame chunks into fixed-shape window batches.
 
-  ``frames_iter`` is either a full [T, H, W, 3] array or an iterator of
-  frame chunks (a live feed / sequential decoder); chunks are buffered
-  until a window fills.  ``batch_windows`` windows run per forward —
-  the last batch is padded to the compiled batch shape and trimmed.
+  Yields ``(batch [batch_windows, window, H, W, 3], n_valid)`` — the last
+  batch is padded to the compiled batch shape (repeat-last-window) with
+  ``n_valid`` marking the real rows.
   """
   stride = window if stride is None else stride
   if isinstance(frames_iter, np.ndarray):
@@ -98,9 +96,7 @@ def stream_embeddings(
       n = len(batch)
       if n < batch_windows:  # pad to the compiled shape, trim after
         batch = batch + [batch[-1]] * (batch_windows - n)
-      out = np.asarray(embed_fn(np.stack(batch, axis=0)))
-      for row in out[:n]:
-        yield row
+      yield np.stack(batch, axis=0), n
 
   for chunk in frames_iter:
     chunk = np.asarray(chunk)
@@ -120,6 +116,29 @@ def stream_embeddings(
     reps = np.repeat(buffer[-1:], max(window - buffer.shape[0], 0), axis=0)
     pending.append(np.concatenate([buffer, reps], axis=0)[:window])
   yield from flush(force=True)
+
+
+def stream_embeddings(
+    embed_fn,                    # [B, window, H, W, 3] -> [B, D]
+    frames_iter: Iterator[np.ndarray] | np.ndarray,
+    *,
+    window: int = 16,
+    stride: int | None = None,
+    batch_windows: int = 8,
+) -> Iterator[np.ndarray]:
+  """Yields per-window embeddings [D] as soon as they're computed.
+
+  ``frames_iter`` is either a full [T, H, W, 3] array or an iterator of
+  frame chunks (a live feed / sequential decoder); chunks are buffered
+  until a window fills.  ``batch_windows`` windows run per forward —
+  the last batch is padded to the compiled batch shape and trimmed.
+  """
+  for batch, n in _iter_window_batches(
+      frames_iter, window=window, stride=stride,
+      batch_windows=batch_windows):
+    out = np.asarray(embed_fn(batch))
+    for row in out[:n]:
+      yield row
 
 
 def aggregate(window_embeddings: Sequence[np.ndarray] | np.ndarray,
@@ -316,6 +335,72 @@ class StreamingPooler:
     if self._state is None:
       raise ValueError('StreamingPooler.finalize before any update()')
     return pooler_finalize(self._params, self._state, **self._finalize_kw)
+
+
+def classify_long_video(
+    params,
+    cfg,
+    frames_or_path: np.ndarray | str,
+    *,
+    window: int = 16,
+    stride: int | None = None,
+    batch_windows: int = 8,
+    frame_stride: int = 1,
+    target_size: int = 288,
+    resize_mode: str = 'center_crop',
+    backend: str = 'auto',
+) -> np.ndarray:
+  """Long-video classification with EXACT pooling over all windows.
+
+  Runs the classifier's encoder window-by-window (one compiled shape,
+  bounded HBM) and folds each window's tokens into the streaming pooler
+  — the logits equal classifying the concatenation of all window token
+  sequences in one shot, with only one window resident.  This preserves
+  the model's attention-pooling semantics across the whole video, unlike
+  mean-of-window aggregation.  (Temporal attention still runs
+  per-window, as in every windowed scheme.)
+
+  ``params``/``cfg`` are a classifier tree + VideoClassifierConfig
+  (e.g. from ``load_classifier(...)``); ``frames_or_path`` is a
+  [T, H, W, 3] array or a video file path (incremental decode, constant
+  host memory).  Returns logits [num_classes].
+  """
+  from videoprism_tpu.models import factorized_encoder as fe_lib
+  from videoprism_tpu.ops import basic as basic_lib
+
+  tokens_fn = jax.jit(
+      lambda v: fe_lib.apply(params['encoder'], v, cfg.encoder,
+                             train=False)[0])
+
+  if isinstance(frames_or_path, str):
+    from videoprism_tpu.io import video as video_io
+
+    frames_iter = video_io.frame_reader(
+        frames_or_path, target_size=target_size, resize_mode=resize_mode,
+        frame_stride=frame_stride, chunk_frames=window * batch_windows,
+        backend=backend)
+  else:
+    frames_iter = np.asarray(frames_or_path)
+
+  pooler = StreamingPooler(
+      params['atten_pooler'], num_heads=cfg.encoder.num_heads,
+      hidden_dim=cfg.encoder.model_dim, dtype=cfg.dtype)
+  n_windows = 0
+  for batch, n in _iter_window_batches(
+      frames_iter, window=window, stride=stride,
+      batch_windows=batch_windows):
+    tokens = tokens_fn(jnp.asarray(batch))   # [B, T*N, D], stays on device
+    for i in range(n):                       # fold per window, batch dim 1
+      pooler.update(tokens[i:i + 1])
+    n_windows += n
+  if not n_windows:
+    raise ValueError('classify_long_video: no frames to classify')
+
+  embeddings = jnp.squeeze(pooler.finalize(), axis=-2)
+  logits = basic_lib.feed_forward(
+      params['projection'], embeddings, activation='identity',
+      dtype=cfg.dtype)
+  return np.asarray(jnp.squeeze(logits, axis=0))
 
 
 def embed_video_file(
