@@ -31,14 +31,26 @@ def main():
   parser.add_argument('--num-classes', type=int, default=vp.K400_NUM_CLASSES)
   parser.add_argument('--frames', type=int, default=16)
   parser.add_argument('--checkpoint', default=None)
+  parser.add_argument(
+      '--long', action='store_true',
+      help='stream the WHOLE video through windowed forwards with exact '
+           'online-softmax pooling (constant memory, any length) instead '
+           'of sampling --frames frames')
   args = parser.parse_args()
 
   bound = vp.load_classifier(
       args.model, args.num_classes, weights_path=args.checkpoint)
-  clip = video_lib.load_video(args.video, num_frames=args.frames)[None]
 
-  forward = jax.jit(lambda v: bound(v, train=False)[0])
-  logits = forward(jnp.asarray(clip))
+  if args.long:
+    from videoprism_tpu import streaming
+
+    logits = jnp.asarray(streaming.classify_long_video(
+        bound.params, bound.config, args.video,
+        window=args.frames))[None]
+  else:
+    clip = video_lib.load_video(args.video, num_frames=args.frames)[None]
+    forward = jax.jit(lambda v: bound(v, train=False)[0])
+    logits = forward(jnp.asarray(clip))
   profiling.sync(logits)
 
   probs = np.asarray(jax.nn.softmax(logits, axis=-1)[0], np.float32)
