@@ -1,6 +1,9 @@
 """Parallelism tier: device meshes, GSPMD shardings, multi-host init."""
 
 from videoprism_tpu.parallel import distributed
+from videoprism_tpu.parallel import pp
+from videoprism_tpu.parallel import sp
+from videoprism_tpu.parallel import tp
 from videoprism_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -19,5 +22,6 @@ from videoprism_tpu.parallel.sharding import (
 __all__ = [
     'DATA_AXIS', 'MODEL_AXIS', 'data_sharding', 'distributed',
     'local_batch_size', 'make_mesh', 'param_partition_specs',
-    'param_shardings', 'partition_spec_for', 'replicated', 'shard_params',
+    'param_shardings', 'partition_spec_for', 'pp', 'replicated',
+    'shard_params', 'sp', 'tp',
 ]
