@@ -203,3 +203,20 @@ class TestSPPaddings:
     want = _reference_tail(params, tokens, cfg, paddings=paddings)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+class TestSPQuantGuard:
+
+  def test_int8_tree_rejected(self):
+    """SP bypasses transformer_layer's int8 dispatch — quantized trees
+    must fail loudly, not silently skip the scales."""
+    from videoprism_tpu import quantization
+
+    cfg = _cfg(num_auxiliary_layers=1)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    params = quantization.quantize_for_serving(
+        init_lib.init_video_clip(jax.random.PRNGKey(0), cfg))
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 16))
+    fwd = sp_lib.make_sp_aux_pooler_forward(params, cfg, mesh)
+    with pytest.raises(NotImplementedError):
+      fwd(params, tokens)

@@ -134,6 +134,16 @@ def sp_stacked_transformer(
   gradients flow through the collectives for completeness.
   """
   _validate_sp_cfg(cfg)
+  from videoprism_tpu import quantization
+
+  first = params['x_layers'] if cfg.scan else params['x_layers_0']
+  if quantization.is_quantized(first):
+    # The SP layer feeds multi_head_attention / transformer_ffn directly,
+    # bypassing transformer_layer's int8 dispatch — an int8 tree here
+    # would silently compute garbage (no scales applied).
+    raise NotImplementedError(
+        'sp_stacked_transformer needs floating weights: dequantize the '
+        'aux tower for SP serving (its weights are small)')
   if paddings is None:
     paddings = jnp.zeros(inputs.shape[:-1], dtype=inputs.dtype)
 
