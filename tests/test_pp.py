@@ -152,3 +152,28 @@ class TestPPGuards:
     with pytest.raises(ValueError):
       pp_lib.make_pp_stack_forward(params, cfg, mesh, n_microbatches=3)(
           params, x, jnp.zeros((4, 4)))
+
+
+class TestPPInt8:
+
+  def test_int8_tree_via_dequant_fallback(self):
+    """PP stages run transformer_layer, whose int8 dispatch handles
+    quantized stacked weights (dequantize-and-compose off-TPU)."""
+    from videoprism_tpu import quantization
+
+    cfg = _cfg(num_layers=4)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    params = _params(cfg)
+    q_params = {'x_layers': quantization.quantize_for_serving(
+        params['x_layers'])}
+    b, t, d = 8, 8, 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, d))
+    paddings = jnp.zeros((b, t))
+
+    fwd = pp_lib.make_pp_stack_forward(q_params, cfg, mesh, n_microbatches=2)
+    got = np.asarray(fwd(q_params, x, paddings), np.float32)
+    want = np.asarray(stacked_transformer(
+        {'x_layers': quantization.dequantize(
+            q_params['x_layers'], jnp.float32)},
+        x, paddings, cfg), np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
