@@ -258,3 +258,50 @@ def multi_head_attention(
   if use_bias:
     out = out + basic.cast_floating(params['post']['b'], dtype)
   return out
+
+
+def pooling_projections(
+    params: Params,
+    tokens: Array,            # [B, S, D]
+    *,
+    num_heads: int,
+    hidden_dim: int,
+    enable_per_dim_scale: bool = True,
+    use_bias: bool = True,
+    dtype=jnp.float32,
+) -> tuple[Array, Array, Array]:
+  """Head-major (q, k, v) for an ``atten_token_pooling`` param tree.
+
+  The learned query vectors tile over the batch and get the standard
+  query scaling; keys/values project from ``tokens``.  Shared by the
+  partial-attention poolers that re-combine softmax statistics
+  themselves: the sequence-parallel pooler
+  (:mod:`videoprism_tpu.parallel.sp`, psum across shards) and the
+  streaming online-softmax pooler (:mod:`videoprism_tpu.streaming`,
+  sequential rescale-and-accumulate).
+
+  Returns ``(q [B,N,Q,H], k [B,N,S,H], v [B,N,S,H])``.
+  """
+  dim_per_head = hidden_dim // num_heads
+  assert dim_per_head * num_heads == hidden_dim
+  batch_size = tokens.shape[0]
+
+  query_vec = basic.cast_floating(params['pooling_attention_query'], dtype)
+  query_vec = jnp.tile(query_vec[jnp.newaxis], [batch_size, 1, 1])
+  mha = params['pooling_attention']
+
+  def proj(name, x):
+    w = basic.cast_floating(mha[name]['w'], dtype)
+    out = jnp.einsum('BTD,DNH->BNTH', x, w)
+    if use_bias:
+      out = out + basic.cast_floating(mha[name]['b'], dtype)[:, jnp.newaxis]
+    return out
+
+  q = proj('query', query_vec)
+  k = proj('key', tokens)
+  v = proj('value', tokens)
+  if enable_per_dim_scale:
+    q = basic.per_dim_scale(mha['per_dim_scale'], q, dtype=dtype)
+  else:
+    q = q * (dim_per_head ** -0.5)
+  return q, k, v

@@ -192,33 +192,15 @@ def sp_atten_token_pooling(
   """
   input_dim = tokens.shape[-1]
   hidden_dim = hidden_dim if hidden_dim > 0 else 4 * input_dim
-  dim_per_head = hidden_dim // num_heads
-  assert dim_per_head * num_heads == hidden_dim
-  batch_size = tokens.shape[0]
 
   if paddings is None:
     paddings = jnp.zeros(tokens.shape[:-1], dtype=tokens.dtype)
   key_mask = mask_lib.paddings_to_mask(paddings, paddings.dtype)
 
-  query_vec = basic.cast_floating(params['pooling_attention_query'], dtype)
-  query_vec = jnp.tile(query_vec[jnp.newaxis], [batch_size, 1, 1])
-
-  mha = params['pooling_attention']
-
-  def proj(name, x):  # [B, *, D] x [D, N, H] -> head-major [B, N, *, H]
-    w = basic.cast_floating(mha[name]['w'], dtype)
-    out = jnp.einsum('BTD,DNH->BNTH', x, w)
-    if use_bias:
-      out = out + basic.cast_floating(mha[name]['b'], dtype)[:, jnp.newaxis]
-    return out
-
-  q = proj('query', query_vec)   # [B, N, Q, H]
-  k = proj('key', tokens)        # [B, N, T_local, H]
-  v = proj('value', tokens)
-  if enable_per_dim_scale:
-    q = basic.per_dim_scale(mha['per_dim_scale'], q, dtype=dtype)
-  else:
-    q = q * (dim_per_head ** -0.5)
+  q, k, v = attention_lib.pooling_projections(
+      params, tokens, num_heads=num_heads, hidden_dim=hidden_dim,
+      enable_per_dim_scale=enable_per_dim_scale, use_bias=use_bias,
+      dtype=dtype)
 
   logits = jnp.einsum('BNQH,BNSH->BNQS', q, k).astype(jnp.float32)
   logits = mask_lib.apply_mask_to_logits(logits, key_mask)
@@ -232,6 +214,7 @@ def sp_atten_token_pooling(
   probs = (unnorm / denom).astype(dtype)
   encoded = jnp.einsum('BNQS,BNSH->BNQH', probs, v)
 
+  mha = params['pooling_attention']
   post_w = basic.cast_floating(mha['post']['w'], dtype)
   outputs = jax.lax.psum(
       jnp.einsum('BNQH,DNH->BQD', encoded, post_w), axis)

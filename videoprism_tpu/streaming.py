@@ -224,33 +224,17 @@ def pooler_update(
   projections and logits match
   :func:`videoprism_tpu.ops.transformer.atten_token_pooling` exactly.
   """
-  from videoprism_tpu.ops import basic
+  from videoprism_tpu.ops import attention as attention_lib
   from videoprism_tpu.ops import masks as mask_lib
 
   input_dim = tokens.shape[-1]
   hidden_dim = hidden_dim if hidden_dim > 0 else 4 * input_dim
-  dim_per_head = hidden_dim // num_heads
-  batch_size = tokens.shape[0]
   m, denom, num = state
 
-  query_vec = basic.cast_floating(params['pooling_attention_query'], dtype)
-  query_vec = jnp.tile(query_vec[jnp.newaxis], [batch_size, 1, 1])
-  mha = params['pooling_attention']
-
-  def proj(name, x):
-    w = basic.cast_floating(mha[name]['w'], dtype)
-    out = jnp.einsum('BTD,DNH->BNTH', x, w)
-    if use_bias:
-      out = out + basic.cast_floating(mha[name]['b'], dtype)[:, jnp.newaxis]
-    return out
-
-  q = proj('query', query_vec)
-  k = proj('key', tokens)
-  v = proj('value', tokens)
-  if enable_per_dim_scale:
-    q = basic.per_dim_scale(mha['per_dim_scale'], q, dtype=dtype)
-  else:
-    q = q * (dim_per_head ** -0.5)
+  q, k, v = attention_lib.pooling_projections(
+      params, tokens, num_heads=num_heads, hidden_dim=hidden_dim,
+      enable_per_dim_scale=enable_per_dim_scale, use_bias=use_bias,
+      dtype=dtype)
 
   logits = jnp.einsum('BNQH,BNSH->BNQS', q, k).astype(jnp.float32)
   if paddings is not None:
