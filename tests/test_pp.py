@@ -177,3 +177,52 @@ class TestPPInt8:
             q_params['x_layers'], jnp.float32)},
         x, paddings, cfg), np.float32)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+class TestPPEncoder:
+
+  def _enc_cfg(self, spatial=4):
+    from videoprism_tpu.models import factorized_encoder as fe
+
+    return fe.FactorizedEncoderConfig(
+        patch_size=6, pos_emb_shape=(2, 2, 2), model_dim=16,
+        num_spatial_layers=spatial, num_temporal_layers=1, num_heads=2,
+        mlp_dim=32, atten_logit_cap=50.0, scan=True)
+
+  @pytest.mark.parametrize('model_parallelism', [2, 4])
+  def test_full_encoder_matches(self, model_parallelism):
+    from videoprism_tpu.models import factorized_encoder as fe
+
+    cfg = self._enc_cfg()
+    mesh = mesh_lib.make_mesh(model_parallelism=model_parallelism)
+    params = init_lib.init_factorized_encoder(jax.random.PRNGKey(0), cfg)
+    video = jax.random.uniform(jax.random.PRNGKey(1), (8, 2, 12, 12, 3))
+
+    fwd, sharded = pp_lib.make_pp_encoder_forward(
+        params, cfg, mesh, n_microbatches=2)
+    got = fwd(sharded, video)
+    want, _ = fe.apply(params, video, cfg, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+  def test_stage_weight_sharding(self):
+    """Each stage holds only L/S spatial layers (the PP memory win)."""
+    cfg = self._enc_cfg(spatial=4)
+    mesh = mesh_lib.make_mesh(model_parallelism=4)
+    params = init_lib.init_factorized_encoder(jax.random.PRNGKey(0), cfg)
+    _, sharded = pp_lib.make_pp_encoder_forward(
+        params, cfg, mesh, n_microbatches=2)
+    leaf = sharded['spatial_encoder']['transformers_stack'][
+        'x_layers']['self_attention']['query']['w']
+    shard_shapes = {s.data.shape for s in leaf.addressable_shards}
+    assert shard_shapes == {(1,) + leaf.shape[1:]}  # 4 layers / 4 stages
+    # Non-stack leaves replicated.
+    pos = sharded['spatial_pos_emb']['emb_var']
+    assert all(s.data.shape == pos.shape for s in pos.addressable_shards)
+
+  def test_layer_divisibility_guard(self):
+    cfg = self._enc_cfg(spatial=3)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    params = init_lib.init_factorized_encoder(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError):
+      pp_lib.make_pp_encoder_forward(params, cfg, mesh, n_microbatches=2)

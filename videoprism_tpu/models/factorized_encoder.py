@@ -124,8 +124,17 @@ def apply(
     return_intermediate: bool | Collection[str] = False,
     frame_paddings: Array | None = None,
     rng: jax.Array | None = None,
+    stack_override=None,
 ) -> tuple[Array, dict[str, Array]]:
   """Video [B, T, H, W, 3] -> embeddings [B, T*N, D] (+ intermediates).
+
+  ``stack_override``: optional hook
+  ``(name, stack_params, inputs, stack_cfg, paddings) -> Array | None``
+  replacing a transformer stack's forward (``name`` is
+  ``'spatial_encoder'`` / ``'temporal_encoder'``); returning ``None``
+  falls through to the default.  Used by
+  :func:`videoprism_tpu.parallel.pp.make_pp_encoder_forward` to pipeline
+  a stack's layers across mesh stages.
 
   Reference: ``FactorizedEncoder.__call__`` videoprism/encoders.py:411-456.
   """
@@ -181,6 +190,7 @@ def apply(
       patches_paddings=patches_paddings,
       rng=rng,
       _projected=projected is not None,
+      stack_override=stack_override,
   )
 
 
@@ -195,6 +205,7 @@ def encode_with_patches(
     patches_paddings: Array | None = None,
     rng: jax.Array | None = None,
     _projected: bool = False,
+    stack_override=None,
 ) -> tuple[Array, dict[str, Array]]:
   """Patches [B*T, N, P^2*C] -> embeddings [B, T*N, D].
 
@@ -236,10 +247,16 @@ def encode_with_patches(
         (num_row_patches, num_col_patches))
   patches = patches + spatial_pos_emb
 
-  features = vision_transformer(
-      params['spatial_encoder'], patches,
-      cfg.vit_layer_config(cfg.num_spatial_layers),
-      paddings=patches_paddings, train=train, rng=spatial_rng)
+  spatial_cfg = cfg.vit_layer_config(cfg.num_spatial_layers)
+  features = None
+  if stack_override is not None:
+    features = stack_override(
+        'spatial_encoder', params['spatial_encoder'], patches,
+        spatial_cfg, patches_paddings)
+  if features is None:
+    features = vision_transformer(
+        params['spatial_encoder'], patches, spatial_cfg,
+        paddings=patches_paddings, train=train, rng=spatial_rng)
 
   n = features.shape[1]
   d = features.shape[2]
@@ -288,10 +305,16 @@ def encode_with_patches(
     features = features.reshape(b * n, t, d)
     features = features + temporal_pos_emb
 
-  features = vision_transformer(
-      params['temporal_encoder'], features,
-      cfg.vit_layer_config(cfg.num_temporal_layers),
-      paddings=temporal_paddings, train=train, rng=temporal_rng)
+  temporal_cfg = cfg.vit_layer_config(cfg.num_temporal_layers)
+  temporal_out = None
+  if stack_override is not None:
+    temporal_out = stack_override(
+        'temporal_encoder', params['temporal_encoder'], features,
+        temporal_cfg, temporal_paddings)
+  features = temporal_out if temporal_out is not None else (
+      vision_transformer(
+          params['temporal_encoder'], features, temporal_cfg,
+          paddings=temporal_paddings, train=train, rng=temporal_rng))
   if use_boundary:
     ts = boundary_lib.temporal_to_output_vjp(
         b, n, interpret=cfg.kernel_interpret)

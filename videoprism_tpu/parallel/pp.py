@@ -144,6 +144,83 @@ def pp_stacked_transformer(
   return jax.lax.psum(outputs, axis)
 
 
+def make_pp_encoder_forward(
+    params: Params,
+    cfg,
+    mesh: Mesh,
+    *,
+    n_microbatches: int,
+    kernel_interpret: bool = False,
+) -> Callable[[Params, Array], Array]:
+  """Pipeline-parallel FactorizedEncoder forward (serving path).
+
+  The SPATIAL stack — where the depth lives (40 of giant's 44 layers) —
+  shards its stacked layer weights over the ``model`` axis and runs the
+  GPipe schedule; everything else (patch/pos embeddings, boundaries, the
+  4-layer temporal stack, LNs) stays replicated and runs redundantly per
+  stage (<10% of FLOPs at giant — the price of zero drift from the
+  reference flow, which runs unmodified around the pipelined stack via
+  the ``stack_override`` hook in ``factorized_encoder.apply``).
+
+  Microbatches split the spatial batch of B*T frame rows, so even a
+  single clip pipelines over its frames.  Returns ``(fn, sharded_params)``
+  with ``fn(params, video [B,T,H,W,3]) -> [B, T*N, D]``; the video batch
+  shards over ``data``; per-shard ``B_local*T`` must be divisible by
+  ``n_microbatches``.
+  """
+  from videoprism_tpu.models import factorized_encoder as fe
+
+  n_stages = mesh.shape[mesh_lib.MODEL_AXIS]
+  enc_cfg = dataclasses.replace(
+      cfg, kernel_interpret=kernel_interpret, tp_axis=None)
+  _validate_pp_cfg(
+      enc_cfg.vit_layer_config(enc_cfg.num_spatial_layers), n_stages)
+  P = PartitionSpec
+
+  def param_spec(path, _):
+    names = [getattr(p, 'key', getattr(p, 'name', None)) for p in path]
+    if 'spatial_encoder' in names and 'x_layers' in names:
+      return P(mesh_lib.MODEL_AXIS)
+    return P()
+
+  param_specs = jax.tree_util.tree_map_with_path(param_spec, params)
+
+  def local(p, video):
+    def override(name, stack_params, x, stack_cfg, paddings):
+      if name != 'spatial_encoder':
+        return None
+      stack_cfg = dataclasses.replace(
+          stack_cfg, pack_small_sequences=False)
+      m = n_microbatches
+      bl = x.shape[0]
+      if bl % m:
+        raise ValueError(
+            f'per-shard spatial batch {bl} (frames) not divisible by '
+            f'{m} microbatches')
+      pad = (jnp.zeros(x.shape[:-1], x.dtype) if paddings is None
+             else paddings)
+      xm = x.reshape(m, bl // m, *x.shape[1:])
+      pm = pad.reshape(m, bl // m, *pad.shape[1:])
+      out = pp_stacked_transformer(
+          stack_params['transformers_stack']['x_layers'], xm, pm,
+          stack_cfg, axis=mesh_lib.MODEL_AXIS, n_stages=n_stages)
+      return out.reshape(bl, *out.shape[2:])
+
+    emb, _ = fe.apply(
+        p, video, enc_cfg, train=False, stack_override=override)
+    return emb
+
+  sharded = mesh_lib.shard_map_compat(
+      local, mesh,
+      in_specs=(param_specs, P(mesh_lib.DATA_AXIS, None, None, None, None)),
+      out_specs=P(mesh_lib.DATA_AXIS, None, None))
+  sharded_params = jax.device_put(
+      params, jax.tree.map(
+          lambda s: jax.sharding.NamedSharding(mesh, s), param_specs,
+          is_leaf=lambda x: isinstance(x, PartitionSpec)))
+  return jax.jit(sharded), sharded_params
+
+
 def make_pp_stack_forward(
     params: Params,
     cfg: TransformerLayerConfig,
