@@ -65,6 +65,12 @@ def main():
                       help='local SentencePiece model path')
   parser.add_argument('--init-checkpoint', default=None)
   parser.add_argument('--batch-size', type=int, default=8)
+  parser.add_argument('--accum-steps', type=int, default=1,
+                      help='gradient accumulation: microbatches of '
+                           '--batch-size averaged per optimizer update '
+                           '(effective batch = batch-size * accum-steps '
+                           'at constant activation memory; contrastive '
+                           'negatives stay per-microbatch)')
   parser.add_argument('--steps', type=int, default=1000)
   parser.add_argument('--learning-rate', type=float, default=1e-4)
   parser.add_argument('--warmup-steps', type=int, default=100)
@@ -116,7 +122,7 @@ def main():
 
   if args.synthetic:
     source = data_lib.SyntheticSource(
-        num_examples=max(64, args.batch_size * 4),
+        num_examples=max(64, args.batch_size * args.accum_steps * 4),
         num_frames=frames, size=size)
   else:
     paths = sorted(glob.glob(args.videos_glob))
@@ -142,6 +148,8 @@ def main():
       jax.random.PRNGKey(args.seed), cfg, optimizer,
       pretrained_params=pretrained)
 
+  accum = args.accum_steps
+  batch_axis = 1 if accum > 1 else 0
   if args.tp_impl == 'manual' and (
       jax.device_count() > 1 or args.model_parallelism > 1):
     from videoprism_tpu.train.tp_train_step import make_tp_train_step
@@ -150,13 +158,14 @@ def main():
     # off-TPU the dispatch degrades to the composed path per layer).
     flash_cfg = dataclasses.replace(cfg, attention_impl='flash')
     step_fn, state = make_tp_train_step(
-        flash_cfg, optimizer, mesh, state)
-    shard = lambda ndim: data_sharding(mesh, ndim)
+        flash_cfg, optimizer, mesh, state, accum_steps=accum)
+    shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
   elif jax.device_count() > 1 or args.model_parallelism > 1:
-    step_fn, state = make_sharded_train_step(cfg, optimizer, mesh, state)
-    shard = lambda ndim: data_sharding(mesh, ndim)
+    step_fn, state = make_sharded_train_step(
+        cfg, optimizer, mesh, state, accum_steps=accum)
+    shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
   else:
-    step_fn = jax.jit(make_train_step(cfg, optimizer))
+    step_fn = jax.jit(make_train_step(cfg, optimizer, accum_steps=accum))
     shard = None
 
   ckpt = (TrainCheckpointer(args.checkpoint_dir)
@@ -167,7 +176,7 @@ def main():
 
   loader = data_lib.batched_loader(
       source, tokenizer, args.batch_size, seed=args.seed,
-      num_epochs=None, sharding=shard)
+      num_epochs=None, sharding=shard, accum_steps=accum)
   rng = jax.random.PRNGKey(args.seed + 1)
   t0 = time.time()
   # console_every=1: this loop already throttles log() calls to log_every

@@ -272,6 +272,35 @@ class TestManualTPTraining:
           np.asarray(a), np.asarray(b), atol=2e-5,
           err_msg='/'.join(path))
 
+  def test_tp_accum_step_matches_unsharded_accum(self):
+    from videoprism_tpu.train import make_tp_train_step
+
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=100)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    flat = _batch(b=8)
+    mb_batch = {k: v.reshape(2, 4, *v.shape[1:]) for k, v in flat.items()}
+    rng = jax.random.PRNGKey(1)
+
+    ref_step = jax.jit(make_train_step(cfg, optimizer, accum_steps=2))
+    ref_state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    ref_state, ref_metrics = ref_step(ref_state, mb_batch, rng)
+
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    step, tp_state = make_tp_train_step(
+        cfg, optimizer, mesh, state, accum_steps=2)
+    tp_state, tp_metrics = step(tp_state, mb_batch, rng)
+
+    assert np.isclose(float(tp_metrics['loss']), float(ref_metrics['loss']),
+                      atol=1e-5)
+    w_tp = tp_state.params['vision_encoder']['spatial_encoder'][
+        'transformers_stack']['x_layers']['self_attention']['query']['w']
+    w_ref = ref_state.params['vision_encoder']['spatial_encoder'][
+        'transformers_stack']['x_layers']['self_attention']['query']['w']
+    np.testing.assert_allclose(
+        np.asarray(w_tp), np.asarray(w_ref), atol=2e-5)
+
   def test_tp_step_validates_divisibility(self):
     from videoprism_tpu.train import make_tp_train_step
 
@@ -301,6 +330,70 @@ class TestTraining:
       losses.append(float(metrics['loss']))
     assert int(state.step) == 5
     assert losses[-1] < losses[0], losses
+
+  def test_accum_step_matches_manual_mean_of_grads(self):
+    import optax
+
+    from videoprism_tpu.train import train_step as ts
+
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=100)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    step = jax.jit(make_train_step(cfg, optimizer, accum_steps=2))
+
+    flat = _batch(b=8)
+    mb_batch = {k: v.reshape(2, 4, *v.shape[1:]) for k, v in flat.items()}
+    rng = jax.random.PRNGKey(1)
+    new_state, metrics = step(state, mb_batch, rng)
+    assert int(new_state.step) == 1
+
+    # Manual reference: mean per-microbatch grads, one optimizer update.
+    trainable = (state.params, state.log_temperature)
+    rngs = jax.random.split(rng, 2)
+    vg = jax.value_and_grad(ts.clip_loss_fn, has_aux=True)
+    losses, grad_trees = [], []
+    for i in range(2):
+      mb = {k: v[i] for k, v in mb_batch.items()}
+      (loss, _), g = vg(trainable, mb, cfg, rngs[i])
+      losses.append(float(loss))
+      grad_trees.append(g)
+    grads = jax.tree.map(lambda a, b: (a + b) / 2, *grad_trees)
+    updates, _ = optimizer.update(grads, state.opt_state, trainable)
+    manual_params, _ = optax.apply_updates(trainable, updates)
+
+    np.testing.assert_allclose(
+        float(metrics['loss']), np.mean(losses), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        new_state.params, manual_params)
+
+  def test_sharded_accum_step_matches_unsharded(self):
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=100)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    step, sharded_state = make_sharded_train_step(
+        cfg, optimizer, mesh, state, accum_steps=2)
+
+    flat = _batch(b=8)
+    mb_batch = {k: v.reshape(2, 4, *v.shape[1:]) for k, v in flat.items()}
+    rng = jax.random.PRNGKey(1)
+    sharded_state, metrics = step(sharded_state, mb_batch, rng)
+    assert int(sharded_state.step) == 1
+
+    # Fresh state for the reference: the sharded step donates its input,
+    # and device_put may alias the original buffers.
+    ref_step = jax.jit(make_train_step(cfg, optimizer, accum_steps=2))
+    ref_state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    ref_state, ref_metrics = ref_step(ref_state, mb_batch, rng)
+    np.testing.assert_allclose(
+        float(metrics['loss']), float(ref_metrics['loss']), atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        sharded_state.params, ref_state.params)
 
   @pytest.mark.slow
   def test_sharded_train_step(self):

@@ -46,6 +46,36 @@ class TestBatchedLoader:
     assert b['text_paddings'].shape == (4, 8)
     assert str(b['text_token_ids'].dtype) == 'int32'
 
+  def test_accum_steps_layout(self, tokenizer):
+    source = data_lib.SyntheticSource(num_examples=10)
+    batches = list(data_lib.batched_loader(
+        source, tokenizer, batch_size=2, accum_steps=2, num_epochs=1,
+        max_text_len=8, num_workers=1, shuffle=False))
+    # 10 examples, 4 consumed per step -> 2 accumulation batches.
+    assert len(batches) == 2
+    b = batches[0]
+    assert b['video'].shape == (2, 2, 4, 36, 36, 3)
+    assert b['text_token_ids'].shape == (2, 2, 8)
+    assert b['text_paddings'].shape == (2, 2, 8)
+    # Microbatch layout = a flat batch of 4 reshaped: rows 0,1 in
+    # microbatch 0 and rows 2,3 in microbatch 1.
+    flat = list(data_lib.batched_loader(
+        source, tokenizer, batch_size=4, num_epochs=1, max_text_len=8,
+        num_workers=1, shuffle=False))[0]
+    np.testing.assert_array_equal(
+        np.asarray(b['video']).reshape(4, 4, 36, 36, 3),
+        np.asarray(flat['video']))
+
+  def test_accum_steps_guards(self, tokenizer):
+    source = data_lib.SyntheticSource(num_examples=10)
+    with pytest.raises(ValueError, match='drop_remainder'):
+      next(iter(data_lib.batched_loader(
+          source, tokenizer, batch_size=2, accum_steps=2,
+          drop_remainder=False)))
+    with pytest.raises(ValueError, match='yield nothing'):
+      next(iter(data_lib.batched_loader(
+          source, tokenizer, batch_size=4, accum_steps=4)))
+
   def test_shuffling_differs_across_epochs(self, tokenizer):
     source = data_lib.SyntheticSource(num_examples=8)
     batches = list(data_lib.batched_loader(

@@ -60,10 +60,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, PartitionSpec())
 
 
-def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-  """Shards the leading (batch) axis over the data axis."""
-  return NamedSharding(
-      mesh, PartitionSpec(DATA_AXIS, *([None] * (ndim - 1))))
+def data_sharding(mesh: Mesh, ndim: int = 1,
+                  *, batch_axis: int = 0) -> NamedSharding:
+  """Shards the batch axis over the data axis.
+
+  ``batch_axis`` selects which dimension is the batch (1 for
+  gradient-accumulation batches shaped ``[accum, batch, ...]``, where the
+  leading microbatch axis must stay unsharded so the accumulation scan
+  slices it locally).
+  """
+  spec = [None] * ndim
+  spec[batch_axis] = DATA_AXIS
+  return NamedSharding(mesh, PartitionSpec(*spec))
 
 
 def local_batch_size(mesh: Mesh, global_batch_size: int) -> int:

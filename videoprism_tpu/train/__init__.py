@@ -4,6 +4,7 @@ the reference repo is inference-only, SURVEY.md §2.7)."""
 from videoprism_tpu.train import objectives
 from videoprism_tpu.train.train_step import (
     TrainState,
+    accumulate_gradients,
     create_train_state,
     make_optimizer,
     make_sharded_train_step,
@@ -12,7 +13,7 @@ from videoprism_tpu.train.train_step import (
 from videoprism_tpu.train.tp_train_step import make_tp_train_step
 
 __all__ = [
-    'TrainState', 'create_train_state', 'make_optimizer',
-    'make_sharded_train_step', 'make_tp_train_step', 'make_train_step',
-    'objectives',
+    'TrainState', 'accumulate_gradients', 'create_train_state',
+    'make_optimizer', 'make_sharded_train_step', 'make_tp_train_step',
+    'make_train_step', 'objectives',
 ]

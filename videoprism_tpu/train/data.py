@@ -96,6 +96,7 @@ def batched_loader(
     prefetch_depth: int = 2,
     sharding=None,
     drop_remainder: bool = True,
+    accum_steps: int = 1,
 ) -> Iterator[dict[str, Any]]:
   """Yields device-resident batches
   ``{'video', 'text_token_ids', 'text_paddings'}``.
@@ -104,9 +105,25 @@ def batched_loader(
   eagerly assembled and ``device_put``, overlapping host work with device
   compute.  ``sharding`` is a callable ``ndim -> Sharding`` (e.g.
   ``lambda ndim: data_sharding(mesh, ndim)``) applied per batch field.
+
+  ``accum_steps > 1`` emits gradient-accumulation batches: each yielded
+  leaf is ``[accum_steps, batch_size, ...]`` (``accum_steps * batch_size``
+  examples consumed per step); pass a ``batch_axis=1`` sharding (e.g.
+  ``lambda ndim: data_sharding(mesh, ndim, batch_axis=1)``) so the
+  microbatch axis stays unsharded for the accumulation scan.
   """
   rng = np.random.default_rng(seed)
   pool = concurrent.futures.ThreadPoolExecutor(num_workers)
+  step_size = batch_size * accum_steps
+  if accum_steps > 1 and not drop_remainder:
+    raise ValueError('accum_steps > 1 requires drop_remainder=True '
+                     '(a partial final batch cannot reshape to '
+                     '[accum_steps, batch_size, ...])')
+  if drop_remainder and len(source) < step_size:
+    raise ValueError(
+        f'source has {len(source)} examples but one step consumes '
+        f'{step_size} (batch_size={batch_size} x accum_steps='
+        f'{accum_steps}) — the loader would yield nothing')
 
   def epoch_indices(epoch: int) -> np.ndarray:
     idx = np.arange(len(source))
@@ -125,23 +142,24 @@ def batched_loader(
         'text_token_ids': ids,
         'text_paddings': paddings,
     }
-    if sharding is not None:
-      shardings = {
-          'video': sharding(videos.ndim),
-          'text_token_ids': sharding(2),
-          'text_paddings': sharding(2),
+    if accum_steps > 1:
+      batch = {
+          k: v.reshape(accum_steps, batch_size, *v.shape[1:])
+          for k, v in batch.items()
       }
-      return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    if sharding is not None:
+      return {k: jax.device_put(v, sharding(v.ndim))
+              for k, v in batch.items()}
     return {k: jax.device_put(v) for k, v in batch.items()}
 
   def batch_index_stream():
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
       idx = epoch_indices(epoch)
-      limit = (len(idx) // batch_size) * batch_size if drop_remainder \
+      limit = (len(idx) // step_size) * step_size if drop_remainder \
           else len(idx)
-      for start in range(0, limit, batch_size):
-        yield idx[start:start + batch_size]
+      for start in range(0, limit, step_size):
+        yield idx[start:start + step_size]
       epoch += 1
 
   streams = batch_index_stream()

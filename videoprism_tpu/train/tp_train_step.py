@@ -33,7 +33,11 @@ from videoprism_tpu.models import clip as vclip
 from videoprism_tpu.parallel import mesh as mesh_lib
 from videoprism_tpu.parallel import sharding as shard_lib
 from videoprism_tpu.train import objectives
-from videoprism_tpu.train.train_step import TrainState, _opt_state_shardings
+from videoprism_tpu.train.train_step import (
+    TrainState,
+    _opt_state_shardings,
+    accumulate_gradients,
+)
 
 Params = Any
 
@@ -56,12 +60,16 @@ def make_tp_train_step(
     state: TrainState,
     *,
     kernel_interpret: bool = False,
+    accum_steps: int = 1,
 ):
   """Returns ``(jitted_step, sharded_state)`` for manual-TP CLIP training.
 
   The per-layer math matches the GSPMD step; the difference is that the
   fused Pallas block kernels stay active per shard.  ``kernel_interpret``
   runs the kernels in interpret mode (virtual CPU mesh tests/dryrun).
+  With ``accum_steps > 1`` the batch carries a leading (unsharded)
+  microbatch axis; gradients average over the microbatches before the
+  single optimizer update.
   """
   tp = mesh.shape[mesh_lib.MODEL_AXIS]
   if cfg.num_heads % tp or cfg.mlp_dim % tp or (cfg.model_dim * 4) % tp:
@@ -95,14 +103,18 @@ def make_tp_train_step(
   def train_step(state: TrainState, batch, rng):
     trainable = (state.params, state.log_temperature)
 
-    def loss_fn(trainable):
+    def loss_on(trainable, microbatch, mb_rng):
       params, log_t = trainable
-      return sharded_loss(params, log_t, batch['video'],
-                          batch['text_token_ids'], batch['text_paddings'],
-                          rng)
+      return sharded_loss(params, log_t, microbatch['video'],
+                          microbatch['text_token_ids'],
+                          microbatch['text_paddings'], mb_rng)
 
-    (loss, metrics), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(trainable)
+    vg = jax.value_and_grad(loss_on, has_aux=True)
+    if accum_steps > 1:
+      grads, metrics = accumulate_gradients(
+          vg, trainable, batch, jax.random.split(rng, accum_steps))
+    else:
+      (_, metrics), grads = vg(trainable, batch, rng)
     updates, new_opt_state = optimizer.update(
         grads, state.opt_state, trainable)
     new_params, new_log_temp = optax.apply_updates(trainable, updates)
@@ -118,11 +130,14 @@ def make_tp_train_step(
   opt_sh = _opt_state_shardings(state.opt_state, param_sh, repl_sh)
   state_sh = TrainState(step=repl_sh, params=param_sh,
                         log_temperature=repl_sh, opt_state=opt_sh)
+  batch_axis = 1 if accum_steps > 1 else 0
+  extra = accum_steps > 1
   batch_sh = {
-      'video': NamedSharding(
-          mesh, PartitionSpec(data, None, None, None, None)),
-      'text_token_ids': NamedSharding(mesh, PartitionSpec(data, None)),
-      'text_paddings': NamedSharding(mesh, PartitionSpec(data, None)),
+      'video': mesh_lib.data_sharding(mesh, 5 + extra, batch_axis=batch_axis),
+      'text_token_ids': mesh_lib.data_sharding(
+          mesh, 2 + extra, batch_axis=batch_axis),
+      'text_paddings': mesh_lib.data_sharding(
+          mesh, 2 + extra, batch_axis=batch_axis),
   }
   sharded_state = jax.device_put(state, state_sh)
   step = jax.jit(

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import NamedSharding, PartitionSpec
 
 from videoprism_tpu.models import clip as vclip
 from videoprism_tpu.models import init as init_lib
@@ -122,14 +121,55 @@ def clip_loss_fn(
       video_emb, text_emb, log_temperature)
 
 
+def accumulate_gradients(value_and_grad_fn, trainable, batch, rngs):
+  """Gradient accumulation: ``lax.scan`` over a leading microbatch axis.
+
+  ``batch`` leaves are shaped ``[accum_steps, micro_batch, ...]``; ``rngs``
+  is ``[accum_steps, 2]``.  One backward pass is live at a time (the scan
+  carry is just the gradient sum — same footprint as the params), so the
+  effective batch scales without scaling activation memory.  Returns
+  (mean grads, mean metrics).
+
+  Note the contrastive objective's negatives are *per microbatch* under
+  accumulation (each microbatch's loss sees only its own pairs); this is
+  the standard trade — global negatives across microbatches would require
+  keeping every microbatch's embeddings live, defeating the memory win.
+  """
+  accum_steps = rngs.shape[0]
+
+  def micro(grad_sum, inp):
+    microbatch, rng = inp
+    (_, metrics), grads = value_and_grad_fn(trainable, microbatch, rng)
+    return jax.tree.map(jnp.add, grad_sum, grads), metrics
+
+  zeros = jax.tree.map(jnp.zeros_like, trainable)
+  grad_sum, metrics_stack = jax.lax.scan(micro, zeros, (batch, rngs))
+  grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
+  metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics_stack)
+  return grads, metrics
+
+
 def make_train_step(cfg: vclip.VideoCLIPConfig,
-                    optimizer: optax.GradientTransformation):
-  """Returns ``step(state, batch, rng) -> (state, metrics)`` (pure, jittable)."""
+                    optimizer: optax.GradientTransformation,
+                    *, accum_steps: int = 1):
+  """Returns ``step(state, batch, rng) -> (state, metrics)`` (pure, jittable).
+
+  With ``accum_steps > 1`` the batch leaves must carry a leading
+  ``[accum_steps, ...]`` microbatch axis (``data.batched_loader(...,
+  accum_steps=N)`` emits this layout) and the step averages gradients over
+  the microbatches before the single optimizer update.
+  """
 
   def train_step(state: TrainState, batch, rng):
     trainable = (state.params, state.log_temperature)
-    (loss, metrics), grads = jax.value_and_grad(
-        clip_loss_fn, has_aux=True)(trainable, batch, cfg, rng)
+    if accum_steps > 1:
+      vg = jax.value_and_grad(clip_loss_fn, has_aux=True)
+      grads, metrics = accumulate_gradients(
+          lambda tr, mb, r: vg(tr, mb, cfg, r), trainable, batch,
+          jax.random.split(rng, accum_steps))
+    else:
+      (_, metrics), grads = jax.value_and_grad(
+          clip_loss_fn, has_aux=True)(trainable, batch, cfg, rng)
     updates, new_opt_state = optimizer.update(
         grads, state.opt_state, trainable)
     new_params, new_log_temp = optax.apply_updates(trainable, updates)
@@ -150,31 +190,35 @@ def make_sharded_train_step(
     optimizer: optax.GradientTransformation,
     mesh,
     state: TrainState,
+    *,
+    accum_steps: int = 1,
 ):
   """jits the train step with explicit in/out shardings over ``mesh``.
 
   Returns (jitted_step, sharded_state): params/opt-state laid out per the
   tensor-parallel rules, batch sharded over the data axis, metrics
   replicated.  Donates the input state so optimizer updates are in-place in
-  HBM.
+  HBM.  With ``accum_steps > 1`` the batch carries a leading (unsharded)
+  microbatch axis and the per-microbatch batch axis shards over ``data``.
   """
   param_sh = shard_lib.param_shardings(state.params, mesh)
   repl = mesh_lib.replicated(mesh)
   opt_sh = _opt_state_shardings(state.opt_state, param_sh, repl)
   state_sh = TrainState(
       step=repl, params=param_sh, log_temperature=repl, opt_state=opt_sh)
+  batch_axis = 1 if accum_steps > 1 else 0
+  extra = accum_steps > 1
   batch_sh = {
-      'video': NamedSharding(
-          mesh, PartitionSpec(mesh_lib.DATA_AXIS, None, None, None, None)),
-      'text_token_ids': NamedSharding(
-          mesh, PartitionSpec(mesh_lib.DATA_AXIS, None)),
-      'text_paddings': NamedSharding(
-          mesh, PartitionSpec(mesh_lib.DATA_AXIS, None)),
+      'video': mesh_lib.data_sharding(mesh, 5 + extra, batch_axis=batch_axis),
+      'text_token_ids': mesh_lib.data_sharding(
+          mesh, 2 + extra, batch_axis=batch_axis),
+      'text_paddings': mesh_lib.data_sharding(
+          mesh, 2 + extra, batch_axis=batch_axis),
   }
 
   sharded_state = jax.device_put(state, state_sh)
   step = jax.jit(
-      make_train_step(cfg, optimizer),
+      make_train_step(cfg, optimizer, accum_steps=accum_steps),
       in_shardings=(state_sh, batch_sh, repl),
       out_shardings=(state_sh, repl),
       donate_argnums=(0,),
