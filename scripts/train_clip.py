@@ -84,6 +84,12 @@ def main():
                            'measured training config, train/'
                            'tp_train_step.py)')
   parser.add_argument('--remat', action='store_true')
+  parser.add_argument('--fprop-dtype', default='float32',
+                      choices=['float32', 'bfloat16'],
+                      help='mixed-precision training: forward/backward '
+                           'compute in this dtype, params + optimizer '
+                           'state stay float32 (the loss itself is always '
+                           'computed in float32)')
   parser.add_argument('--checkpoint-dir', default=None)
   parser.add_argument('--checkpoint-every', type=int, default=500)
   parser.add_argument('--metrics-dir', default=None,
@@ -110,6 +116,9 @@ def main():
     base = vp.get_model_config(args.model)
     cfg = vclip.VideoCLIPConfig(**base, remat=args.remat)
     frames, size = (16 if 'base' in args.model else 8), 288
+  if args.fprop_dtype != 'float32':
+    import jax.numpy as jnp
+    cfg = dataclasses.replace(cfg, dtype=jnp.dtype(args.fprop_dtype))
 
   # --- tokenizer + data ---
   from videoprism_tpu.io.tokenizers import SentencePieceTokenizer

@@ -26,13 +26,17 @@ def _free_port() -> int:
     return s.getsockname()[1]
 
 
-def test_two_process_sharded_forward():
+_LOADER_WORKER = os.path.join(os.path.dirname(__file__),
+                              '_mh_loader_worker.py')
+
+
+def _run_two_process(worker: str, ok_marker: str):
   port = _free_port()
   env = dict(os.environ)
   env['PYTHONPATH'] = _REPO + os.pathsep + env.get('PYTHONPATH', '')
   procs = [
       subprocess.Popen(
-          [sys.executable, _WORKER, str(i), '2', str(port)],
+          [sys.executable, worker, str(i), '2', str(port)],
           stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
           env=env)
       for i in range(2)
@@ -48,4 +52,13 @@ def test_two_process_sharded_forward():
         p.kill()
   for i, (p, out) in enumerate(zip(procs, outputs)):
     assert p.returncode == 0, f'proc {i} failed:\n{out[-3000:]}'
-    assert f'MULTIHOST-OK proc={i}' in out, out[-3000:]
+    assert f'{ok_marker} proc={i}' in out, out[-3000:]
+
+
+def test_two_process_sharded_forward():
+  _run_two_process(_WORKER, 'MULTIHOST-OK')
+
+
+def test_two_process_data_loader():
+  """Each host decodes only its half; global batch == full-batch reference."""
+  _run_two_process(_LOADER_WORKER, 'MULTIHOST-LOADER-OK')

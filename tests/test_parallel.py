@@ -331,6 +331,33 @@ class TestTraining:
     assert int(state.step) == 5
     assert losses[-1] < losses[0], losses
 
+  def test_bf16_fprop_train_step(self):
+    """Mixed precision: bf16 forward/backward, fp32 params + update."""
+    import dataclasses
+
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    bf16_cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=100)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    step = jax.jit(make_train_step(bf16_cfg, optimizer))
+    batch = _batch(b=4)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+
+    assert np.isfinite(float(metrics['loss']))
+    # Params and optimizer state stay fp32 (the cast is fprop-only).
+    for leaf in jax.tree.leaves(new_state.params):
+      assert leaf.dtype == jnp.float32, leaf.dtype
+    for leaf in jax.tree.leaves(new_state.opt_state):
+      if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype, jnp.floating):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+
+    # The bf16 loss tracks the fp32 loss (loose gate: one bf16 forward).
+    ref_step = jax.jit(make_train_step(cfg, optimizer))
+    ref_state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    _, ref_metrics = ref_step(ref_state, batch, jax.random.PRNGKey(1))
+    assert abs(float(metrics['loss']) - float(ref_metrics['loss'])) < 0.05
+
   def test_accum_step_matches_manual_mean_of_grads(self):
     import optax
 

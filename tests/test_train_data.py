@@ -76,6 +76,37 @@ class TestBatchedLoader:
       next(iter(data_lib.batched_loader(
           source, tokenizer, batch_size=4, accum_steps=4)))
 
+  def test_multihost_local_rows(self):
+    # Flat layout: contiguous per-process split of the global batch.
+    idx = np.arange(8)
+    np.testing.assert_array_equal(
+        data_lib._local_rows(idx, 1, 8, 0, 2), [0, 1, 2, 3])
+    np.testing.assert_array_equal(
+        data_lib._local_rows(idx, 1, 8, 1, 2), [4, 5, 6, 7])
+    # Accumulation layout: split within each microbatch row block, so
+    # microbatch membership is identical on every host.
+    np.testing.assert_array_equal(
+        data_lib._local_rows(idx, 2, 4, 0, 2), [0, 1, 4, 5])
+    np.testing.assert_array_equal(
+        data_lib._local_rows(idx, 2, 4, 1, 2), [2, 3, 6, 7])
+    # Single process: identity.
+    np.testing.assert_array_equal(data_lib._local_rows(idx, 2, 4, 0, 1), idx)
+
+  def test_multihost_guards(self, tokenizer):
+    source = data_lib.SyntheticSource(num_examples=8)
+    with pytest.raises(ValueError, match='requires a mesh sharding'):
+      next(iter(data_lib.batched_loader(
+          source, tokenizer, batch_size=4,
+          process_index=0, process_count=2)))
+    with pytest.raises(ValueError, match='not divisible'):
+      next(iter(data_lib.batched_loader(
+          source, tokenizer, batch_size=3, sharding=lambda n: None,
+          process_index=0, process_count=2)))
+    with pytest.raises(ValueError, match='out of range'):
+      next(iter(data_lib.batched_loader(
+          source, tokenizer, batch_size=4, sharding=lambda n: None,
+          process_index=2, process_count=2)))
+
   def test_shuffling_differs_across_epochs(self, tokenizer):
     source = data_lib.SyntheticSource(num_examples=8)
     batches = list(data_lib.batched_loader(

@@ -83,6 +83,22 @@ class SyntheticSource:
     return clip, ' '.join(words)
 
 
+def _local_rows(indices: np.ndarray, accum_steps: int, batch_size: int,
+                pidx: int, pcount: int) -> np.ndarray:
+  """This process's slice of one global step's example indices.
+
+  ``indices`` is the flat ``[accum_steps * batch_size]`` global draw; each
+  microbatch row block is split contiguously across processes (matching
+  the contiguous per-process device order of
+  ``jax.make_array_from_process_local_data`` — see tests/_mh_worker.py).
+  """
+  if pcount == 1:
+    return indices
+  lb = batch_size // pcount
+  grid = indices.reshape(accum_steps, batch_size)
+  return grid[:, pidx * lb:(pidx + 1) * lb].reshape(-1)
+
+
 def batched_loader(
     source: ExampleSource,
     tokenizer,
@@ -97,6 +113,8 @@ def batched_loader(
     sharding=None,
     drop_remainder: bool = True,
     accum_steps: int = 1,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ) -> Iterator[dict[str, Any]]:
   """Yields device-resident batches
   ``{'video', 'text_token_ids', 'text_paddings'}``.
@@ -111,9 +129,29 @@ def batched_loader(
   examples consumed per step); pass a ``batch_axis=1`` sharding (e.g.
   ``lambda ndim: data_sharding(mesh, ndim, batch_axis=1)``) so the
   microbatch axis stays unsharded for the accumulation scan.
+
+  **Multi-host**: when ``jax.process_count() > 1`` (or
+  ``process_count``/``process_index`` are passed explicitly), ``batch_size``
+  is the GLOBAL batch and each process decodes only its
+  ``batch_size / process_count`` contiguous rows of it; the yielded leaves
+  are global :class:`jax.Array`\\s assembled with
+  ``jax.make_array_from_process_local_data`` (requires ``sharding``).  All
+  hosts must use the same ``seed`` so they agree on the epoch permutation —
+  only decode/tokenize work is divided.
   """
-  rng = np.random.default_rng(seed)
   pool = concurrent.futures.ThreadPoolExecutor(num_workers)
+  pcount = jax.process_count() if process_count is None else process_count
+  pidx = jax.process_index() if process_index is None else process_index
+  if pcount > 1:
+    if sharding is None:
+      raise ValueError('multi-host loading (process_count '
+                       f'{pcount}) requires a mesh sharding so the global '
+                       'batch can be assembled from process-local data')
+    if batch_size % pcount:
+      raise ValueError(f'global batch_size {batch_size} is not divisible '
+                       f'by process_count {pcount}')
+    if not 0 <= pidx < pcount:
+      raise ValueError(f'process_index {pidx} out of range [0, {pcount})')
   step_size = batch_size * accum_steps
   if accum_steps > 1 and not drop_remainder:
     raise ValueError('accum_steps > 1 requires drop_remainder=True '
@@ -132,8 +170,11 @@ def batched_loader(
       rng_e.shuffle(idx)
     return idx
 
+  local_batch = batch_size // pcount
+
   def make_batch(indices: np.ndarray) -> dict[str, Any]:
-    examples = list(pool.map(source.get, indices))
+    local = _local_rows(indices, accum_steps, batch_size, pidx, pcount)
+    examples = list(pool.map(source.get, local))
     videos = np.stack([clip for clip, _ in examples], axis=0)
     ids, paddings = registry.tokenize_texts(
         tokenizer, [cap for _, cap in examples], max_length=max_text_len)
@@ -144,7 +185,16 @@ def batched_loader(
     }
     if accum_steps > 1:
       batch = {
-          k: v.reshape(accum_steps, batch_size, *v.shape[1:])
+          k: v.reshape(accum_steps, local_batch, *v.shape[1:])
+          for k, v in batch.items()
+      }
+    if pcount > 1:
+      batch_dim = 1 if accum_steps > 1 else 0
+      return {
+          k: jax.make_array_from_process_local_data(
+              sharding(v.ndim), v,
+              v.shape[:batch_dim] + (batch_size,)
+              + v.shape[batch_dim + 1:])
           for k, v in batch.items()
       }
     if sharding is not None:
