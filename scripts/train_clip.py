@@ -84,6 +84,11 @@ def main():
                            'measured training config, train/'
                            'tp_train_step.py)')
   parser.add_argument('--remat', action='store_true')
+  parser.add_argument('--fsdp', action='store_true',
+                      help='ZeRO-3: shard params + optimizer moments over '
+                           'the data axis (per-chip state memory / dp, one '
+                           'weight all-gather per layer per direction); '
+                           'gspmd tp-impl only')
   parser.add_argument('--fprop-dtype', default='float32',
                       choices=['float32', 'bfloat16'],
                       help='mixed-precision training: forward/backward '
@@ -159,6 +164,9 @@ def main():
 
   accum = args.accum_steps
   batch_axis = 1 if accum > 1 else 0
+  if args.fsdp and (args.tp_impl == 'manual' or jax.device_count() == 1):
+    parser.error('--fsdp requires the gspmd tp-impl and more than one '
+                 'device (it shards state over the data mesh axis)')
   if args.tp_impl == 'manual' and (
       jax.device_count() > 1 or args.model_parallelism > 1):
     from videoprism_tpu.train.tp_train_step import make_tp_train_step
@@ -171,7 +179,7 @@ def main():
     shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
   elif jax.device_count() > 1 or args.model_parallelism > 1:
     step_fn, state = make_sharded_train_step(
-        cfg, optimizer, mesh, state, accum_steps=accum)
+        cfg, optimizer, mesh, state, accum_steps=accum, fsdp=args.fsdp)
     shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
   else:
     step_fn = jax.jit(make_train_step(cfg, optimizer, accum_steps=accum))

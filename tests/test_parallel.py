@@ -115,6 +115,126 @@ class TestParamShardings:
                                atol=2e-5)
 
 
+class TestFSDP:
+  """ZeRO-3 via GSPMD: params + optimizer moments sharded over ``data``."""
+
+  def test_spec_augmentation(self):
+    from videoprism_tpu.parallel import fsdp as fsdp_lib
+
+    # Stacked attention w [L, D, N, H], heads on model -> D gets data
+    # (leading layer axis excluded).
+    spec = fsdp_lib.add_fsdp_axis(
+        PartitionSpec(None, None, 'model', None), (12, 768, 12, 64), 4,
+        min_size=0, skip_leading=True)
+    assert spec == PartitionSpec(None, 'data', 'model', None)
+    # MLP kernel [L, D, F] with F on model -> D gets data.
+    spec = fsdp_lib.add_fsdp_axis(
+        PartitionSpec(None, None, 'model'), (12, 768, 3072), 4,
+        min_size=0, skip_leading=True)
+    assert spec == PartitionSpec(None, 'data', 'model')
+    # Non-divisible dims stay replicated.
+    spec = fsdp_lib.add_fsdp_axis(PartitionSpec(), (7, 5), 4, min_size=0)
+    assert spec == PartitionSpec()
+    # Below min_size: untouched.
+    spec = fsdp_lib.add_fsdp_axis(PartitionSpec(), (16,), 4, min_size=64)
+    assert spec == PartitionSpec()
+    # Ties prefer the later axis; unstacked leading axis is eligible.
+    spec = fsdp_lib.add_fsdp_axis(PartitionSpec(), (256, 256), 4, min_size=0)
+    assert spec == PartitionSpec(None, 'data')
+
+  def test_fsdp_specs_cover_tree(self):
+    from videoprism_tpu.parallel import fsdp as fsdp_lib
+
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    params = init_lib.init_video_clip(jax.random.PRNGKey(0), cfg)
+    specs = fsdp_lib.fsdp_partition_specs(params, 4, min_size=0)
+    stack = specs['vision_encoder']['spatial_encoder'][
+        'transformers_stack']['x_layers']
+    # TP head split preserved, D additionally on data, layer axis intact.
+    assert stack['self_attention']['query']['w'] == PartitionSpec(
+        None, 'data', 'model', None)
+    # LN scale [L, D]: D on data (no TP spec to compose with).
+    assert stack['layer_norm']['scale'] == PartitionSpec(None, 'data')
+
+  @pytest.mark.parametrize('model_parallelism', [1, 2])
+  def test_fsdp_step_matches_unsharded(self, model_parallelism):
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=100)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    mesh = mesh_lib.make_mesh(model_parallelism)
+    step, fsdp_state = make_sharded_train_step(
+        cfg, optimizer, mesh, state, fsdp=True, fsdp_min_size=0)
+
+    batch = _batch(b=8)
+    rng = jax.random.PRNGKey(1)
+    fsdp_state, metrics = step(fsdp_state, batch, rng)
+
+    ref_step = jax.jit(make_train_step(cfg, optimizer))
+    ref_state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    ref_state, ref_metrics = ref_step(ref_state, batch, rng)
+
+    assert np.isclose(float(metrics['loss']), float(ref_metrics['loss']),
+                      atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5),
+        fsdp_state.params, ref_state.params)
+
+  def test_fsdp_actually_shards_state_memory(self):
+    """Every large param leaf and its adam moments live at 1/(dp*tp) per
+    device — the ZeRO-3 memory contract."""
+    from videoprism_tpu.parallel import fsdp as fsdp_lib
+
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    optimizer = make_optimizer(warmup_steps=1, total_steps=10)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # (data=4, model=2)
+    _, fsdp_state = make_sharded_train_step(
+        cfg, optimizer, mesh, state, fsdp=True, fsdp_min_size=0)
+
+    def shard_fraction(leaf):
+      return leaf.addressable_shards[0].data.size / leaf.size
+
+    w = fsdp_state.params['vision_encoder']['spatial_encoder'][
+        'transformers_stack']['x_layers']['self_attention']['query']['w']
+    assert shard_fraction(w) == 1 / 8, w.sharding
+    # Adam moments mirror the param layout (mu lives in opt_state[1][0]).
+    mu_w = fsdp_state.opt_state[1][0].mu[0]['vision_encoder'][
+        'spatial_encoder']['transformers_stack']['x_layers'][
+        'self_attention']['query']['w']
+    assert shard_fraction(mu_w) == 1 / 8, mu_w.sharding
+    # Specs with no TP rule still shard over data.
+    specs = fsdp_lib.fsdp_partition_specs(state.params, 4, min_size=0)
+    pe = specs['vision_encoder']['spatial_pos_emb']['emb_var']
+    assert 'data' in jax.tree.leaves(tuple(pe)), pe
+
+  def test_fsdp_accum_step_matches_unsharded(self):
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=100)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # microbatch 4 / data 4
+    step, fsdp_state = make_sharded_train_step(
+        cfg, optimizer, mesh, state, accum_steps=2, fsdp=True,
+        fsdp_min_size=0)
+
+    flat = _batch(b=8)
+    mb_batch = {k: v.reshape(2, 4, *v.shape[1:]) for k, v in flat.items()}
+    rng = jax.random.PRNGKey(1)
+    fsdp_state, metrics = step(fsdp_state, mb_batch, rng)
+
+    ref_step = jax.jit(make_train_step(cfg, optimizer, accum_steps=2))
+    ref_state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    ref_state, ref_metrics = ref_step(ref_state, mb_batch, rng)
+    assert np.isclose(float(metrics['loss']), float(ref_metrics['loss']),
+                      atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5),
+        fsdp_state.params, ref_state.params)
+
+
 class TestManualTensorParallel:
   """shard_map TP that keeps the fused kernels (VERDICT round-1 item 2).
 

@@ -192,6 +192,8 @@ def make_sharded_train_step(
     state: TrainState,
     *,
     accum_steps: int = 1,
+    fsdp: bool = False,
+    fsdp_min_size: int | None = None,
 ):
   """jits the train step with explicit in/out shardings over ``mesh``.
 
@@ -200,8 +202,20 @@ def make_sharded_train_step(
   replicated.  Donates the input state so optimizer updates are in-place in
   HBM.  With ``accum_steps > 1`` the batch carries a leading (unsharded)
   microbatch axis and the per-microbatch batch axis shards over ``data``.
+
+  ``fsdp=True`` additionally shards params + optimizer moments over the
+  ``data`` axis (ZeRO-3 via GSPMD — see :mod:`videoprism_tpu.parallel.fsdp`):
+  per-chip state memory drops by the data-axis size, paid for with a
+  per-layer weight all-gather in forward/backward and a reduce-scatter of
+  the gradients.
   """
-  param_sh = shard_lib.param_shardings(state.params, mesh)
+  if fsdp:
+    from videoprism_tpu.parallel import fsdp as fsdp_lib
+
+    kw = {} if fsdp_min_size is None else {'min_size': fsdp_min_size}
+    param_sh = fsdp_lib.fsdp_param_shardings(state.params, mesh, **kw)
+  else:
+    param_sh = shard_lib.param_shardings(state.params, mesh)
   repl = mesh_lib.replicated(mesh)
   opt_sh = _opt_state_shardings(state.opt_state, param_sh, repl)
   state_sh = TrainState(
