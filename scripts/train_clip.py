@@ -84,6 +84,12 @@ def main():
                            'measured training config, train/'
                            'tp_train_step.py)')
   parser.add_argument('--remat', action='store_true')
+  parser.add_argument('--pp-microbatches', type=int, default=0,
+                      help='pipeline-parallel training: stage the spatial '
+                           'stack over the model mesh axis (GPipe) and '
+                           'split the per-shard frame rows into this '
+                           'many microbatches; requires '
+                           '--model-parallelism > 1')
   parser.add_argument('--fsdp', action='store_true',
                       help='ZeRO-3: shard params + optimizer moments over '
                            'the data axis (per-chip state memory / dp, one '
@@ -164,10 +170,21 @@ def main():
 
   accum = args.accum_steps
   batch_axis = 1 if accum > 1 else 0
-  if args.fsdp and (args.tp_impl == 'manual' or jax.device_count() == 1):
+  if args.fsdp and (args.tp_impl == 'manual' or args.pp_microbatches
+                    or jax.device_count() == 1):
     parser.error('--fsdp requires the gspmd tp-impl and more than one '
                  'device (it shards state over the data mesh axis)')
-  if args.tp_impl == 'manual' and (
+  if args.pp_microbatches:
+    if args.model_parallelism < 2:
+      parser.error('--pp-microbatches requires --model-parallelism > 1 '
+                   '(the model axis is the stage axis)')
+    from videoprism_tpu.train.pp_train_step import make_pp_train_step
+
+    step_fn, state = make_pp_train_step(
+        cfg, optimizer, mesh, state, n_microbatches=args.pp_microbatches,
+        accum_steps=accum)
+    shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
+  elif args.tp_impl == 'manual' and (
       jax.device_count() > 1 or args.model_parallelism > 1):
     from videoprism_tpu.train.tp_train_step import make_tp_train_step
 

@@ -432,6 +432,60 @@ class TestManualTPTraining:
       make_tp_train_step(cfg, optimizer, mesh, state)
 
 
+class TestPipelineTraining:
+  """GPipe CLIP training: spatial-stack layers staged over ``model``."""
+
+  def test_pp_step_matches_single_device(self):
+    from videoprism_tpu.train import make_pp_train_step
+
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=100)
+    batch = _batch(b=8)
+    rng = jax.random.PRNGKey(1)
+
+    ref_step = jax.jit(make_train_step(cfg, optimizer))
+    ref_state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    ref_state, ref_metrics = ref_step(ref_state, batch, rng)
+
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # 2 stages x data 4
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    # B_local=2, T=2 -> 4 spatial frame rows per shard, 2 microbatches.
+    step, pp_state = make_pp_train_step(
+        cfg, optimizer, mesh, state, n_microbatches=2)
+    pp_state, pp_metrics = step(pp_state, batch, rng)
+
+    assert np.isclose(float(pp_metrics['loss']), float(ref_metrics['loss']),
+                      atol=1e-5)
+    # The stage-sharded stack AND the replicated towers update identically.
+    for path in (('vision_encoder', 'spatial_encoder', 'transformers_stack',
+                  'x_layers', 'self_attention', 'query', 'w'),
+                 ('vision_encoder', 'temporal_encoder', 'transformers_stack',
+                  'x_layers', 'ff_layer', 'ffn_layer1', 'linear', 'kernel'),
+                 ('text_encoder', 'token_emb', 'emb_var'),
+                 ('contrastive_vision_pooler', 'pooling_attention',
+                  'post', 'w')):
+      a, b = pp_state.params, ref_state.params
+      for k in path:
+        a, b = a[k], b[k]
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), atol=2e-5, err_msg='/'.join(path))
+    # The stack genuinely lives staged: 1/2 of the layer axis per device.
+    w = pp_state.params['vision_encoder']['spatial_encoder'][
+        'transformers_stack']['x_layers']['self_attention']['query']['w']
+    assert w.addressable_shards[0].data.shape[0] == w.shape[0] // 2
+
+  def test_pp_step_validates_divisibility(self):
+    from videoprism_tpu.train import make_pp_train_step
+
+    cfg = vclip.VideoCLIPConfig(**{**TINY_CLIP, 'num_spatial_layers': 3})
+    optimizer = make_optimizer(warmup_steps=1, total_steps=10)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    with pytest.raises(ValueError, match='not divisible'):
+      make_pp_train_step(cfg, optimizer, mesh, state, n_microbatches=2)
+
+
 class TestTraining:
 
   @pytest.mark.slow

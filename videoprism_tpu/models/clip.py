@@ -106,8 +106,13 @@ def encode_vision(
     return_intermediate: bool | Collection[str] = False,
     frame_paddings: Array | None = None,
     rng: jax.Array | None = None,
+    stack_override=None,
 ) -> tuple[Array, dict[str, Array]]:
   """Vision branch: [B, T, H, W, 3] -> contrastive embeddings [B, D].
+
+  ``stack_override`` is forwarded to the inner FactorizedEncoder (see
+  :func:`videoprism_tpu.models.factorized_encoder.apply`) — the hook the
+  pipeline-parallel train step uses to stage-shard the spatial stack.
 
   Reference: videoprism/encoders.py:820-885.
   """
@@ -122,7 +127,8 @@ def encode_vision(
   vision_features, vision_outputs = fe.apply(
       params['vision_encoder'], inputs, cfg.vision_config(),
       train=train, return_intermediate=return_intermediate,
-      frame_paddings=frame_paddings, rng=enc_rng)
+      frame_paddings=frame_paddings, rng=enc_rng,
+      stack_override=stack_override)
   outputs.update(vision_outputs)
   if fe.contains(return_intermediate, 'spatiotemporal_features'):
     outputs['spatiotemporal_features'] = vision_features
@@ -193,6 +199,7 @@ def apply(
     return_intermediate: bool | Collection[str] = False,
     frame_paddings: Array | None = None,
     rng: jax.Array | None = None,
+    stack_override=None,
 ) -> tuple[Array | None, Array | None, dict[str, Array]]:
   """Full CLIP forward; either modality may be ``None``.
 
@@ -208,7 +215,8 @@ def apply(
     video_embeddings, outputs = encode_vision(
         params, inputs, cfg, train=train, normalize=normalize,
         return_intermediate=return_intermediate,
-        frame_paddings=frame_paddings, rng=vis_rng)
+        frame_paddings=frame_paddings, rng=vis_rng,
+        stack_override=stack_override)
 
   if text_token_ids is not None:
     assert text_paddings is not None, 'Text paddings are required.'

@@ -10,10 +10,11 @@ from videoprism_tpu.train.train_step import (
     make_sharded_train_step,
     make_train_step,
 )
+from videoprism_tpu.train.pp_train_step import make_pp_train_step
 from videoprism_tpu.train.tp_train_step import make_tp_train_step
 
 __all__ = [
     'TrainState', 'accumulate_gradients', 'create_train_state',
-    'make_optimizer', 'make_sharded_train_step', 'make_tp_train_step',
-    'make_train_step', 'objectives',
+    'make_optimizer', 'make_pp_train_step', 'make_sharded_train_step',
+    'make_tp_train_step', 'make_train_step', 'objectives',
 ]
