@@ -32,6 +32,7 @@ jax.config.update(
     os.environ.get('JAX_COMPILATION_CACHE_DIR',
                    os.path.expanduser('~/.cache/jax_comp_cache')))
 
+import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 import videoprism_tpu as vp  # noqa: E402
@@ -101,6 +102,13 @@ def main():
                            'compute in this dtype, params + optimizer '
                            'state stay float32 (the loss itself is always '
                            'computed in float32)')
+  parser.add_argument('--bf16-moments', action='store_true',
+                      help='store the AdamW first moment in bfloat16 '
+                           '(-1/3 optimizer state memory; nu stays fp32)')
+  parser.add_argument('--ema-decay', type=float, default=0.0,
+                      help='track an EMA of the params for eval/serving '
+                           '(0 = off; typical 0.999); checkpointed under '
+                           '<checkpoint-dir>/ema')
   parser.add_argument('--checkpoint-dir', default=None)
   parser.add_argument('--checkpoint-every', type=int, default=500)
   parser.add_argument('--metrics-dir', default=None,
@@ -128,7 +136,6 @@ def main():
     cfg = vclip.VideoCLIPConfig(**base, remat=args.remat)
     frames, size = (16 if 'base' in args.model else 8), 288
   if args.fprop_dtype != 'float32':
-    import jax.numpy as jnp
     cfg = dataclasses.replace(cfg, dtype=jnp.dtype(args.fprop_dtype))
 
   # --- tokenizer + data ---
@@ -158,7 +165,8 @@ def main():
 
   optimizer = make_optimizer(
       learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
-      total_steps=args.steps)
+      total_steps=args.steps,
+      mu_dtype=jnp.bfloat16 if args.bf16_moments else None)
   pretrained = None
   if args.init_checkpoint:
     state0 = vp.load_pretrained_weights(
@@ -205,6 +213,16 @@ def main():
   ckpt = (TrainCheckpointer(args.checkpoint_dir)
           if args.checkpoint_dir else None)
 
+  ema_state = ema_update = ema_ckpt = None
+  if args.ema_decay:
+    from videoprism_tpu.train import ema as ema_lib
+
+    ema_update = ema_lib.make_ema_update(args.ema_decay)
+    ema_state = ema_lib.init_ema(state.params)
+    if args.checkpoint_dir:
+      ema_ckpt = TrainCheckpointer(
+          os.path.join(args.checkpoint_dir, 'ema'))
+
   # --- loop ---
   from videoprism_tpu.utils.logging import MetricsLogger
 
@@ -221,16 +239,22 @@ def main():
     if i >= args.steps:
       break
     state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+    if ema_update is not None:
+      ema_state = ema_update(ema_state, state.params)
     if i % args.log_every == 0 or i == args.steps - 1:
       logger.log(i, metrics,
                  sec_per_step=round((time.time() - t0) / max(i, 1), 3))
     if ckpt is not None:
-      if ckpt.maybe_save(int(jax.device_get(state.step)), state,
-                         every=args.checkpoint_every):
-        logger.event('checkpoint_saved',
-                     step=int(jax.device_get(state.step)))
+      step_no = int(jax.device_get(state.step))
+      if ckpt.maybe_save(step_no, state, every=args.checkpoint_every):
+        logger.event('checkpoint_saved', step=step_no)
+        if ema_ckpt is not None:
+          ema_ckpt.maybe_save(step_no, ema_state,
+                              every=args.checkpoint_every)
   if ckpt is not None:
     ckpt.wait()
+  if ema_ckpt is not None:
+    ema_ckpt.wait()
   logger.event('run_complete', steps=args.steps,
                wall_seconds=round(time.time() - t0, 1))
   logger.close()

@@ -30,7 +30,7 @@ _LOADER_WORKER = os.path.join(os.path.dirname(__file__),
                               '_mh_loader_worker.py')
 
 
-def _run_two_process(worker: str, ok_marker: str):
+def _run_two_process(worker: str, ok_marker: str, timeout: int = 240):
   port = _free_port()
   env = dict(os.environ)
   env['PYTHONPATH'] = _REPO + os.pathsep + env.get('PYTHONPATH', '')
@@ -44,7 +44,7 @@ def _run_two_process(worker: str, ok_marker: str):
   outputs = []
   try:
     for p in procs:
-      out, _ = p.communicate(timeout=240)
+      out, _ = p.communicate(timeout=timeout)
       outputs.append(out)
   finally:
     for p in procs:
@@ -62,3 +62,14 @@ def test_two_process_sharded_forward():
 def test_two_process_data_loader():
   """Each host decodes only its half; global batch == full-batch reference."""
   _run_two_process(_LOADER_WORKER, 'MULTIHOST-LOADER-OK')
+
+
+_TRAIN_WORKER = os.path.join(os.path.dirname(__file__),
+                             '_mh_train_worker.py')
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_training():
+  """Two steps of the FSDP CLIP train step over a cross-process mesh, fed
+  by the multi-host loader, matching the single-process step's loss."""
+  _run_two_process(_TRAIN_WORKER, 'MULTIHOST-TRAIN-OK', timeout=480)

@@ -532,6 +532,31 @@ class TestTraining:
     _, ref_metrics = ref_step(ref_state, batch, jax.random.PRNGKey(1))
     assert abs(float(metrics['loss']) - float(ref_metrics['loss'])) < 0.05
 
+  def test_bf16_moments_optimizer(self):
+    """mu stored bf16 (1/3 off AdamW state), nu fp32, loss tracks fp32."""
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=100, mu_dtype=jnp.bfloat16)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    adam = state.opt_state[1][0]
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(adam.mu))
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(adam.nu))
+
+    step = jax.jit(make_train_step(cfg, optimizer))
+    batch = _batch(b=4)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['loss']))
+    new_adam = new_state.opt_state[1][0]
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree.leaves(new_adam.mu))
+
+    ref_opt = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                             total_steps=100)
+    ref_state = create_train_state(jax.random.PRNGKey(0), cfg, ref_opt)
+    _, ref_metrics = jax.jit(make_train_step(cfg, ref_opt))(
+        ref_state, batch, jax.random.PRNGKey(1))
+    assert abs(float(metrics['loss']) - float(ref_metrics['loss'])) < 1e-5
+
   def test_accum_step_matches_manual_mean_of_grads(self):
     import optax
 

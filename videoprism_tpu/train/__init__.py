@@ -2,6 +2,12 @@
 the reference repo is inference-only, SURVEY.md §2.7)."""
 
 from videoprism_tpu.train import objectives
+from videoprism_tpu.train.ema import (
+    EmaState,
+    ema_params,
+    init_ema,
+    make_ema_update,
+)
 from videoprism_tpu.train.train_step import (
     TrainState,
     accumulate_gradients,
@@ -14,7 +20,8 @@ from videoprism_tpu.train.pp_train_step import make_pp_train_step
 from videoprism_tpu.train.tp_train_step import make_tp_train_step
 
 __all__ = [
-    'TrainState', 'accumulate_gradients', 'create_train_state',
-    'make_optimizer', 'make_pp_train_step', 'make_sharded_train_step',
-    'make_tp_train_step', 'make_train_step', 'objectives',
+    'EmaState', 'TrainState', 'accumulate_gradients', 'create_train_state',
+    'ema_params', 'init_ema', 'make_ema_update', 'make_optimizer',
+    'make_pp_train_step', 'make_sharded_train_step', 'make_tp_train_step',
+    'make_train_step', 'objectives',
 ]

@@ -61,12 +61,18 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.95,
     clip_norm: float = 1.0,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
   """AdamW + cosine schedule + global-norm clipping.
 
   ``warmup_steps`` is honored as given unless it would make the cosine
   decay span non-positive (warmup >= total), in which case it is clamped
   to total_steps - 1 so short smoke runs still construct.
+
+  ``mu_dtype`` (e.g. ``jnp.bfloat16``) stores the first moment in reduced
+  precision — a third off AdamW state memory (``nu`` must stay fp32: it
+  accumulates squares whose dynamic range bf16 cannot hold).  Composes
+  with the FSDP sharding (moments inherit the param layout either way).
   """
   if warmup_steps >= total_steps:
     warmup_steps = max(total_steps - 1, 0)
@@ -75,7 +81,8 @@ def make_optimizer(
       warmup_steps=warmup_steps, decay_steps=total_steps)
   return optax.chain(
       optax.clip_by_global_norm(clip_norm),
-      optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+      optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay,
+                  mu_dtype=mu_dtype),
   )
 
 
