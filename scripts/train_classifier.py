@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Classifier fine-tuning driver: full or frozen-backbone (VideoGLUE-style).
+
+The reference publishes frozen-backbone VideoGLUE numbers
+(reference README.md:188-195) but ships no training code — its
+``load_classifier`` leaves a random pooler + head that "must be trained".
+This driver trains them: sharded step over a (data, model) mesh, labeled
+input pipeline with host prefetch, periodic orbax checkpoints.
+
+Smoke run (synthetic labels, CPU or one chip):
+  python scripts/train_classifier.py --synthetic --tiny --steps 10
+
+Frozen-backbone fine-tune from a pretrained encoder checkpoint:
+  python scripts/train_classifier.py --model videoprism_public_v1_base \
+      --num-classes 400 --freeze-backbone \
+      --manifest train.csv   # lines: /path/clip.mp4,<int label>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import dataclasses
+import time
+
+import jax
+
+jax.config.update(
+    'jax_compilation_cache_dir',
+    os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                   os.path.expanduser('~/.cache/jax_comp_cache')))
+
+import jax.numpy as jnp  # noqa: E402
+
+import videoprism_tpu as vp  # noqa: E402
+from videoprism_tpu.models import classifier as vc  # noqa: E402
+from videoprism_tpu.models import factorized_encoder as fe  # noqa: E402
+from videoprism_tpu.parallel import data_sharding, make_mesh  # noqa: E402
+from videoprism_tpu.train import (  # noqa: E402
+    create_classifier_train_state,
+    data as data_lib,
+    make_classifier_train_step,
+    make_optimizer,
+    make_sharded_classifier_train_step,
+)
+from videoprism_tpu.train.checkpointing import TrainCheckpointer  # noqa: E402
+
+TINY_ENC = dict(
+    patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=2,
+    num_temporal_layers=1, mlp_dim=32, model_dim=16, num_heads=2,
+    atten_logit_cap=50.0, scan=True)
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--model', default='videoprism_public_v1_base',
+                      help='backbone name (encoder or lvt checkpoint)')
+  parser.add_argument('--num-classes', type=int, default=vp.K400_NUM_CLASSES)
+  parser.add_argument('--freeze-backbone', action='store_true',
+                      help='VideoGLUE protocol: encoder frozen in eval '
+                           'mode (no backward through the stack, optimizer '
+                           'state only for pooler + head)')
+  parser.add_argument('--tiny', action='store_true')
+  parser.add_argument('--synthetic', action='store_true')
+  parser.add_argument('--manifest', default=None,
+                      help='CSV manifest: video_path,int_label per line')
+  parser.add_argument('--init-checkpoint', default=None,
+                      help='backbone weights (default: the usual '
+                           'weights/-then-HF resolution via load_classifier; '
+                           'random init when --tiny/--synthetic)')
+  parser.add_argument('--batch-size', type=int, default=8)
+  parser.add_argument('--accum-steps', type=int, default=1)
+  parser.add_argument('--steps', type=int, default=1000)
+  parser.add_argument('--learning-rate', type=float, default=1e-3)
+  parser.add_argument('--warmup-steps', type=int, default=100)
+  parser.add_argument('--weight-decay', type=float, default=1e-4)
+  parser.add_argument('--model-parallelism', type=int, default=1)
+  parser.add_argument('--remat', action='store_true',
+                      help='rematerialize the encoder stack (full '
+                           'fine-tune memory relief; no-op when frozen)')
+  parser.add_argument('--fprop-dtype', default='float32',
+                      choices=['float32', 'bfloat16'])
+  parser.add_argument('--checkpoint-dir', default=None)
+  parser.add_argument('--checkpoint-every', type=int, default=500)
+  parser.add_argument('--metrics-dir', default=None)
+  parser.add_argument('--log-every', type=int, default=10)
+  parser.add_argument('--cpu-devices', type=int, default=0)
+  parser.add_argument('--seed', type=int, default=0)
+  args = parser.parse_args()
+
+  if args.cpu_devices:
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_num_cpu_devices', args.cpu_devices)
+
+  # --- model config + init ---
+  pretrained = None
+  if args.tiny:
+    enc_cfg = fe.FactorizedEncoderConfig(**TINY_ENC, remat=args.remat)
+    frames, size = 2, 12
+  else:
+    base = vp.CONFIGS[
+        'videoprism_v1_large' if 'large' in args.model else
+        'videoprism_v1_giant' if 'giant' in args.model else
+        'videoprism_v1_base']
+    enc_cfg = fe.FactorizedEncoderConfig(**base, remat=args.remat)
+    frames, size = (16 if 'base' in args.model else 8), 288
+    if not args.synthetic or args.init_checkpoint:
+      bound = vp.load_classifier(args.model, args.num_classes,
+                                 weights_path=args.init_checkpoint)
+      pretrained = bound.params
+  if args.fprop_dtype != 'float32':
+    enc_cfg = dataclasses.replace(enc_cfg, dtype=jnp.dtype(args.fprop_dtype))
+  cfg = vc.VideoClassifierConfig(encoder=enc_cfg,
+                                 num_classes=args.num_classes)
+
+  # --- data ---
+  if args.synthetic:
+    source = data_lib.SyntheticLabeledSource(
+        num_examples=max(64, args.batch_size * args.accum_steps * 4),
+        num_frames=frames, size=size, num_classes=args.num_classes)
+  else:
+    rows = [line.rsplit(',', 1)
+            for line in open(args.manifest).read().splitlines() if line]
+    source = data_lib.VideoLabelSource(
+        [p for p, _ in rows], [int(l) for _, l in rows],
+        num_frames=frames, target_size=size)
+  print(f'{len(source)} examples; {args.num_classes}-way; '
+        f'{"frozen backbone" if args.freeze_backbone else "full fine-tune"}')
+
+  # --- mesh + state + step ---
+  mesh = make_mesh(args.model_parallelism)
+  print(f'mesh: {dict(mesh.shape)} over {jax.device_count()} devices')
+  optimizer = make_optimizer(
+      learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+      total_steps=args.steps, weight_decay=args.weight_decay)
+  state = create_classifier_train_state(
+      jax.random.PRNGKey(args.seed), cfg, optimizer,
+      pretrained_params=pretrained, freeze_backbone=args.freeze_backbone)
+
+  accum = args.accum_steps
+  batch_axis = 1 if accum > 1 else 0
+  if jax.device_count() > 1 or args.model_parallelism > 1:
+    step_fn, state = make_sharded_classifier_train_step(
+        cfg, optimizer, mesh, state, freeze_backbone=args.freeze_backbone,
+        accum_steps=accum)
+    shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
+  else:
+    step_fn = jax.jit(make_classifier_train_step(
+        cfg, optimizer, freeze_backbone=args.freeze_backbone,
+        accum_steps=accum))
+    shard = None
+
+  ckpt = (TrainCheckpointer(args.checkpoint_dir)
+          if args.checkpoint_dir else None)
+
+  # --- loop ---
+  from videoprism_tpu.utils.logging import MetricsLogger
+
+  loader = data_lib.labeled_loader(
+      source, args.batch_size, seed=args.seed, num_epochs=None,
+      sharding=shard, accum_steps=accum)
+  rng = jax.random.PRNGKey(args.seed + 1)
+  t0 = time.time()
+  logger = MetricsLogger(args.metrics_dir or args.checkpoint_dir,
+                         console_every=1)
+  for i, batch in enumerate(loader):
+    if i >= args.steps:
+      break
+    state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+    if i % args.log_every == 0 or i == args.steps - 1:
+      logger.log(i, metrics,
+                 sec_per_step=round((time.time() - t0) / max(i, 1), 3))
+    if ckpt is not None:
+      step_no = int(jax.device_get(state.step))
+      if ckpt.maybe_save(step_no, state, every=args.checkpoint_every):
+        logger.event('checkpoint_saved', step=step_no)
+  if ckpt is not None:
+    ckpt.wait()
+  logger.event('run_complete', steps=args.steps,
+               wall_seconds=round(time.time() - t0, 1))
+  logger.close()
+  print(f'done: {args.steps} steps in {time.time() - t0:.1f}s')
+
+
+if __name__ == '__main__':
+  main()

@@ -2,6 +2,12 @@
 the reference repo is inference-only, SURVEY.md §2.7)."""
 
 from videoprism_tpu.train import objectives
+from videoprism_tpu.train.classifier_train_step import (
+    ClassifierTrainState,
+    create_classifier_train_state,
+    make_classifier_train_step,
+    make_sharded_classifier_train_step,
+)
 from videoprism_tpu.train.ema import (
     EmaState,
     ema_params,
@@ -20,8 +26,11 @@ from videoprism_tpu.train.pp_train_step import make_pp_train_step
 from videoprism_tpu.train.tp_train_step import make_tp_train_step
 
 __all__ = [
-    'EmaState', 'TrainState', 'accumulate_gradients', 'create_train_state',
-    'ema_params', 'init_ema', 'make_ema_update', 'make_optimizer',
-    'make_pp_train_step', 'make_sharded_train_step', 'make_tp_train_step',
-    'make_train_step', 'objectives',
+    'ClassifierTrainState', 'EmaState', 'TrainState',
+    'accumulate_gradients', 'create_classifier_train_state',
+    'create_train_state', 'ema_params', 'init_ema',
+    'make_classifier_train_step', 'make_ema_update', 'make_optimizer',
+    'make_pp_train_step', 'make_sharded_classifier_train_step',
+    'make_sharded_train_step', 'make_tp_train_step', 'make_train_step',
+    'objectives',
 ]

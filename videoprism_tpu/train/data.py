@@ -83,6 +83,50 @@ class SyntheticSource:
     return clip, ' '.join(words)
 
 
+@dataclasses.dataclass
+class VideoLabelSource:
+  """(video path, integer label) pairs for classifier fine-tuning."""
+
+  video_paths: Sequence[str]
+  labels: Sequence[int]
+  num_frames: int = 16
+  target_size: int = 288
+  resize_mode: str = 'center_crop'
+
+  def __post_init__(self):
+    assert len(self.video_paths) == len(self.labels)
+
+  def __len__(self) -> int:
+    return len(self.video_paths)
+
+  def get(self, index: int) -> tuple[np.ndarray, int]:
+    from videoprism_tpu.io import video as video_lib
+
+    clip = video_lib.load_video(
+        self.video_paths[index], self.num_frames, self.target_size,
+        self.resize_mode)
+    return clip, int(self.labels[index])
+
+
+@dataclasses.dataclass
+class SyntheticLabeledSource:
+  """Deterministic random labeled clips for classifier smoke tests."""
+
+  num_examples: int = 64
+  num_frames: int = 4
+  size: int = 36
+  num_classes: int = 10
+
+  def __len__(self) -> int:
+    return self.num_examples
+
+  def get(self, index: int) -> tuple[np.ndarray, int]:
+    rng = np.random.default_rng(index)
+    clip = rng.random(
+        (self.num_frames, self.size, self.size, 3), np.float32)
+    return clip, int(rng.integers(self.num_classes))
+
+
 def _local_rows(indices: np.ndarray, accum_steps: int, batch_size: int,
                 pidx: int, pcount: int) -> np.ndarray:
   """This process's slice of one global step's example indices.
@@ -139,6 +183,76 @@ def batched_loader(
   hosts must use the same ``seed`` so they agree on the epoch permutation —
   only decode/tokenize work is divided.
   """
+  def assemble(examples):
+    videos = np.stack([clip for clip, _ in examples], axis=0)
+    ids, paddings = registry.tokenize_texts(
+        tokenizer, [cap for _, cap in examples], max_length=max_text_len)
+    return {
+        'video': videos,
+        'text_token_ids': ids,
+        'text_paddings': paddings,
+    }
+
+  return _loader_engine(
+      source, batch_size, assemble, shuffle=shuffle, seed=seed,
+      num_epochs=num_epochs, num_workers=num_workers,
+      prefetch_depth=prefetch_depth, sharding=sharding,
+      drop_remainder=drop_remainder, accum_steps=accum_steps,
+      process_index=process_index, process_count=process_count)
+
+
+def labeled_loader(
+    source,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_epochs: int | None = None,
+    num_workers: int = 4,
+    prefetch_depth: int = 2,
+    sharding=None,
+    drop_remainder: bool = True,
+    accum_steps: int = 1,
+    process_index: int | None = None,
+    process_count: int | None = None,
+) -> Iterator[dict[str, Any]]:
+  """Yields ``{'video', 'label'}`` batches from a ``(clip, int)`` source
+  (:class:`VideoLabelSource` / :class:`SyntheticLabeledSource`) for
+  classifier fine-tuning.  Same prefetch / sharding / accumulation /
+  multi-host semantics as :func:`batched_loader`."""
+
+  def assemble(examples):
+    videos = np.stack([clip for clip, _ in examples], axis=0)
+    labels = np.asarray([label for _, label in examples], np.int32)
+    return {'video': videos, 'label': labels}
+
+  return _loader_engine(
+      source, batch_size, assemble, shuffle=shuffle, seed=seed,
+      num_epochs=num_epochs, num_workers=num_workers,
+      prefetch_depth=prefetch_depth, sharding=sharding,
+      drop_remainder=drop_remainder, accum_steps=accum_steps,
+      process_index=process_index, process_count=process_count)
+
+
+def _loader_engine(
+    source,
+    batch_size: int,
+    assemble,
+    *,
+    shuffle: bool,
+    seed: int,
+    num_epochs: int | None,
+    num_workers: int,
+    prefetch_depth: int,
+    sharding,
+    drop_remainder: bool,
+    accum_steps: int,
+    process_index: int | None,
+    process_count: int | None,
+) -> Iterator[dict[str, Any]]:
+  """Shared loader machinery: epoch shuffling, thread-pool decode,
+  ``assemble(examples) -> field dict``, accumulation reshape, multi-host
+  global-batch assembly, and depth-``prefetch_depth`` async device_put."""
   pool = concurrent.futures.ThreadPoolExecutor(num_workers)
   pcount = jax.process_count() if process_count is None else process_count
   pidx = jax.process_index() if process_index is None else process_index
@@ -175,14 +289,7 @@ def batched_loader(
   def make_batch(indices: np.ndarray) -> dict[str, Any]:
     local = _local_rows(indices, accum_steps, batch_size, pidx, pcount)
     examples = list(pool.map(source.get, local))
-    videos = np.stack([clip for clip, _ in examples], axis=0)
-    ids, paddings = registry.tokenize_texts(
-        tokenizer, [cap for _, cap in examples], max_length=max_text_len)
-    batch = {
-        'video': videos,
-        'text_token_ids': ids,
-        'text_paddings': paddings,
-    }
+    batch = assemble(examples)
     if accum_steps > 1:
       batch = {
           k: v.reshape(accum_steps, local_batch, *v.shape[1:])

@@ -247,10 +247,15 @@ def make_sharded_train_step(
   return step, sharded_state
 
 
-def _opt_state_shardings(opt_state, param_sh, repl):
+def _opt_state_shardings(opt_state, param_sh, repl, trainable_sh=None):
   """Optimizer state mirrors the trainable tree's sharding where shapes
-  align (adam moments), else replicates (scalars, counts)."""
-  trainable_sh = (param_sh, repl)
+  align (adam moments), else replicates (scalars, counts).
+
+  ``trainable_sh`` overrides the trainable tree's sharding pytree; the
+  default is the CLIP trainable ``(params, log_temperature)``.
+  """
+  if trainable_sh is None:
+    trainable_sh = (param_sh, repl)
 
   def assign(leaf):
     return repl
