@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Evaluate a video classifier: manifest -> top-1/top-5 accuracy (one JSON line).
+
+Closes the VideoGLUE loop around ``scripts/train_classifier.py``: point it
+at a fine-tuned checkpoint dir (orbax, written by the trainer) or plain
+weights (``load_classifier`` resolution), plus a held-out manifest.
+
+  python scripts/evaluate_classifier.py --model videoprism_public_v1_base \
+      --num-classes 400 --checkpoint-dir /ckpts/k400 --manifest val.csv
+
+Smoke (synthetic, CPU):
+  python scripts/evaluate_classifier.py --tiny --synthetic --cpu-devices 8
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+import jax
+
+jax.config.update(
+    'jax_compilation_cache_dir',
+    os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                   os.path.expanduser('~/.cache/jax_comp_cache')))
+
+import videoprism_tpu as vp  # noqa: E402
+from videoprism_tpu.models import classifier as vc  # noqa: E402
+from videoprism_tpu.models import factorized_encoder as fe  # noqa: E402
+from videoprism_tpu.models import init as init_lib  # noqa: E402
+from videoprism_tpu.train import (  # noqa: E402
+    create_classifier_train_state,
+    data as data_lib,
+    evaluate_classifier,
+    make_optimizer,
+)
+from videoprism_tpu.train.checkpointing import TrainCheckpointer  # noqa: E402
+
+TINY_ENC = dict(
+    patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=2,
+    num_temporal_layers=1, mlp_dim=32, model_dim=16, num_heads=2,
+    atten_logit_cap=50.0, scan=True)
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--model', default='videoprism_public_v1_base')
+  parser.add_argument('--num-classes', type=int, default=vp.K400_NUM_CLASSES)
+  parser.add_argument('--tiny', action='store_true')
+  parser.add_argument('--synthetic', action='store_true',
+                      help='evaluate on the synthetic held-out set')
+  parser.add_argument('--manifest', default=None,
+                      help='CSV manifest: video_path,int_label per line')
+  parser.add_argument('--checkpoint-dir', default=None,
+                      help='orbax dir written by train_classifier.py '
+                           '(restores the latest step)')
+  parser.add_argument('--weights', default=None,
+                      help='classifier weights file (load_classifier path); '
+                           'ignored when --checkpoint-dir is set')
+  parser.add_argument('--batch-size', type=int, default=8)
+  parser.add_argument('--num-frames', type=int, default=0,
+                      help='default: 16 for base, 8 otherwise')
+  parser.add_argument('--cpu-devices', type=int, default=0)
+  parser.add_argument('--seed', type=int, default=0)
+  args = parser.parse_args()
+
+  if args.cpu_devices:
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_num_cpu_devices', args.cpu_devices)
+
+  if args.tiny:
+    enc_cfg = fe.FactorizedEncoderConfig(**TINY_ENC)
+    frames, size = 2, 12
+  else:
+    base = vp.CONFIGS[
+        'videoprism_v1_large' if 'large' in args.model else
+        'videoprism_v1_giant' if 'giant' in args.model else
+        'videoprism_v1_base']
+    enc_cfg = fe.FactorizedEncoderConfig(**base)
+    frames = args.num_frames or (16 if 'base' in args.model else 8)
+    size = 288
+  cfg = vc.VideoClassifierConfig(encoder=enc_cfg,
+                                 num_classes=args.num_classes)
+
+  # --- params: checkpoint dir > weights file > pretrained > random ---
+  if args.checkpoint_dir:
+    # Template must match the trainer's saved pytree; the optimizer
+    # hyperparameters don't affect restored values.
+    template = create_classifier_train_state(
+        jax.random.PRNGKey(0), cfg,
+        make_optimizer(learning_rate=1e-3, warmup_steps=1, total_steps=2))
+    state = TrainCheckpointer(args.checkpoint_dir).restore_latest(template)
+    if state is None:
+      raise SystemExit(f'no checkpoint found in {args.checkpoint_dir}')
+    params = state.params
+    print(f'restored step {int(jax.device_get(state.step))} '
+          f'from {args.checkpoint_dir}')
+  elif args.tiny:
+    params = init_lib.init_video_classifier(jax.random.PRNGKey(args.seed),
+                                            cfg)
+  else:
+    params = vp.load_classifier(args.model, args.num_classes,
+                                weights_path=args.weights).params
+
+  # --- data ---
+  if args.synthetic:
+    source = data_lib.SyntheticLabeledSource(
+        num_examples=max(16, args.batch_size * 2), num_frames=frames,
+        size=size, num_classes=args.num_classes, seed=1)
+  elif args.manifest:
+    source = data_lib.VideoLabelSource.from_manifest(
+        args.manifest, num_frames=frames, target_size=size)
+  else:
+    raise SystemExit('need --manifest or --synthetic')
+
+  metrics = evaluate_classifier(params, cfg, source,
+                                batch_size=args.batch_size)
+  print(json.dumps({k: round(v, 6) for k, v in metrics.items()}))
+
+
+if __name__ == '__main__':
+  main()

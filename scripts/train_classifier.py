@@ -43,6 +43,8 @@ from videoprism_tpu.parallel import data_sharding, make_mesh  # noqa: E402
 from videoprism_tpu.train import (  # noqa: E402
     create_classifier_train_state,
     data as data_lib,
+    evaluate_classifier,
+    make_classifier_eval_step,
     make_classifier_train_step,
     make_optimizer,
     make_sharded_classifier_train_step,
@@ -84,6 +86,14 @@ def main():
                            'fine-tune memory relief; no-op when frozen)')
   parser.add_argument('--fprop-dtype', default='float32',
                       choices=['float32', 'bfloat16'])
+  parser.add_argument('--eval-manifest', default=None,
+                      help='held-out CSV manifest; with --synthetic, a '
+                           'disjoint synthetic set is used instead')
+  parser.add_argument('--eval-every', type=int, default=0,
+                      help='evaluate every N steps (0: only at the end; '
+                           'needs --eval-manifest or --synthetic)')
+  parser.add_argument('--eval-batch-size', type=int, default=0,
+                      help='default: --batch-size')
   parser.add_argument('--checkpoint-dir', default=None)
   parser.add_argument('--checkpoint-every', type=int, default=500)
   parser.add_argument('--metrics-dir', default=None)
@@ -123,11 +133,16 @@ def main():
         num_examples=max(64, args.batch_size * args.accum_steps * 4),
         num_frames=frames, size=size, num_classes=args.num_classes)
   else:
-    rows = [line.rsplit(',', 1)
-            for line in open(args.manifest).read().splitlines() if line]
-    source = data_lib.VideoLabelSource(
-        [p for p, _ in rows], [int(l) for _, l in rows],
-        num_frames=frames, target_size=size)
+    source = data_lib.VideoLabelSource.from_manifest(
+        args.manifest, num_frames=frames, target_size=size)
+  eval_source = None
+  if args.eval_manifest:
+    eval_source = data_lib.VideoLabelSource.from_manifest(
+        args.eval_manifest, num_frames=frames, target_size=size)
+  elif args.synthetic and args.eval_every:
+    eval_source = data_lib.SyntheticLabeledSource(
+        num_examples=max(16, args.batch_size * 2), num_frames=frames,
+        size=size, num_classes=args.num_classes, seed=1)
   print(f'{len(source)} examples; {args.num_classes}-way; '
         f'{"frozen backbone" if args.freeze_backbone else "full fine-tune"}')
 
@@ -167,6 +182,21 @@ def main():
   t0 = time.time()
   logger = MetricsLogger(args.metrics_dir or args.checkpoint_dir,
                          console_every=1)
+  eval_step = make_classifier_eval_step(cfg) if eval_source else None
+
+  def run_eval(step_no):
+    ebs = args.eval_batch_size or args.batch_size
+    if shard:  # each eval batch splits over the data axis
+      dp = mesh.shape['data']
+      ebs = -(-ebs // dp) * dp
+    em = evaluate_classifier(
+        state.params, cfg, eval_source, batch_size=ebs,
+        # eval batches are flat [B, ...] even when training accumulates
+        sharding=data_sharding(mesh, 5) if shard else None,
+        eval_step=eval_step)
+    logger.event('eval', step=step_no,
+                 **{k: round(v, 4) for k, v in em.items()})
+
   for i, batch in enumerate(loader):
     if i >= args.steps:
       break
@@ -174,10 +204,14 @@ def main():
     if i % args.log_every == 0 or i == args.steps - 1:
       logger.log(i, metrics,
                  sec_per_step=round((time.time() - t0) / max(i, 1), 3))
+    if eval_source and args.eval_every and (i + 1) % args.eval_every == 0:
+      run_eval(i + 1)
     if ckpt is not None:
       step_no = int(jax.device_get(state.step))
       if ckpt.maybe_save(step_no, state, every=args.checkpoint_every):
         logger.event('checkpoint_saved', step=step_no)
+  if eval_source and not (args.eval_every and args.steps % args.eval_every == 0):
+    run_eval(args.steps)
   if ckpt is not None:
     ckpt.wait()
   logger.event('run_complete', steps=args.steps,

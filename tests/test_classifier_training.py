@@ -180,6 +180,62 @@ class TestShardedClassifierStep:
         sh_state.params, ref_state.params)
 
 
+class TestEvalLoop:
+
+  def test_matches_direct_forward_with_tail_padding(self):
+    """10 examples at batch 4 (padded tail) == one unbatched forward."""
+    from videoprism_tpu import evaluation
+    from videoprism_tpu.models import init as init_lib
+    from videoprism_tpu.train import evaluate_classifier
+
+    cfg = _cfg()
+    params = init_lib.init_video_classifier(jax.random.PRNGKey(0), cfg)
+    source = data_lib.SyntheticLabeledSource(
+        num_examples=10, num_frames=2, size=12, num_classes=NUM_CLASSES)
+    metrics = evaluate_classifier(params, cfg, source, batch_size=4)
+    assert metrics['num_examples'] == 10
+
+    videos = np.stack([source.get(i)[0] for i in range(10)])
+    labels = np.asarray([source.get(i)[1] for i in range(10)])
+    logits, _ = vc.apply(params, videos, cfg, train=False)
+    logits = np.asarray(logits, np.float32)
+    expected = evaluation.classification_accuracy(logits, labels)
+    assert metrics['top1_accuracy'] == expected['top1_accuracy']
+    assert metrics['top5_accuracy'] == expected['top5_accuracy']
+    log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    nll = -float(np.mean(
+        np.asarray(log_probs)[np.arange(10), labels]))
+    np.testing.assert_allclose(metrics['loss'], nll, rtol=1e-5)
+
+  def test_training_improves_eval(self):
+    """Overfit 8 clips; held-in eval loss drops and accuracy rises."""
+    from videoprism_tpu.train import evaluate_classifier
+
+    cfg = _cfg()
+    opt = make_optimizer(learning_rate=5e-3, warmup_steps=1, total_steps=60)
+    state = create_classifier_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = jax.jit(make_classifier_train_step(cfg, opt))
+    source = data_lib.SyntheticLabeledSource(
+        num_examples=8, num_frames=2, size=12, num_classes=NUM_CLASSES)
+    batch = {
+        'video': np.stack([source.get(i)[0] for i in range(8)]),
+        'label': np.asarray([source.get(i)[1] for i in range(8)], np.int32),
+    }
+    before = evaluate_classifier(state.params, cfg, source, batch_size=4)
+    for i in range(25):
+      state, _ = step(state, batch, jax.random.PRNGKey(i))
+    after = evaluate_classifier(state.params, cfg, source, batch_size=4)
+    assert after['loss'] < before['loss']
+    assert after['top1_accuracy'] >= before['top1_accuracy']
+
+  def test_eval_seed_disjoint(self):
+    a = data_lib.SyntheticLabeledSource(num_examples=4, num_frames=2,
+                                        size=12, seed=0)
+    b = data_lib.SyntheticLabeledSource(num_examples=4, num_frames=2,
+                                        size=12, seed=1)
+    assert np.abs(a.get(0)[0] - b.get(0)[0]).max() > 0
+
+
 class TestLabeledLoader:
 
   def test_labeled_loader_shapes_and_determinism(self):

@@ -96,6 +96,14 @@ class VideoLabelSource:
   def __post_init__(self):
     assert len(self.video_paths) == len(self.labels)
 
+  @classmethod
+  def from_manifest(cls, path: str, **kwargs) -> 'VideoLabelSource':
+    """CSV manifest, one ``video_path,int_label`` per line (paths may
+    contain commas — the label is the last field)."""
+    rows = [line.rsplit(',', 1)
+            for line in open(path).read().splitlines() if line.strip()]
+    return cls([p for p, _ in rows], [int(l) for _, l in rows], **kwargs)
+
   def __len__(self) -> int:
     return len(self.video_paths)
 
@@ -110,18 +118,23 @@ class VideoLabelSource:
 
 @dataclasses.dataclass
 class SyntheticLabeledSource:
-  """Deterministic random labeled clips for classifier smoke tests."""
+  """Deterministic random labeled clips for classifier smoke tests.
+
+  ``seed`` partitions the example space: sources with different seeds are
+  disjoint held-out sets (seed 0 keeps the historical examples).
+  """
 
   num_examples: int = 64
   num_frames: int = 4
   size: int = 36
   num_classes: int = 10
+  seed: int = 0
 
   def __len__(self) -> int:
     return self.num_examples
 
   def get(self, index: int) -> tuple[np.ndarray, int]:
-    rng = np.random.default_rng(index)
+    rng = np.random.default_rng((self.seed << 24) + index)
     clip = rng.random(
         (self.num_frames, self.size, self.size, 3), np.float32)
     return clip, int(rng.integers(self.num_classes))
