@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Stand up the HTTP embedding server (stdlib, no extra deps).
+
+  python scripts/serve_embeddings.py --model videoprism_public_v1_base \
+      --quantize int8 --port 8000
+
+Client (two lines of numpy)::
+
+    import numpy as np, urllib.request, io
+    buf = io.BytesIO(); np.save(buf, clip_uint8)   # [T, H, W, 3]
+    req = urllib.request.Request('http://HOST:8000/v1/embed',
+                                 buf.getvalue(),
+                                 {'Content-Type': 'application/x-npy'})
+    emb = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
+
+Concurrent clients micro-batch into one TPU dispatch (the service's
+bucketed queue); ``GET /stats`` exposes the counters.
+
+Smoke (tiny random model, CPU):
+  python scripts/serve_embeddings.py --tiny --cpu-devices 2 --smoke
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+
+import jax
+
+jax.config.update(
+    'jax_compilation_cache_dir',
+    os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                   os.path.expanduser('~/.cache/jax_comp_cache')))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import videoprism_tpu as vp  # noqa: E402
+from videoprism_tpu.serving import EmbeddingService  # noqa: E402
+from videoprism_tpu.serving_http import EmbeddingHTTPServer  # noqa: E402
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--model', default='videoprism_public_v1_base')
+  parser.add_argument('--checkpoint', default=None,
+                      help='local npz/safetensors (default: the usual '
+                           'weights-dir resolution; random init with --tiny)')
+  parser.add_argument('--quantize', default=None, choices=[None, 'int8'])
+  parser.add_argument('--buckets', default='1,4,8',
+                      help='micro-batch buckets, comma-separated')
+  parser.add_argument('--max-wait-ms', type=float, default=5.0)
+  parser.add_argument('--host', default='0.0.0.0')
+  parser.add_argument('--port', type=int, default=8000)
+  parser.add_argument('--warmup-frames', type=int, default=0,
+                      help='pre-compile every bucket at [N, 288, 288, 3] '
+                           'uint8 before accepting traffic (0: skip)')
+  parser.add_argument('--tiny', action='store_true',
+                      help='tiny random model (wire-format smoke testing)')
+  parser.add_argument('--cpu-devices', type=int, default=0)
+  parser.add_argument('--smoke', action='store_true',
+                      help='start, self-request once, print, and exit')
+  args = parser.parse_args()
+
+  if args.cpu_devices:
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_num_cpu_devices', args.cpu_devices)
+
+  if args.tiny:
+    from videoprism_tpu.models import factorized_encoder as fe
+    from videoprism_tpu.models import init as init_lib
+
+    cfg = fe.FactorizedEncoderConfig(
+        patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=2,
+        num_temporal_layers=1, mlp_dim=32, model_dim=16, num_heads=2,
+        atten_logit_cap=50.0, scan=True)
+    model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
+    state = model.init(jax.random.PRNGKey(0))
+    clip_shape = (2, 12, 12, 3)
+  else:
+    model = vp.get_model(args.model, fprop_dtype=jnp.bfloat16,
+                         attention_impl='flash')
+    if args.checkpoint:
+      state = vp.load_pretrained_weights(None,
+                                         checkpoint_path=args.checkpoint)
+    else:
+      state = vp.load_pretrained_weights(args.model)
+    clip_shape = (args.warmup_frames or 16, 288, 288, 3)
+
+  service = EmbeddingService(
+      model, state,
+      batch_buckets=tuple(int(b) for b in args.buckets.split(',')),
+      max_wait_ms=args.max_wait_ms, quantize=args.quantize)
+  service.start()
+  if args.warmup_frames or args.tiny:
+    print(f'warming up buckets at clip shape {clip_shape} ...')
+    service.warmup(clip_shape, np.uint8)
+
+  server = EmbeddingHTTPServer(service, args.host, args.port,
+                               quiet=args.smoke)
+  print(f'serving on http://{args.host}:{server.port} '
+        f'(POST /v1/embed, GET /healthz, GET /stats)')
+  if args.smoke:
+    import io
+    import urllib.request
+
+    server.start()
+    buf = io.BytesIO()
+    np.save(buf, np.zeros(clip_shape, np.uint8))
+    req = urllib.request.Request(
+        f'http://127.0.0.1:{server.port}/v1/embed', buf.getvalue(),
+        {'Content-Type': 'application/x-npy'})
+    emb = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
+    print(f'smoke embed -> {emb.shape} {emb.dtype}')
+    server.stop()
+    service.stop()
+    return
+  try:
+    server.serve_forever()
+  except KeyboardInterrupt:
+    pass
+  finally:
+    server.stop()
+    service.stop()
+
+
+if __name__ == '__main__':
+  main()

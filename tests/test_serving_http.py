@@ -1,0 +1,163 @@
+"""HTTP serving front-end tests (serving_http.py): wire formats, batching
+through real sockets, error paths."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+import videoprism_tpu as vp
+from videoprism_tpu import serving, serving_http
+from videoprism_tpu.models import factorized_encoder as fe
+from videoprism_tpu.models import init as init_lib
+
+TINY = dict(
+    patch_size=6, pos_emb_shape=(2, 2, 2), model_dim=16,
+    num_spatial_layers=2, num_temporal_layers=1, num_heads=2, mlp_dim=32,
+    atten_logit_cap=50.0, scan=True)
+CLIP_SHAPE = (2, 12, 12, 3)
+
+
+@pytest.fixture(scope='module')
+def server():
+  cfg = fe.FactorizedEncoderConfig(**TINY)
+  model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
+  state = model.init(jax.random.PRNGKey(0))
+  service = serving.EmbeddingService(model, state, batch_buckets=(1, 2, 4),
+                                     max_wait_ms=20.0)
+  service.start()
+  httpd = serving_http.EmbeddingHTTPServer(service, host='127.0.0.1', port=0)
+  httpd.start()
+  yield httpd, model, state
+  httpd.stop()
+  service.stop()
+
+
+def _url(httpd, path):
+  return f'http://127.0.0.1:{httpd.port}{path}'
+
+
+def _post_npy(httpd, array, timeout=120):
+  buf = io.BytesIO()
+  np.save(buf, array)
+  req = urllib.request.Request(
+      _url(httpd, '/v1/embed'), buf.getvalue(),
+      {'Content-Type': 'application/x-npy'})
+  with urllib.request.urlopen(req, timeout=timeout) as resp:
+    assert resp.headers['Content-Type'] == 'application/x-npy'
+    return np.load(io.BytesIO(resp.read()))
+
+
+class TestEndpoints:
+
+  def test_healthz_and_stats(self, server):
+    httpd, _, _ = server
+    with urllib.request.urlopen(_url(httpd, '/healthz'), timeout=30) as r:
+      assert json.loads(r.read()) == {'status': 'ok'}
+    with urllib.request.urlopen(_url(httpd, '/stats'), timeout=30) as r:
+      stats = json.loads(r.read())
+    assert {'requests_served', 'batches_run', 'errors'} <= stats.keys()
+
+  def test_npy_single_clip_matches_direct(self, server):
+    httpd, model, state = server
+    clip = np.random.default_rng(0).random(CLIP_SHAPE, np.float32)
+    emb = _post_npy(httpd, clip)
+    ref, _ = model.apply(state, clip[None], train=False)
+    np.testing.assert_allclose(emb, np.asarray(ref)[0], atol=1e-6)
+
+  def test_json_roundtrip(self, server):
+    httpd, model, state = server
+    clip = np.random.default_rng(1).random(CLIP_SHAPE, np.float32)
+    payload = json.dumps({
+        'shape': list(clip.shape),
+        'dtype': 'float32',
+        'data_b64': __import__('base64').b64encode(
+            clip.tobytes()).decode(),
+    }).encode()
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed'), payload,
+        {'Content-Type': 'application/json'})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      out = json.loads(resp.read())
+    emb = np.frombuffer(
+        __import__('base64').b64decode(out['data_b64']),
+        np.dtype(out['dtype'])).reshape(out['shape'])
+    ref, _ = model.apply(state, clip[None], train=False)
+    np.testing.assert_allclose(emb, np.asarray(ref)[0], atol=1e-6)
+
+  def test_batched_post(self, server):
+    httpd, model, state = server
+    videos = np.random.default_rng(2).random((3,) + CLIP_SHAPE, np.float32)
+    emb = _post_npy(httpd, videos)
+    ref, _ = model.apply(state, videos, train=False)
+    np.testing.assert_allclose(emb, np.asarray(ref), atol=1e-6)
+
+  def test_uint8_ingestion(self, server):
+    httpd, model, state = server
+    clip = np.random.default_rng(3).integers(
+        0, 256, CLIP_SHAPE, np.uint8)
+    emb = _post_npy(httpd, clip)
+    ref, _ = model.apply(state, clip[None].astype(np.float32) / 255.0,
+                         train=False)
+    np.testing.assert_allclose(emb, np.asarray(ref)[0], atol=1e-5)
+
+  def test_concurrent_requests_share_batches(self, server):
+    httpd, model, state = server
+    clips = np.random.default_rng(4).random((4,) + CLIP_SHAPE, np.float32)
+    results = [None] * 4
+
+    def worker(i):
+      results[i] = _post_npy(httpd, clips[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+      t.start()
+    for t in threads:
+      t.join(timeout=120)
+    ref, _ = model.apply(state, clips, train=False)
+    for i in range(4):
+      np.testing.assert_allclose(results[i], np.asarray(ref)[i], atol=1e-6)
+
+
+class TestErrors:
+
+  def _expect_status(self, httpd, path, body, headers, status):
+    req = urllib.request.Request(_url(httpd, path), body, headers)
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+      urllib.request.urlopen(req, timeout=30)
+    assert exc_info.value.code == status
+    return json.loads(exc_info.value.read())
+
+  def test_bad_payload_is_400(self, server):
+    httpd, _, _ = server
+    out = self._expect_status(
+        httpd, '/v1/embed', b'not an npy blob',
+        {'Content-Type': 'application/x-npy'}, 400)
+    assert 'error' in out
+
+  def test_wrong_rank_is_400(self, server):
+    httpd, _, _ = server
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((12, 12, 3), np.float32))
+    out = self._expect_status(
+        httpd, '/v1/embed', buf.getvalue(),
+        {'Content-Type': 'application/x-npy'}, 400)
+    assert 'shape' in out['error']
+
+  def test_unknown_path_is_404(self, server):
+    httpd, _, _ = server
+    self._expect_status(httpd, '/v1/nope', b'x',
+                        {'Content-Type': 'application/x-npy'}, 404)
+
+  def test_pickle_payload_rejected(self, server):
+    """Object arrays need pickle; allow_pickle=False must refuse them."""
+    httpd, _, _ = server
+    buf = io.BytesIO()
+    np.save(buf, np.array([{'a': 1}], dtype=object), allow_pickle=True)
+    self._expect_status(httpd, '/v1/embed', buf.getvalue(),
+                        {'Content-Type': 'application/x-npy'}, 400)

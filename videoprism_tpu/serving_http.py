@@ -1,0 +1,153 @@
+"""HTTP front-end for :class:`videoprism_tpu.serving.EmbeddingService`.
+
+Stdlib-only (``http.server``) so a production deployment needs nothing
+beyond this repo: the threaded server turns concurrent HTTP requests into
+concurrent ``service.embed`` calls, which the service's micro-batcher
+coalesces into one TPU dispatch — cross-request batching falls out of the
+existing queue, no extra scheduler.
+
+Wire format (both directions):
+
+* ``application/x-npy`` — a ``.npy`` blob (``np.save`` bytes).  The
+  natural client is two lines of numpy; uint8 arrays ride the service's
+  4x-cheaper raw-bytes ingestion path.
+* ``application/json`` — ``{"shape": [...], "dtype": "uint8",
+  "data_b64": "..."}`` with base64 raw bytes (C order).
+
+Endpoints:
+
+* ``POST /v1/embed`` — one clip ``[T, H, W, 3]`` (micro-batched across
+  concurrent callers) or a batch ``[B, T, H, W, 3]`` (direct pipelined
+  path).  Response carries the embeddings in the request's format.
+* ``GET /healthz`` — liveness.
+* ``GET /stats`` — the service's counters + latency percentiles.
+
+The reference has no serving tier at all (SURVEY.md §5: its deployment
+story stops at a Python function call); this module is part of the
+north-star serving subsystem.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from videoprism_tpu.serving import EmbeddingService
+
+_MAX_BODY_BYTES = 1 << 30
+
+
+def _decode_body(content_type: str, body: bytes) -> np.ndarray:
+  if content_type.startswith('application/json'):
+    spec = json.loads(body)
+    data = base64.b64decode(spec['data_b64'])
+    return np.frombuffer(data, np.dtype(spec['dtype'])).reshape(
+        spec['shape'])
+  # npy is the default: np.save bytes round-trip, no pickle accepted.
+  return np.load(io.BytesIO(body), allow_pickle=False)
+
+
+def _encode_body(content_type: str, array: np.ndarray) -> tuple[str, bytes]:
+  if content_type.startswith('application/json'):
+    payload = {
+        'shape': list(array.shape),
+        'dtype': str(array.dtype),
+        'data_b64': base64.b64encode(
+            np.ascontiguousarray(array).tobytes()).decode('ascii'),
+    }
+    return 'application/json', json.dumps(payload).encode()
+  buf = io.BytesIO()
+  np.save(buf, array)
+  return 'application/x-npy', buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+  # Set by EmbeddingHTTPServer.
+  service: EmbeddingService = None
+  quiet: bool = True
+
+  protocol_version = 'HTTP/1.1'
+
+  def log_message(self, fmt, *args):  # noqa: N802 (stdlib name)
+    if not self.quiet:
+      super().log_message(fmt, *args)
+
+  def _reply(self, status: int, content_type: str, body: bytes) -> None:
+    self.send_response(status)
+    self.send_header('Content-Type', content_type)
+    self.send_header('Content-Length', str(len(body)))
+    self.end_headers()
+    self.wfile.write(body)
+
+  def _reply_json(self, status: int, obj) -> None:
+    self._reply(status, 'application/json', json.dumps(obj).encode())
+
+  def do_GET(self):  # noqa: N802
+    if self.path == '/healthz':
+      self._reply_json(200, {'status': 'ok'})
+    elif self.path == '/stats':
+      self._reply_json(200, self.service.stats())
+    else:
+      self._reply_json(404, {'error': f'unknown path {self.path}'})
+
+  def do_POST(self):  # noqa: N802
+    if self.path != '/v1/embed':
+      self._reply_json(404, {'error': f'unknown path {self.path}'})
+      return
+    try:
+      length = int(self.headers.get('Content-Length', 0))
+      if not 0 < length <= _MAX_BODY_BYTES:
+        raise ValueError(f'bad Content-Length {length}')
+      content_type = self.headers.get('Content-Type', 'application/x-npy')
+      video = _decode_body(content_type, self.rfile.read(length))
+      if video.ndim not in (4, 5):
+        raise ValueError(
+            f'expected [T,H,W,3] or [B,T,H,W,3], got shape {video.shape}')
+    except Exception as e:  # malformed request — client's fault
+      self._reply_json(400, {'error': str(e)})
+      return
+    try:
+      if video.ndim == 4:
+        emb = self.service.embed(video)
+      else:
+        emb = self.service.embed_batch(video)
+    except Exception as e:  # service-side failure
+      self._reply_json(500, {'error': str(e)})
+      return
+    ctype, body = _encode_body(content_type, np.asarray(emb))
+    self._reply(200, ctype, body)
+
+
+class EmbeddingHTTPServer:
+  """Owns a ThreadingHTTPServer bound to (host, port) and the serving
+  thread.  ``port=0`` picks a free port (exposed as ``.port``)."""
+
+  def __init__(self, service: EmbeddingService, host: str = '0.0.0.0',
+               port: int = 8000, quiet: bool = True):
+    handler = type('BoundHandler', (_Handler,),
+                   {'service': service, 'quiet': quiet})
+    self._httpd = ThreadingHTTPServer((host, port), handler)
+    self._httpd.daemon_threads = True
+    self.host = host
+    self.port = self._httpd.server_address[1]
+    self._thread: threading.Thread | None = None
+
+  def start(self) -> None:
+    self._thread = threading.Thread(
+        target=self._httpd.serve_forever, daemon=True)
+    self._thread.start()
+
+  def serve_forever(self) -> None:
+    self._httpd.serve_forever()
+
+  def stop(self) -> None:
+    self._httpd.shutdown()
+    self._httpd.server_close()
+    if self._thread is not None:
+      self._thread.join(timeout=10)
+      self._thread = None
