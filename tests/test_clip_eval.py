@@ -1,0 +1,109 @@
+"""CLIP evaluation loops (train/eval_loop.py): retrieval + zero-shot sweeps
+match direct single-batch computation through the same towers (padding /
+batching must be invisible)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videoprism_tpu import assets, evaluation
+from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
+from videoprism_tpu.models import clip as vclip
+from videoprism_tpu.models import init as init_lib
+from videoprism_tpu.models import registry
+from videoprism_tpu.train import (
+    data as data_lib,
+    evaluate_retrieval,
+    evaluate_zero_shot,
+)
+
+TINY_CLIP = dict(
+    patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=1,
+    num_temporal_layers=1, mlp_dim=16, num_auxiliary_layers=0,
+    vocabulary_size=1024, enable_causal_atten=True, num_unimodal_layers=1,
+    norm_policy='pre', model_dim=8, num_heads=2, atten_logit_cap=50.0,
+    scan=True)
+MAX_LEN = 12
+
+
+def _setup():
+  cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+  params = init_lib.init_video_clip(jax.random.PRNGKey(0), cfg)
+  tok = SentencePieceTokenizer(assets.test_spm_path())
+  return cfg, params, tok
+
+
+def _direct_embeddings(params, cfg, tok, source):
+  """One unbatched forward per tower — the oracle for the sweeps."""
+  n = len(source)
+  videos = np.stack([source.get(i)[0] for i in range(n)])
+  texts = [source.get(i)[1] for i in range(n)]
+  ids, pads = registry.tokenize_texts(tok, texts, max_length=MAX_LEN)
+  v, t, _ = vclip.apply(params, jnp.asarray(videos), jnp.asarray(ids),
+                        jnp.asarray(pads), cfg, train=False)
+  return np.asarray(v, np.float32), np.asarray(t, np.float32)
+
+
+class TestEvaluateRetrieval:
+
+  def test_matches_direct_forward_with_tail_padding(self):
+    """7 pairs at video batch 4 / text batch 3 == one unbatched forward."""
+    cfg, params, tok = _setup()
+    source = data_lib.SyntheticSource(num_examples=7, num_frames=2, size=12)
+    metrics = evaluate_retrieval(
+        params, cfg, source, tok, batch_size=4, text_batch_size=3,
+        max_text_len=MAX_LEN)
+    assert metrics['num_pairs'] == 7
+
+    v, t = _direct_embeddings(params, cfg, tok, source)
+    expected = evaluation.retrieval_metrics(v, t)
+    for k, val in expected.items():
+      np.testing.assert_allclose(metrics[k], val, atol=1e-6, err_msg=k)
+
+  def test_self_retrieval_is_perfect(self):
+    """Querying video embeddings against themselves: R@1 == 1."""
+    cfg, params, tok = _setup()
+    source = data_lib.SyntheticSource(num_examples=5, num_frames=2, size=12)
+    v, _ = _direct_embeddings(params, cfg, tok, source)
+    m = evaluation.retrieval_metrics(v, v)
+    assert m['v2t_recall@1'] == 1.0 and m['t2v_median_rank'] == 1.0
+
+
+class TestEvaluateZeroShot:
+
+  def test_matches_direct_forward(self):
+    cfg, params, tok = _setup()
+    names = ['running', 'swimming', 'playing drums']
+    source = data_lib.SyntheticLabeledSource(
+        num_examples=6, num_frames=2, size=12, num_classes=len(names))
+    metrics = evaluate_zero_shot(
+        params, cfg, source, tok, names, batch_size=4,
+        max_text_len=MAX_LEN)
+    assert metrics['num_classes'] == 3 and metrics['num_examples'] == 6
+
+    def encode(texts):
+      ids, pads = registry.tokenize_texts(tok, list(texts),
+                                          max_length=MAX_LEN)
+      return np.asarray(vclip.encode_text(
+          params, jnp.asarray(ids), jnp.asarray(pads), cfg, train=False),
+          np.float32)
+
+    weights = evaluation.zero_shot_classifier(encode, names)
+    videos = np.stack([source.get(i)[0] for i in range(6)])
+    labels = np.asarray([source.get(i)[1] for i in range(6)], np.int64)
+    v, _, _ = vclip.apply(params, jnp.asarray(videos), None, None, cfg,
+                          train=False)
+    expected = evaluation.classification_accuracy(
+        np.asarray(v, np.float32) @ weights.T, labels)
+    assert metrics['top1_accuracy'] == expected['top1_accuracy']
+    assert metrics['top5_accuracy'] == expected['top5_accuracy']
+
+
+class TestVideoTextManifest:
+
+  def test_from_manifest_tab_and_comma(self, tmp_path):
+    p = tmp_path / 'pairs.tsv'
+    p.write_text('a.mp4\ta person running, fast\nb.mp4,drumming on water\n')
+    src = data_lib.VideoTextSource.from_manifest(str(p), num_frames=2)
+    assert src.video_paths == ['a.mp4', 'b.mp4']
+    assert src.captions == ['a person running, fast', 'drumming on water']

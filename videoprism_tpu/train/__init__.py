@@ -10,7 +10,11 @@ from videoprism_tpu.train.classifier_train_step import (
 )
 from videoprism_tpu.train.eval_loop import (
     evaluate_classifier,
+    evaluate_retrieval,
+    evaluate_zero_shot,
     make_classifier_eval_step,
+    make_clip_text_eval_step,
+    make_clip_video_eval_step,
 )
 from videoprism_tpu.train.ema import (
     EmaState,
@@ -32,8 +36,10 @@ from videoprism_tpu.train.tp_train_step import make_tp_train_step
 __all__ = [
     'ClassifierTrainState', 'EmaState', 'TrainState',
     'accumulate_gradients', 'create_classifier_train_state',
-    'create_train_state', 'ema_params', 'evaluate_classifier', 'init_ema',
+    'create_train_state', 'ema_params', 'evaluate_classifier',
+    'evaluate_retrieval', 'evaluate_zero_shot', 'init_ema',
     'make_classifier_eval_step', 'make_classifier_train_step',
+    'make_clip_text_eval_step', 'make_clip_video_eval_step',
     'make_ema_update', 'make_optimizer', 'make_pp_train_step',
     'make_sharded_classifier_train_step', 'make_sharded_train_step',
     'make_tp_train_step', 'make_train_step', 'objectives',

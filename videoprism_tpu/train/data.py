@@ -50,6 +50,19 @@ class VideoTextSource:
   def __post_init__(self):
     assert len(self.video_paths) == len(self.captions)
 
+  @classmethod
+  def from_manifest(cls, path: str, **kwargs) -> 'VideoTextSource':
+    """Manifest with one ``video_path<TAB>caption`` per line; lines
+    without a tab split at the FIRST comma (captions keep their commas)."""
+    paths, captions = [], []
+    for line in open(path).read().splitlines():
+      if not line.strip():
+        continue
+      p, cap = line.split('\t', 1) if '\t' in line else line.split(',', 1)
+      paths.append(p.strip())
+      captions.append(cap.strip())
+    return cls(paths, captions, **kwargs)
+
   def __len__(self) -> int:
     return len(self.video_paths)
 

@@ -1,19 +1,27 @@
-"""Classifier evaluation loop: manifest -> top-1/top-5 accuracy + loss.
+"""Evaluation loops: labeled/captioned sources -> published-table metrics.
 
-The reference publishes VideoGLUE frozen-backbone accuracies (reference
-README.md:188-195) but ships no evaluation code; this pairs with
-``train/classifier_train_step.py`` to close the fine-tune -> evaluate loop.
+The reference publishes VideoGLUE frozen-backbone accuracies, zero-shot
+classification, and MSRVTT/VATEX retrieval tables (reference
+README.md:188-214) but ships no evaluation code; this pairs with the
+train steps and :mod:`videoprism_tpu.evaluation` (the numpy metric
+protocols) to close the loop:
+
+* :func:`evaluate_classifier` — supervised top-1/top-5 + NLL.
+* :func:`evaluate_retrieval`  — paired text<->video R@k / median rank
+  (the MSRVTT-1K protocol) from a ``(clip, caption)`` source.
+* :func:`evaluate_zero_shot`  — prompt-ensembled zero-shot classification
+  (the K400 zero-shot protocol) from a ``(clip, int label)`` source.
 
 TPU shape discipline: every forward runs at one fixed ``[batch_size, ...]``
-geometry — the tail batch is zero-padded and masked on the host — so the
-whole sweep costs exactly one compile.  Decode parallelism and the
+geometry — the tail batch is zero-padded and masked on the host — so each
+sweep costs exactly one compile per tower.  Decode parallelism and the
 device-feed pattern mirror ``train/data.py``.
 """
 
 from __future__ import annotations
 
 import concurrent.futures
-from typing import Any
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +29,8 @@ import numpy as np
 
 from videoprism_tpu import evaluation
 from videoprism_tpu.models import classifier as vc
+from videoprism_tpu.models import clip as vclip
+from videoprism_tpu.models import registry
 
 Params = Any
 
@@ -92,3 +102,147 @@ def evaluate_classifier(
 def _logsumexp(logits: np.ndarray) -> np.ndarray:
   m = logits.max(axis=-1, keepdims=True)
   return m + np.log(np.exp(logits - m).sum(axis=-1, keepdims=True))
+
+
+# --------------------------------------------------------------------------
+# CLIP tower sweeps (retrieval + zero-shot protocols)
+# --------------------------------------------------------------------------
+
+
+def make_clip_video_eval_step(cfg: vclip.VideoCLIPConfig):
+  """Returns jitted ``(params, video) -> l2-normalized [B, D] fp32``."""
+
+  def step(params: Params, video: jax.Array) -> jax.Array:
+    emb, _ = vclip.encode_vision(params, video, cfg, train=False)
+    return emb.astype(jnp.float32)
+
+  return jax.jit(step)
+
+
+def make_clip_text_eval_step(cfg: vclip.VideoCLIPConfig):
+  """Returns jitted ``(params, ids, paddings) -> l2-normalized [B, D]``."""
+
+  def step(params: Params, ids: jax.Array, paddings: jax.Array) -> jax.Array:
+    return vclip.encode_text(params, ids, paddings, cfg,
+                             train=False).astype(jnp.float32)
+
+  return jax.jit(step)
+
+
+def _sweep_videos(step, params, source, indices, *, batch_size, num_workers,
+                  sharding) -> np.ndarray:
+  """Fixed-geometry padded sweep: embeds ``source.get(i)[0]`` for each index
+  (one compile total)."""
+  out: list[np.ndarray] = []
+  with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
+    for s in range(0, len(indices), batch_size):
+      chunk = indices[s:s + batch_size]
+      clips = list(pool.map(lambda i: source.get(i)[0], chunk))
+      video = np.stack(clips, axis=0)
+      valid = len(chunk)
+      if valid < batch_size:
+        pad = batch_size - valid
+        video = np.concatenate(
+            [video, np.zeros((pad, *video.shape[1:]), video.dtype)], axis=0)
+      if sharding is not None:
+        video = jax.device_put(video, sharding)
+      out.append(np.asarray(jax.device_get(step(params, video)))[:valid])
+  return np.concatenate(out, axis=0)
+
+
+def _sweep_texts(step, params, texts, tokenizer, *, batch_size, max_text_len,
+                 sharding) -> np.ndarray:
+  """Fixed-geometry padded text sweep (pad rows are all-padding)."""
+  out: list[np.ndarray] = []
+  for s in range(0, len(texts), batch_size):
+    chunk = list(texts[s:s + batch_size])
+    valid = len(chunk)
+    if valid < batch_size:
+      chunk += [''] * (batch_size - valid)
+    ids, paddings = registry.tokenize_texts(tokenizer, chunk,
+                                            max_length=max_text_len)
+    if sharding is not None:
+      ids, paddings = (jax.device_put(x, sharding) for x in (ids, paddings))
+    out.append(
+        np.asarray(jax.device_get(step(params, ids, paddings)))[:valid])
+  return np.concatenate(out, axis=0)
+
+
+def evaluate_retrieval(
+    params: Params,
+    cfg: vclip.VideoCLIPConfig,
+    source,
+    tokenizer,
+    *,
+    batch_size: int = 8,
+    text_batch_size: int = 0,
+    max_text_len: int = registry.TEXT_MAX_LEN,
+    num_workers: int = 4,
+    sharding=None,
+    ks: Sequence[int] = (1, 5, 10),
+) -> dict[str, float]:
+  """Paired text<->video retrieval over a ``(clip, caption)`` source
+  (``VideoTextSource`` / ``SyntheticSource``) — the MSRVTT-1K protocol
+  (reference README.md:199-206 publishes these tables with no runner).
+
+  Returns ``evaluation.retrieval_metrics`` keys (``v2t_recall@k``,
+  ``t2v_recall@k``, median ranks) plus ``num_pairs``.
+  """
+  n = len(source)
+  if n == 0:
+    raise ValueError('evaluate_retrieval: empty source')
+  video_emb = _sweep_videos(
+      make_clip_video_eval_step(cfg), params, source, range(n),
+      batch_size=batch_size, num_workers=num_workers, sharding=sharding)
+  captions = [source.get(i)[1] for i in range(n)]
+  text_emb = _sweep_texts(
+      make_clip_text_eval_step(cfg), params, captions, tokenizer,
+      batch_size=text_batch_size or batch_size, max_text_len=max_text_len,
+      sharding=sharding)
+  metrics = evaluation.retrieval_metrics(video_emb, text_emb, ks=ks)
+  metrics['num_pairs'] = float(n)
+  return metrics
+
+
+def evaluate_zero_shot(
+    params: Params,
+    cfg: vclip.VideoCLIPConfig,
+    source,
+    tokenizer,
+    class_names: Sequence[str],
+    *,
+    templates: Sequence[str] = evaluation.DEFAULT_PROMPT_TEMPLATES,
+    batch_size: int = 8,
+    text_batch_size: int = 0,
+    max_text_len: int = registry.TEXT_MAX_LEN,
+    num_workers: int = 4,
+    sharding=None,
+    ks: Sequence[int] = (1, 5),
+) -> dict[str, float]:
+  """Zero-shot classification over a ``(clip, int label)`` source via
+  prompt-ensembled class text embeddings (the K400 zero-shot protocol,
+  reference README.md:210-214).
+
+  Labels index ``class_names``.  Returns ``top{k}_accuracy`` keys plus
+  ``num_examples`` and ``num_classes``.
+  """
+  n = len(source)
+  if n == 0:
+    raise ValueError('evaluate_zero_shot: empty source')
+  text_step = make_clip_text_eval_step(cfg)
+  class_weights = evaluation.zero_shot_classifier(
+      lambda texts: _sweep_texts(
+          text_step, params, texts, tokenizer,
+          batch_size=text_batch_size or max(batch_size, 32),
+          max_text_len=max_text_len, sharding=sharding),
+      class_names, templates=templates,
+      batch_size=max(text_batch_size or 256, 1))
+  video_emb = _sweep_videos(
+      make_clip_video_eval_step(cfg), params, source, range(n),
+      batch_size=batch_size, num_workers=num_workers, sharding=sharding)
+  labels = np.asarray([source.get(i)[1] for i in range(n)], np.int64)
+  scores = video_emb @ class_weights.T
+  metrics = evaluation.classification_accuracy(scores, labels, ks=ks)
+  metrics['num_examples'] = float(n)
+  metrics['num_classes'] = float(len(class_names))
+  return metrics
