@@ -66,6 +66,16 @@ def main():
                       help='VideoGLUE protocol: encoder frozen in eval '
                            'mode (no backward through the stack, optimizer '
                            'state only for pooler + head)')
+  parser.add_argument('--lora-rank', type=int, default=0,
+                      help='adapt the frozen encoder with rank-r LoRA '
+                           'adapters (+ trainable pooler/head); 0 = off')
+  parser.add_argument('--lora-alpha', type=float, default=None,
+                      help='LoRA merge scale numerator (default: rank)')
+  parser.add_argument('--lora-targets', default='query,value',
+                      help='comma list of query/key/value/post/ffn')
+  parser.add_argument('--export-merged', default=None,
+                      help='with --lora-rank: bake the trained adapters '
+                           'into a full checkpoint-schema npz at this path')
   parser.add_argument('--tiny', action='store_true')
   parser.add_argument('--synthetic', action='store_true')
   parser.add_argument('--manifest', default=None,
@@ -143,8 +153,9 @@ def main():
     eval_source = data_lib.SyntheticLabeledSource(
         num_examples=max(16, args.batch_size * 2), num_frames=frames,
         size=size, num_classes=args.num_classes, seed=1)
-  print(f'{len(source)} examples; {args.num_classes}-way; '
-        f'{"frozen backbone" if args.freeze_backbone else "full fine-tune"}')
+  mode = ('LoRA rank %d' % args.lora_rank if args.lora_rank else
+          'frozen backbone' if args.freeze_backbone else 'full fine-tune')
+  print(f'{len(source)} examples; {args.num_classes}-way; {mode}')
 
   # --- mesh + state + step ---
   mesh = make_mesh(args.model_parallelism)
@@ -152,22 +163,52 @@ def main():
   optimizer = make_optimizer(
       learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
       total_steps=args.steps, weight_decay=args.weight_decay)
-  state = create_classifier_train_state(
-      jax.random.PRNGKey(args.seed), cfg, optimizer,
-      pretrained_params=pretrained, freeze_backbone=args.freeze_backbone)
 
   accum = args.accum_steps
   batch_axis = 1 if accum > 1 else 0
-  if jax.device_count() > 1 or args.model_parallelism > 1:
-    step_fn, state = make_sharded_classifier_train_step(
-        cfg, optimizer, mesh, state, freeze_backbone=args.freeze_backbone,
-        accum_steps=accum)
-    shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
+  lora_cfg = frozen_full = None
+  if args.lora_rank:
+    if args.freeze_backbone:
+      parser.error('--lora-rank and --freeze-backbone are alternatives '
+                   '(LoRA already freezes the backbone)')
+    from videoprism_tpu.models import init as init_lib
+    from videoprism_tpu.train import (
+        create_lora_classifier_train_state,
+        lora_num_params,
+        make_lora_classifier_train_step,
+    )
+    from videoprism_tpu.train.lora import LoraConfig
+
+    lora_cfg = LoraConfig(
+        rank=args.lora_rank, alpha=args.lora_alpha,
+        targets=tuple(t for t in args.lora_targets.split(',') if t))
+    frozen_full = (pretrained if pretrained is not None else
+                   init_lib.init_video_classifier(
+                       jax.random.PRNGKey(args.seed), cfg))
+    frozen_full = jax.device_put(frozen_full)
+    state = create_lora_classifier_train_state(
+        jax.random.PRNGKey(args.seed + 2), optimizer, frozen_full, lora_cfg)
+    print(f'LoRA: {lora_num_params(state.params["lora"]):,} adapter params '
+          f'(targets {lora_cfg.targets})')
+    lora_step = jax.jit(make_lora_classifier_train_step(
+        cfg, optimizer, lora_cfg, accum_steps=accum))
+    step_fn = lambda s, b, r: lora_step(s, frozen_full['encoder'], b, r)
+    shard = ((lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis))
+             if jax.device_count() > 1 else None)
   else:
-    step_fn = jax.jit(make_classifier_train_step(
-        cfg, optimizer, freeze_backbone=args.freeze_backbone,
-        accum_steps=accum))
-    shard = None
+    state = create_classifier_train_state(
+        jax.random.PRNGKey(args.seed), cfg, optimizer,
+        pretrained_params=pretrained, freeze_backbone=args.freeze_backbone)
+    if jax.device_count() > 1 or args.model_parallelism > 1:
+      step_fn, state = make_sharded_classifier_train_step(
+          cfg, optimizer, mesh, state, freeze_backbone=args.freeze_backbone,
+          accum_steps=accum)
+      shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
+    else:
+      step_fn = jax.jit(make_classifier_train_step(
+          cfg, optimizer, freeze_backbone=args.freeze_backbone,
+          accum_steps=accum))
+      shard = None
 
   ckpt = (TrainCheckpointer(args.checkpoint_dir)
           if args.checkpoint_dir else None)
@@ -184,13 +225,20 @@ def main():
                          console_every=1)
   eval_step = make_classifier_eval_step(cfg) if eval_source else None
 
+  def eval_params():
+    if lora_cfg is not None:  # bake adapters in for the eval forward
+      from videoprism_tpu.train import export_lora_classifier
+
+      return export_lora_classifier(frozen_full, state, lora_cfg)
+    return state.params
+
   def run_eval(step_no):
     ebs = args.eval_batch_size or args.batch_size
     if shard:  # each eval batch splits over the data axis
       dp = mesh.shape['data']
       ebs = -(-ebs // dp) * dp
     em = evaluate_classifier(
-        state.params, cfg, eval_source, batch_size=ebs,
+        eval_params(), cfg, eval_source, batch_size=ebs,
         # eval batches are flat [B, ...] even when training accumulates
         sharding=data_sharding(mesh, 5) if shard else None,
         eval_step=eval_step)
@@ -214,6 +262,15 @@ def main():
     run_eval(args.steps)
   if ckpt is not None:
     ckpt.wait()
+  if args.export_merged:
+    if lora_cfg is None:
+      parser.error('--export-merged requires --lora-rank')
+    from videoprism_tpu.io.checkpoints import save_checkpoint
+    from videoprism_tpu.train import export_lora_classifier
+
+    save_checkpoint(args.export_merged,
+                    export_lora_classifier(frozen_full, state, lora_cfg))
+    print(f'merged LoRA checkpoint written to {args.export_merged}')
   logger.event('run_complete', steps=args.steps,
                wall_seconds=round(time.time() - t0, 1))
   logger.close()

@@ -105,6 +105,15 @@ def main():
   parser.add_argument('--bf16-moments', action='store_true',
                       help='store the AdamW first moment in bfloat16 '
                            '(-1/3 optimizer state memory; nu stays fp32)')
+  parser.add_argument('--lora-rank', type=int, default=0,
+                      help='LoRA fine-tuning: freeze the checkpoint and '
+                           'train rank-r adapters (+ temperature) only; '
+                           '0 = off.  Optimizer state shrinks to the '
+                           'adapter tree (megabytes at giant scale)')
+  parser.add_argument('--lora-alpha', type=float, default=None,
+                      help='LoRA merge scale numerator (default: rank)')
+  parser.add_argument('--lora-targets', default='query,value',
+                      help='comma list of query/key/value/post/ffn')
   parser.add_argument('--ema-decay', type=float, default=0.0,
                       help='track an EMA of the params for eval/serving '
                            '(0 = off; typical 0.999); checkpointed under '
@@ -172,12 +181,42 @@ def main():
     state0 = vp.load_pretrained_weights(
         None, checkpoint_path=args.init_checkpoint)
     pretrained = state0.get('params', state0)
-  state = create_train_state(
-      jax.random.PRNGKey(args.seed), cfg, optimizer,
-      pretrained_params=pretrained)
 
   accum = args.accum_steps
   batch_axis = 1 if accum > 1 else 0
+  if args.lora_rank:
+    if args.fsdp or args.pp_microbatches or args.tp_impl == 'manual':
+      parser.error('--lora-rank composes with the plain/gspmd step only '
+                   '(not --fsdp/--pp-microbatches/--tp-impl manual)')
+    from videoprism_tpu.models import init as init_lib
+    from videoprism_tpu.train import (
+        create_lora_train_state,
+        lora_num_params,
+        make_lora_train_step,
+    )
+    from videoprism_tpu.train.lora import LoraConfig
+
+    lora_cfg = LoraConfig(
+        rank=args.lora_rank, alpha=args.lora_alpha,
+        targets=tuple(t for t in args.lora_targets.split(',') if t))
+    frozen = jax.device_put(
+        pretrained if pretrained is not None
+        else init_lib.init_video_clip(jax.random.PRNGKey(args.seed), cfg))
+    state = create_lora_train_state(
+        jax.random.PRNGKey(args.seed + 2), optimizer, frozen, lora_cfg)
+    print(f'LoRA: {lora_num_params(state.params):,} adapter params '
+          f'(targets {lora_cfg.targets})')
+    lora_step = jax.jit(make_lora_train_step(
+        cfg, optimizer, lora_cfg, accum_steps=accum))
+    step_fn = lambda s, b, r: lora_step(s, frozen, b, r)
+    shard = ((lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis))
+             if jax.device_count() > 1 else None)
+    _run_training_loop(args, state, step_fn, shard, source, tokenizer,
+                       accum)
+    return
+  state = create_train_state(
+      jax.random.PRNGKey(args.seed), cfg, optimizer,
+      pretrained_params=pretrained)
   if args.fsdp and (args.tp_impl == 'manual' or args.pp_microbatches
                     or jax.device_count() == 1):
     parser.error('--fsdp requires the gspmd tp-impl and more than one '
@@ -210,6 +249,13 @@ def main():
     step_fn = jax.jit(make_train_step(cfg, optimizer, accum_steps=accum))
     shard = None
 
+  _run_training_loop(args, state, step_fn, shard, source, tokenizer, accum)
+
+
+def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
+                       accum):
+  """Shared tail of every step-selection path: loader, checkpoints, EMA,
+  metric logging."""
   ckpt = (TrainCheckpointer(args.checkpoint_dir)
           if args.checkpoint_dir else None)
 
@@ -223,7 +269,6 @@ def main():
       ema_ckpt = TrainCheckpointer(
           os.path.join(args.checkpoint_dir, 'ema'))
 
-  # --- loop ---
   from videoprism_tpu.utils.logging import MetricsLogger
 
   loader = data_lib.batched_loader(

@@ -16,6 +16,17 @@ from videoprism_tpu.train.eval_loop import (
     make_clip_text_eval_step,
     make_clip_video_eval_step,
 )
+from videoprism_tpu.train.lora import (
+    LoraConfig,
+    create_lora_classifier_train_state,
+    create_lora_train_state,
+    export_lora_classifier,
+    init_lora,
+    lora_num_params,
+    make_lora_classifier_train_step,
+    make_lora_train_step,
+    merge_lora,
+)
 from videoprism_tpu.train.ema import (
     EmaState,
     ema_params,
@@ -34,8 +45,11 @@ from videoprism_tpu.train.pp_train_step import make_pp_train_step
 from videoprism_tpu.train.tp_train_step import make_tp_train_step
 
 __all__ = [
-    'ClassifierTrainState', 'EmaState', 'TrainState',
+    'ClassifierTrainState', 'EmaState', 'LoraConfig', 'TrainState',
     'accumulate_gradients', 'create_classifier_train_state',
+    'create_lora_classifier_train_state', 'create_lora_train_state',
+    'export_lora_classifier', 'init_lora', 'lora_num_params',
+    'make_lora_classifier_train_step', 'make_lora_train_step', 'merge_lora',
     'create_train_state', 'ema_params', 'evaluate_classifier',
     'evaluate_retrieval', 'evaluate_zero_shot', 'init_ema',
     'make_classifier_eval_step', 'make_classifier_train_step',
