@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Build a text-searchable video-embedding index (one npz).
+
+Sweeps videos through the lvt vision tower at one compiled geometry and
+writes a ``retrieval.VideoIndex`` keyed by video path:
+
+  python scripts/build_video_index.py --model videoprism_lvt_public_v1_base \
+      --videos-glob 'corpus/*.mp4' --output corpus_index.npz
+
+Query it offline with scripts/search_videos.py or serve it with
+scripts/serve_embeddings.py --index.
+
+Smoke (synthetic, CPU):
+  python scripts/build_video_index.py --tiny --synthetic \
+      --output /tmp/idx.npz --cpu-devices 2
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import glob
+import json
+
+from evaluate_retrieval import add_clip_eval_args, resolve_clip  # noqa: E402
+from videoprism_tpu import retrieval  # noqa: E402
+from videoprism_tpu.train import data as data_lib  # noqa: E402
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  add_clip_eval_args(parser)
+  parser.add_argument('--videos-glob', default=None)
+  parser.add_argument('--manifest', default=None,
+                      help='one video path per line (a trailing '
+                           '<TAB>caption / ,caption column is ignored)')
+  parser.add_argument('--output', required=True, help='index npz path')
+  args = parser.parse_args()
+
+  cfg, params, _, frames, size = resolve_clip(args)
+
+  if args.synthetic:
+    source = data_lib.SyntheticSource(
+        num_examples=max(16, args.batch_size * 2), num_frames=frames,
+        size=size)
+    ids = None
+  else:
+    if args.videos_glob:
+      paths = sorted(glob.glob(args.videos_glob))
+    elif args.manifest:
+      paths = [line.split('\t')[0].split(',')[0].strip()
+               for line in open(args.manifest) if line.strip()]
+    else:
+      raise SystemExit('need --videos-glob, --manifest, or --synthetic')
+    if not paths:
+      raise SystemExit('no videos matched')
+    source = data_lib.VideoTextSource(
+        paths, [''] * len(paths), num_frames=frames, target_size=size)
+    ids = paths
+
+  index = retrieval.build_video_index(
+      params, cfg, source, ids=ids, batch_size=args.batch_size)
+  index.save(args.output)
+  print(json.dumps({'num_videos': len(index), 'dim': index.dim,
+                    'output': args.output}))
+
+
+if __name__ == '__main__':
+  main()

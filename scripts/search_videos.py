@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Text-to-video search against a saved index (one JSON line per query).
+
+  python scripts/search_videos.py --model videoprism_lvt_public_v1_base \
+      --index corpus_index.npz --tokenizer-model c4_en.model \
+      --k 5 "a person playing drums" "a dog running"
+
+Smoke (random tiny model + synthetic index, CPU):
+  python scripts/build_video_index.py --tiny --synthetic \
+      --output /tmp/idx.npz --cpu-devices 2
+  python scripts/search_videos.py --tiny --index /tmp/idx.npz \
+      --cpu-devices 2 "drums"
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+from evaluate_retrieval import add_clip_eval_args, resolve_clip  # noqa: E402
+from videoprism_tpu import retrieval  # noqa: E402
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  add_clip_eval_args(parser)
+  parser.add_argument('--index', required=True, help='index npz path')
+  parser.add_argument('--k', type=int, default=5)
+  parser.add_argument('queries', nargs='+', help='query texts')
+  args = parser.parse_args()
+
+  cfg, params, tokenizer, _, _ = resolve_clip(args)
+  index = retrieval.VideoIndex.load(args.index)
+  encode = retrieval.make_text_query_encoder(
+      params, cfg, tokenizer,
+      batch_size=args.text_batch_size or max(args.batch_size, 8))
+
+  results = index.search(encode(args.queries), k=args.k)
+  for query, row in zip(args.queries, results):
+    print(json.dumps({
+        'query': query,
+        'results': [{'id': i, 'score': round(s, 6)} for i, s in row],
+    }))
+
+
+if __name__ == '__main__':
+  main()

@@ -59,8 +59,18 @@ def main():
   parser.add_argument('--warmup-frames', type=int, default=0,
                       help='pre-compile every bucket at [N, 288, 288, 3] '
                            'uint8 before accepting traffic (0: skip)')
+  parser.add_argument('--index', default=None,
+                      help='retrieval.VideoIndex npz (from '
+                           'scripts/build_video_index.py): enables '
+                           'POST /v1/search (lvt models only)')
+  parser.add_argument('--tokenizer-model', default=None,
+                      help='SentencePiece model for /v1/embed_text '
+                           '(lvt models; default: bundled fixture or '
+                           '$VIDEOPRISM_SPM_PATH)')
   parser.add_argument('--tiny', action='store_true',
                       help='tiny random model (wire-format smoke testing)')
+  parser.add_argument('--tiny-clip', action='store_true',
+                      help='tiny random lvt model (text/search smoke)')
   parser.add_argument('--cpu-devices', type=int, default=0)
   parser.add_argument('--smoke', action='store_true',
                       help='start, self-request once, print, and exit')
@@ -70,7 +80,20 @@ def main():
     jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_num_cpu_devices', args.cpu_devices)
 
-  if args.tiny:
+  if args.tiny_clip:
+    from videoprism_tpu.models import clip as vclip
+    from videoprism_tpu.models import init as init_lib
+
+    cfg = vclip.VideoCLIPConfig(
+        patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=2,
+        num_temporal_layers=1, mlp_dim=32, num_auxiliary_layers=1,
+        enable_causal_atten=True, num_unimodal_layers=1, norm_policy='pre',
+        model_dim=16, num_heads=2, atten_logit_cap=50.0, scan=True,
+        vocabulary_size=1000)
+    model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+    state = model.init(jax.random.PRNGKey(0))
+    clip_shape = (2, 12, 12, 3)
+  elif args.tiny:
     from videoprism_tpu.models import factorized_encoder as fe
     from videoprism_tpu.models import init as init_lib
 
@@ -96,16 +119,42 @@ def main():
       batch_buckets=tuple(int(b) for b in args.buckets.split(',')),
       max_wait_ms=args.max_wait_ms, quantize=args.quantize)
   service.start()
-  if args.warmup_frames or args.tiny:
+  if args.warmup_frames or args.tiny or args.tiny_clip:
     print(f'warming up buckets at clip shape {clip_shape} ...')
     service.warmup(clip_shape, np.uint8)
 
+  # lvt models also serve the text tower (+ search when an index rides
+  # along); the text encoder always uses the FLOAT weights — `state` here
+  # is untouched by the service's int8 conversion of its own copy.
+  text_encode_fn = index = None
+  from videoprism_tpu.models.clip import VideoCLIPConfig
+  if isinstance(model.config, VideoCLIPConfig):
+    from videoprism_tpu import assets, retrieval
+    from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
+
+    tok_path = args.tokenizer_model or os.environ.get(
+        'VIDEOPRISM_SPM_PATH', assets.test_spm_path())
+    text_encode_fn = retrieval.make_text_query_encoder(
+        model._unwrap(state), model.config,
+        SentencePieceTokenizer(tok_path))
+    if args.index:
+      index = retrieval.VideoIndex.load(args.index)
+      print(f'search index: {len(index)} videos from {args.index}')
+  elif args.index:
+    raise SystemExit('--index needs an lvt (CLIP) model')
+
   server = EmbeddingHTTPServer(service, args.host, args.port,
-                               quiet=args.smoke)
-  print(f'serving on http://{args.host}:{server.port} '
-        f'(POST /v1/embed, GET /healthz, GET /stats)')
+                               quiet=args.smoke,
+                               text_encode_fn=text_encode_fn, index=index)
+  endpoints = 'POST /v1/embed, GET /healthz, GET /stats'
+  if text_encode_fn is not None:
+    endpoints += ', POST /v1/embed_text'
+  if index is not None:
+    endpoints += ', POST /v1/search'
+  print(f'serving on http://{args.host}:{server.port} ({endpoints})')
   if args.smoke:
     import io
+    import json
     import urllib.request
 
     server.start()
@@ -116,6 +165,20 @@ def main():
         {'Content-Type': 'application/x-npy'})
     emb = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
     print(f'smoke embed -> {emb.shape} {emb.dtype}')
+    if text_encode_fn is not None:
+      req = urllib.request.Request(
+          f'http://127.0.0.1:{server.port}/v1/embed_text',
+          json.dumps({'texts': ['a person playing drums']}).encode(),
+          {'Content-Type': 'application/json'})
+      out = json.loads(urllib.request.urlopen(req).read())
+      print(f'smoke embed_text -> {len(out["embeddings"][0])}-d')
+    if index is not None:
+      req = urllib.request.Request(
+          f'http://127.0.0.1:{server.port}/v1/search',
+          json.dumps({'texts': ['drums'], 'k': 3}).encode(),
+          {'Content-Type': 'application/json'})
+      out = json.loads(urllib.request.urlopen(req).read())
+      print(f'smoke search -> {out["results"][0]}')
     server.stop()
     service.stop()
     return

@@ -1,0 +1,236 @@
+"""Retrieval subsystem (retrieval.py): exact top-k index semantics,
+chunked-sweep equivalence, persistence, the index-build + text-query
+loops over the lvt towers, and the HTTP search endpoints."""
+
+import json
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+import videoprism_tpu as vp
+from videoprism_tpu import assets, retrieval, serving, serving_http
+from videoprism_tpu.models import clip as vclip
+from videoprism_tpu.models import init as init_lib
+from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
+from videoprism_tpu.train import data as data_lib
+
+TINY_CLIP = dict(
+    patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=1,
+    num_temporal_layers=1, mlp_dim=16, num_auxiliary_layers=0,
+    vocabulary_size=1024, enable_causal_atten=True, num_unimodal_layers=1,
+    norm_policy='pre', model_dim=8, num_heads=2, atten_logit_cap=50.0,
+    scan=True)
+
+
+def _brute_force_topk(index_emb, queries, k):
+  """Oracle: full cosine matrix + argsort."""
+  def norm(x):
+    x = np.asarray(x, np.float32)
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+  scores = norm(queries) @ norm(index_emb).T
+  order = np.argsort(-scores, axis=1)[:, :k]
+  return order, np.take_along_axis(scores, order, axis=1)
+
+
+class TestVideoIndex:
+
+  def test_search_matches_brute_force(self):
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(50, 16)).astype(np.float32)
+    queries = rng.normal(size=(7, 16)).astype(np.float32)
+    index = retrieval.VideoIndex(emb, [f'v{i}' for i in range(50)])
+    got = index.search(queries, k=5)
+    rows, scores = _brute_force_topk(emb, queries, 5)
+    for qi in range(7):
+      assert [i for i, _ in got[qi]] == [f'v{r}' for r in rows[qi]]
+      np.testing.assert_allclose(
+          [s for _, s in got[qi]], scores[qi], atol=1e-5)
+
+  def test_chunked_search_equals_unchunked(self):
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(23, 8)).astype(np.float32)
+    q = rng.normal(size=(3, 8)).astype(np.float32)
+    index = retrieval.VideoIndex(emb)
+    assert index.search(q, k=4, chunk_size=5) == index.search(q, k=4)
+
+  def test_scores_descending_and_1d_query(self):
+    rng = np.random.default_rng(2)
+    index = retrieval.VideoIndex(rng.normal(size=(10, 4)).astype(np.float32))
+    (row,) = index.search(rng.normal(size=4).astype(np.float32), k=10)
+    scores = [s for _, s in row]
+    assert scores == sorted(scores, reverse=True)
+
+  def test_incremental_add_and_k_clamp(self):
+    rng = np.random.default_rng(3)
+    a, b = rng.normal(size=(4, 6)).astype(np.float32), \
+        rng.normal(size=(3, 6)).astype(np.float32)
+    index = retrieval.VideoIndex()
+    index.add(a, ['a0', 'a1', 'a2', 'a3'])
+    index.add(b, ['b0', 'b1', 'b2'])
+    assert len(index) == 7
+    (row,) = index.search(a[0], k=100)  # clamps to 7
+    assert len(row) == 7 and row[0][0] == 'a0'
+    assert row[0][1] == pytest.approx(1.0, abs=1e-6)
+
+  def test_save_load_roundtrip(self, tmp_path):
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(12, 5)).astype(np.float32)
+    q = rng.normal(size=(2, 5)).astype(np.float32)
+    index = retrieval.VideoIndex(emb, [f'/path/{i}.mp4' for i in range(12)])
+    path = str(tmp_path / 'idx.npz')
+    index.save(path)
+    loaded = retrieval.VideoIndex.load(path)
+    assert loaded.ids == index.ids
+    got, want = loaded.search(q, k=3), index.search(q, k=3)
+    # The reload renormalizes already-unit rows: scores may drift 1 ulp.
+    assert [[i for i, _ in row] for row in got] == \
+        [[i for i, _ in row] for row in want]
+    np.testing.assert_allclose(
+        [[s for _, s in row] for row in got],
+        [[s for _, s in row] for row in want], atol=1e-6)
+
+  def test_error_cases(self):
+    index = retrieval.VideoIndex()
+    with pytest.raises(ValueError, match='empty'):
+      index.search(np.zeros(4, np.float32))
+    with pytest.raises(ValueError, match='ids'):
+      retrieval.VideoIndex(np.zeros((2, 4), np.float32), ['only-one'])
+    index.add(np.ones((2, 4), np.float32), ['a', 'b'])
+    with pytest.raises(ValueError, match='dim'):
+      index.add(np.ones((1, 5), np.float32), ['c'])
+    with pytest.raises(ValueError, match='dim'):
+      index.search(np.zeros(5, np.float32))
+
+
+class TestBuildAndQuery:
+
+  @pytest.fixture(scope='class')
+  def setup(self):
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    params = init_lib.init_video_clip(jax.random.PRNGKey(0), cfg)
+    tok = SentencePieceTokenizer(assets.test_spm_path())
+    return cfg, params, tok
+
+  def test_build_index_matches_direct_tower(self, setup):
+    cfg, params, _ = setup
+    source = data_lib.SyntheticSource(num_examples=5, num_frames=2, size=12)
+    index = retrieval.build_video_index(params, cfg, source, batch_size=2)
+    assert len(index) == 5 and index.ids == [str(i) for i in range(5)]
+    videos = np.stack([source.get(i)[0] for i in range(5)])
+    direct, _ = vclip.encode_vision(params, videos, cfg, train=False)
+    # Self-query: each clip's own embedding must rank itself first.
+    results = index.search(np.asarray(direct), k=1)
+    assert [row[0][0] for row in results] == [str(i) for i in range(5)]
+
+  def test_text_query_encoder_matches_direct(self, setup):
+    cfg, params, tok = setup
+    encode = retrieval.make_text_query_encoder(
+        params, cfg, tok, batch_size=2, max_text_len=12)
+    texts = ['a person playing drums', 'a dog', 'swimming']
+    emb = encode(texts)
+    assert emb.shape == (3, cfg.model_dim)
+    np.testing.assert_allclose(
+        np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+    from videoprism_tpu.models import registry
+    ids, pads = registry.tokenize_texts(tok, texts, max_length=12)
+    direct = vclip.encode_text(params, ids, pads, cfg, train=False)
+    np.testing.assert_allclose(emb, np.asarray(direct), atol=1e-5)
+
+  def test_empty_source_and_empty_texts_raise(self, setup):
+    cfg, params, tok = setup
+    encode = retrieval.make_text_query_encoder(params, cfg, tok)
+    with pytest.raises(ValueError, match='empty'):
+      encode([])
+
+
+class TestHTTPSearch:
+
+  @pytest.fixture(scope='class')
+  def server(self):
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+    state = model.init(jax.random.PRNGKey(0))
+    params = vp.Model._unwrap(state)
+    tok = SentencePieceTokenizer(assets.test_spm_path())
+
+    source = data_lib.SyntheticSource(num_examples=4, num_frames=2, size=12)
+    index = retrieval.build_video_index(params, cfg, source, batch_size=2)
+    encode = retrieval.make_text_query_encoder(
+        params, cfg, tok, batch_size=2, max_text_len=12)
+
+    service = serving.EmbeddingService(model, state, batch_buckets=(1, 2),
+                                       max_wait_ms=20.0)
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(
+        service, host='127.0.0.1', port=0, text_encode_fn=encode,
+        index=index)
+    httpd.start()
+    yield httpd, encode, index
+    httpd.stop()
+    service.stop()
+
+  def _post_json(self, httpd, path, payload, timeout=120):
+    req = urllib.request.Request(
+        f'http://127.0.0.1:{httpd.port}{path}',
+        json.dumps(payload).encode(), {'Content-Type': 'application/json'})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+      return json.loads(resp.read())
+
+  def test_embed_text_matches_encoder(self, server):
+    httpd, encode, _ = server
+    out = self._post_json(httpd, '/v1/embed_text', {'texts': ['drums']})
+    np.testing.assert_allclose(
+        np.asarray(out['embeddings'], np.float32), encode(['drums']),
+        atol=1e-6)
+
+  def test_search_matches_index(self, server):
+    httpd, encode, index = server
+    out = self._post_json(httpd, '/v1/search',
+                          {'texts': ['a person', 'a dog'], 'k': 2})
+    expected = index.search(encode(['a person', 'a dog']), k=2)
+    assert [[r['id'] for r in row] for row in out['results']] == \
+        [[i for i, _ in row] for row in expected]
+
+  def test_single_text_field(self, server):
+    httpd, _, _ = server
+    out = self._post_json(httpd, '/v1/embed_text', {'text': 'one string'})
+    assert len(out['embeddings']) == 1
+
+  def test_bad_requests_are_400(self, server):
+    httpd, _, _ = server
+    for payload in ({'texts': []}, {'texts': 'not a list'},
+                    {'texts': ['x'], 'k': 0}):
+      path = '/v1/search' if 'k' in payload else '/v1/embed_text'
+      req = urllib.request.Request(
+          f'http://127.0.0.1:{httpd.port}{path}',
+          json.dumps(payload).encode(),
+          {'Content-Type': 'application/json'})
+      with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=30)
+      assert exc_info.value.code == 400
+
+  def test_search_without_index_is_404(self):
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+    state = model.init(jax.random.PRNGKey(1))
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,),
+                                       max_wait_ms=20.0)
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(
+        service, host='127.0.0.1', port=0)
+    httpd.start()
+    try:
+      req = urllib.request.Request(
+          f'http://127.0.0.1:{httpd.port}/v1/embed_text',
+          json.dumps({'texts': ['x']}).encode(),
+          {'Content-Type': 'application/json'})
+      with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=30)
+      assert exc_info.value.code == 404
+    finally:
+      httpd.stop()
+      service.stop()

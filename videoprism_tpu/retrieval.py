@@ -1,0 +1,175 @@
+"""Text-to-video retrieval: embedding index + text query encoding.
+
+The reference's headline lvt use case is zero-shot retrieval (reference
+README.md:130-151 computes ``video_emb @ text_emb.T`` by hand and its
+colab does the same); this module makes it a product surface:
+
+* :class:`VideoIndex` — an in-memory corpus of l2-normalized video
+  embeddings with string ids: ``add`` / ``search`` (chunked cosine
+  top-k, O(chunk * N) memory) / ``save`` / ``load`` (one npz).
+* :func:`build_video_index` — sweep any ``(clip, *)`` source through the
+  lvt vision tower at one fixed compiled geometry.
+* :func:`make_text_query_encoder` — ``list[str] -> [N, D]`` through the
+  text tower, batched + padded to one compiled geometry, tokenization
+  included.
+
+Pairs with :mod:`videoprism_tpu.serving_http`'s ``/v1/embed_text`` and
+``/v1/search`` endpoints for the served form.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+from videoprism_tpu.models import clip as vclip
+from videoprism_tpu.models import registry
+
+Params = Any
+
+
+class VideoIndex:
+  """Exact cosine-similarity index over l2-normalized embeddings.
+
+  Brute-force matmul search: at VideoPrism scale (D<=1536, fp32) a
+  million-clip corpus is a 4 GB matrix swept at HBM/DRAM bandwidth —
+  exact search stays cheaper than ANN plumbing well past typical corpus
+  sizes, and the chunked sweep keeps peak memory O(chunk * N).
+  """
+
+  def __init__(self, embeddings: np.ndarray | None = None,
+               ids: Sequence[str] | None = None):
+    self._emb = (np.zeros((0, 0), np.float32) if embeddings is None
+                 else self._normalize(embeddings))
+    self._ids = list(ids) if ids is not None else [
+        str(i) for i in range(len(self._emb))]
+    if len(self._ids) != len(self._emb):
+      raise ValueError(
+          f'{len(self._ids)} ids for {len(self._emb)} embeddings')
+
+  @staticmethod
+  def _normalize(embeddings: np.ndarray) -> np.ndarray:
+    emb = np.asarray(embeddings, np.float32)
+    if emb.ndim != 2:
+      raise ValueError(f'embeddings must be [N, D], got {emb.shape}')
+    norm = np.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb / np.maximum(norm, 1e-12)
+
+  def __len__(self) -> int:
+    return len(self._emb)
+
+  @property
+  def dim(self) -> int:
+    return self._emb.shape[1]
+
+  @property
+  def ids(self) -> list[str]:
+    return list(self._ids)
+
+  def add(self, embeddings: np.ndarray, ids: Sequence[str]) -> None:
+    emb = self._normalize(embeddings)
+    if len(ids) != len(emb):
+      raise ValueError(f'{len(ids)} ids for {len(emb)} embeddings')
+    if len(self._emb) and emb.shape[1] != self.dim:
+      raise ValueError(
+          f'dim mismatch: index has {self.dim}, adding {emb.shape[1]}')
+    self._emb = emb if not len(self._emb) else np.concatenate(
+        [self._emb, emb], axis=0)
+    self._ids.extend(str(i) for i in ids)
+
+  def search(self, queries: np.ndarray, k: int = 5,
+             chunk_size: int = 65536) -> list[list[tuple[str, float]]]:
+    """Top-k by cosine similarity.  ``queries`` is [Q, D] (or [D]);
+    returns per query a score-descending ``[(id, score), ...]``."""
+    if not len(self._emb):
+      raise ValueError('search on an empty index')
+    q = self._normalize(np.atleast_2d(np.asarray(queries, np.float32)))
+    if q.shape[1] != self.dim:
+      raise ValueError(f'query dim {q.shape[1]} != index dim {self.dim}')
+    k = min(k, len(self._emb))
+
+    # Running top-k across index chunks: scores stay O(Q * chunk).
+    best_scores = np.full((len(q), 0), -np.inf, np.float32)
+    best_rows = np.zeros((len(q), 0), np.int64)
+    for start in range(0, len(self._emb), chunk_size):
+      scores = q @ self._emb[start:start + chunk_size].T
+      rows = np.arange(start, start + scores.shape[1])
+      cand_s = np.concatenate([best_scores, scores], axis=1)
+      cand_r = np.concatenate(
+          [best_rows, np.broadcast_to(rows, scores.shape)], axis=1)
+      top = np.argpartition(-cand_s, k - 1, axis=1)[:, :k]
+      best_scores = np.take_along_axis(cand_s, top, axis=1)
+      best_rows = np.take_along_axis(cand_r, top, axis=1)
+
+    order = np.argsort(-best_scores, axis=1, kind='stable')
+    best_scores = np.take_along_axis(best_scores, order, axis=1)
+    best_rows = np.take_along_axis(best_rows, order, axis=1)
+    return [
+        [(self._ids[r], float(s)) for r, s in zip(rows, scores)]
+        for rows, scores in zip(best_rows, best_scores)
+    ]
+
+  def save(self, path: str) -> None:
+    # Fixed-width unicode (not object dtype): loads with pickle disabled.
+    np.savez(path, embeddings=self._emb,
+             ids=np.asarray(self._ids, dtype=np.str_))
+
+  @classmethod
+  def load(cls, path: str) -> 'VideoIndex':
+    with np.load(path, allow_pickle=False) as data:
+      return cls(data['embeddings'], [str(i) for i in data['ids']])
+
+
+def build_video_index(
+    params: Params,
+    cfg: vclip.VideoCLIPConfig,
+    source,
+    *,
+    ids: Sequence[str] | None = None,
+    batch_size: int = 8,
+    num_workers: int = 4,
+    sharding=None,
+) -> VideoIndex:
+  """Embed every clip of a ``(clip, *)`` source (``VideoTextSource``,
+  ``VideoLabelSource``, ...) through the lvt vision tower and index it.
+  ``ids`` default to the source's ``video_paths`` when present, else
+  stringified positions."""
+  from videoprism_tpu.train import eval_loop
+
+  n = len(source)
+  if n == 0:
+    raise ValueError('build_video_index: empty source')
+  emb = eval_loop._sweep_videos(
+      eval_loop.make_clip_video_eval_step(cfg), params, source, range(n),
+      batch_size=batch_size, num_workers=num_workers, sharding=sharding)
+  if ids is None:
+    paths = getattr(source, 'video_paths', None)
+    ids = list(paths) if paths is not None else [str(i) for i in range(n)]
+  return VideoIndex(emb, ids)
+
+
+def make_text_query_encoder(
+    params: Params,
+    cfg: vclip.VideoCLIPConfig,
+    tokenizer,
+    *,
+    batch_size: int = 32,
+    max_text_len: int = registry.TEXT_MAX_LEN,
+    sharding=None,
+):
+  """Returns ``encode(texts: Sequence[str]) -> [N, D] np.float32``
+  (l2-normalized) — tokenization + the text tower at one fixed compiled
+  geometry.  Thread-safe; the served ``/v1/embed_text`` handler."""
+  from videoprism_tpu.train import eval_loop
+
+  step = eval_loop.make_clip_text_eval_step(cfg)
+
+  def encode(texts: Sequence[str]) -> np.ndarray:
+    if not texts:
+      raise ValueError('encode: empty text list')
+    return eval_loop._sweep_texts(
+        step, params, list(texts), tokenizer, batch_size=batch_size,
+        max_text_len=max_text_len, sharding=sharding)
+
+  return encode

@@ -19,6 +19,13 @@ Endpoints:
 * ``POST /v1/embed`` — one clip ``[T, H, W, 3]`` (micro-batched across
   concurrent callers) or a batch ``[B, T, H, W, 3]`` (direct pipelined
   path).  Response carries the embeddings in the request's format.
+* ``POST /v1/embed_text`` — JSON ``{"texts": [...]}`` through the lvt
+  text tower (requires ``text_encode_fn``, see
+  :func:`videoprism_tpu.retrieval.make_text_query_encoder`).  Response:
+  ``{"embeddings": [[...], ...]}``.
+* ``POST /v1/search`` — JSON ``{"texts": [...], "k": 5}`` text-to-video
+  retrieval against the attached :class:`videoprism_tpu.retrieval.VideoIndex`.
+  Response: ``{"results": [[{"id", "score"}, ...], ...]}``.
 * ``GET /healthz`` — liveness.
 * ``GET /stats`` — the service's counters + latency percentiles.
 
@@ -69,6 +76,8 @@ def _encode_body(content_type: str, array: np.ndarray) -> tuple[str, bytes]:
 class _Handler(BaseHTTPRequestHandler):
   # Set by EmbeddingHTTPServer.
   service: EmbeddingService = None
+  text_encode_fn = None   # list[str] -> [N, D] np.ndarray
+  index = None            # retrieval.VideoIndex
   quiet: bool = True
 
   protocol_version = 'HTTP/1.1'
@@ -96,6 +105,9 @@ class _Handler(BaseHTTPRequestHandler):
       self._reply_json(404, {'error': f'unknown path {self.path}'})
 
   def do_POST(self):  # noqa: N802
+    if self.path in ('/v1/embed_text', '/v1/search'):
+      self._post_text()
+      return
     if self.path != '/v1/embed':
       self._reply_json(404, {'error': f'unknown path {self.path}'})
       return
@@ -122,15 +134,61 @@ class _Handler(BaseHTTPRequestHandler):
     ctype, body = _encode_body(content_type, np.asarray(emb))
     self._reply(200, ctype, body)
 
+  def _post_text(self) -> None:
+    """/v1/embed_text and /v1/search (both JSON-only)."""
+    if self.text_encode_fn is None:
+      self._reply_json(
+          404, {'error': f'{self.path} needs a text encoder (serve an '
+                         'lvt model with text_encode_fn)'})
+      return
+    if self.path == '/v1/search' and self.index is None:
+      self._reply_json(404, {'error': '/v1/search needs a video index'})
+      return
+    try:
+      length = int(self.headers.get('Content-Length', 0))
+      if not 0 < length <= _MAX_BODY_BYTES:
+        raise ValueError(f'bad Content-Length {length}')
+      spec = json.loads(self.rfile.read(length))
+      texts = spec['texts'] if 'texts' in spec else [spec['text']]
+      if (not isinstance(texts, list) or not texts
+          or not all(isinstance(t, str) for t in texts)):
+        raise ValueError('"texts" must be a non-empty list of strings')
+      k = int(spec.get('k', 5))
+      if self.path == '/v1/search' and k <= 0:
+        raise ValueError(f'"k" must be positive, got {k}')
+    except Exception as e:  # malformed request — client's fault
+      self._reply_json(400, {'error': str(e)})
+      return
+    try:
+      emb = np.asarray(self.text_encode_fn(texts))
+      if self.path == '/v1/embed_text':
+        self._reply_json(200, {'embeddings': emb.tolist()})
+        return
+      results = self.index.search(emb, k=k)
+      self._reply_json(200, {'results': [
+          [{'id': i, 'score': round(s, 6)} for i, s in row]
+          for row in results]})
+    except Exception as e:  # service-side failure
+      self._reply_json(500, {'error': str(e)})
+
 
 class EmbeddingHTTPServer:
   """Owns a ThreadingHTTPServer bound to (host, port) and the serving
   thread.  ``port=0`` picks a free port (exposed as ``.port``)."""
 
   def __init__(self, service: EmbeddingService, host: str = '0.0.0.0',
-               port: int = 8000, quiet: bool = True):
+               port: int = 8000, quiet: bool = True,
+               text_encode_fn=None, index=None):
+    """``text_encode_fn`` (see ``retrieval.make_text_query_encoder``)
+    enables ``/v1/embed_text``; adding ``index`` (a
+    ``retrieval.VideoIndex``) enables ``/v1/search``."""
+    # staticmethod: a bare function stored on the class would otherwise
+    # bind as a method and receive the handler as its first argument.
     handler = type('BoundHandler', (_Handler,),
-                   {'service': service, 'quiet': quiet})
+                   {'service': service, 'quiet': quiet,
+                    'text_encode_fn': (None if text_encode_fn is None
+                                       else staticmethod(text_encode_fn)),
+                    'index': index})
     self._httpd = ThreadingHTTPServer((host, port), handler)
     self._httpd.daemon_threads = True
     self.host = host
