@@ -96,6 +96,11 @@ def main():
                            'fine-tune memory relief; no-op when frozen)')
   parser.add_argument('--fprop-dtype', default='float32',
                       choices=['float32', 'bfloat16'])
+  parser.add_argument('--augment', action='store_true',
+                      help='device-side random resized crop + flip + '
+                           'color jitter on the training clips')
+  parser.add_argument('--augment-min-scale', type=float, default=0.3)
+  parser.add_argument('--augment-strength', type=float, default=0.2)
   parser.add_argument('--eval-manifest', default=None,
                       help='held-out CSV manifest; with --synthetic, a '
                            'disjoint synthetic set is used instead')
@@ -220,6 +225,11 @@ def main():
       source, args.batch_size, seed=args.seed, num_epochs=None,
       sharding=shard, accum_steps=accum)
   rng = jax.random.PRNGKey(args.seed + 1)
+  from videoprism_tpu.train import augment as augment_lib
+  aug_fn = augment_lib.make_augment_fn(augment_lib.augment_config_from_flags(
+      args.augment, crop_scale_min=args.augment_min_scale,
+      strength=args.augment_strength))
+  aug_rng = jax.random.PRNGKey(args.seed + 2)
   t0 = time.time()
   logger = MetricsLogger(args.metrics_dir or args.checkpoint_dir,
                          console_every=1)
@@ -248,6 +258,9 @@ def main():
   for i, batch in enumerate(loader):
     if i >= args.steps:
       break
+    if aug_fn is not None:
+      batch = dict(batch, video=aug_fn(jax.random.fold_in(aug_rng, i),
+                                       batch['video']))
     state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
     if i % args.log_every == 0 or i == args.steps - 1:
       logger.log(i, metrics,

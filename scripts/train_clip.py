@@ -118,6 +118,13 @@ def main():
                       help='track an EMA of the params for eval/serving '
                            '(0 = off; typical 0.999); checkpointed under '
                            '<checkpoint-dir>/ema')
+  parser.add_argument('--augment', action='store_true',
+                      help='device-side random resized crop + flip + '
+                           'color jitter on the training clips')
+  parser.add_argument('--augment-min-scale', type=float, default=0.3,
+                      help='crop area-fraction lower bound')
+  parser.add_argument('--augment-strength', type=float, default=0.2,
+                      help='brightness/contrast/saturation jitter range')
   parser.add_argument('--checkpoint-dir', default=None)
   parser.add_argument('--checkpoint-every', type=int, default=500)
   parser.add_argument('--metrics-dir', default=None,
@@ -275,6 +282,13 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
       source, tokenizer, args.batch_size, seed=args.seed,
       num_epochs=None, sharding=shard, accum_steps=accum)
   rng = jax.random.PRNGKey(args.seed + 1)
+  # Augmentation runs on device, outside the train step (composes with
+  # every step variant; under a mesh it inherits the batch's sharding).
+  from videoprism_tpu.train import augment as augment_lib
+  aug_fn = augment_lib.make_augment_fn(augment_lib.augment_config_from_flags(
+      args.augment, crop_scale_min=args.augment_min_scale,
+      strength=args.augment_strength))
+  aug_rng = jax.random.PRNGKey(args.seed + 2)
   t0 = time.time()
   # console_every=1: this loop already throttles log() calls to log_every
   # (and always logs the final step).
@@ -283,6 +297,9 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
   for i, batch in enumerate(loader):
     if i >= args.steps:
       break
+    if aug_fn is not None:
+      batch = dict(batch, video=aug_fn(jax.random.fold_in(aug_rng, i),
+                                       batch['video']))
     state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
     if ema_update is not None:
       ema_state = ema_update(ema_state, state.params)

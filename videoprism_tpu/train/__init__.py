@@ -2,6 +2,11 @@
 the reference repo is inference-only, SURVEY.md §2.7)."""
 
 from videoprism_tpu.train import objectives
+from videoprism_tpu.train.augment import (
+    AugmentConfig,
+    augment_clips,
+    make_augment_fn,
+)
 from videoprism_tpu.train.classifier_train_step import (
     ClassifierTrainState,
     create_classifier_train_state,
