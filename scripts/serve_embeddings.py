@@ -54,6 +54,9 @@ def main():
   parser.add_argument('--buckets', default='1,4,8',
                       help='micro-batch buckets, comma-separated')
   parser.add_argument('--max-wait-ms', type=float, default=5.0)
+  parser.add_argument('--max-pending', type=int, default=None,
+                      help='bound the request queue; full -> HTTP 503 '
+                           '(load shedding). Default: unbounded.')
   parser.add_argument('--host', default='0.0.0.0')
   parser.add_argument('--port', type=int, default=8000)
   parser.add_argument('--warmup-frames', type=int, default=0,
@@ -117,7 +120,8 @@ def main():
   service = EmbeddingService(
       model, state,
       batch_buckets=tuple(int(b) for b in args.buckets.split(',')),
-      max_wait_ms=args.max_wait_ms, quantize=args.quantize)
+      max_wait_ms=args.max_wait_ms, quantize=args.quantize,
+      max_pending=args.max_pending)
   service.start()
   if args.warmup_frames or args.tiny or args.tiny_clip:
     print(f'warming up buckets at clip shape {clip_shape} ...')

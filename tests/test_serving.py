@@ -128,6 +128,36 @@ class TestServiceValidation:
     with pytest.raises(ValueError, match='positive'):
       serving.EmbeddingService(model, state, batch_buckets=(0, 4))
 
+  def test_max_pending_backpressure(self, model_and_state):
+    """A full queue sheds load with ServiceOverloaded instead of growing
+    an unbounded backlog (service NOT started, so nothing drains)."""
+    model, state = model_and_state
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(2,), max_pending=1)
+    clip = np.zeros((2, 12, 12, 3), np.float32)
+
+    def first_caller():  # occupies the single queue slot until released
+      try:
+        service.embed(clip, timeout=10.0)
+      except Exception:
+        pass  # manual release hands back result=None; ignore
+
+    blocked = threading.Thread(target=first_caller, daemon=True)
+    blocked.start()
+    deadline = threading.Event()
+    for _ in range(100):  # wait for the first request to occupy the slot
+      if service._queue.full():
+        break
+      deadline.wait(0.05)
+    assert service._queue.full()
+    with pytest.raises(serving.ServiceOverloaded, match='pending'):
+      service.embed(clip)
+    service._queue.get_nowait().event.set()  # unblock the first caller
+    blocked.join(timeout=10)
+    with pytest.raises(ValueError, match='max_pending'):
+      serving.EmbeddingService(model, state, batch_buckets=(2,),
+                               max_pending=0)
+
   def test_embed_rejects_batched_input(self, model_and_state):
     model, state = model_and_state
     service = serving.EmbeddingService(model, state, batch_buckets=(2,))

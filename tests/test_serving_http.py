@@ -161,3 +161,30 @@ class TestErrors:
     np.save(buf, np.array([{'a': 1}], dtype=object), allow_pickle=True)
     self._expect_status(httpd, '/v1/embed', buf.getvalue(),
                         {'Content-Type': 'application/x-npy'}, 400)
+
+  def test_overloaded_is_503_with_retry_after(self):
+    """max_pending full -> load shed as HTTP 503 + Retry-After header.
+    Own (unstarted) service so the queue never drains."""
+    cfg = fe.FactorizedEncoderConfig(**TINY)
+    model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
+    state = model.init(jax.random.PRNGKey(0))
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(1,), max_pending=1)
+    service._queue.put_nowait(serving._Request(
+        video=np.zeros(CLIP_SHAPE, np.float32), event=threading.Event()))
+    httpd = serving_http.EmbeddingHTTPServer(service, host='127.0.0.1',
+                                             port=0)
+    httpd.start()
+    try:
+      buf = io.BytesIO()
+      np.save(buf, np.zeros(CLIP_SHAPE, np.float32))
+      req = urllib.request.Request(
+          _url(httpd, '/v1/embed'), buf.getvalue(),
+          {'Content-Type': 'application/x-npy'})
+      with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+      assert ei.value.code == 503
+      assert ei.value.headers['Retry-After'] == '1'
+      assert 'pending' in json.loads(ei.value.read())['error']
+    finally:
+      httpd.stop()

@@ -58,6 +58,12 @@ def data_parallel_forward(
       out_specs=PartitionSpec(axis)))
 
 
+class ServiceOverloaded(RuntimeError):
+  """Raised by :meth:`EmbeddingService.embed` when the pending-request
+  queue is at ``max_pending`` — the backpressure signal (HTTP 503 at the
+  serving_http layer).  Clients should retry with backoff."""
+
+
 @dataclasses.dataclass
 class _Request:
   video: np.ndarray            # [T, H, W, 3]
@@ -86,6 +92,7 @@ class EmbeddingService:
       mesh=None,
       tensor_parallel: bool = False,
       quantize: str | None = None,
+      max_pending: int | None = None,
   ):
     """``tensor_parallel=True`` (requires ``mesh``) serves a video encoder
     with the shard_map TP path (:mod:`videoprism_tpu.parallel.tp`): params
@@ -98,7 +105,13 @@ class EmbeddingService:
     serving kernels (halved weight streaming/VMEM; wins at small batch on
     the large/giant towers — see ops/pallas/int8_blocks.py).  Composes
     with ``tensor_parallel``: scales shard alongside their weights and
-    the int8 kernels run per-shard in partial-output mode."""
+    the int8 kernels run per-shard in partial-output mode.
+
+    ``max_pending`` bounds the request queue: when that many requests are
+    already waiting, :meth:`embed` raises :class:`ServiceOverloaded`
+    immediately instead of growing an unbounded backlog (load shedding —
+    a saturated service should fail fast, not accumulate latency).
+    ``None`` (default) keeps the queue unbounded."""
     if quantize not in (None, 'int8'):
       raise ValueError(f'unknown quantize mode {quantize!r}')
     if quantize == 'int8':
@@ -129,7 +142,10 @@ class EmbeddingService:
             f'(size {dp}); every bucket must be a multiple of it')
     self._max_wait = max_wait_ms / 1000.0
     self._mesh = mesh
-    self._queue: queue.Queue[_Request] = queue.Queue()
+    if max_pending is not None and max_pending <= 0:
+      raise ValueError(f'max_pending must be positive, got {max_pending}')
+    self._queue: queue.Queue[_Request] = queue.Queue(
+        maxsize=max_pending or 0)
     self._compiled: dict[int, Any] = {}
     self._thread: threading.Thread | None = None
     self._running = False
@@ -231,7 +247,12 @@ class EmbeddingService:
           f'embed expects a single clip [T, H, W, C], got shape '
           f'{video.shape}; use embed_batch for batched input')
     req = _Request(video=video, event=threading.Event())
-    self._queue.put(req)
+    try:
+      self._queue.put_nowait(req)
+    except queue.Full:
+      raise ServiceOverloaded(
+          f'{self._queue.maxsize} requests already pending; retry with '
+          'backoff') from None
     if not req.event.wait(timeout):
       raise TimeoutError('embedding request timed out')
     if req.error is not None:

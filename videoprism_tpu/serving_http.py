@@ -44,7 +44,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from videoprism_tpu.serving import EmbeddingService
+from videoprism_tpu.serving import EmbeddingService, ServiceOverloaded
 
 _MAX_BODY_BYTES = 1 << 30
 
@@ -128,6 +128,15 @@ class _Handler(BaseHTTPRequestHandler):
         emb = self.service.embed(video)
       else:
         emb = self.service.embed_batch(video)
+    except ServiceOverloaded as e:  # load shed — tell clients to back off
+      self.send_response(503)
+      body = json.dumps({'error': str(e)}).encode()
+      self.send_header('Content-Type', 'application/json')
+      self.send_header('Content-Length', str(len(body)))
+      self.send_header('Retry-After', '1')
+      self.end_headers()
+      self.wfile.write(body)
+      return
     except Exception as e:  # service-side failure
       self._reply_json(500, {'error': str(e)})
       return
