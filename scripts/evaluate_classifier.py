@@ -65,6 +65,15 @@ def main():
   parser.add_argument('--batch-size', type=int, default=8)
   parser.add_argument('--num-frames', type=int, default=0,
                       help='default: 16 for base, 8 otherwise')
+  parser.add_argument('--temporal-views', type=int, default=1,
+                      help='multi-view eval: N temporal clips per video')
+  parser.add_argument('--spatial-views', type=int, default=1,
+                      help='multi-view eval: M spatial crops per clip '
+                           '(3 = left/center/right)')
+  parser.add_argument('--view-aggregate', default='logits',
+                      choices=['logits', 'probs'],
+                      help='average per-view logits (ViViT) or softmax '
+                           'probabilities')
   parser.add_argument('--cpu-devices', type=int, default=0)
   parser.add_argument('--seed', type=int, default=0)
   args = parser.parse_args()
@@ -118,8 +127,16 @@ def main():
   else:
     raise SystemExit('need --manifest or --synthetic')
 
+  if args.temporal_views > 1 or args.spatial_views > 1:
+    if args.synthetic:
+      raise SystemExit('multi-view eval needs --manifest (real videos)')
+    source = data_lib.MultiViewSource(
+        source, temporal_views=args.temporal_views,
+        spatial_views=args.spatial_views)
+
   metrics = evaluate_classifier(params, cfg, source,
-                                batch_size=args.batch_size)
+                                batch_size=args.batch_size,
+                                view_aggregate=args.view_aggregate)
   print(json.dumps({k: round(v, 6) for k, v in metrics.items()}))
 
 

@@ -62,6 +62,11 @@ def add_clip_eval_args(parser):
                       help='default: max(--batch-size, 32)')
   parser.add_argument('--num-frames', type=int, default=0,
                       help='default: 16 for base, 8 otherwise')
+  parser.add_argument('--temporal-views', type=int, default=1,
+                      help='multi-view eval: N temporal clips per video '
+                           '(embeddings averaged + renormalized)')
+  parser.add_argument('--spatial-views', type=int, default=1,
+                      help='multi-view eval: M spatial crops per clip')
   parser.add_argument('--cpu-devices', type=int, default=0)
   parser.add_argument('--seed', type=int, default=0)
 
@@ -95,6 +100,18 @@ def resolve_clip(args):
   return cfg, params, SentencePieceTokenizer(tok_path), frames, size
 
 
+def maybe_multiview(source, args):
+  """Wraps a path-backed source for NxM multi-view eval when requested."""
+  tv = getattr(args, 'temporal_views', 1)
+  sv = getattr(args, 'spatial_views', 1)
+  if tv <= 1 and sv <= 1:
+    return source
+  if args.synthetic:
+    raise SystemExit('multi-view eval needs --manifest (real videos)')
+  return data_lib.MultiViewSource(source, temporal_views=tv,
+                                  spatial_views=sv)
+
+
 def main():
   parser = argparse.ArgumentParser()
   add_clip_eval_args(parser)
@@ -114,6 +131,7 @@ def main():
         args.manifest, num_frames=frames, target_size=size)
   else:
     raise SystemExit('need --manifest or --synthetic')
+  source = maybe_multiview(source, args)
 
   metrics = evaluate_retrieval(
       params, cfg, source, tokenizer, batch_size=args.batch_size,

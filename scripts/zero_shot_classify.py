@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 
-from evaluate_retrieval import add_clip_eval_args, resolve_clip  # noqa: E402
+from evaluate_retrieval import (  # noqa: E402
+    add_clip_eval_args,
+    maybe_multiview,
+    resolve_clip,
+)
 from videoprism_tpu.train import (  # noqa: E402
     data as data_lib,
     evaluate_zero_shot,
@@ -63,6 +67,7 @@ def main():
         args.manifest, num_frames=frames, target_size=size)
   else:
     raise SystemExit('need --manifest or --synthetic')
+  source = maybe_multiview(source, args)
 
   metrics = evaluate_zero_shot(
       params, cfg, source, tokenizer, names, batch_size=args.batch_size,

@@ -125,6 +125,158 @@ def _load_video_native(
   return frames.astype(np.float32) / 255.0
 
 
+def multi_view_indices(total_frames: int, num_frames: int,
+                       temporal_views: int) -> np.ndarray:
+  """[V, T] frame indices for multi-clip evaluation.
+
+  View ``v`` samples ``num_frames`` uniformly (``np.linspace``) within its
+  ``1/V`` window of the clip; with ``temporal_views=1`` this reduces
+  exactly to the single-view :func:`load_video` sampling.
+  """
+  if temporal_views < 1 or num_frames < 1:
+    raise ValueError(f'temporal_views={temporal_views} and '
+                     f'num_frames={num_frames} must be >= 1')
+  views = np.empty((temporal_views, num_frames), np.int64)
+  for v in range(temporal_views):
+    lo = v * total_frames / temporal_views
+    hi = (v + 1) * total_frames / temporal_views - 1
+    views[v] = np.linspace(lo, hi, num_frames).astype(np.int64)
+  return views
+
+
+def spatial_crop_fracs(spatial_views: int) -> np.ndarray:
+  """Fractional crop offsets along the longer side: 1 view == the center
+  crop; M views span [left/top, ..., right/bottom] uniformly (M=3 is the
+  standard 3-crop protocol)."""
+  if spatial_views < 1:
+    raise ValueError(f'spatial_views must be >= 1, got {spatial_views}')
+  if spatial_views == 1:
+    return np.array([0.5], np.float64)
+  return np.linspace(0.0, 1.0, spatial_views)
+
+
+def load_video_views(
+    video_path: str,
+    num_frames: int = 16,
+    target_size: int = 288,
+    *,
+    temporal_views: int = 1,
+    spatial_views: int = 1,
+    as_uint8: bool = False,
+    backend: str = 'auto',
+) -> np.ndarray:
+  """Loads ``[temporal_views * spatial_views, num_frames, S, S, 3]`` views.
+
+  The standard multi-view evaluation protocol (ViViT-style NxM views):
+  N temporal clips sampled from equal windows of the video x M spatial
+  crops along the longer side of the shortest-side-resized frame; the
+  caller averages per-view logits/embeddings.  With ``1, 1`` this equals
+  ``load_video(...)[None]`` exactly.
+
+  Views are ordered temporal-major: ``view[t * M + s]`` is temporal
+  window ``t`` with spatial crop ``s``.  Frames shared between temporal
+  views are decoded and resized once; each spatial crop is a copy of the
+  same resized frame (one ``sws_scale``/``cv2.resize`` per distinct
+  frame regardless of M).
+  """
+  if backend not in ('auto', 'ffmpeg', 'opencv'):
+    raise ValueError(f'unknown backend {backend!r}')
+  fracs = spatial_crop_fracs(spatial_views)
+  if backend in ('auto', 'ffmpeg'):
+    try:
+      return _load_video_views_native(
+          video_path, num_frames, target_size, temporal_views, fracs,
+          as_uint8)
+    except RuntimeError:
+      if backend == 'ffmpeg':
+        raise
+  import cv2  # pytype: disable=import-error
+
+  cap = cv2.VideoCapture(video_path)
+  if not cap.isOpened():
+    raise ValueError(f'Could not open video file: {video_path}')
+  try:
+    total_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if total_frames < num_frames:
+      raise ValueError(
+          f'Video has only {total_frames} frames, but {num_frames} '
+          f'requested')
+    views_idx = multi_view_indices(total_frames, num_frames, temporal_views)
+    uniq = np.unique(views_idx)
+    decoded = []
+    for frame_idx in uniq:
+      cap.set(cv2.CAP_PROP_POS_FRAMES, int(frame_idx))
+      ret, frame = cap.read()
+      if not ret:
+        raise ValueError(
+            f'Could not read frame {frame_idx} from {video_path}')
+      frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+      resized = _shortest_side_resize(frame, target_size)
+      decoded.append(_fractional_crops(resized, target_size, fracs))
+  finally:
+    cap.release()
+  return _gather_views(np.stack(decoded, axis=0), uniq, views_idx, as_uint8)
+
+
+def _load_video_views_native(
+    video_path: str,
+    num_frames: int,
+    target_size: int,
+    temporal_views: int,
+    fracs: np.ndarray,
+    as_uint8: bool,
+) -> np.ndarray:
+  from videoprism_tpu import native
+
+  with native.NativeVideoDecoder(video_path) as dec:
+    total_frames = dec.num_frames
+    if total_frames < num_frames:
+      raise ValueError(
+          f'Video has only {total_frames} frames, but {num_frames} '
+          f'requested')
+    views_idx = multi_view_indices(total_frames, num_frames, temporal_views)
+    uniq = np.unique(views_idx)
+    decoded = dec.sample_crops(uniq, target_size, fracs)  # [U, M, S, S, 3]
+  return _gather_views(decoded, uniq, views_idx, as_uint8)
+
+
+def _gather_views(decoded: np.ndarray, uniq: np.ndarray,
+                  views_idx: np.ndarray, as_uint8: bool) -> np.ndarray:
+  """[U, M, S, S, 3] distinct frames -> [V*M, T, S, S, 3] ordered views."""
+  pos = np.searchsorted(uniq, views_idx)          # [V, T]
+  out = decoded[pos]                              # [V, T, M, S, S, 3]
+  out = np.moveaxis(out, 2, 1)                    # [V, M, T, S, S, 3]
+  v, m, t = out.shape[:3]
+  out = np.ascontiguousarray(out.reshape(v * m, t, *out.shape[3:]))
+  if as_uint8:
+    return out
+  return out.astype(np.float32) / 255.0
+
+
+def _shortest_side_resize(frame: np.ndarray, target_size: int) -> np.ndarray:
+  import cv2  # pytype: disable=import-error
+
+  h, w = frame.shape[:2]
+  if h < w:
+    new_h, new_w = target_size, int(w * (target_size / h))
+  else:
+    new_w, new_h = target_size, int(h * (target_size / w))
+  return cv2.resize(frame, (new_w, new_h))
+
+
+def _fractional_crops(frame: np.ndarray, target_size: int,
+                      fracs: np.ndarray) -> np.ndarray:
+  """[M, S, S, 3] crops of a resized frame at fractional offsets along the
+  longer side (truncating arithmetic — 0.5 == the center crop exactly)."""
+  h, w = frame.shape[:2]
+  outs = []
+  for f in fracs:
+    y = int((h - target_size) * f)
+    x = int((w - target_size) * f)
+    outs.append(frame[y:y + target_size, x:x + target_size])
+  return np.stack(outs, axis=0)
+
+
 def frame_reader(
     video_path: str,
     *,
@@ -225,20 +377,9 @@ def _frame_reader_gen(video_path, target_size, resize_mode, frame_stride,
 def _center_crop_resize(frame: np.ndarray, target_size: int) -> np.ndarray:
   """Shortest side -> target_size, then center crop (reference
   videoprism/video_utils.py:97-127)."""
-  import cv2  # pytype: disable=import-error
-
-  h, w = frame.shape[:2]
-  if h < w:
-    new_h = target_size
-    new_w = int(w * (target_size / h))
-  else:
-    new_w = target_size
-    new_h = int(h * (target_size / w))
-  frame = cv2.resize(frame, (new_w, new_h))
-  h, w = frame.shape[:2]
-  start_y = (h - target_size) // 2
-  start_x = (w - target_size) // 2
-  return frame[start_y:start_y + target_size, start_x:start_x + target_size]
+  resized = _shortest_side_resize(frame, target_size)
+  return _fractional_crops(resized, target_size,
+                           np.array([0.5], np.float64))[0]
 
 
 def load_video_batch(

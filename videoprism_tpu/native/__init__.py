@@ -101,6 +101,11 @@ def load_video_lib() -> ctypes.CDLL | None:
       lib.vp_decoder_sample.argtypes = [
           ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
           ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+      lib.vp_decoder_sample_crops.restype = ctypes.c_int
+      lib.vp_decoder_sample_crops.argtypes = [
+          ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+          ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+          ctypes.POINTER(ctypes.c_double), ctypes.c_int]
       lib.vp_decoder_close.restype = None
       lib.vp_decoder_close.argtypes = [ctypes.c_void_p]
       _video_lib = lib
@@ -174,6 +179,35 @@ class NativeVideoDecoder:
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         target_size, mode)
+    if written != n:
+      raise NativeDecodeError(
+          f'decoded only {written}/{n} requested frames (stream ended '
+          f'early; container frame count was {self.num_frames})')
+    return out
+
+  def sample_crops(self, indices, target_size: int, crop_fracs):
+    """Multi-crop sampling for multi-view evaluation: decodes the (sorted)
+    frame indices once and emits ``len(crop_fracs)`` crops per frame along
+    the longer side of the shortest-side-resized frame, at fractional
+    offsets in [0, 1] (0.5 == center) -> uint8 [n, C, S, S, 3] RGB."""
+    np = self._np
+    idx = np.asarray(indices, np.int64)
+    if not (np.diff(idx) >= 0).all():
+      raise ValueError('indices must be sorted (non-decreasing)')
+    fracs = np.asarray(crop_fracs, np.float64)
+    if fracs.ndim != 1 or len(fracs) == 0:
+      raise ValueError(f'crop_fracs must be a non-empty 1-d sequence, '
+                       f'got {crop_fracs!r}')
+    if (fracs < 0).any() or (fracs > 1).any():
+      raise ValueError(f'crop_fracs must lie in [0, 1], got {crop_fracs!r}')
+    n, c = len(idx), len(fracs)
+    out = np.empty((n, c, target_size, target_size, 3), np.uint8)
+    written = self._lib.vp_decoder_sample_crops(
+        self._handle,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        target_size,
+        fracs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), c)
     if written != n:
       raise NativeDecodeError(
           f'decoded only {written}/{n} requested frames (stream ended '

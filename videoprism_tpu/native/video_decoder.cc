@@ -16,6 +16,11 @@
 //   vp_decoder_info(h, &frames, &w, &h, &fps) -> 0 | -1
 //   vp_decoder_sample(h, indices, n, out, target_size, resize_mode)
 //       resize_mode: 0 = shortest-side resize + center crop, 1 = resize
+//   vp_decoder_sample_crops(h, indices, n, out, target_size, fracs, m)
+//       multi-crop variant for multi-view evaluation: one decode +
+//       sws_scale per distinct frame, then m crops along the longer
+//       side at fractional offsets fracs[0..m) in [0, 1] (0.5 == the
+//       center crop) — out is [n, m, S, S, 3]
 //   vp_decoder_close(h)
 
 extern "C" {
@@ -119,14 +124,19 @@ int vp_decoder_info(void* handle, int64_t* num_frames, int* width,
   return 0;
 }
 
+namespace {
+
 // Decodes sequentially, converting only frames whose index is in
 // `indices` (must be sorted ascending, may contain duplicates).  Writes
-// uint8 RGB [n, target, target, 3] into `out`.  Returns the number of
-// frames written (== n on success; fewer if the stream ended early).
-int vp_decoder_sample(void* handle, const int64_t* indices, int n,
-                      uint8_t* out, int target, int resize_mode) {
-  auto* d = static_cast<Decoder*>(handle);
-  if (!d || !d->codec || n <= 0) return 0;
+// uint8 RGB [n, num_crops, target, target, 3] into `out` — one
+// sws_scale per distinct frame, then `num_crops` crops along the longer
+// side at fractional offsets `fracs` (truncating arithmetic, so 0.5
+// reproduces the center crop's (L - target) / 2 exactly).  Returns the
+// number of frames written (== n on success; fewer on early stream end).
+int sample_impl(Decoder* d, const int64_t* indices, int n, uint8_t* out,
+                int target, int resize_mode, const double* fracs,
+                int num_crops) {
+  if (!d || !d->codec || n <= 0 || num_crops <= 0) return 0;
 
   const int src_w = d->codec->width;
   const int src_h = d->codec->height;
@@ -142,8 +152,11 @@ int vp_decoder_sample(void* handle, const int64_t* indices, int n,
     new_w = target;
     new_h = static_cast<int>(src_h * (static_cast<double>(target) / src_w));
   }
-  const int crop_x = (new_w - target) / 2;
-  const int crop_y = (new_h - target) / 2;
+  std::vector<int> crop_xs(num_crops), crop_ys(num_crops);
+  for (int c = 0; c < num_crops; ++c) {
+    crop_xs[c] = static_cast<int>((new_w - target) * fracs[c]);
+    crop_ys[c] = static_cast<int>((new_h - target) * fracs[c]);
+  }
 
   SwsContext* sws = sws_getContext(
       src_w, src_h, d->codec->pix_fmt, new_w, new_h, AV_PIX_FMT_RGB24,
@@ -172,6 +185,7 @@ int vp_decoder_sample(void* handle, const int64_t* indices, int n,
   int written = 0;
   bool draining = false;
 
+  const size_t crop_bytes = static_cast<size_t>(target) * target * 3;
   auto keep = [&](AVFrame* f, int64_t idx) {
     // Convert once per *distinct* frame, then copy for duplicates.
     bool converted = false;
@@ -181,14 +195,17 @@ int vp_decoder_sample(void* handle, const int64_t* indices, int n,
                   rgb_stride);
         converted = true;
       }
-      uint8_t* dst =
-          out + static_cast<size_t>(written) * target * target * 3;
-      for (int row = 0; row < target; ++row) {
-        std::memcpy(
-            dst + static_cast<size_t>(row) * target * 3,
-            rgb.data() +
-                (static_cast<size_t>(crop_y + row) * new_w + crop_x) * 3,
-            static_cast<size_t>(target) * 3);
+      uint8_t* frame_dst =
+          out + static_cast<size_t>(written) * num_crops * crop_bytes;
+      for (int c = 0; c < num_crops; ++c) {
+        uint8_t* dst = frame_dst + static_cast<size_t>(c) * crop_bytes;
+        for (int row = 0; row < target; ++row) {
+          std::memcpy(
+              dst + static_cast<size_t>(row) * target * 3,
+              rgb.data() + (static_cast<size_t>(crop_ys[c] + row) * new_w +
+                            crop_xs[c]) * 3,
+              static_cast<size_t>(target) * 3);
+        }
       }
       ++written;
     }
@@ -259,6 +276,22 @@ int vp_decoder_sample(void* handle, const int64_t* indices, int n,
   av_packet_free(&pkt);
   sws_freeContext(sws);
   return written;
+}
+
+}  // namespace
+
+int vp_decoder_sample(void* handle, const int64_t* indices, int n,
+                      uint8_t* out, int target, int resize_mode) {
+  const double center = 0.5;
+  return sample_impl(static_cast<Decoder*>(handle), indices, n, out, target,
+                     resize_mode, &center, 1);
+}
+
+int vp_decoder_sample_crops(void* handle, const int64_t* indices, int n,
+                            uint8_t* out, int target, const double* fracs,
+                            int num_crops) {
+  return sample_impl(static_cast<Decoder*>(handle), indices, n, out, target,
+                     /*resize_mode=*/0, fracs, num_crops);
 }
 
 void vp_decoder_close(void* handle) {

@@ -130,6 +130,52 @@ class VideoLabelSource:
 
 
 @dataclasses.dataclass
+class MultiViewSource:
+  """Multi-view evaluation wrapper over a path-backed source.
+
+  Wraps a :class:`VideoLabelSource` / :class:`VideoTextSource` so ``get``
+  returns ``([V, T, S, S, 3] views, target)`` with
+  ``V = temporal_views * spatial_views`` (the ViViT-style NxM protocol;
+  see :func:`videoprism_tpu.io.video.load_video_views`).  The eval loops
+  (:mod:`videoprism_tpu.train.eval_loop`) detect the 5-d clips and
+  aggregate per-example over views.
+  """
+
+  base: Any
+  temporal_views: int = 4
+  spatial_views: int = 3
+  backend: str = 'auto'
+
+  def __post_init__(self):
+    if not hasattr(self.base, 'video_paths'):
+      raise ValueError(
+          'MultiViewSource needs a path-backed source (VideoLabelSource / '
+          f'VideoTextSource), got {type(self.base).__name__}')
+
+  def __len__(self) -> int:
+    return len(self.base)
+
+  @property
+  def labels(self):
+    return getattr(self.base, 'labels', None)
+
+  @property
+  def captions(self):
+    return getattr(self.base, 'captions', None)
+
+  def get(self, index: int) -> tuple[np.ndarray, Any]:
+    from videoprism_tpu.io import video as video_lib
+
+    views = video_lib.load_video_views(
+        self.base.video_paths[index], self.base.num_frames,
+        self.base.target_size, temporal_views=self.temporal_views,
+        spatial_views=self.spatial_views, backend=self.backend)
+    if self.labels is not None:
+      return views, int(self.base.labels[index])
+    return views, self.base.captions[index]
+
+
+@dataclasses.dataclass
 class SyntheticLabeledSource:
   """Deterministic random labeled clips for classifier smoke tests.
 

@@ -45,6 +45,29 @@ def make_classifier_eval_step(cfg: vc.VideoClassifierConfig):
   return jax.jit(step)
 
 
+def _num_views(source) -> int:
+  """Views per example: a source yielding [V, T, H, W, 3] clips (e.g.
+  ``train.data.MultiViewSource``) is multi-view; [T, H, W, 3] is one."""
+  clip = np.asarray(source.get(0)[0])
+  if clip.ndim == 5:
+    return clip.shape[0]
+  if clip.ndim == 4:
+    return 1
+  raise ValueError(
+      f'source clips must be [T, H, W, 3] or [V, T, H, W, 3], '
+      f'got shape {clip.shape}')
+
+
+def _as_view_rows(clip: np.ndarray, views: int) -> np.ndarray:
+  """[T, H, W, 3] or [V, T, H, W, 3] -> [V, T, H, W, 3] rows."""
+  clip = np.asarray(clip)
+  rows = clip[None] if clip.ndim == 4 else clip
+  if rows.shape[0] != views:
+    raise ValueError(
+        f'inconsistent view count: expected {views}, got {rows.shape[0]}')
+  return rows
+
+
 def evaluate_classifier(
     params: Params,
     cfg: vc.VideoClassifierConfig,
@@ -55,6 +78,7 @@ def evaluate_classifier(
     sharding=None,
     eval_step=None,
     ks=(1, 5),
+    view_aggregate: str = 'logits',
 ) -> dict[str, float]:
   """Sweep a ``(clip, label)`` source (``VideoLabelSource`` /
   ``SyntheticLabeledSource``) and return
@@ -63,39 +87,63 @@ def evaluate_classifier(
   ``sharding`` (optional ``NamedSharding``) spreads each batch
   data-parallel; ``eval_step`` lets callers reuse an already-jitted step
   (e.g. the train CLI evaluating every N steps without recompiling).
+
+  **Multi-view protocol**: a source yielding ``[V, T, H, W, 3]`` clips
+  (``train.data.MultiViewSource`` — the NxM temporal x spatial views of
+  ViViT-style evaluation) is aggregated per example over views before
+  scoring: ``view_aggregate='logits'`` averages per-view logits (the
+  ViViT protocol), ``'probs'`` averages per-view softmax probabilities.
+  All V views of an example ride in one device batch (geometry stays
+  fixed at ``max(batch_size, V)`` rows — one compile per sweep).
   """
   n = len(source)
   if n == 0:
     raise ValueError('evaluate_classifier: empty source')
+  if view_aggregate not in ('logits', 'probs'):
+    raise ValueError(f'view_aggregate must be "logits" or "probs", '
+                     f'got {view_aggregate!r}')
+  views = _num_views(source)
+  per_batch = max(1, batch_size // views)
+  device_rows = max(batch_size, views)
   step = eval_step if eval_step is not None else make_classifier_eval_step(cfg)
 
-  all_logits: list[np.ndarray] = []
+  all_scores: list[np.ndarray] = []
   all_labels: list[np.ndarray] = []
   total_nll = 0.0
   with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
-    for s in range(0, n, batch_size):
-      idx = list(range(s, min(s + batch_size, n)))
+    for s in range(0, n, per_batch):
+      idx = list(range(s, min(s + per_batch, n)))
       examples = list(pool.map(source.get, idx))
-      video = np.stack([clip for clip, _ in examples], axis=0)
+      video = np.concatenate(
+          [_as_view_rows(clip, views) for clip, _ in examples], axis=0)
       labels = np.asarray([label for _, label in examples], np.int64)
-      valid = len(idx)
-      if valid < batch_size:  # pad the tail to the compiled geometry
-        pad = batch_size - valid
+      valid_rows = len(idx) * views
+      if valid_rows < device_rows:  # pad the tail to the compiled geometry
+        pad = device_rows - valid_rows
         video = np.concatenate(
             [video, np.zeros((pad, *video.shape[1:]), video.dtype)], axis=0)
       if sharding is not None:
         video = jax.device_put(video, sharding)
-      logits = np.asarray(jax.device_get(step(params, video)))[:valid]
-      log_probs = logits - _logsumexp(logits)
-      total_nll -= float(log_probs[np.arange(valid), labels].sum())
-      all_logits.append(logits)
+      logits = np.asarray(jax.device_get(step(params, video)))[:valid_rows]
+      logits = logits.reshape(len(idx), views, -1)
+      if view_aggregate == 'logits':
+        scores = logits.mean(axis=1)
+        log_probs = scores - _logsumexp(scores)
+      else:  # log of the view-averaged softmax distribution
+        per_view = logits - _logsumexp(logits)   # [E, V, C] log-probs
+        m = per_view.max(axis=1)
+        log_probs = m + np.log(np.exp(per_view - m[:, None]).mean(axis=1))
+        scores = log_probs
+      total_nll -= float(log_probs[np.arange(len(idx)), labels].sum())
+      all_scores.append(scores)
       all_labels.append(labels)
 
-  logits = np.concatenate(all_logits, axis=0)
+  scores = np.concatenate(all_scores, axis=0)
   labels = np.concatenate(all_labels, axis=0)
-  metrics = evaluation.classification_accuracy(logits, labels, ks=ks)
+  metrics = evaluation.classification_accuracy(scores, labels, ks=ks)
   metrics['loss'] = total_nll / n
   metrics['num_examples'] = float(n)
+  metrics['num_views'] = float(views)
   return metrics
 
 
@@ -132,21 +180,36 @@ def make_clip_text_eval_step(cfg: vclip.VideoCLIPConfig):
 def _sweep_videos(step, params, source, indices, *, batch_size, num_workers,
                   sharding) -> np.ndarray:
   """Fixed-geometry padded sweep: embeds ``source.get(i)[0]`` for each index
-  (one compile total)."""
+  (one compile total).
+
+  Multi-view sources ([V, T, H, W, 3] clips) get per-example **embedding
+  averaging**: all V views run in the same device batch, their l2-normalized
+  embeddings are averaged and re-normalized (the standard multi-view
+  retrieval protocol).
+  """
+  views = _num_views(source)
+  per_batch = max(1, batch_size // views)
+  device_rows = max(batch_size, views)
   out: list[np.ndarray] = []
   with concurrent.futures.ThreadPoolExecutor(num_workers) as pool:
-    for s in range(0, len(indices), batch_size):
-      chunk = indices[s:s + batch_size]
+    for s in range(0, len(indices), per_batch):
+      chunk = indices[s:s + per_batch]
       clips = list(pool.map(lambda i: source.get(i)[0], chunk))
-      video = np.stack(clips, axis=0)
-      valid = len(chunk)
-      if valid < batch_size:
-        pad = batch_size - valid
+      video = np.concatenate(
+          [_as_view_rows(clip, views) for clip in clips], axis=0)
+      valid_rows = len(chunk) * views
+      if valid_rows < device_rows:
+        pad = device_rows - valid_rows
         video = np.concatenate(
             [video, np.zeros((pad, *video.shape[1:]), video.dtype)], axis=0)
       if sharding is not None:
         video = jax.device_put(video, sharding)
-      out.append(np.asarray(jax.device_get(step(params, video)))[:valid])
+      emb = np.asarray(jax.device_get(step(params, video)))[:valid_rows]
+      if views > 1:
+        emb = emb.reshape(len(chunk), views, -1).mean(axis=1)
+        emb /= np.maximum(
+            np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+      out.append(emb)
   return np.concatenate(out, axis=0)
 
 
@@ -194,7 +257,12 @@ def evaluate_retrieval(
   video_emb = _sweep_videos(
       make_clip_video_eval_step(cfg), params, source, range(n),
       batch_size=batch_size, num_workers=num_workers, sharding=sharding)
-  captions = [source.get(i)[1] for i in range(n)]
+  # Path-backed sources expose captions directly; fall back to get() (which
+  # re-decodes the clip) only for sources without the attribute.
+  captions = getattr(source, 'captions', None)
+  if captions is None:
+    captions = [source.get(i)[1] for i in range(n)]
+  captions = list(captions)
   text_emb = _sweep_texts(
       make_clip_text_eval_step(cfg), params, captions, tokenizer,
       batch_size=text_batch_size or batch_size, max_text_len=max_text_len,
@@ -240,7 +308,10 @@ def evaluate_zero_shot(
   video_emb = _sweep_videos(
       make_clip_video_eval_step(cfg), params, source, range(n),
       batch_size=batch_size, num_workers=num_workers, sharding=sharding)
-  labels = np.asarray([source.get(i)[1] for i in range(n)], np.int64)
+  labels = getattr(source, 'labels', None)
+  if labels is None:
+    labels = [source.get(i)[1] for i in range(n)]
+  labels = np.asarray(list(labels), np.int64)
   scores = video_emb @ class_weights.T
   metrics = evaluation.classification_accuracy(scores, labels, ks=ks)
   metrics['num_examples'] = float(n)
