@@ -41,7 +41,7 @@ def main():
   parser.add_argument('--output', required=True, help='index npz path')
   args = parser.parse_args()
 
-  cfg, params, _, frames, size = resolve_clip(args)
+  cfg, params, _, frames, size = resolve_clip(args, need_tokenizer=False)
 
   if args.synthetic:
     source = data_lib.SyntheticSource(
@@ -51,15 +51,19 @@ def main():
   else:
     if args.videos_glob:
       paths = sorted(glob.glob(args.videos_glob))
+      source = data_lib.VideoTextSource(
+          paths, [''] * len(paths), num_frames=frames, target_size=size)
     elif args.manifest:
-      paths = [line.split('\t')[0].split(',')[0].strip()
-               for line in open(args.manifest) if line.strip()]
+      # Same parser as the eval CLIs (one source of truth for manifest
+      # semantics); caption columns are parsed but unused here.
+      source = data_lib.VideoTextSource.from_manifest(
+          args.manifest, allow_missing_captions=True, num_frames=frames,
+          target_size=size)
+      paths = list(source.video_paths)
     else:
       raise SystemExit('need --videos-glob, --manifest, or --synthetic')
     if not paths:
       raise SystemExit('no videos matched')
-    source = data_lib.VideoTextSource(
-        paths, [''] * len(paths), num_frames=frames, target_size=size)
     ids = paths
 
   index = retrieval.build_video_index(

@@ -41,10 +41,7 @@ from videoprism_tpu.train import (  # noqa: E402
 )
 from videoprism_tpu.train.checkpointing import TrainCheckpointer  # noqa: E402
 
-TINY_ENC = dict(
-    patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=2,
-    num_temporal_layers=1, mlp_dim=32, model_dim=16, num_heads=2,
-    atten_logit_cap=50.0, scan=True)
+from smoke_configs import TINY_ENC  # noqa: E402
 
 
 def main():

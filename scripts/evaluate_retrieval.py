@@ -39,12 +39,7 @@ from videoprism_tpu.train import (  # noqa: E402
     evaluate_retrieval,
 )
 
-TINY_CFG = dict(
-    patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=2,
-    num_temporal_layers=1, mlp_dim=32, num_auxiliary_layers=1,
-    enable_causal_atten=True, num_unimodal_layers=2, norm_policy='pre',
-    model_dim=16, num_heads=2, atten_logit_cap=50.0, scan=True,
-    vocabulary_size=1000)
+from smoke_configs import TINY_CLIP as TINY_CFG  # noqa: E402
 
 
 def add_clip_eval_args(parser):
@@ -71,8 +66,11 @@ def add_clip_eval_args(parser):
   parser.add_argument('--seed', type=int, default=0)
 
 
-def resolve_clip(args):
-  """(cfg, params, tokenizer, frames, size) from the shared flags."""
+def resolve_clip(args, need_tokenizer: bool = True):
+  """(cfg, params, tokenizer, frames, size) from the shared flags.
+
+  ``need_tokenizer=False`` (e.g. build_video_index, which never touches
+  text) returns ``tokenizer=None`` instead of requiring one."""
   if args.cpu_devices:
     jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_num_cpu_devices', args.cpu_devices)
@@ -85,6 +83,18 @@ def resolve_clip(args):
     frames = args.num_frames or (16 if 'base' in args.model else 8)
     size = 288
 
+  # Resolve the tokenizer BEFORE touching weights: missing tokenizer
+  # configuration should fail in milliseconds, not after a checkpoint
+  # download.
+  tok_path = None
+  if need_tokenizer:
+    try:
+      tok_path = assets.resolve_tokenizer_path(
+          args.tokenizer_model,
+          allow_fixture=args.tiny or getattr(args, 'synthetic', False))
+    except ValueError as e:
+      raise SystemExit(str(e)) from None
+
   if args.init_checkpoint:
     state = vp.load_pretrained_weights(
         None, checkpoint_path=args.init_checkpoint)
@@ -95,8 +105,8 @@ def resolve_clip(args):
     state = vp.load_pretrained_weights(args.model)
     params = state.get('params', state)
 
-  tok_path = args.tokenizer_model or os.environ.get(
-      'VIDEOPRISM_SPM_PATH', assets.test_spm_path())
+  if tok_path is None:
+    return cfg, params, None, frames, size
   return cfg, params, SentencePieceTokenizer(tok_path), frames, size
 
 

@@ -40,6 +40,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 import videoprism_tpu as vp  # noqa: E402
+from videoprism_tpu import assets  # noqa: E402
 from videoprism_tpu.serving import EmbeddingService  # noqa: E402
 from videoprism_tpu.serving_http import EmbeddingHTTPServer  # noqa: E402
 
@@ -79,34 +80,41 @@ def main():
                       help='start, self-request once, print, and exit')
   args = parser.parse_args()
 
+  # Serving a real lvt model exposes the text tower — resolve the
+  # tokenizer BEFORE loading/warming multi-GB weights so missing
+  # configuration fails in milliseconds (the bundled fixture is a TEST
+  # vocabulary and would silently produce garbage text embeddings).
+  tok_path = None
+  if args.tiny or args.tiny_clip or 'lvt' in args.model:
+    try:
+      tok_path = assets.resolve_tokenizer_path(
+          args.tokenizer_model,
+          allow_fixture=args.tiny or args.tiny_clip)
+    except ValueError as e:
+      raise SystemExit(str(e)) from None
+
   if args.cpu_devices:
     jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_num_cpu_devices', args.cpu_devices)
+
+  from smoke_configs import TINY_CLIP, TINY_CLIP_SHAPE, TINY_ENC
 
   if args.tiny_clip:
     from videoprism_tpu.models import clip as vclip
     from videoprism_tpu.models import init as init_lib
 
-    cfg = vclip.VideoCLIPConfig(
-        patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=2,
-        num_temporal_layers=1, mlp_dim=32, num_auxiliary_layers=1,
-        enable_causal_atten=True, num_unimodal_layers=1, norm_policy='pre',
-        model_dim=16, num_heads=2, atten_logit_cap=50.0, scan=True,
-        vocabulary_size=1000)
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
     model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
     state = model.init(jax.random.PRNGKey(0))
-    clip_shape = (2, 12, 12, 3)
+    clip_shape = TINY_CLIP_SHAPE
   elif args.tiny:
     from videoprism_tpu.models import factorized_encoder as fe
     from videoprism_tpu.models import init as init_lib
 
-    cfg = fe.FactorizedEncoderConfig(
-        patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=2,
-        num_temporal_layers=1, mlp_dim=32, model_dim=16, num_heads=2,
-        atten_logit_cap=50.0, scan=True)
+    cfg = fe.FactorizedEncoderConfig(**TINY_ENC)
     model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
     state = model.init(jax.random.PRNGKey(0))
-    clip_shape = (2, 12, 12, 3)
+    clip_shape = TINY_CLIP_SHAPE
   else:
     model = vp.get_model(args.model, fprop_dtype=jnp.bfloat16,
                          attention_impl='flash')
@@ -133,11 +141,16 @@ def main():
   text_encode_fn = index = None
   from videoprism_tpu.models.clip import VideoCLIPConfig
   if isinstance(model.config, VideoCLIPConfig):
-    from videoprism_tpu import assets, retrieval
+    from videoprism_tpu import retrieval
     from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
 
-    tok_path = args.tokenizer_model or os.environ.get(
-        'VIDEOPRISM_SPM_PATH', assets.test_spm_path())
+    if tok_path is None:  # CLIP config under a name the early check missed
+      try:
+        tok_path = assets.resolve_tokenizer_path(
+            args.tokenizer_model,
+            allow_fixture=args.tiny or args.tiny_clip)
+      except ValueError as e:
+        raise SystemExit(str(e)) from None
     text_encode_fn = retrieval.make_text_query_encoder(
         model._unwrap(state), model.config,
         SentencePieceTokenizer(tok_path))

@@ -51,10 +51,7 @@ from videoprism_tpu.train import (  # noqa: E402
 )
 from videoprism_tpu.train.checkpointing import TrainCheckpointer  # noqa: E402
 
-TINY_ENC = dict(
-    patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=2,
-    num_temporal_layers=1, mlp_dim=32, model_dim=16, num_heads=2,
-    atten_logit_cap=50.0, scan=True)
+from smoke_configs import TINY_ENC  # noqa: E402
 
 
 def main():
@@ -116,6 +113,11 @@ def main():
   parser.add_argument('--cpu-devices', type=int, default=0)
   parser.add_argument('--seed', type=int, default=0)
   args = parser.parse_args()
+
+  if args.export_merged and not args.lora_rank:
+    # Validate up front — discovering this only after a multi-hour run
+    # (the export happens post-training) would waste the whole run.
+    parser.error('--export-merged requires --lora-rank')
 
   if args.cpu_devices:
     jax.config.update('jax_platforms', 'cpu')

@@ -47,11 +47,7 @@ from videoprism_tpu.train import (  # noqa: E402
 )
 from videoprism_tpu.train.checkpointing import TrainCheckpointer  # noqa: E402
 
-TINY_CFG = dict(
-    patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=2,
-    num_temporal_layers=1, mlp_dim=32, num_auxiliary_layers=1,
-    enable_causal_atten=True, num_unimodal_layers=2, norm_policy='pre',
-    model_dim=16, num_heads=2, atten_logit_cap=50.0, scan=True)
+from smoke_configs import TINY_CLIP as TINY_CFG  # noqa: E402
 
 
 def main():
@@ -144,8 +140,7 @@ def main():
 
   # --- model config ---
   if args.tiny:
-    cfg = vclip.VideoCLIPConfig(
-        **TINY_CFG, vocabulary_size=1000, remat=args.remat)
+    cfg = vclip.VideoCLIPConfig(**TINY_CFG, remat=args.remat)
     frames, size = 2, 12
   else:
     base = vp.get_model_config(args.model)
@@ -159,8 +154,12 @@ def main():
 
   from videoprism_tpu import assets
 
-  tok_path = args.tokenizer_model or os.environ.get(
-      'VIDEOPRISM_SPM_PATH', assets.test_spm_path())
+  try:
+    tok_path = assets.resolve_tokenizer_path(
+        args.tokenizer_model,
+        allow_fixture=args.synthetic or args.tiny)
+  except ValueError as e:
+    raise SystemExit(str(e)) from None
   tokenizer = SentencePieceTokenizer(tok_path)
 
   if args.synthetic:

@@ -344,3 +344,54 @@ class TestMultiViewSource:
     metrics = evaluate_classifier(params, cfg, src, batch_size=6)
     assert metrics['num_examples'] == 3.0 and metrics['num_views'] == 6.0
     assert np.isfinite(metrics['loss'])
+
+
+class TestReviewFixes:
+
+  def test_too_many_temporal_views_raises(self):
+    with pytest.raises(ValueError, match='too few'):
+      video_lib.multi_view_indices(2, 2, 4)
+
+  def test_load_views_rejects_narrow_windows(self, synthetic_video):
+    with pytest.raises(ValueError, match='too few'):
+      video_lib.load_video_views(
+          synthetic_video, num_frames=1, target_size=32,
+          temporal_views=64, backend='opencv')
+
+  def test_multiview_source_declares_views(self, synthetic_video):
+    base = data_lib.VideoLabelSource([synthetic_video], [0], num_frames=2,
+                                     target_size=32)
+    src = data_lib.MultiViewSource(base, temporal_views=4, spatial_views=3)
+    assert src.num_views == 12
+
+
+class TestManifestParsing:
+
+  def test_missing_caption_errors_with_line_number(self, tmp_path):
+    p = tmp_path / 'bad.tsv'
+    p.write_text('a.mp4\tok caption\njust_a_path.mp4\n')
+    with pytest.raises(ValueError, match=r'bad\.tsv:2.*no caption'):
+      data_lib.VideoTextSource.from_manifest(str(p), num_frames=2)
+
+  def test_allow_missing_captions(self, tmp_path):
+    p = tmp_path / 'paths.txt'
+    p.write_text('a.mp4\nb.mp4\tcap\nc.mp4,another\n')
+    src = data_lib.VideoTextSource.from_manifest(
+        str(p), allow_missing_captions=True, num_frames=2)
+    assert src.video_paths == ['a.mp4', 'b.mp4', 'c.mp4']
+    assert src.captions == ['', 'cap', 'another']
+
+
+class TestTokenizerResolution:
+
+  def test_explicit_and_env_win(self, monkeypatch):
+    assert assets.resolve_tokenizer_path('/x/y.model') == '/x/y.model'
+    monkeypatch.setenv('VIDEOPRISM_SPM_PATH', '/env/z.model')
+    assert assets.resolve_tokenizer_path(None) == '/env/z.model'
+
+  def test_fixture_only_when_allowed(self, monkeypatch):
+    monkeypatch.delenv('VIDEOPRISM_SPM_PATH', raising=False)
+    assert assets.resolve_tokenizer_path(
+        None, allow_fixture=True) == assets.test_spm_path()
+    with pytest.raises(ValueError, match='c4_en.model'):
+      assets.resolve_tokenizer_path(None)

@@ -188,3 +188,50 @@ class TestErrors:
       assert 'pending' in json.loads(ei.value.read())['error']
     finally:
       httpd.stop()
+
+
+class TestKeepAliveDesync:
+
+  def test_error_with_unread_body_closes_connection(self, server):
+    """HTTP/1.1 keep-alive: an error reply sent before the request body
+    was read must close the connection — otherwise the unread body bytes
+    would be parsed as the next request line."""
+    import socket
+
+    httpd, _, _ = server
+    body = b'x' * 4096
+    req = (f'POST /nope HTTP/1.1\r\nHost: h\r\n'
+           f'Content-Length: {len(body)}\r\n'
+           f'Content-Type: application/octet-stream\r\n\r\n'
+           ).encode() + body
+    with socket.create_connection(('127.0.0.1', httpd.port),
+                                  timeout=10) as s:
+      s.sendall(req)
+      s.settimeout(10)
+      data = b''
+      while b'}' not in data:  # first (and only) reply, JSON-terminated
+        chunk = s.recv(65536)
+        if not chunk:
+          break
+        data += chunk
+      assert b'404' in data.split(b'\r\n', 1)[0]
+      # The server must now close rather than reinterpret the body.
+      tail = s.recv(65536)
+      assert tail == b''
+
+  def test_keep_alive_survives_two_good_requests(self, server):
+    """Sanity: successful requests keep the connection open (the fix only
+    closes on pre-body-read errors)."""
+    import http.client
+
+    httpd, _, _ = server
+    conn = http.client.HTTPConnection('127.0.0.1', httpd.port, timeout=60)
+    buf = io.BytesIO()
+    np.save(buf, np.zeros(CLIP_SHAPE, np.float32))
+    for _ in range(2):
+      conn.request('POST', '/v1/embed', buf.getvalue(),
+                   {'Content-Type': 'application/x-npy'})
+      resp = conn.getresponse()
+      assert resp.status == 200
+      resp.read()
+    conn.close()

@@ -136,6 +136,12 @@ def multi_view_indices(total_frames: int, num_frames: int,
   if temporal_views < 1 or num_frames < 1:
     raise ValueError(f'temporal_views={temporal_views} and '
                      f'num_frames={num_frames} must be >= 1')
+  if total_frames < temporal_views:
+    # A window narrower than one frame would make np.linspace run
+    # BACKWARDS (hi < lo) and sample outside the window.
+    raise ValueError(
+        f'video has {total_frames} frames — too few for '
+        f'{temporal_views} temporal views (need >= 1 frame per window)')
   views = np.empty((temporal_views, num_frames), np.int64)
   for v in range(temporal_views):
     lo = v * total_frames / temporal_views

@@ -96,6 +96,14 @@ class _Handler(BaseHTTPRequestHandler):
   def _reply_json(self, status: int, obj) -> None:
     self._reply(status, 'application/json', json.dumps(obj).encode())
 
+  def _reject_json(self, status: int, obj) -> None:
+    """Error reply for requests whose body may not have been (fully)
+    read.  HTTP/1.1 keep-alive would otherwise parse the unread body
+    bytes as the next request line and desync the connection, so it is
+    closed after the reply."""
+    self.close_connection = True
+    self._reply_json(status, obj)
+
   def do_GET(self):  # noqa: N802
     if self.path == '/healthz':
       self._reply_json(200, {'status': 'ok'})
@@ -109,7 +117,7 @@ class _Handler(BaseHTTPRequestHandler):
       self._post_text()
       return
     if self.path != '/v1/embed':
-      self._reply_json(404, {'error': f'unknown path {self.path}'})
+      self._reject_json(404, {'error': f'unknown path {self.path}'})
       return
     try:
       length = int(self.headers.get('Content-Length', 0))
@@ -121,7 +129,7 @@ class _Handler(BaseHTTPRequestHandler):
         raise ValueError(
             f'expected [T,H,W,3] or [B,T,H,W,3], got shape {video.shape}')
     except Exception as e:  # malformed request — client's fault
-      self._reply_json(400, {'error': str(e)})
+      self._reject_json(400, {'error': str(e)})
       return
     try:
       if video.ndim == 4:
@@ -146,12 +154,12 @@ class _Handler(BaseHTTPRequestHandler):
   def _post_text(self) -> None:
     """/v1/embed_text and /v1/search (both JSON-only)."""
     if self.text_encode_fn is None:
-      self._reply_json(
+      self._reject_json(
           404, {'error': f'{self.path} needs a text encoder (serve an '
                          'lvt model with text_encode_fn)'})
       return
     if self.path == '/v1/search' and self.index is None:
-      self._reply_json(404, {'error': '/v1/search needs a video index'})
+      self._reject_json(404, {'error': '/v1/search needs a video index'})
       return
     try:
       length = int(self.headers.get('Content-Length', 0))
@@ -166,7 +174,7 @@ class _Handler(BaseHTTPRequestHandler):
       if self.path == '/v1/search' and k <= 0:
         raise ValueError(f'"k" must be positive, got {k}')
     except Exception as e:  # malformed request — client's fault
-      self._reply_json(400, {'error': str(e)})
+      self._reject_json(400, {'error': str(e)})
       return
     try:
       emb = np.asarray(self.text_encode_fn(texts))

@@ -51,14 +51,28 @@ class VideoTextSource:
     assert len(self.video_paths) == len(self.captions)
 
   @classmethod
-  def from_manifest(cls, path: str, **kwargs) -> 'VideoTextSource':
+  def from_manifest(cls, path: str, *, allow_missing_captions: bool = False,
+                    **kwargs) -> 'VideoTextSource':
     """Manifest with one ``video_path<TAB>caption`` per line; lines
-    without a tab split at the FIRST comma (captions keep their commas)."""
+    without a tab split at the FIRST comma (captions keep their commas).
+
+    ``allow_missing_captions=True`` accepts path-only lines (caption '')
+    — the build_video_index case, where captions are never used.
+    """
     paths, captions = [], []
-    for line in open(path).read().splitlines():
+    for lineno, line in enumerate(open(path).read().splitlines(), 1):
       if not line.strip():
         continue
-      p, cap = line.split('\t', 1) if '\t' in line else line.split(',', 1)
+      if '\t' in line:
+        p, cap = line.split('\t', 1)
+      elif ',' in line:
+        p, cap = line.split(',', 1)
+      elif allow_missing_captions:
+        p, cap = line, ''
+      else:
+        raise ValueError(
+            f'{path}:{lineno}: no caption (expected '
+            f'"video_path<TAB>caption" or "video_path,caption"): {line!r}')
       paths.append(p.strip())
       captions.append(cap.strip())
     return cls(paths, captions, **kwargs)
@@ -154,6 +168,12 @@ class MultiViewSource:
 
   def __len__(self) -> int:
     return len(self.base)
+
+  @property
+  def num_views(self) -> int:
+    """Declared view count — lets the eval loops size their batches
+    without decoding a probe example."""
+    return self.temporal_views * self.spatial_views
 
   @property
   def labels(self):

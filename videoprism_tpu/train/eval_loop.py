@@ -47,7 +47,13 @@ def make_classifier_eval_step(cfg: vc.VideoClassifierConfig):
 
 def _num_views(source) -> int:
   """Views per example: a source yielding [V, T, H, W, 3] clips (e.g.
-  ``train.data.MultiViewSource``) is multi-view; [T, H, W, 3] is one."""
+  ``train.data.MultiViewSource``) is multi-view; [T, H, W, 3] is one.
+
+  Sources that know their view count expose ``num_views`` (cheap);
+  otherwise example 0 is decoded once to probe the clip rank."""
+  declared = getattr(source, 'num_views', None)
+  if declared is not None:
+    return int(declared)
   clip = np.asarray(source.get(0)[0])
   if clip.ndim == 5:
     return clip.shape[0]
