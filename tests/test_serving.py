@@ -426,3 +426,52 @@ class TestDataParallelOn2DMesh:
     ref, _ = model.apply(state, video, train=False)
     got = fwd(state, video)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+class TestGracefulStop:
+
+  def test_stop_fails_queued_requests_immediately(self, model_and_state):
+    """Requests still queued at stop() get an immediate error instead of
+    blocking their callers until the embed timeout."""
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(2,))
+    clip = np.zeros((2, 12, 12, 3), np.float32)
+    errors = []
+
+    def caller():
+      try:
+        service.embed(clip, timeout=60.0)
+      except Exception as e:
+        errors.append(e)
+
+    # Never started: the request just sits in the queue.
+    t = threading.Thread(target=caller, daemon=True)
+    t.start()
+    for _ in range(100):
+      if not service._queue.empty():
+        break
+      threading.Event().wait(0.05)
+    service.stop()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert len(errors) == 1 and 'stopped' in str(errors[0])
+
+  def test_embed_after_stop_fails_fast(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(2,))
+    service.start()
+    service.stop()
+    with pytest.raises(RuntimeError, match='stopped'):
+      service.embed(np.zeros((2, 12, 12, 3), np.float32))
+
+  def test_restart_after_stop_serves_again(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    service.start()
+    service.stop()
+    service.start()
+    try:
+      emb = service.embed(np.zeros((2, 12, 12, 3), np.float32))
+      assert np.isfinite(np.asarray(emb)).all()
+    finally:
+      service.stop()

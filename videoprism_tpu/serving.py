@@ -149,6 +149,7 @@ class EmbeddingService:
     self._compiled: dict[int, Any] = {}
     self._thread: threading.Thread | None = None
     self._running = False
+    self._stopped = False   # set by stop(); embed() then fails fast
     self._stats_lock = threading.Lock()
     self._requests_served = 0
     self._batches_run = 0
@@ -204,14 +205,25 @@ class EmbeddingService:
 
   def start(self) -> None:
     self._running = True
+    self._stopped = False
     self._thread = threading.Thread(target=self._loop, daemon=True)
     self._thread.start()
 
   def stop(self) -> None:
+    """Stops the worker and fails any still-queued requests immediately
+    (their callers would otherwise block until their own timeout)."""
     self._running = False
+    self._stopped = True
     if self._thread is not None:
       self._thread.join(timeout=30)
       self._thread = None
+    while True:
+      try:
+        req = self._queue.get_nowait()
+      except queue.Empty:
+        break
+      req.error = RuntimeError('service stopped before the request ran')
+      req.event.set()
 
   def stats(self) -> dict[str, Any]:
     """Service-side counters: requests/batches/errors and batch-latency
@@ -246,6 +258,10 @@ class EmbeddingService:
       raise ValueError(
           f'embed expects a single clip [T, H, W, C], got shape '
           f'{video.shape}; use embed_batch for batched input')
+    if self._stopped:
+      raise RuntimeError(
+          'EmbeddingService was stopped; embed() would block until its '
+          'timeout with no worker to serve it')
     req = _Request(video=video, event=threading.Event())
     try:
       self._queue.put_nowait(req)
