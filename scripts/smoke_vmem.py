@@ -117,6 +117,19 @@ def run_attention(name, t, d, n, h, results):
       paths.append((f'chunk{chunks}', lambda c=chunks:
                     tb.fused_attention_block_chunked(*args, chunks=c, **kw)))
 
+  # Sequence-group coarsening (G sequences per grid step): the
+  # attention_seq_group_for budget also excludes pipeline buffers (which
+  # scale with G), so it too can only overflow on hardware.
+  gsel = tb.attention_seq_group_for(8, t, d, nh, DTYPE.dtype.itemsize)
+  if gsel > 1:
+    reps = (2 * gsel) // BATCH  # two grid steps at group gsel
+    xg = jnp.concatenate([ops['x']] * reps, axis=0)
+    refg = jnp.concatenate([ref] * reps, axis=0)
+    _check(f'{name} attn seqgroup{gsel} (t={t} d={d} nh={nh})',
+           lambda: tb.fused_attention_block(xg, *args[1:],
+                                            seq_group=gsel, **kw),
+           refg, 0.999, results)
+
   i8c = i8.attention_int8_chunks_for(t, d, n, h, DTYPE.dtype.itemsize)
   if i8c is not None:
     wq8, sq = _quant_cols(ops['wq'])
@@ -270,6 +283,9 @@ def main():
   for name, t, d, n, h, f in GEOMETRIES:
     run_attention(name, t, d, n, h, results)
     run_ffn(name, t, d, f, results)
+  # The packed temporal geometry (128-token blocks) picks seq_group=4 —
+  # exercise its budget too (attention only; its FFN rows are covered).
+  run_attention('base-temporal', 128, 768, 12, 64, results)
   # Beyond-T-cap (aux encoder) int8 projection path; t=2048 keeps the
   # composed oracle's [N,T,T] probs affordable while exercising the same
   # kernels as the real t=4096.

@@ -120,6 +120,49 @@ class TestFusedBlocks:
       np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                  atol=2e-6)
 
+  def test_seq_group_attention_matches_single(self, layer_params):
+    """G sequences per grid step == G=1 (row-independent math), incl.
+    per-sequence and broadcast masks and the partial-output TP mode."""
+    _, params, cfg = layer_params
+    x = jax.random.normal(jax.random.PRNGKey(11), (B, T, D))
+    paddings = jnp.zeros((B, T)).at[1, -3:].set(1.0)
+    mask_per_seq = jnp.squeeze(
+        mask_lib.attention_mask_for_fprop(x, paddings), 1
+    ).astype(jnp.float32)                       # [B, 1, T]
+    mask_shared = jnp.zeros((1, 1, T), jnp.float32)
+
+    attnp = params['self_attention']
+    flat_in = lambda p: (p['w'].reshape(D, N * H), p['b'].reshape(N * H))
+    wq, bq = flat_in(attnp['query'])
+    wk, bk = flat_in(attnp['key'])
+    wv, bv = flat_in(attnp['value'])
+    wo = jnp.transpose(attnp['post']['w'], (1, 2, 0)).reshape(N * H, D)
+    rest = (params['layer_norm']['scale'], params['layer_norm']['bias'],
+            wq, bq, wk, bk, wv, bv, wo, attnp['post']['b'])
+    for mask in (mask_per_seq, mask_shared):
+      for partial_out in (False, True):
+        ref = tb.fused_attention_block(
+            x, mask, *rest, num_heads=N, dim_per_head=H, logit_cap=50.0,
+            query_scale=H ** -0.5, partial_out=partial_out, interpret=True)
+        for g in (2, 4):
+          got = tb.fused_attention_block(
+              x, mask, *rest, num_heads=N, dim_per_head=H, logit_cap=50.0,
+              query_scale=H ** -0.5, partial_out=partial_out,
+              seq_group=g, interpret=True)
+          np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                     atol=2e-6)
+
+  def test_seq_group_selection(self):
+    # base spatial (t=256, d=768): G=2 fits, G=4 does not.
+    assert tb.attention_seq_group_for(1024, 256, 768, 768, 2) == 2
+    # base temporal after 128-token packing: G=4 fits.
+    assert tb.attention_seq_group_for(128, 128, 768, 768, 2) == 4
+    # b not divisible: falls through to what divides.
+    assert tb.attention_seq_group_for(6, 256, 768, 768, 2) == 2
+    assert tb.attention_seq_group_for(3, 256, 768, 768, 2) == 1
+    # large (d=1024): projections' temporaries push G=2 past the budget.
+    assert tb.attention_seq_group_for(512, 256, 1024, 1024, 2) == 1
+
   def test_chunked_attention_gradients(self, layer_params):
     _, params, cfg = layer_params
     x = jax.random.normal(jax.random.PRNGKey(7), (2, T, D))

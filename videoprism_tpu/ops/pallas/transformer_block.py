@@ -122,10 +122,18 @@ def _attn_block_kernel(
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
     o_ref, *,
     num_heads: int, dim_per_head: int, logit_cap: float, epsilon: float,
-    query_scale: float, partial_out: bool = False,
+    query_scale: float, partial_out: bool = False, seq_group: int = 1,
+    mask_per_seq: bool = True,
 ):
-  x = x_ref[0]  # [T, D]
-  h = _ln_f32(x, ln_s_ref, ln_b_ref, epsilon).astype(x.dtype)  # [T, D]
+  """``seq_group`` (G) sequences per grid step: LN and the four
+  projections run at M = G*T rows (the MXU's per-row efficiency at
+  M=256 model widths is the measured forward plateau — see
+  docs/DESIGN.md §3/§6), while the attention core loops the G sequences
+  so no block-diagonal logit waste is introduced.  Row-independent ops
+  only, so outputs are identical to G=1."""
+  g, t = seq_group, x_ref.shape[1]
+  x = x_ref[:].reshape(g * t, x_ref.shape[2])  # [G*T, D]
+  h = _ln_f32(x, ln_s_ref, ln_b_ref, epsilon).astype(x.dtype)
 
   def proj(w_ref, b_ref):
     out = jax.lax.dot_general(
@@ -133,12 +141,21 @@ def _attn_block_kernel(
         preferred_element_type=jnp.float32)
     return out + b_ref[:].astype(jnp.float32)
 
-  q = (proj(wq_ref, bq_ref) * query_scale).astype(x.dtype)  # [T, N*H]
+  q = (proj(wq_ref, bq_ref) * query_scale).astype(x.dtype)  # [G*T, N*H]
   k = proj(wk_ref, bk_ref).astype(x.dtype)
   v = proj(wv_ref, bv_ref).astype(x.dtype)
 
-  ctx = _heads_attention(q, k, v, mask_ref[0], num_heads, dim_per_head,
-                         logit_cap, x.dtype)
+  if g == 1:
+    ctx = _heads_attention(q, k, v, mask_ref[0], num_heads, dim_per_head,
+                           logit_cap, x.dtype)
+  else:
+    ctx = jnp.concatenate([
+        _heads_attention(
+            q[s * t:(s + 1) * t], k[s * t:(s + 1) * t],
+            v[s * t:(s + 1) * t], mask_ref[s if mask_per_seq else 0],
+            num_heads, dim_per_head, logit_cap, x.dtype)
+        for s in range(g)
+    ], axis=0)  # [G*T, N*H]
 
   out = jax.lax.dot_general(
       ctx, wo_ref[:], (((1,), (0,)), ((), ())),
@@ -147,7 +164,7 @@ def _attn_block_kernel(
     # partial_out: the tensor-parallel caller psums the per-shard output
     # projections first, then adds bias and residual exactly once.
     out = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
-  o_ref[0] = out.astype(o_ref.dtype)
+  o_ref[:] = out.astype(o_ref.dtype).reshape(o_ref.shape)
 
 
 def attention_block_supported(t: int, d: int, nh_total: int,
@@ -163,9 +180,39 @@ def attention_block_supported(t: int, d: int, nh_total: int,
       and weights + temps < 14 * 2**20)
 
 
+# Route production dispatch through sequence-group coarsening
+# (ops/transformer._try_fused_layer).  Interpret-mode parity is tested on
+# CPU; keep False until scripts/smoke_vmem.py + the A/B microbench have
+# validated the Mosaic lowering and the win on real hardware.
+SEQ_GROUP_DISPATCH = False
+
+
+def attention_seq_group_for(b: int, t: int, d: int, nh_total: int,
+                            itemsize: int) -> int:
+  """Largest sequences-per-grid-step G (4/2/1) that keeps the monolithic
+  attention block VMEM-resident.
+
+  Projections then run at M = G*T rows.  All temporaries scale linearly
+  with G (the attention core loops sequences, so logits stay [T, T] —
+  counted G-live because Mosaic does not reuse unrolled per-iteration
+  buffers, the ops/pallas/boundary.py lesson).  Same 14 MB scoped-stack
+  budget as :func:`attention_block_supported`; pipeline x/out buffers
+  (which also scale with G) stay excluded, as measured there.
+  """
+  weights = 4 * d * nh_total * itemsize
+  for g in (4, 2):
+    if b % g:
+      continue
+    temps = g * ((t * d + 4 * t * nh_total) * itemsize
+                 + t * t * 4 + t * d * 4)
+    if weights + temps < 14 * 2**20:
+      return g
+  return 1
+
+
 @functools.partial(jax.jit, static_argnames=(
     'num_heads', 'dim_per_head', 'logit_cap', 'epsilon', 'query_scale',
-    'partial_out', 'interpret'))
+    'partial_out', 'seq_group', 'interpret'))
 def fused_attention_block(
     x: Array,          # [B, T, D]
     mask: Array,       # [B|1, T|1, T] additive fp32
@@ -181,10 +228,13 @@ def fused_attention_block(
     epsilon: float = 1e-6,
     query_scale: float = 1.0,
     partial_out: bool = False,
+    seq_group: int = 1,
     interpret: bool = False,
 ) -> Array:
   b, t, d = x.shape
   bm, tm, _ = mask.shape
+  g = seq_group
+  assert b % g == 0 and (bm == 1 or bm == b), (b, g, bm)
   vec = lambda a: pl.BlockSpec((a.shape[-1],), lambda i: (0,),
                                memory_space=pltpu.VMEM)
   mat = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -194,19 +244,20 @@ def fused_attention_block(
           _attn_block_kernel, num_heads=num_heads,
           dim_per_head=dim_per_head, logit_cap=float(logit_cap),
           epsilon=epsilon, query_scale=float(query_scale),
-          partial_out=partial_out),
-      grid=(b,),
+          partial_out=partial_out, seq_group=g, mask_per_seq=bm > 1),
+      grid=(b // g,),
       in_specs=[
-          pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+          pl.BlockSpec((g, t, d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec(
-              (1, tm, t), lambda i: (i if bm > 1 else 0, 0, 0),
+              ((g if bm > 1 else 1), tm, t),
+              lambda i: (i if bm > 1 else 0, 0, 0),
               memory_space=pltpu.VMEM),
           vec(ln_scale), vec(ln_bias),
           mat(wq), vec(bq), mat(wk), vec(bk), mat(wv), vec(bv),
           mat(wo), vec(bo),
       ],
-      out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+      out_specs=pl.BlockSpec((g, t, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
       compiler_params=pltpu.CompilerParams(
@@ -679,7 +730,8 @@ def attention_block_vjp(num_heads: int, dim_per_head: int,
                         logit_cap: float, epsilon: float,
                         query_scale: float, interpret: bool = False,
                         partial_out: bool = False,
-                        chunks: int | None = None):
+                        chunks: int | None = None,
+                        seq_group: int = 1):
   static = dict(num_heads=num_heads, dim_per_head=dim_per_head,
                 logit_cap=logit_cap, epsilon=epsilon,
                 query_scale=query_scale, partial_out=partial_out)
@@ -688,7 +740,8 @@ def attention_block_vjp(num_heads: int, dim_per_head: int,
     if chunks:
       return fused_attention_block_chunked(
           *args, **static, chunks=chunks, interpret=interpret)
-    return fused_attention_block(*args, **static, interpret=interpret)
+    return fused_attention_block(*args, **static, seq_group=seq_group,
+                                 interpret=interpret)
 
   def bwd(res, g):
     from videoprism_tpu.ops.pallas import flash_attention as flash

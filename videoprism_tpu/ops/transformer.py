@@ -216,7 +216,9 @@ def _try_fused_layer(
     attn_fn = tb.attention_block_vjp(
         num_heads=n, dim_per_head=h, logit_cap=float(cfg.logit_cap),
         epsilon=1e-6, query_scale=h ** -0.5, interpret=interpret,
-        partial_out=partial, chunks=attn_chunks)
+        partial_out=partial, chunks=attn_chunks,
+        seq_group=(tb.attention_seq_group_for(b, t, d, nh_total, itemsize)
+                   if attn_ok and tb.SEQ_GROUP_DISPATCH else 1))
     x = attn_fn(
         inputs, jnp.squeeze(atten_mask, axis=1).astype(jnp.float32),
         cast(params[pre_ln]['scale'], dtype),
