@@ -154,6 +154,47 @@ class TestInt8Kernels:
           query_scale=H ** -0.5, interpret=True)
       assert _cos(got, ref) > 0.9995
 
+  def test_attention_seq_group_matches_single(self, layer):
+    """G sequences per grid step == G=1 for the int8 attention block
+    (row-independent math), incl. per-seq masks and chained chunks."""
+    params, cfg = layer
+    x = jax.random.normal(jax.random.PRNGKey(9), (B, T, D))
+    paddings = jnp.zeros((B, T)).at[2, -3:].set(1.0)
+    mask = jnp.squeeze(
+        mask_lib.attention_mask_for_fprop(x, paddings), 1
+    ).astype(jnp.float32)
+    qp = q.quantize_for_serving(params)
+    qa = qp['self_attention']
+    flat8 = lambda p: (p['w'].reshape(D, N * H),
+                       p['w_scale'].reshape(N * H).astype(jnp.float32),
+                       p['b'].reshape(N * H))
+    wq8, sq, bq = flat8(qa['query'])
+    wk8, sk, bk = flat8(qa['key'])
+    wv8, sv, bv = flat8(qa['value'])
+    wo8 = jnp.transpose(qa['post']['w'], (1, 2, 0)).reshape(N * H, D)
+    so = qa['post']['w_scale'].astype(jnp.float32)
+    args = (x, mask, qp['layer_norm']['scale'], qp['layer_norm']['bias'],
+            wq8, sq, bq, wk8, sk, bk, wv8, sv, bv, wo8, so,
+            qa['post']['b'])
+    kw = dict(num_heads=N, dim_per_head=H, logit_cap=50.0,
+              query_scale=H ** -0.5, interpret=True)
+    for chunks in (1, 2):
+      ref = i8.int8_attention_block_chunked(*args, chunks=chunks, **kw)
+      for g in (2, 4):
+        got = i8.int8_attention_block_chunked(
+            *args, chunks=chunks, seq_group=g, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-6)
+
+  def test_int8_seq_group_selection(self):
+    # Full base width: the int8 kernel's temporaries (fp32 h + int8 h8 +
+    # per-proj scales) are ~2.5x the bf16 kernel's, so G=2 does not fit
+    # the conservative budget.  At half head-width (the chunks=2 slice)
+    # it does.
+    assert i8.attention_int8_seq_group_for(1024, 256, 768, 768, 2) == 1
+    assert i8.attention_int8_seq_group_for(1024, 256, 768, 384, 2) == 2
+    assert i8.attention_int8_seq_group_for(3, 256, 768, 384, 2) == 1
+
   def test_layer_dispatch_engages_int8(self, layer):
     params, cfg = layer
     x = jax.random.normal(jax.random.PRNGKey(4), (B, T, D)) * 0.3

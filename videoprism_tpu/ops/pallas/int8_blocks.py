@@ -179,6 +179,7 @@ def _attn_int8_chunk_kernel(
     x_ref, *rest,
     num_heads: int, dim_per_head: int, logit_cap: float, epsilon: float,
     query_scale: float, first: bool, partial_out: bool = False,
+    seq_group: int = 1, mask_per_seq: bool = True,
 ):
   if first:
     (mask_ref, ln_s_ref, ln_b_ref,
@@ -190,7 +191,8 @@ def _attn_int8_chunk_kernel(
      wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
      wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref, o_ref) = rest
 
-  x = x_ref[0]  # [T, D]
+  g, t = seq_group, x_ref.shape[1]
+  x = x_ref[:].reshape(g * t, x_ref.shape[2])  # [G*T, D]
   h = _ln_f32(x, ln_s_ref, ln_b_ref, epsilon)
   h8, hs = quant_rows(h)
 
@@ -205,8 +207,17 @@ def _attn_int8_chunk_kernel(
   k = proj(wk_ref, sk_ref, bk_ref).astype(x.dtype)
   v = proj(wv_ref, sv_ref, bv_ref).astype(x.dtype)
 
-  ctx = _heads_attention(q, k, v, mask_ref[0], num_heads, dim_per_head,
-                         logit_cap, x.dtype)
+  if g == 1:
+    ctx = _heads_attention(q, k, v, mask_ref[0], num_heads, dim_per_head,
+                           logit_cap, x.dtype)
+  else:
+    ctx = jnp.concatenate([
+        _heads_attention(
+            q[s * t:(s + 1) * t], k[s * t:(s + 1) * t],
+            v[s * t:(s + 1) * t], mask_ref[s if mask_per_seq else 0],
+            num_heads, dim_per_head, logit_cap, x.dtype)
+        for s in range(g)
+    ], axis=0)  # [G*T, N*H]
 
   c8, cs = quant_rows(ctx.astype(jnp.float32))
   acc = jax.lax.dot_general(
@@ -219,8 +230,8 @@ def _attn_int8_chunk_kernel(
     if not partial_out:
       out = out + bo_ref[:].astype(jnp.float32) + x.astype(jnp.float32)
   else:
-    out = out + resid_ref[0].astype(jnp.float32)
-  o_ref[0] = out.astype(o_ref.dtype)
+    out = out + resid_ref[:].reshape(g * t, -1).astype(jnp.float32)
+  o_ref[:] = out.astype(o_ref.dtype).reshape(o_ref.shape)
 
 
 def _attn_int8_chunk_fits(t: int, d: int, gh: int,
@@ -251,9 +262,29 @@ def attention_int8_chunks_for(t: int, d: int, num_heads: int,
   return None
 
 
+def attention_int8_seq_group_for(b: int, t: int, d: int, gh: int,
+                                 act_itemsize: int) -> int:
+  """Largest sequences-per-grid-step G (4/2/1) for the int8 attention
+  block at head-group width ``gh`` — the int8 twin of
+  ``transformer_block.attention_seq_group_for`` (same linear-in-G
+  temporaries model, int8 budget)."""
+  weights = 4 * d * gh
+  for g in (4, 2):
+    if b % g:
+      continue
+    temps = g * (t * d * 5
+                 + 3 * t * gh * (4 + act_itemsize + 1)
+                 + t * t * 4
+                 + t * gh * (act_itemsize + 1)
+                 + t * d * 4)
+    if weights + temps < _INT8_BUDGET:
+      return g
+  return 1
+
+
 @functools.partial(jax.jit, static_argnames=(
     'num_heads', 'dim_per_head', 'chunks', 'logit_cap', 'epsilon',
-    'query_scale', 'partial_out', 'interpret'))
+    'query_scale', 'partial_out', 'seq_group', 'interpret'))
 def int8_attention_block_chunked(
     x: Array,          # [B, T, D]
     mask: Array,       # [B|1, T|1, T] additive fp32
@@ -270,19 +301,23 @@ def int8_attention_block_chunked(
     epsilon: float = 1e-6,
     query_scale: float = 1.0,
     partial_out: bool = False,
+    seq_group: int = 1,
     interpret: bool = False,
 ) -> Array:
   b, t, d = x.shape
   bm, tm, _ = mask.shape
+  sg = seq_group
+  assert b % sg == 0 and (bm == 1 or bm == b), (b, sg, bm)
   g = num_heads // chunks
   gh = g * dim_per_head
   vec = lambda a: pl.BlockSpec((a.shape[-1],), lambda i: (0,),
                                memory_space=pltpu.VMEM)
   mat = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
-  xspec = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+  xspec = pl.BlockSpec((sg, t, d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-  mspec = pl.BlockSpec((1, tm, t), lambda i: (i if bm > 1 else 0, 0, 0),
+  mspec = pl.BlockSpec(((sg if bm > 1 else 1), tm, t),
+                       lambda i: (i if bm > 1 else 0, 0, 0),
                        memory_space=pltpu.VMEM)
 
   out = None
@@ -309,8 +344,8 @@ def int8_attention_block_chunked(
             _attn_int8_chunk_kernel, num_heads=g,
             dim_per_head=dim_per_head, logit_cap=float(logit_cap),
             epsilon=epsilon, query_scale=float(query_scale), first=first,
-            partial_out=partial_out),
-        grid=(b,),
+            partial_out=partial_out, seq_group=sg, mask_per_seq=bm > 1),
+        grid=(b // sg,),
         in_specs=in_specs,
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
