@@ -108,6 +108,10 @@ def main():
                       help='default: --batch-size')
   parser.add_argument('--checkpoint-dir', default=None)
   parser.add_argument('--checkpoint-every', type=int, default=500)
+  parser.add_argument('--resume', action='store_true',
+                      help='resume from the latest checkpoint in '
+                           '--checkpoint-dir (full train state + data/rng '
+                           'stream fast-forward)')
   parser.add_argument('--metrics-dir', default=None)
   parser.add_argument('--log-every', type=int, default=10)
   parser.add_argument('--cpu-devices', type=int, default=0)
@@ -220,12 +224,26 @@ def main():
   ckpt = (TrainCheckpointer(args.checkpoint_dir)
           if args.checkpoint_dir else None)
 
+  start_step = 0
+  if args.resume:
+    if ckpt is None:
+      raise SystemExit('--resume requires --checkpoint-dir')
+    restored = ckpt.restore_latest(state)
+    if restored is None:
+      print(f'--resume: no checkpoint in {args.checkpoint_dir}; '
+            'starting fresh')
+    else:
+      state = restored
+      start_step = int(jax.device_get(state.step))
+      print(f'--resume: restored step {start_step} '
+            f'from {args.checkpoint_dir}')
+
   # --- loop ---
   from videoprism_tpu.utils.logging import MetricsLogger
 
   loader = data_lib.labeled_loader(
       source, args.batch_size, seed=args.seed, num_epochs=None,
-      sharding=shard, accum_steps=accum)
+      sharding=shard, accum_steps=accum, skip_batches=start_step)
   rng = jax.random.PRNGKey(args.seed + 1)
   from videoprism_tpu.train import augment as augment_lib
   aug_fn = augment_lib.make_augment_fn(augment_lib.augment_config_from_flags(
@@ -257,7 +275,7 @@ def main():
     logger.event('eval', step=step_no,
                  **{k: round(v, 4) for k, v in em.items()})
 
-  for i, batch in enumerate(loader):
+  for i, batch in enumerate(loader, start=start_step):
     if i >= args.steps:
       break
     if aug_fn is not None:

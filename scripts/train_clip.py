@@ -123,6 +123,12 @@ def main():
                       help='brightness/contrast/saturation jitter range')
   parser.add_argument('--checkpoint-dir', default=None)
   parser.add_argument('--checkpoint-every', type=int, default=500)
+  parser.add_argument('--resume', action='store_true',
+                      help='resume from the latest checkpoint in '
+                           '--checkpoint-dir: restores the full train '
+                           'state (params, optimizer moments, step, EMA) '
+                           'and fast-forwards the data/rng streams so the '
+                           'run continues exactly where it stopped')
   parser.add_argument('--metrics-dir', default=None,
                       help='JSONL metrics sink (defaults to checkpoint-dir)')
   parser.add_argument('--log-every', type=int, default=10)
@@ -265,6 +271,20 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
   ckpt = (TrainCheckpointer(args.checkpoint_dir)
           if args.checkpoint_dir else None)
 
+  start_step = 0
+  if getattr(args, 'resume', False):
+    if ckpt is None:
+      raise SystemExit('--resume requires --checkpoint-dir')
+    restored = ckpt.restore_latest(state)
+    if restored is None:
+      print(f'--resume: no checkpoint in {args.checkpoint_dir}; '
+            'starting fresh')
+    else:
+      state = restored
+      start_step = int(jax.device_get(state.step))
+      print(f'--resume: restored step {start_step} '
+            f'from {args.checkpoint_dir}')
+
   ema_state = ema_update = ema_ckpt = None
   if args.ema_decay:
     from videoprism_tpu.train import ema as ema_lib
@@ -274,12 +294,21 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
     if args.checkpoint_dir:
       ema_ckpt = TrainCheckpointer(
           os.path.join(args.checkpoint_dir, 'ema'))
+      if start_step:
+        ema_restored = ema_ckpt.restore_latest(ema_state)
+        if ema_restored is not None:
+          ema_state = ema_restored
 
   from videoprism_tpu.utils.logging import MetricsLogger
 
+  # skip_batches fast-forwards the deterministic index stream (no decode)
+  # so a resumed run consumes exactly the batches the uninterrupted run
+  # would have from start_step on; rng/augment fold_in(i) continue from
+  # the same i via enumerate(start=start_step).
   loader = data_lib.batched_loader(
       source, tokenizer, args.batch_size, seed=args.seed,
-      num_epochs=None, sharding=shard, accum_steps=accum)
+      num_epochs=None, sharding=shard, accum_steps=accum,
+      skip_batches=start_step)
   rng = jax.random.PRNGKey(args.seed + 1)
   # Augmentation runs on device, outside the train step (composes with
   # every step variant; under a mesh it inherits the batch's sharding).
@@ -293,7 +322,7 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
   # (and always logs the final step).
   logger = MetricsLogger(args.metrics_dir or args.checkpoint_dir,
                          console_every=1)
-  for i, batch in enumerate(loader):
+  for i, batch in enumerate(loader, start=start_step):
     if i >= args.steps:
       break
     if aug_fn is not None:
@@ -304,7 +333,8 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
       ema_state = ema_update(ema_state, state.params)
     if i % args.log_every == 0 or i == args.steps - 1:
       logger.log(i, metrics,
-                 sec_per_step=round((time.time() - t0) / max(i, 1), 3))
+                 sec_per_step=round((time.time() - t0)
+                                    / max(i - start_step, 1), 3))
     if ckpt is not None:
       step_no = int(jax.device_get(state.step))
       if ckpt.maybe_save(step_no, state, every=args.checkpoint_every):

@@ -44,3 +44,25 @@ def test_train_cli_manual_tp_smoke():
       capture_output=True, text=True, timeout=500, env=env)
   assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
   assert 'done: 2 steps' in res.stdout
+
+
+@pytest.mark.slow
+def test_train_cli_resume_smoke(tmp_path):
+  """--resume restores the latest checkpoint and continues: run 2 steps
+  with checkpointing, then resume to 4 (exact-equality semantics are
+  tested at the library level in test_train_data.py)."""
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(_ROOT) + os.pathsep + env.get('PYTHONPATH', '')
+  base = [sys.executable, str(_ROOT / 'scripts' / 'train_clip.py'),
+          '--synthetic', '--tiny', '--batch-size', '4',
+          '--cpu-devices', '1',
+          '--checkpoint-dir', str(tmp_path / 'ck'),
+          '--checkpoint-every', '2']
+  res = subprocess.run(base + ['--steps', '2'], capture_output=True,
+                       text=True, timeout=500, env=env)
+  assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+  res = subprocess.run(base + ['--steps', '4', '--resume'],
+                       capture_output=True, text=True, timeout=500, env=env)
+  assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+  assert '--resume: restored step 2' in res.stdout
+  assert 'done: 4 steps' in res.stdout

@@ -142,3 +142,73 @@ class TestBatchedLoader:
       losses.append(float(metrics['loss']))
     assert len(losses) == 4
     assert all(np.isfinite(losses))
+
+  def test_skip_batches_fast_forwards(self, tokenizer):
+    """skip_batches=k yields exactly the full stream's batches[k:] —
+    the resume contract (no decode happens for the skipped ones)."""
+    source = data_lib.SyntheticSource(num_examples=10)
+    mk = lambda skip: list(data_lib.batched_loader(
+        source, tokenizer, batch_size=4, num_epochs=2, max_text_len=8,
+        num_workers=1, skip_batches=skip))
+    full = mk(0)
+    for skip in (1, 3):
+      resumed = mk(skip)
+      assert len(resumed) == len(full) - skip
+      for a, b in zip(resumed, full[skip:]):
+        np.testing.assert_array_equal(np.asarray(a['video']),
+                                      np.asarray(b['video']))
+        np.testing.assert_array_equal(np.asarray(a['text_token_ids']),
+                                      np.asarray(b['text_token_ids']))
+
+  @pytest.mark.slow
+  def test_resume_matches_uninterrupted(self, tokenizer, tmp_path):
+    """Checkpoint at step 2, restore, fast-forward the loader and the
+    fold_in(i) rng stream (the scripts/train_clip.py --resume recipe):
+    the resumed run's final state equals the uninterrupted run's exactly."""
+    from videoprism_tpu.train.checkpointing import TrainCheckpointer
+
+    cfg = vclip.VideoCLIPConfig(
+        patch_size=6, pos_emb_shape=(2, 2, 2), num_spatial_layers=1,
+        num_temporal_layers=1, mlp_dim=16, num_auxiliary_layers=0,
+        vocabulary_size=tokenizer.vocab_size, enable_causal_atten=True,
+        num_unimodal_layers=1, norm_policy='pre', model_dim=8, num_heads=2,
+        atten_logit_cap=50.0, scan=True)
+    source = data_lib.SyntheticSource(num_examples=8, num_frames=2, size=12)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=10)
+    step = jax.jit(make_train_step(cfg, optimizer))
+    rng = jax.random.PRNGKey(1)
+    loader_kw = dict(batch_size=4, num_epochs=4, max_text_len=8,
+                     num_workers=1)
+
+    # Uninterrupted: 4 steps, checkpoint after step 2.
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    ckpt = TrainCheckpointer(str(tmp_path / 'ck'), async_save=False)
+    for i, batch in enumerate(data_lib.batched_loader(
+        source, tokenizer, **loader_kw)):
+      if i >= 4:
+        break
+      state, _ = step(state, batch, jax.random.fold_in(rng, i))
+      ckpt.maybe_save(int(state.step), state, every=2)
+    ckpt.wait()
+    expected = jax.device_get(state)
+
+    # Resumed: restore step 2, skip 2 batches, continue i = 2, 3.
+    template = create_train_state(jax.random.PRNGKey(7), cfg, optimizer)
+    state_r = ckpt.restore(2, template)  # the "crash" happened after 2
+    start = int(state_r.step)
+    assert start == 2
+    for i, batch in enumerate(data_lib.batched_loader(
+        source, tokenizer, skip_batches=start, **loader_kw), start=start):
+      if i >= 4:
+        break
+      state_r, _ = step(state_r, batch, jax.random.fold_in(rng, i))
+    ckpt.close()
+
+    assert int(state_r.step) == int(expected.step)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(expected),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(state_r))):
+      assert pa == pb
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                    err_msg=jax.tree_util.keystr(pa))

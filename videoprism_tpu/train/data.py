@@ -251,6 +251,7 @@ def batched_loader(
     accum_steps: int = 1,
     process_index: int | None = None,
     process_count: int | None = None,
+    skip_batches: int = 0,
 ) -> Iterator[dict[str, Any]]:
   """Yields device-resident batches
   ``{'video', 'text_token_ids', 'text_paddings'}``.
@@ -290,7 +291,8 @@ def batched_loader(
       num_epochs=num_epochs, num_workers=num_workers,
       prefetch_depth=prefetch_depth, sharding=sharding,
       drop_remainder=drop_remainder, accum_steps=accum_steps,
-      process_index=process_index, process_count=process_count)
+      process_index=process_index, process_count=process_count,
+      skip_batches=skip_batches)
 
 
 def labeled_loader(
@@ -307,6 +309,7 @@ def labeled_loader(
     accum_steps: int = 1,
     process_index: int | None = None,
     process_count: int | None = None,
+    skip_batches: int = 0,
 ) -> Iterator[dict[str, Any]]:
   """Yields ``{'video', 'label'}`` batches from a ``(clip, int)`` source
   (:class:`VideoLabelSource` / :class:`SyntheticLabeledSource`) for
@@ -323,7 +326,8 @@ def labeled_loader(
       num_epochs=num_epochs, num_workers=num_workers,
       prefetch_depth=prefetch_depth, sharding=sharding,
       drop_remainder=drop_remainder, accum_steps=accum_steps,
-      process_index=process_index, process_count=process_count)
+      process_index=process_index, process_count=process_count,
+      skip_batches=skip_batches)
 
 
 def _loader_engine(
@@ -341,6 +345,7 @@ def _loader_engine(
     accum_steps: int,
     process_index: int | None,
     process_count: int | None,
+    skip_batches: int = 0,
 ) -> Iterator[dict[str, Any]]:
   """Shared loader machinery: epoch shuffling, thread-pool decode,
   ``assemble(examples) -> field dict``, accumulation reshape, multi-host
@@ -412,6 +417,12 @@ def _loader_engine(
       epoch += 1
 
   streams = batch_index_stream()
+  # Resume fast-forward: advance the (deterministic) index stream without
+  # decoding — the resumed run then sees exactly the batches an
+  # uninterrupted run would have seen from this step on.
+  for _ in range(skip_batches):
+    if next(streams, None) is None:
+      break
   pending = collections.deque()
   submit_pool = concurrent.futures.ThreadPoolExecutor(1)
 
