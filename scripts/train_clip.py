@@ -69,6 +69,16 @@ def main():
                            'at constant activation memory; contrastive '
                            'negatives stay per-microbatch)')
   parser.add_argument('--steps', type=int, default=1000)
+  parser.add_argument('--eval-every', type=int, default=0,
+                      help='run paired retrieval eval (t2v/v2t R@k) on a '
+                           'held-out source every N steps (0 = off); '
+                           'always evals after the final step')
+  parser.add_argument('--eval-manifest', default=None,
+                      help='video_path<TAB>caption manifest for the eval '
+                           'source (default: a held-out synthetic source '
+                           'under --synthetic)')
+  parser.add_argument('--eval-batch-size', type=int, default=0,
+                      help='eval video batch (default --batch-size)')
   parser.add_argument('--learning-rate', type=float, default=1e-4)
   parser.add_argument('--warmup-steps', type=int, default=100)
   parser.add_argument('--model-parallelism', type=int, default=1)
@@ -180,6 +190,20 @@ def main():
   print(f'{len(source)} training examples; config '
         f'{"tiny" if args.tiny else args.model}')
 
+  eval_source = None
+  if args.eval_manifest:
+    eval_source = data_lib.VideoTextSource.from_manifest(
+        args.eval_manifest, num_frames=frames, target_size=size)
+  elif args.synthetic and args.eval_every:
+    # Disjoint held-out synthetic examples (seed partitions the space).
+    eval_source = data_lib.SyntheticSource(
+        num_examples=16, num_frames=frames, size=size, seed=1)
+  if args.eval_every and eval_source is None:
+    parser.error('--eval-every needs --eval-manifest (or --synthetic)')
+  if args.eval_every and args.lora_rank:
+    parser.error('--eval-every does not compose with --lora-rank yet '
+                 '(eval runs on state.params; adapters need baking)')
+
   # --- mesh + state ---
   mesh = make_mesh(args.model_parallelism)
   print(f'mesh: {dict(mesh.shape)} over {jax.device_count()} devices')
@@ -261,11 +285,30 @@ def main():
     step_fn = jax.jit(make_train_step(cfg, optimizer, accum_steps=accum))
     shard = None
 
-  _run_training_loop(args, state, step_fn, shard, source, tokenizer, accum)
+  eval_fn = None
+  if args.eval_every:
+    from videoprism_tpu.train.eval_loop import evaluate_retrieval
+
+    def eval_fn(params, step_no, logger, _cfg=cfg):
+      ebs = args.eval_batch_size or args.batch_size
+      if shard is not None:  # each eval batch splits over the data axis
+        dp = mesh.shape['data']
+        ebs = -(-ebs // dp) * dp
+      em = evaluate_retrieval(
+          params, _cfg, eval_source, tokenizer, batch_size=ebs,
+          # eval batches are flat [B, ...] even when training accumulates
+          sharding=data_sharding(mesh, 5) if shard is not None else None)
+      em = {k: round(float(v), 4) for k, v in em.items()}
+      logger.event('eval', step=step_no, **em)
+      print(f'eval @ step {step_no}: ' + '  '.join(
+          f'{k} {v}' for k, v in sorted(em.items())))
+
+  _run_training_loop(args, state, step_fn, shard, source, tokenizer, accum,
+                     eval_fn=eval_fn)
 
 
 def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
-                       accum):
+                       accum, eval_fn=None):
   """Shared tail of every step-selection path: loader, checkpoints, EMA,
   metric logging."""
   ckpt = (TrainCheckpointer(args.checkpoint_dir)
@@ -342,6 +385,10 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
         if ema_ckpt is not None:
           ema_ckpt.maybe_save(step_no, ema_state,
                               every=args.checkpoint_every)
+    if eval_fn is not None and (i + 1) % args.eval_every == 0:
+      eval_fn(state.params, i + 1, logger)
+  if eval_fn is not None and args.steps % args.eval_every:
+    eval_fn(state.params, args.steps, logger)
   if ckpt is not None:
     ckpt.wait()
   if ema_ckpt is not None:

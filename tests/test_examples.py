@@ -66,3 +66,19 @@ def test_train_cli_resume_smoke(tmp_path):
   assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
   assert '--resume: restored step 2' in res.stdout
   assert 'done: 4 steps' in res.stdout
+
+
+@pytest.mark.slow
+def test_train_cli_eval_every_smoke():
+  """--eval-every runs the paired-retrieval protocol mid-training on a
+  held-out synthetic source and reports R@k."""
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(_ROOT) + os.pathsep + env.get('PYTHONPATH', '')
+  res = subprocess.run(
+      [sys.executable, str(_ROOT / 'scripts' / 'train_clip.py'),
+       '--synthetic', '--tiny', '--batch-size', '4', '--cpu-devices', '1',
+       '--steps', '2', '--eval-every', '2'],
+      capture_output=True, text=True, timeout=500, env=env)
+  assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+  assert 'eval @ step 2' in res.stdout
+  assert 't2v_recall@1' in res.stdout

@@ -91,19 +91,25 @@ class VideoTextSource:
 
 @dataclasses.dataclass
 class SyntheticSource:
-  """Deterministic random data; useful for tests and step benchmarks."""
+  """Deterministic random data; useful for tests and step benchmarks.
+
+  ``seed`` partitions the example space (cf. SyntheticLabeledSource):
+  sources with different seeds are disjoint held-out sets; seed 0 keeps
+  the historical examples.
+  """
 
   num_examples: int = 64
   num_frames: int = 4
   size: int = 36
   vocab_words: Sequence[str] = (
       'person', 'dog', 'running', 'playing', 'water', 'drums', 'city')
+  seed: int = 0
 
   def __len__(self) -> int:
     return self.num_examples
 
   def get(self, index: int) -> tuple[np.ndarray, str]:
-    rng = np.random.default_rng(index)
+    rng = np.random.default_rng((self.seed << 24) + index)
     clip = rng.random(
         (self.num_frames, self.size, self.size, 3), np.float32)
     words = rng.choice(self.vocab_words, size=3)
