@@ -61,7 +61,17 @@ class TestEndpoints:
       assert json.loads(r.read()) == {'status': 'ok'}
     with urllib.request.urlopen(_url(httpd, '/stats'), timeout=30) as r:
       stats = json.loads(r.read())
-    assert {'requests_served', 'batches_run', 'errors'} <= stats.keys()
+    assert {'requests_served', 'batches_run', 'errors', 'requests_shed',
+            'queue_depth'} <= stats.keys()
+
+  def test_prometheus_metrics(self, server):
+    httpd, _, _ = server
+    with urllib.request.urlopen(_url(httpd, '/metrics'), timeout=30) as r:
+      assert r.headers['Content-Type'].startswith('text/plain')
+      body = r.read().decode()
+    assert '# TYPE videoprism_requests_served_total counter' in body
+    assert 'videoprism_queue_depth' in body
+    assert 'videoprism_requests_shed_total 0' in body
 
   def test_npy_single_clip_matches_direct(self, server):
     httpd, model, state = server

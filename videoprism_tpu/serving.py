@@ -151,6 +151,7 @@ class EmbeddingService:
     self._running = False
     self._stopped = False   # set by stop(); embed() then fails fast
     self._stats_lock = threading.Lock()
+    self._requests_shed = 0
     self._requests_served = 0
     self._batches_run = 0
     self._errors = 0
@@ -237,6 +238,8 @@ class EmbeddingService:
           'requests_served': self._requests_served,
           'batches_run': self._batches_run,
           'errors': self._errors,
+          'requests_shed': self._requests_shed,
+          'queue_depth': self._queue.qsize(),
           'batch_latency_p50_s': pct(0.50),
           'batch_latency_p99_s': pct(0.99),
       }
@@ -266,6 +269,8 @@ class EmbeddingService:
     try:
       self._queue.put_nowait(req)
     except queue.Full:
+      with self._stats_lock:
+        self._requests_shed += 1
       raise ServiceOverloaded(
           f'{self._queue.maxsize} requests already pending; retry with '
           'backoff') from None

@@ -27,7 +27,9 @@ Endpoints:
   retrieval against the attached :class:`videoprism_tpu.retrieval.VideoIndex`.
   Response: ``{"results": [[{"id", "score"}, ...], ...]}``.
 * ``GET /healthz`` — liveness.
-* ``GET /stats`` — the service's counters + latency percentiles.
+* ``GET /stats`` — the service's counters + latency percentiles (JSON).
+* ``GET /metrics`` — the same numbers in the Prometheus text exposition
+  format for scrape-based monitoring.
 
 The reference has no serving tier at all (SURVEY.md §5: its deployment
 story stops at a Python function call); this module is part of the
@@ -73,6 +75,35 @@ def _encode_body(content_type: str, array: np.ndarray) -> tuple[str, bytes]:
   return 'application/x-npy', buf.getvalue()
 
 
+def _prometheus_metrics(stats: dict) -> str:
+  """Service stats in the Prometheus text exposition format (0.0.4) —
+  ``GET /metrics`` for scrape-based monitoring; ``/stats`` keeps the
+  same numbers as JSON."""
+  lines = []
+
+  def gauge(name, value, kind='gauge', labels=''):
+    if value is None:
+      return
+    lines.append(f'# TYPE {name} {kind}')
+    lines.append(f'{name}{labels} {value}')
+
+  gauge('videoprism_requests_served_total',
+        stats.get('requests_served'), 'counter')
+  gauge('videoprism_batches_run_total', stats.get('batches_run'), 'counter')
+  gauge('videoprism_errors_total', stats.get('errors'), 'counter')
+  gauge('videoprism_requests_shed_total',
+        stats.get('requests_shed'), 'counter')
+  gauge('videoprism_queue_depth', stats.get('queue_depth'))
+  for q, key in (('0.5', 'batch_latency_p50_s'),
+                 ('0.99', 'batch_latency_p99_s')):
+    if stats.get(key) is not None:
+      lines.append('# TYPE videoprism_batch_latency_seconds summary')
+      lines.append(
+          f'videoprism_batch_latency_seconds{{quantile="{q}"}} '
+          f'{stats[key]}')
+  return '\n'.join(lines) + '\n'
+
+
 class _Handler(BaseHTTPRequestHandler):
   # Set by EmbeddingHTTPServer.
   service: EmbeddingService = None
@@ -109,6 +140,9 @@ class _Handler(BaseHTTPRequestHandler):
       self._reply_json(200, {'status': 'ok'})
     elif self.path == '/stats':
       self._reply_json(200, self.service.stats())
+    elif self.path == '/metrics':
+      self._reply(200, 'text/plain; version=0.0.4',
+                  _prometheus_metrics(self.service.stats()).encode())
     else:
       self._reply_json(404, {'error': f'unknown path {self.path}'})
 
