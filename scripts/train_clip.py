@@ -307,6 +307,16 @@ def main():
                      eval_fn=eval_fn)
 
 
+def _eval_params(args, state, ema_state):
+  """Mid-training eval weights: the bias-corrected EMA when tracked
+  (that is what --ema-decay exists for), else the live params."""
+  if ema_state is None:
+    return state.params
+  from videoprism_tpu.train import ema as ema_lib
+
+  return ema_lib.ema_params(ema_state, args.ema_decay)
+
+
 def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
                        accum, eval_fn=None):
   """Shared tail of every step-selection path: loader, checkpoints, EMA,
@@ -386,9 +396,9 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
           ema_ckpt.maybe_save(step_no, ema_state,
                               every=args.checkpoint_every)
     if eval_fn is not None and (i + 1) % args.eval_every == 0:
-      eval_fn(state.params, i + 1, logger)
+      eval_fn(_eval_params(args, state, ema_state), i + 1, logger)
   if eval_fn is not None and args.steps % args.eval_every:
-    eval_fn(state.params, args.steps, logger)
+    eval_fn(_eval_params(args, state, ema_state), args.steps, logger)
   if ckpt is not None:
     ckpt.wait()
   if ema_ckpt is not None:
