@@ -200,9 +200,6 @@ def main():
         num_examples=16, num_frames=frames, size=size, seed=1)
   if args.eval_every and eval_source is None:
     parser.error('--eval-every needs --eval-manifest (or --synthetic)')
-  if args.eval_every and args.lora_rank:
-    parser.error('--eval-every does not compose with --lora-rank yet '
-                 '(eval runs on state.params; adapters need baking)')
 
   # --- mesh + state ---
   mesh = make_mesh(args.model_parallelism)
@@ -247,8 +244,12 @@ def main():
     step_fn = lambda s, b, r: lora_step(s, frozen, b, r)
     shard = ((lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis))
              if jax.device_count() > 1 else None)
+    from videoprism_tpu.train.lora import merge_lora
+    eval_fn = _make_eval_fn(
+        args, cfg, mesh, shard, eval_source, tokenizer,
+        transform=lambda adapters: merge_lora(frozen, adapters, lora_cfg))
     _run_training_loop(args, state, step_fn, shard, source, tokenizer,
-                       accum)
+                       accum, eval_fn=eval_fn)
     return
   state = create_train_state(
       jax.random.PRNGKey(args.seed), cfg, optimizer,
@@ -285,26 +286,38 @@ def main():
     step_fn = jax.jit(make_train_step(cfg, optimizer, accum_steps=accum))
     shard = None
 
-  eval_fn = None
-  if args.eval_every:
-    from videoprism_tpu.train.eval_loop import evaluate_retrieval
-
-    def eval_fn(params, step_no, logger, _cfg=cfg):
-      ebs = args.eval_batch_size or args.batch_size
-      if shard is not None:  # each eval batch splits over the data axis
-        dp = mesh.shape['data']
-        ebs = -(-ebs // dp) * dp
-      em = evaluate_retrieval(
-          params, _cfg, eval_source, tokenizer, batch_size=ebs,
-          # eval batches are flat [B, ...] even when training accumulates
-          sharding=data_sharding(mesh, 5) if shard is not None else None)
-      em = {k: round(float(v), 4) for k, v in em.items()}
-      logger.event('eval', step=step_no, **em)
-      print(f'eval @ step {step_no}: ' + '  '.join(
-          f'{k} {v}' for k, v in sorted(em.items())))
+  eval_fn = _make_eval_fn(args, cfg, mesh, shard, eval_source, tokenizer)
 
   _run_training_loop(args, state, step_fn, shard, source, tokenizer, accum,
                      eval_fn=eval_fn)
+
+
+def _make_eval_fn(args, cfg, mesh, shard, eval_source, tokenizer,
+                  transform=None):
+  """Mid-training paired-retrieval eval hook (None when --eval-every is
+  off).  ``transform`` maps the loop's params to eval weights — the LoRA
+  path passes the adapter->merged bake-in."""
+  if not args.eval_every:
+    return None
+  from videoprism_tpu.train.eval_loop import evaluate_retrieval
+
+  def eval_fn(params, step_no, logger):
+    if transform is not None:
+      params = transform(params)
+    ebs = args.eval_batch_size or args.batch_size
+    if shard is not None:  # each eval batch splits over the data axis
+      dp = mesh.shape['data']
+      ebs = -(-ebs // dp) * dp
+    em = evaluate_retrieval(
+        params, cfg, eval_source, tokenizer, batch_size=ebs,
+        # eval batches are flat [B, ...] even when training accumulates
+        sharding=data_sharding(mesh, 5) if shard is not None else None)
+    em = {k: round(float(v), 4) for k, v in em.items()}
+    logger.event('eval', step=step_no, **em)
+    print(f'eval @ step {step_no}: ' + '  '.join(
+        f'{k} {v}' for k, v in sorted(em.items())))
+
+  return eval_fn
 
 
 def _eval_params(args, state, ema_state):
