@@ -106,6 +106,11 @@ def main():
                            'needs --eval-manifest or --synthetic)')
   parser.add_argument('--eval-batch-size', type=int, default=0,
                       help='default: --batch-size')
+  parser.add_argument('--ema-decay', type=float, default=0.0,
+                      help='track a bias-corrected EMA of the params; '
+                           'eval uses it and it is checkpointed under '
+                           '<checkpoint-dir>/ema (0 = off). Does not '
+                           'compose with --lora-rank')
   parser.add_argument('--checkpoint-dir', default=None)
   parser.add_argument('--checkpoint-every', type=int, default=500)
   parser.add_argument('--resume', action='store_true',
@@ -224,6 +229,19 @@ def main():
   ckpt = (TrainCheckpointer(args.checkpoint_dir)
           if args.checkpoint_dir else None)
 
+  ema_state = ema_update = ema_ckpt = None
+  if args.ema_decay:
+    if lora_cfg is not None:
+      parser.error('--ema-decay does not compose with --lora-rank '
+                   '(EMA would track adapters, eval needs the bake-in)')
+    from videoprism_tpu.train import ema as ema_lib
+
+    ema_update = ema_lib.make_ema_update(args.ema_decay)
+    ema_state = ema_lib.init_ema(state.params)
+    if args.checkpoint_dir:
+      ema_ckpt = TrainCheckpointer(
+          os.path.join(args.checkpoint_dir, 'ema'))
+
   start_step = 0
   if args.resume:
     if ckpt is None:
@@ -237,6 +255,10 @@ def main():
       start_step = int(jax.device_get(state.step))
       print(f'--resume: restored step {start_step} '
             f'from {args.checkpoint_dir}')
+      if ema_ckpt is not None:
+        ema_restored = ema_ckpt.restore_latest(ema_state)
+        if ema_restored is not None:
+          ema_state = ema_restored
 
   # --- loop ---
   from videoprism_tpu.utils.logging import MetricsLogger
@@ -260,6 +282,10 @@ def main():
       from videoprism_tpu.train import export_lora_classifier
 
       return export_lora_classifier(frozen_full, state, lora_cfg)
+    if ema_state is not None:
+      from videoprism_tpu.train import ema as ema_lib
+
+      return ema_lib.ema_params(ema_state, args.ema_decay)
     return state.params
 
   def run_eval(step_no):
@@ -282,19 +308,27 @@ def main():
       batch = dict(batch, video=aug_fn(jax.random.fold_in(aug_rng, i),
                                        batch['video']))
     state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+    if ema_update is not None:
+      ema_state = ema_update(ema_state, state.params)
     if i % args.log_every == 0 or i == args.steps - 1:
       logger.log(i, metrics,
-                 sec_per_step=round((time.time() - t0) / max(i, 1), 3))
+                 sec_per_step=round((time.time() - t0)
+                                    / max(i - start_step, 1), 3))
     if eval_source and args.eval_every and (i + 1) % args.eval_every == 0:
       run_eval(i + 1)
     if ckpt is not None:
       step_no = int(jax.device_get(state.step))
       if ckpt.maybe_save(step_no, state, every=args.checkpoint_every):
         logger.event('checkpoint_saved', step=step_no)
+        if ema_ckpt is not None:
+          ema_ckpt.maybe_save(step_no, ema_state,
+                              every=args.checkpoint_every)
   if eval_source and not (args.eval_every and args.steps % args.eval_every == 0):
     run_eval(args.steps)
   if ckpt is not None:
     ckpt.wait()
+  if ema_ckpt is not None:
+    ema_ckpt.wait()
   if args.export_merged:
     if lora_cfg is None:
       parser.error('--export-merged requires --lora-rank')
