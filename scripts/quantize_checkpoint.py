@@ -29,6 +29,14 @@ def main() -> int:
   args = parser.parse_args()
 
   import jax
+
+  # Offline artifact conversion is pure host work: force CPU before any
+  # device query so the script never claims (or blocks on) an
+  # accelerator.  On the axon tunnel a TPU claim can block indefinitely
+  # when the chip is held elsewhere — and quantizing on TPU would buy
+  # nothing here anyway.
+  jax.config.update('jax_platforms', 'cpu')
+
   import jax.numpy as jnp
 
   from videoprism_tpu import quantization

@@ -449,8 +449,10 @@ class TestQuantizedCheckpoint:
     import pathlib
     script = str(pathlib.Path(__file__).resolve().parent.parent
                  / 'scripts' / 'quantize_checkpoint.py')
+    # timeout: a regression that re-introduces a device dependency would
+    # otherwise hang the suite for as long as the axon chip claim does.
     res = subprocess.run([sys.executable, script, src, dst],
-                         capture_output=True, text=True)
+                         capture_output=True, text=True, timeout=240)
     assert res.returncode == 0, res.stderr
 
     loaded = checkpoints.load_checkpoint(dst)
