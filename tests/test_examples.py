@@ -82,3 +82,23 @@ def test_train_cli_eval_every_smoke():
   assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
   assert 'eval @ step 2' in res.stdout
   assert 't2v_recall@1' in res.stdout
+
+
+@pytest.mark.slow
+def test_bench_serving_smoke():
+  """The end-to-end serving benchmark drives the production queue path:
+  closed-loop clients, bucketed micro-batching, one JSON report line."""
+  import json
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(_ROOT) + os.pathsep + env.get('PYTHONPATH', '')
+  res = subprocess.run(
+      [sys.executable, str(_ROOT / 'scripts' / 'bench_serving.py'),
+       '--tiny', '--cpu-devices', '1', '--duration', '2',
+       '--concurrency', '4'],
+      capture_output=True, text=True, timeout=500, env=env)
+  assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+  report = json.loads(res.stdout.strip().splitlines()[-1])
+  assert report['metric'] == 'serving_clips_per_sec'
+  assert report['value'] > 0
+  assert report['errors'] == 0
+  assert report['avg_batch_size'] >= 1.0
