@@ -49,6 +49,7 @@ from videoprism_tpu.train import (  # noqa: E402
     make_optimizer,
     make_sharded_classifier_train_step,
 )
+from videoprism_tpu.train import preemption  # noqa: E402
 from videoprism_tpu.train.checkpointing import TrainCheckpointer  # noqa: E402
 
 from smoke_configs import TINY_ENC  # noqa: E402
@@ -301,6 +302,9 @@ def main():
     logger.event('eval', step=step_no,
                  **{k: round(v, 4) for k, v in em.items()})
 
+  # SIGTERM (preemption / maintenance eviction) -> finish the in-flight
+  # step, checkpoint, exit 75; `--resume` then continues bit-exactly.
+  guard = preemption.PreemptionGuard().install()
   for i, batch in enumerate(loader, start=start_step):
     if i >= args.steps:
       break
@@ -314,15 +318,22 @@ def main():
       logger.log(i, metrics,
                  sec_per_step=round((time.time() - t0)
                                     / max(i - start_step, 1), 3))
-    if eval_source and args.eval_every and (i + 1) % args.eval_every == 0:
-      run_eval(i + 1)
+    saved_now = False
     if ckpt is not None:
       step_no = int(jax.device_get(state.step))
-      if ckpt.maybe_save(step_no, state, every=args.checkpoint_every):
+      saved_now = ckpt.maybe_save(step_no, state,
+                                  every=args.checkpoint_every)
+      if saved_now:
         logger.event('checkpoint_saved', step=step_no)
         if ema_ckpt is not None:
           ema_ckpt.maybe_save(step_no, ema_state,
                               every=args.checkpoint_every)
+    if guard.should_stop(i + 1):
+      preemption.exit_preempted(
+          state, ckpt, logger, ema_ckpt=ema_ckpt, ema_state=ema_state,
+          already_saved=saved_now, checkpoint_dir=args.checkpoint_dir)
+    if eval_source and args.eval_every and (i + 1) % args.eval_every == 0:
+      run_eval(i + 1)
   if eval_source and not (args.eval_every and args.steps % args.eval_every == 0):
     run_eval(args.steps)
   if ckpt is not None:

@@ -45,6 +45,7 @@ from videoprism_tpu.train import (  # noqa: E402
     make_sharded_train_step,
     make_train_step,
 )
+from videoprism_tpu.train import preemption  # noqa: E402
 from videoprism_tpu.train.checkpointing import TrainCheckpointer  # noqa: E402
 
 from smoke_configs import TINY_CLIP as TINY_CFG  # noqa: E402
@@ -388,6 +389,9 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
   # (and always logs the final step).
   logger = MetricsLogger(args.metrics_dir or args.checkpoint_dir,
                          console_every=1)
+  # SIGTERM (preemption / maintenance eviction) -> finish the in-flight
+  # step, checkpoint, exit 75; `--resume` then continues bit-exactly.
+  guard = preemption.PreemptionGuard().install()
   for i, batch in enumerate(loader, start=start_step):
     if i >= args.steps:
       break
@@ -401,13 +405,20 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
       logger.log(i, metrics,
                  sec_per_step=round((time.time() - t0)
                                     / max(i - start_step, 1), 3))
+    saved_now = False
     if ckpt is not None:
       step_no = int(jax.device_get(state.step))
-      if ckpt.maybe_save(step_no, state, every=args.checkpoint_every):
+      saved_now = ckpt.maybe_save(step_no, state,
+                                  every=args.checkpoint_every)
+      if saved_now:
         logger.event('checkpoint_saved', step=step_no)
         if ema_ckpt is not None:
           ema_ckpt.maybe_save(step_no, ema_state,
                               every=args.checkpoint_every)
+    if guard.should_stop(i + 1):
+      preemption.exit_preempted(
+          state, ckpt, logger, ema_ckpt=ema_ckpt, ema_state=ema_state,
+          already_saved=saved_now, checkpoint_dir=args.checkpoint_dir)
     if eval_fn is not None and (i + 1) % args.eval_every == 0:
       eval_fn(_eval_params(args, state, ema_state), i + 1, logger)
   if eval_fn is not None and args.steps % args.eval_every:
