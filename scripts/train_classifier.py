@@ -35,6 +35,7 @@ jax.config.update(
                    os.path.expanduser('~/.cache/jax_comp_cache')))
 
 import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 import videoprism_tpu as vp  # noqa: E402
 from videoprism_tpu.models import classifier as vc  # noqa: E402
@@ -88,6 +89,10 @@ def main():
   parser.add_argument('--learning-rate', type=float, default=1e-3)
   parser.add_argument('--warmup-steps', type=int, default=100)
   parser.add_argument('--weight-decay', type=float, default=1e-4)
+  parser.add_argument('--skip-nonfinite', type=int, default=0,
+                      help='skip optimizer updates whose gradients contain '
+                           'NaN/inf (bf16 overflow protection), tolerating '
+                           'up to N consecutive bad steps; 0 disables')
   parser.add_argument('--model-parallelism', type=int, default=1)
   parser.add_argument('--remat', action='store_true',
                       help='rematerialize the encoder stack (full '
@@ -179,7 +184,8 @@ def main():
   print(f'mesh: {dict(mesh.shape)} over {jax.device_count()} devices')
   optimizer = make_optimizer(
       learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
-      total_steps=args.steps, weight_decay=args.weight_decay)
+      total_steps=args.steps, weight_decay=args.weight_decay,
+      skip_nonfinite=args.skip_nonfinite or None)
 
   accum = args.accum_steps
   batch_axis = 1 if accum > 1 else 0
@@ -318,6 +324,11 @@ def main():
       logger.log(i, metrics,
                  sec_per_step=round((time.time() - t0)
                                     / max(i - start_step, 1), 3))
+      # NaN/inf grad_norm == the step the finite-guard skipped (or, with
+      # the guard off, the step that just poisoned the params).
+      if args.skip_nonfinite and not np.isfinite(
+          float(jax.device_get(metrics['grad_norm']))):
+        logger.event('nonfinite_step', step=i)
     saved_now = False
     if ckpt is not None:
       step_no = int(jax.device_get(state.step))

@@ -109,6 +109,10 @@ def main():
                            'compute in this dtype, params + optimizer '
                            'state stay float32 (the loss itself is always '
                            'computed in float32)')
+  parser.add_argument('--skip-nonfinite', type=int, default=0,
+                      help='skip optimizer updates whose gradients contain '
+                           'NaN/inf (bf16 overflow protection), tolerating '
+                           'up to N consecutive bad steps; 0 disables')
   parser.add_argument('--bf16-moments', action='store_true',
                       help='store the AdamW first moment in bfloat16 '
                            '(-1/3 optimizer state memory; nu stays fp32)')
@@ -209,7 +213,8 @@ def main():
   optimizer = make_optimizer(
       learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
       total_steps=args.steps,
-      mu_dtype=jnp.bfloat16 if args.bf16_moments else None)
+      mu_dtype=jnp.bfloat16 if args.bf16_moments else None,
+      skip_nonfinite=args.skip_nonfinite or None)
   pretrained = None
   if args.init_checkpoint:
     state0 = vp.load_pretrained_weights(
@@ -405,6 +410,11 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
       logger.log(i, metrics,
                  sec_per_step=round((time.time() - t0)
                                     / max(i - start_step, 1), 3))
+      # NaN/inf grad_norm == the step the finite-guard skipped (or, with
+      # the guard off, the step that just poisoned the params).
+      if args.skip_nonfinite and not np.isfinite(
+          float(jax.device_get(metrics['grad_norm']))):
+        logger.event('nonfinite_step', step=i)
     saved_now = False
     if ckpt is not None:
       step_no = int(jax.device_get(state.step))

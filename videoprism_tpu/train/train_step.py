@@ -62,6 +62,7 @@ def make_optimizer(
     b2: float = 0.95,
     clip_norm: float = 1.0,
     mu_dtype=None,
+    skip_nonfinite: int | None = None,
 ) -> optax.GradientTransformation:
   """AdamW + cosine schedule + global-norm clipping.
 
@@ -73,17 +74,34 @@ def make_optimizer(
   precision — a third off AdamW state memory (``nu`` must stay fp32: it
   accumulates squares whose dynamic range bf16 cannot hold).  Composes
   with the FSDP sharding (moments inherit the param layout either way).
+
+  ``skip_nonfinite`` arms bf16-overflow protection: a step whose gradients
+  contain NaN/inf applies a zero update and leaves the optimizer moments
+  untouched (params stay at the last good values), tolerating up to that
+  many *consecutive* bad steps before the guard stands aside and lets the
+  divergence surface (``optax.apply_if_finite`` semantics).  The trainer
+  loop spots skipped steps host-side via the ``grad_norm`` metric (NaN/inf
+  there is exactly the skip condition).
   """
   if warmup_steps >= total_steps:
     warmup_steps = max(total_steps - 1, 0)
   schedule = optax.warmup_cosine_decay_schedule(
       init_value=0.0, peak_value=learning_rate,
       warmup_steps=warmup_steps, decay_steps=total_steps)
-  return optax.chain(
+  opt = optax.chain(
       optax.clip_by_global_norm(clip_norm),
       optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay,
                   mu_dtype=mu_dtype),
   )
+  if skip_nonfinite is not None:
+    if skip_nonfinite <= 0:
+      raise ValueError(f'skip_nonfinite must be positive, got '
+                       f'{skip_nonfinite}')
+    # ApplyIfFiniteState is a namedtuple (scalar counters + inner_state),
+    # which _opt_state_shardings recurses structurally — the sharded train
+    # steps and orbax checkpointing both compose unchanged.
+    opt = optax.apply_if_finite(opt, max_consecutive_errors=skip_nonfinite)
+  return opt
 
 
 def create_train_state(
