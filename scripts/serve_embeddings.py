@@ -28,6 +28,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
+import signal
 
 import jax
 
@@ -199,6 +200,12 @@ def main():
     server.stop()
     service.stop()
     return
+  # Preemption/eviction sends SIGTERM: route it through the same graceful
+  # path as ctrl-C so in-flight requests drain instead of dropping.
+  def _sigterm(signum, frame):
+    del signum, frame
+    raise KeyboardInterrupt
+  signal.signal(signal.SIGTERM, _sigterm)
   try:
     server.serve_forever()
   except KeyboardInterrupt:

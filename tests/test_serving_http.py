@@ -3,6 +3,7 @@ through real sockets, error paths."""
 
 import io
 import json
+import os
 import threading
 import urllib.error
 import urllib.request
@@ -245,3 +246,42 @@ class TestKeepAliveDesync:
       assert resp.status == 200
       resp.read()
     conn.close()
+
+
+@pytest.mark.slow
+def test_cli_sigterm_drains_and_exits_cleanly(tmp_path):
+  """SIGTERM to the serving CLI takes the same graceful path as ctrl-C:
+  stop accepting, drain, exit 0 (eviction must not drop in-flight work)."""
+  import pathlib
+  import signal as signal_mod
+  import subprocess
+  import sys
+  import time
+  import urllib.request
+
+  root = pathlib.Path(__file__).resolve().parent.parent
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(root) + os.pathsep + env.get('PYTHONPATH', '')
+  proc = subprocess.Popen(
+      [sys.executable, '-u', str(root / 'scripts' / 'serve_embeddings.py'),
+       '--tiny', '--cpu-devices', '1', '--port', '0', '--buckets', '1'],
+      stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+  port = None
+  deadline = time.time() + 300
+  while time.time() < deadline:
+    line = proc.stdout.readline()
+    if not line:
+      break
+    if line.startswith('serving on http://'):
+      port = int(line.split(':')[2].split(' ')[0].split('(')[0].strip('/ '))
+      break
+  assert port, 'server never announced its port'
+  # The announce happens before server.start(); wait until it answers.
+  for _ in range(100):
+    try:
+      urllib.request.urlopen(f'http://127.0.0.1:{port}/healthz', timeout=5)
+      break
+    except Exception:
+      time.sleep(0.1)
+  proc.send_signal(signal_mod.SIGTERM)
+  assert proc.wait(timeout=60) == 0
