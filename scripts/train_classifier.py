@@ -79,6 +79,10 @@ def main():
   parser.add_argument('--synthetic', action='store_true')
   parser.add_argument('--manifest', default=None,
                       help='CSV manifest: video_path,int_label per line')
+  parser.add_argument('--tar-shards', default=None,
+                      help='glob of uncompressed WebDataset-style .tar '
+                           'shards (<key>.mp4 + <key>.cls label pairs); '
+                           'alternative to --manifest')
   parser.add_argument('--init-checkpoint', default=None,
                       help='backbone weights (default: the usual '
                            'weights/-then-HF resolution via load_classifier; '
@@ -164,6 +168,9 @@ def main():
     source = data_lib.SyntheticLabeledSource(
         num_examples=max(64, args.batch_size * args.accum_steps * 4),
         num_frames=frames, size=size, num_classes=args.num_classes)
+  elif args.tar_shards:
+    source = data_lib.TarShardSource.from_glob(
+        args.tar_shards, labeled=True, num_frames=frames, target_size=size)
   else:
     source = data_lib.VideoLabelSource.from_manifest(
         args.manifest, num_frames=frames, target_size=size)

@@ -58,6 +58,10 @@ def main():
                       help='tiny architecture for smoke tests')
   parser.add_argument('--synthetic', action='store_true')
   parser.add_argument('--videos-glob', default=None)
+  parser.add_argument('--tar-shards', default=None,
+                      help='glob of uncompressed WebDataset-style .tar '
+                           'shards (<key>.mp4 + <key>.txt caption pairs); '
+                           'alternative to --videos-glob/--captions')
   parser.add_argument('--captions', default=None)
   parser.add_argument('--tokenizer-model', default=None,
                       help='local SentencePiece model path')
@@ -187,6 +191,9 @@ def main():
     source = data_lib.SyntheticSource(
         num_examples=max(64, args.batch_size * args.accum_steps * 4),
         num_frames=frames, size=size)
+  elif args.tar_shards:
+    source = data_lib.TarShardSource.from_glob(
+        args.tar_shards, num_frames=frames, target_size=size)
   else:
     paths = sorted(glob.glob(args.videos_glob))
     captions = open(args.captions).read().splitlines()

@@ -1,0 +1,113 @@
+"""TarShardSource: WebDataset-style sharded-tar ingestion.
+
+Shards are built on the fly from the bundled demo video, so the tests are
+self-contained. Covers pairing, ordering, captions vs labels, random
+access through the loader (shuffle/multi-host/accum all ride the flat
+index), and the compressed-shard rejection.
+"""
+
+import tarfile
+
+import numpy as np
+import pytest
+
+from videoprism_tpu import assets
+from videoprism_tpu.train import data as data_lib
+
+
+def _make_shard(path, keys, *, labeled=False, captions=None):
+  video_bytes = open(assets.demo_video_path(), 'rb').read()
+  with tarfile.open(path, 'w') as tf:
+    for i, key in enumerate(keys):
+      import io
+
+      vi = tarfile.TarInfo(f'{key}.mp4')
+      vi.size = len(video_bytes)
+      tf.addfile(vi, io.BytesIO(video_bytes))
+      if labeled:
+        payload = str(i % 3).encode()
+        ti = tarfile.TarInfo(f'{key}.cls')
+      else:
+        payload = (captions[i] if captions else f'caption {key}').encode()
+        ti = tarfile.TarInfo(f'{key}.txt')
+      ti.size = len(payload)
+      tf.addfile(ti, io.BytesIO(payload))
+  return str(path)
+
+
+class TestTarShardSource:
+
+  def test_caption_pairing_and_decode(self, tmp_path):
+    shard = _make_shard(tmp_path / 's0.tar', ['a', 'b'])
+    src = data_lib.TarShardSource([shard], num_frames=4, target_size=36)
+    assert len(src) == 2
+    clip, cap = src.get(0)
+    assert clip.shape == (4, 36, 36, 3)
+    assert clip.dtype == np.float32
+    assert cap == 'caption a'
+    assert src.get(1)[1] == 'caption b'
+
+  def test_multi_shard_global_order(self, tmp_path):
+    s0 = _make_shard(tmp_path / 's0.tar', ['a'], captions=['zero'])
+    s1 = _make_shard(tmp_path / 's1.tar', ['b'], captions=['one'])
+    src = data_lib.TarShardSource([s0, s1], num_frames=2, target_size=36)
+    assert [src.get(i)[1] for i in range(2)] == ['zero', 'one']
+    # from_glob sorts, so every host builds the identical index.
+    src_g = data_lib.TarShardSource.from_glob(
+        str(tmp_path / 's*.tar'), num_frames=2, target_size=36)
+    assert [src_g.get(i)[1] for i in range(2)] == ['zero', 'one']
+
+  def test_labeled_shard(self, tmp_path):
+    shard = _make_shard(tmp_path / 'l0.tar', ['x', 'y', 'z'], labeled=True)
+    src = data_lib.TarShardSource([shard], labeled=True, num_frames=2,
+                                  target_size=36)
+    assert src.labels == [0, 1, 2]
+    clip, label = src.get(2)
+    assert label == 2 and clip.shape == (2, 36, 36, 3)
+
+  def test_missing_caption_raises(self, tmp_path):
+    import io
+
+    video_bytes = open(assets.demo_video_path(), 'rb').read()
+    with tarfile.open(tmp_path / 'bad.tar', 'w') as tf:
+      vi = tarfile.TarInfo('orphan.mp4')
+      vi.size = len(video_bytes)
+      tf.addfile(vi, io.BytesIO(video_bytes))
+    with pytest.raises(ValueError, match='no paired'):
+      data_lib.TarShardSource([str(tmp_path / 'bad.tar')])
+
+  def test_compressed_shard_rejected(self, tmp_path):
+    (tmp_path / 'x.tar.gz').write_bytes(b'')
+    with pytest.raises(ValueError, match='random access'):
+      data_lib.TarShardSource([str(tmp_path / 'x.tar.gz')])
+
+  def test_empty_and_no_members(self, tmp_path):
+    with pytest.raises(ValueError, match='no tar shards'):
+      data_lib.TarShardSource([])
+    with tarfile.open(tmp_path / 'e.tar', 'w'):
+      pass
+    with pytest.raises(ValueError, match='members found'):
+      data_lib.TarShardSource([str(tmp_path / 'e.tar')])
+
+  def test_through_batched_loader(self, tmp_path, tokenizer=None):
+    from videoprism_tpu.io import spm
+    from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
+
+    pieces = [spm.Piece('<unk>', 0.0, spm.UNKNOWN),
+              spm.Piece('<s>', 0.0, spm.CONTROL),
+              spm.Piece('</s>', 0.0, spm.CONTROL),
+              spm.Piece('▁caption', -1.0), spm.Piece('▁a', -1.0),
+              spm.Piece('▁b', -1.0), spm.Piece('▁', -4.0)]
+    model = spm.SpmModel(pieces=pieces, unk_id=0, bos_id=1, eos_id=2)
+    spm_path = tmp_path / 't.model'
+    spm.save_model(str(spm_path), model)
+    tok = SentencePieceTokenizer(str(spm_path), use_native=False)
+
+    shard = _make_shard(tmp_path / 's.tar', ['a', 'b'])
+    src = data_lib.TarShardSource([shard], num_frames=2, target_size=36)
+    batches = list(data_lib.batched_loader(
+        src, tok, batch_size=2, num_epochs=1, max_text_len=6,
+        num_workers=2, shuffle=False))
+    assert len(batches) == 1
+    assert batches[0]['video'].shape == (2, 2, 36, 36, 3)
+    assert batches[0]['text_token_ids'].shape == (2, 6)

@@ -149,6 +149,122 @@ class VideoLabelSource:
     return clip, int(self.labels[index])
 
 
+_TAR_VIDEO_EXTS = ('.mp4', '.avi', '.mov', '.mkv', '.webm')
+
+
+class TarShardSource:
+  """WebDataset-style sharded-tar ingestion with random access.
+
+  Production video datasets ship as uncompressed ``.tar`` shards whose
+  members pair by basename: ``<key>.mp4`` (any of %s) with ``<key>.txt``
+  (caption) or ``<key>.cls`` (integer label).  On construction this
+  source makes one header-only pass per shard to build a global
+  ``(shard, data offset, size)`` index — captions/labels (small) are read
+  during that same pass — after which :meth:`get` is a single
+  ``seek + read`` of the video bytes.  Random access over the flat index
+  keeps every existing loader feature working unchanged: deterministic
+  global shuffling, multi-host row slicing (identical sorted index on
+  every process), accumulation layout, and resume fast-forward.
+
+  Compressed shards (``.tar.gz``) are rejected: gzip has no random
+  access, which would turn every ``get`` into a full-shard scan.
+
+  ``labeled=True`` expects ``.cls`` members and yields ``(clip, int)``
+  for :func:`labeled_loader`; the default expects ``.txt`` captions and
+  yields ``(clip, str)`` for :func:`batched_loader`.
+  """ % (_TAR_VIDEO_EXTS,)
+
+  def __init__(self, shards: Sequence[str], *, labeled: bool = False,
+               num_frames: int = 16, target_size: int = 288,
+               resize_mode: str = 'center_crop'):
+    import tarfile
+
+    if not shards:
+      raise ValueError('no tar shards given')
+    self.num_frames = num_frames
+    self.target_size = target_size
+    self.resize_mode = resize_mode
+    self.labeled = labeled
+    self._shards = [str(s) for s in shards]
+    want_target = '.cls' if labeled else '.txt'
+    # key -> [shard_idx, offset, size, ext, target]; insertion order is
+    # the deterministic global example order (shards are iterated in the
+    # caller-given order, members in archive order).
+    entries: dict[str, list] = {}
+    for si, shard in enumerate(self._shards):
+      if shard.endswith(('.gz', '.tgz', '.bz2', '.xz', '.zst')):
+        raise ValueError(
+            f'{shard}: compressed shards have no random access; '
+            'store training shards as plain uncompressed .tar')
+      with tarfile.open(shard, 'r:') as tf:
+        for m in tf:
+          if not m.isfile():
+            continue
+          key, ext = _split_tar_key(m.name)
+          ext = ext.lower()
+          e = entries.setdefault(key, [None, None, None, None, None])
+          if ext in _TAR_VIDEO_EXTS:
+            e[:4] = [si, m.offset_data, m.size, ext]
+          elif ext == want_target:
+            raw = tf.extractfile(m).read().decode('utf-8').strip()
+            e[4] = int(raw) if labeled else raw
+    self._index = []
+    for key, (si, off, size, ext, target) in entries.items():
+      if si is None:
+        continue  # stray caption without a video — ignore
+      if target is None:
+        raise ValueError(
+            f'{self._shards[si]}: member {key}{ext} has no paired '
+            f'{key}{want_target}')
+      self._index.append((si, off, size, ext, target))
+    if not self._index:
+      raise ValueError(f'no {_TAR_VIDEO_EXTS} members found in {shards}')
+
+  @classmethod
+  def from_glob(cls, pattern: str, **kwargs) -> 'TarShardSource':
+    """Builds from a shard glob (sorted, so the global example order —
+    and therefore shuffling/resume — is identical on every host)."""
+    import glob as glob_lib
+
+    return cls(sorted(glob_lib.glob(pattern)), **kwargs)
+
+  def __len__(self) -> int:
+    return len(self._index)
+
+  @property
+  def labels(self) -> list:
+    """Targets in index order (parity with VideoLabelSource.labels)."""
+    return [t for *_, t in self._index]
+
+  def get(self, index: int):
+    import tempfile
+
+    from videoprism_tpu.io import video as video_lib
+
+    si, off, size, ext, target = self._index[index]
+    with open(self._shards[si], 'rb') as fh:
+      fh.seek(off)
+      data = fh.read(size)
+    if len(data) != size:
+      raise IOError(f'{self._shards[si]}: truncated member at {off} '
+                    f'(wanted {size} bytes, got {len(data)})')
+    # The decoders (FFmpeg/cv2) want a path; hand them the bytes as an
+    # unlinked temp file. suffix matters: it selects the demuxer.
+    with tempfile.NamedTemporaryFile(suffix=ext) as tmp:
+      tmp.write(data)
+      tmp.flush()
+      clip = video_lib.load_video(
+          tmp.name, self.num_frames, self.target_size, self.resize_mode)
+    return clip, target
+
+
+def _split_tar_key(name: str) -> tuple[str, str]:
+  """WebDataset pairing key: path up to the last extension."""
+  import os as os_lib
+
+  return os_lib.path.splitext(name)
+
+
 @dataclasses.dataclass
 class MultiViewSource:
   """Multi-view evaluation wrapper over a path-backed source.
