@@ -475,3 +475,58 @@ class TestGracefulStop:
       assert np.isfinite(np.asarray(emb)).all()
     finally:
       service.stop()
+
+
+class TestDeadlines:
+
+  def test_expired_request_dropped_unserved(self, model_and_state):
+    """Deadline passes while queued (service not yet started): once the
+    worker comes up it drops the stale request with DeadlineExceeded and
+    never runs it on the chip."""
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    clip = np.zeros((2, 12, 12, 3), np.float32)
+    errors, results = [], []
+
+    def caller():
+      try:
+        results.append(service.embed(clip, timeout=60.0, deadline_ms=50))
+      except Exception as e:
+        errors.append(e)
+
+    t = threading.Thread(target=caller, daemon=True)
+    t.start()
+    for _ in range(100):
+      if not service._queue.empty():
+        break
+      threading.Event().wait(0.01)
+    threading.Event().wait(0.2)  # let the 50 ms deadline lapse
+    service.start()
+    try:
+      t.join(timeout=30)
+      assert not t.is_alive()
+      assert not results
+      assert len(errors) == 1
+      assert isinstance(errors[0], serving.DeadlineExceeded)
+      assert service.stats()['requests_expired'] == 1
+      assert service.stats()['requests_served'] == 0
+    finally:
+      service.stop()
+
+  def test_generous_deadline_serves_normally(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    service.start()
+    try:
+      out = service.embed(np.zeros((2, 12, 12, 3), np.float32),
+                          deadline_ms=60_000)
+      assert out.shape == (8, 16)
+      assert service.stats()['requests_expired'] == 0
+    finally:
+      service.stop()
+
+  def test_invalid_deadline_rejected(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    with pytest.raises(ValueError, match='deadline_ms'):
+      service.embed(np.zeros((2, 12, 12, 3), np.float32), deadline_ms=0)

@@ -285,3 +285,57 @@ def test_cli_sigterm_drains_and_exits_cleanly(tmp_path):
       time.sleep(0.1)
   proc.send_signal(signal_mod.SIGTERM)
   assert proc.wait(timeout=60) == 0
+
+
+class TestDeadlineHTTP:
+
+  def test_expired_deadline_is_504(self):
+    """X-Deadline-Ms elapses while the request is queued (worker not yet
+    started) -> HTTP 504, and the expiry shows up in /metrics."""
+    cfg = fe.FactorizedEncoderConfig(**TINY)
+    model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
+    state = model.init(jax.random.PRNGKey(0))
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    httpd = serving_http.EmbeddingHTTPServer(service, host='127.0.0.1',
+                                             port=0)
+    httpd.start()
+    try:
+      buf = io.BytesIO()
+      np.save(buf, np.zeros(CLIP_SHAPE, np.float32))
+      req = urllib.request.Request(
+          _url(httpd, '/v1/embed'), buf.getvalue(),
+          {'Content-Type': 'application/x-npy', 'X-Deadline-Ms': '50'})
+      errs = []
+
+      def call():
+        try:
+          urllib.request.urlopen(req, timeout=60)
+        except urllib.error.HTTPError as e:
+          errs.append(e)
+
+      t = threading.Thread(target=call, daemon=True)
+      t.start()
+      # Let the deadline lapse with the request queued, then serve.
+      while service._queue.empty() and t.is_alive():
+        threading.Event().wait(0.01)
+      threading.Event().wait(0.2)
+      service.start()
+      t.join(timeout=30)
+      assert errs and errs[0].code == 504
+      metrics = urllib.request.urlopen(
+          _url(httpd, '/metrics'), timeout=30).read().decode()
+      assert 'videoprism_requests_expired_total 1' in metrics
+    finally:
+      httpd.stop()
+      service.stop()
+
+  def test_bad_deadline_header_is_400(self, server):
+    httpd, _, _ = server
+    buf = io.BytesIO()
+    np.save(buf, np.zeros(CLIP_SHAPE, np.float32))
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed'), buf.getvalue(),
+        {'Content-Type': 'application/x-npy', 'X-Deadline-Ms': 'soon'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400

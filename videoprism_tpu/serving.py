@@ -64,12 +64,21 @@ class ServiceOverloaded(RuntimeError):
   serving_http layer).  Clients should retry with backoff."""
 
 
+class DeadlineExceeded(TimeoutError):
+  """Raised by :meth:`EmbeddingService.embed` when a request's deadline
+  passed while it was still queued (HTTP 504 at the serving_http layer).
+  The chip never spent time on it — under overload, expiring stale work
+  is what keeps the queue from serving only requests nobody is still
+  waiting for."""
+
+
 @dataclasses.dataclass
 class _Request:
   video: np.ndarray            # [T, H, W, 3]
   event: threading.Event
   result: np.ndarray | None = None
   error: Exception | None = None
+  deadline: float | None = None  # absolute time.monotonic()
 
 
 class EmbeddingService:
@@ -152,6 +161,7 @@ class EmbeddingService:
     self._stopped = False   # set by stop(); embed() then fails fast
     self._stats_lock = threading.Lock()
     self._requests_shed = 0
+    self._requests_expired = 0
     self._requests_served = 0
     self._batches_run = 0
     self._errors = 0
@@ -239,6 +249,7 @@ class EmbeddingService:
           'batches_run': self._batches_run,
           'errors': self._errors,
           'requests_shed': self._requests_shed,
+          'requests_expired': self._requests_expired,
           'queue_depth': self._queue.qsize(),
           'batch_latency_p50_s': pct(0.50),
           'batch_latency_p99_s': pct(0.99),
@@ -254,8 +265,15 @@ class EmbeddingService:
 
   # ------------------------------- client --------------------------------
 
-  def embed(self, video: np.ndarray, timeout: float = 300.0) -> np.ndarray:
-    """Blocking single-clip embed; batches with concurrent callers."""
+  def embed(self, video: np.ndarray, timeout: float = 300.0,
+            deadline_ms: float | None = None) -> np.ndarray:
+    """Blocking single-clip embed; batches with concurrent callers.
+
+    ``deadline_ms`` bounds total queueing delay: if the request is still
+    waiting when the deadline passes, the worker drops it without
+    touching the chip and this call raises :class:`DeadlineExceeded`.
+    (A request already stacked into a running batch completes normally.)
+    """
     video = np.asarray(video)
     if video.ndim != 4:
       raise ValueError(
@@ -265,7 +283,12 @@ class EmbeddingService:
       raise RuntimeError(
           'EmbeddingService was stopped; embed() would block until its '
           'timeout with no worker to serve it')
-    req = _Request(video=video, event=threading.Event())
+    if deadline_ms is not None and deadline_ms <= 0:
+      raise ValueError(f'deadline_ms must be positive, got {deadline_ms}')
+    req = _Request(
+        video=video, event=threading.Event(),
+        deadline=(time.monotonic() + deadline_ms / 1e3
+                  if deadline_ms is not None else None))
     try:
       self._queue.put_nowait(req)
     except queue.Full:
@@ -346,6 +369,20 @@ class EmbeddingService:
         except queue.Empty:
           break
 
+      # Expire requests whose deadline passed while queued: the client
+      # stopped waiting, so running them only delays live requests.
+      now = time.monotonic()
+      live = []
+      for r in batch:
+        if r.deadline is not None and now > r.deadline:
+          r.error = DeadlineExceeded(
+              'deadline passed before the request reached the chip')
+          r.event.set()
+          with self._stats_lock:
+            self._requests_expired += 1
+        else:
+          live.append(r)
+      batch = live
       # Requests with different clip shapes (variable T/H/W is supported —
       # pos-emb interpolation) or dtypes (uint8 vs float) can't share one
       # stacked batch — np.stack would silently promote uint8 to float

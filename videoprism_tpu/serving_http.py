@@ -46,7 +46,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from videoprism_tpu.serving import EmbeddingService, ServiceOverloaded
+from videoprism_tpu.serving import (
+    DeadlineExceeded,
+    EmbeddingService,
+    ServiceOverloaded,
+)
 
 _MAX_BODY_BYTES = 1 << 30
 
@@ -93,6 +97,8 @@ def _prometheus_metrics(stats: dict) -> str:
   gauge('videoprism_errors_total', stats.get('errors'), 'counter')
   gauge('videoprism_requests_shed_total',
         stats.get('requests_shed'), 'counter')
+  gauge('videoprism_requests_expired_total',
+        stats.get('requests_expired'), 'counter')
   gauge('videoprism_queue_depth', stats.get('queue_depth'))
   for q, key in (('0.5', 'batch_latency_p50_s'),
                  ('0.99', 'batch_latency_p99_s')):
@@ -162,14 +168,21 @@ class _Handler(BaseHTTPRequestHandler):
       if video.ndim not in (4, 5):
         raise ValueError(
             f'expected [T,H,W,3] or [B,T,H,W,3], got shape {video.shape}')
+      # Optional queueing deadline (ms). Applies to the micro-batched
+      # single-clip path; the direct batch path never queues.
+      deadline_ms = self.headers.get('X-Deadline-Ms')
+      deadline_ms = float(deadline_ms) if deadline_ms is not None else None
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
       return
     try:
       if video.ndim == 4:
-        emb = self.service.embed(video)
+        emb = self.service.embed(video, deadline_ms=deadline_ms)
       else:
         emb = self.service.embed_batch(video)
+    except DeadlineExceeded as e:  # stale request dropped unserved
+      self._reply_json(504, {'error': str(e)})
+      return
     except ServiceOverloaded as e:  # load shed — tell clients to back off
       self.send_response(503)
       body = json.dumps({'error': str(e)}).encode()
