@@ -29,6 +29,7 @@ import json
 from evaluate_retrieval import add_clip_eval_args, resolve_clip  # noqa: E402
 from videoprism_tpu import retrieval  # noqa: E402
 from videoprism_tpu.train import data as data_lib  # noqa: E402
+from videoprism_tpu.train import preemption  # noqa: E402
 
 
 def main():
@@ -39,6 +40,15 @@ def main():
                       help='one video path per line (a trailing '
                            '<TAB>caption / ,caption column is ignored)')
   parser.add_argument('--output', required=True, help='index npz path')
+  parser.add_argument('--checkpoint-every', type=int, default=0,
+                      help='save partial embeddings every N batches to '
+                           '<output>.partial.npz; reruns resume from it '
+                           'and SIGTERM exits 75 after saving (compose '
+                           'with scripts/run_elastic.py)')
+  parser.add_argument('--resume', action='store_true',
+                      help='no-op (resume is automatic from the partial '
+                           'file); accepted so run_elastic.py can append '
+                           'it')
   args = parser.parse_args()
 
   cfg, params, _, frames, size = resolve_clip(args, need_tokenizer=False)
@@ -66,9 +76,19 @@ def main():
       raise SystemExit('no videos matched')
     ids = paths
 
-  index = retrieval.build_video_index(
-      params, cfg, source, ids=ids, batch_size=args.batch_size)
+  partial = args.output + '.partial.npz' if args.checkpoint_every else None
+  guard = preemption.PreemptionGuard().install()
+  try:
+    index = retrieval.build_video_index(
+        params, cfg, source, ids=ids, batch_size=args.batch_size,
+        checkpoint_path=partial, checkpoint_every=args.checkpoint_every,
+        should_stop=lambda: guard.triggered)
+  except retrieval.IndexBuildInterrupted as e:
+    print(f'preempted: {e}', flush=True)
+    raise SystemExit(preemption.EXIT_PREEMPTED) from None
   index.save(args.output)
+  if partial and os.path.exists(partial):
+    os.remove(partial)
   print(json.dumps({'num_videos': len(index), 'dim': index.dim,
                     'output': args.output}))
 

@@ -234,3 +234,51 @@ class TestHTTPSearch:
     finally:
       httpd.stop()
       service.stop()
+
+
+class TestResumableBuild:
+
+  @pytest.fixture(scope='class')
+  def setup(self):
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    params = init_lib.init_video_clip(jax.random.PRNGKey(0), cfg)
+    source = data_lib.SyntheticSource(num_examples=6, num_frames=2, size=12)
+    full = retrieval.build_video_index(params, cfg, source, batch_size=2)
+    return cfg, params, source, full
+
+  def test_interrupt_then_resume_equals_one_shot(self, setup, tmp_path):
+    cfg, params, source, full = setup
+    part = str(tmp_path / 'idx.partial.npz')
+    calls = {'n': 0}
+
+    def stop_after_first_chunk():
+      calls['n'] += 1
+      return calls['n'] >= 1
+
+    with pytest.raises(retrieval.IndexBuildInterrupted) as ei:
+      retrieval.build_video_index(
+          params, cfg, source, batch_size=2, checkpoint_path=part,
+          checkpoint_every=1, should_stop=stop_after_first_chunk)
+    assert 0 < ei.value.done < len(source)
+    assert (tmp_path / 'idx.partial.npz').exists()
+
+    resumed = retrieval.build_video_index(
+        params, cfg, source, batch_size=2, checkpoint_path=part,
+        checkpoint_every=1)
+    assert resumed.ids == full.ids
+    np.testing.assert_allclose(resumed._emb, full._emb, atol=1e-6)
+
+  def test_mismatched_partial_rebuilds(self, setup, tmp_path):
+    cfg, params, source, full = setup
+    part = str(tmp_path / 'idx.partial.npz')
+    np.savez(part, embeddings=np.zeros((2, full.dim), np.float32),
+             ids=np.asarray(['bogus0', 'bogus1'], np.str_))
+    rebuilt = retrieval.build_video_index(
+        params, cfg, source, batch_size=2, checkpoint_path=part,
+        checkpoint_every=1)
+    np.testing.assert_allclose(rebuilt._emb, full._emb, atol=1e-6)
+
+  def test_no_checkpoint_plain_build_unchanged(self, setup):
+    cfg, params, source, full = setup
+    again = retrieval.build_video_index(params, cfg, source, batch_size=2)
+    np.testing.assert_allclose(again._emb, full._emb, atol=0)

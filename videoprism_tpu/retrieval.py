@@ -130,23 +130,85 @@ def build_video_index(
     batch_size: int = 8,
     num_workers: int = 4,
     sharding=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    should_stop=None,
 ) -> VideoIndex:
   """Embed every clip of a ``(clip, *)`` source (``VideoTextSource``,
   ``VideoLabelSource``, ...) through the lvt vision tower and index it.
   ``ids`` default to the source's ``video_paths`` when present, else
-  stringified positions."""
+  stringified positions.
+
+  Large corpus sweeps are hours of decode+embed, so the build is
+  resumable: with ``checkpoint_path`` + ``checkpoint_every`` (batches),
+  partial embeddings are written atomically every chunk, and a rerun
+  with the same arguments continues where the file left off (the id
+  prefix is verified — a changed corpus restarts from scratch rather
+  than producing a silently misaligned index).  ``should_stop()``, polled
+  at chunk boundaries, requests an early exit (the preemption hook): the
+  partial state is saved and :class:`IndexBuildInterrupted` raised.
+  """
+  import os
+
   from videoprism_tpu.train import eval_loop
 
   n = len(source)
   if n == 0:
     raise ValueError('build_video_index: empty source')
-  emb = eval_loop._sweep_videos(
-      eval_loop.make_clip_video_eval_step(cfg), params, source, range(n),
-      batch_size=batch_size, num_workers=num_workers, sharding=sharding)
   if ids is None:
     paths = getattr(source, 'video_paths', None)
     ids = list(paths) if paths is not None else [str(i) for i in range(n)]
-  return VideoIndex(emb, ids)
+  ids = [str(i) for i in ids]
+  if len(ids) != n:
+    raise ValueError(f'{len(ids)} ids for {n} examples')
+
+  chunks: list[np.ndarray] = []
+  start = 0
+  if checkpoint_path and os.path.exists(checkpoint_path):
+    with np.load(checkpoint_path, allow_pickle=False) as data:
+      part, part_ids = data['embeddings'], [str(i) for i in data['ids']]
+    if part_ids == ids[:len(part_ids)] and len(part_ids) == len(part):
+      chunks.append(part)
+      start = len(part)
+      print(f'build_video_index: resuming at {start}/{n} '
+            f'from {checkpoint_path}', flush=True)
+    else:
+      print(f'build_video_index: {checkpoint_path} does not match this '
+            'corpus; rebuilding from scratch', flush=True)
+
+  def save_partial(count: int) -> None:
+    emb = np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 1))
+    tmp = checkpoint_path + '.tmp.npz'
+    np.savez(tmp, embeddings=emb, ids=np.asarray(ids[:count], np.str_))
+    os.replace(tmp, checkpoint_path)  # atomic: never a torn partial
+
+  step = eval_loop.make_clip_video_eval_step(cfg)
+  chunk = checkpoint_every * batch_size if checkpoint_every > 0 else n
+  i = start
+  while i < n:
+    j = min(n, i + chunk)
+    chunks.append(eval_loop._sweep_videos(
+        step, params, source, range(i, j), batch_size=batch_size,
+        num_workers=num_workers, sharding=sharding))
+    i = j
+    if checkpoint_path and (i < n or start):
+      save_partial(i)
+    if should_stop is not None and i < n and should_stop():
+      if checkpoint_path:
+        save_partial(i)
+      raise IndexBuildInterrupted(i, n)
+  return VideoIndex(np.concatenate(chunks, axis=0), ids)
+
+
+class IndexBuildInterrupted(RuntimeError):
+  """Raised by :func:`build_video_index` when ``should_stop()`` fired;
+  the partial checkpoint (if configured) holds ``done`` examples."""
+
+  def __init__(self, done: int, total: int):
+    super().__init__(f'index build interrupted at {done}/{total} '
+                     '(partial state saved; rerun to resume)')
+    self.done = done
+    self.total = total
 
 
 def make_text_query_encoder(
