@@ -73,3 +73,14 @@ def test_two_process_fsdp_training():
   """Two steps of the FSDP CLIP train step over a cross-process mesh, fed
   by the multi-host loader, matching the single-process step's loss."""
   _run_two_process(_TRAIN_WORKER, 'MULTIHOST-TRAIN-OK', timeout=480)
+
+
+_PREEMPT_WORKER = os.path.join(os.path.dirname(__file__),
+                               '_mh_preempt_worker.py')
+
+
+def test_two_process_preemption_agreement():
+  """Only process 0 gets SIGTERM; both processes must agree to stop at
+  the same sync step (flag allgather) — the invariant that keeps the
+  sharded preemption checkpoint from deadlocking."""
+  _run_two_process(_PREEMPT_WORKER, 'PREEMPT-AGREE-OK')
