@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 import signal
+import threading
 
 import jax
 
@@ -206,6 +207,30 @@ def main():
     del signum, frame
     raise KeyboardInterrupt
   signal.signal(signal.SIGTERM, _sigterm)
+
+  # SIGHUP = hot weight reload (the classic daemon convention): re-read
+  # the checkpoint and swap it in with zero downtime. Runs in a thread so
+  # a multi-GB load never stalls the accept loop.
+  def _reload():
+    try:
+      if args.tiny or args.tiny_clip:
+        print('reload: --tiny serves random init; nothing to re-read')
+        return
+      src = args.checkpoint or args.model
+      print(f'reload: re-reading weights from {src} ...', flush=True)
+      if args.checkpoint:
+        new_state = vp.load_pretrained_weights(
+            None, checkpoint_path=args.checkpoint)
+      else:
+        new_state = vp.load_pretrained_weights(args.model)
+      service.reload_state(new_state)
+      print(f'reload: serving new weights '
+            f'(reload #{service.stats()["reloads"]})', flush=True)
+    except Exception as e:
+      print(f'reload FAILED (still serving old weights): {e}', flush=True)
+
+  signal.signal(signal.SIGHUP, lambda *_: threading.Thread(
+      target=_reload, daemon=True).start())
   try:
     server.serve_forever()
   except KeyboardInterrupt:

@@ -530,3 +530,47 @@ class TestDeadlines:
     service = serving.EmbeddingService(model, state, batch_buckets=(1,))
     with pytest.raises(ValueError, match='deadline_ms'):
       service.embed(np.zeros((2, 12, 12, 3), np.float32), deadline_ms=0)
+
+
+class TestHotReload:
+
+  def test_reload_swaps_weights_without_restart(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    service.start()
+    clip = np.random.default_rng(3).random((2, 12, 12, 3), np.float32)
+    try:
+      before = service.embed(clip)
+      new_state = jax.tree.map(lambda x: x * 0.5, state)
+      service.reload_state(new_state)
+      after = service.embed(clip)
+      ref, _ = model.apply(new_state, jnp.asarray(clip[None]), train=False)
+      np.testing.assert_allclose(after, np.asarray(ref[0]), atol=1e-5)
+      assert not np.allclose(before, after)
+      assert service.stats()['reloads'] == 1
+    finally:
+      service.stop()
+
+  def test_reload_rejects_different_architecture(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    bad = jax.tree.map(lambda x: x, state)
+    # Perturb one leaf's shape.
+    bad['params']['patch_projection']['linear']['bias'] = np.zeros(
+        (99,), np.float32)
+    with pytest.raises(ValueError, match='reload_state'):
+      service.reload_state(bad)
+
+  def test_reload_keeps_quantized_serving_quantized(self, model_and_state):
+    def int8_leaves(tree):
+      return sum(jnp.asarray(x).dtype == jnp.int8
+                 for x in jax.tree.leaves(tree))
+
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,),
+                                       quantize='int8')
+    n_q = int8_leaves(service._state)
+    assert n_q > 0
+    service.reload_state(jax.tree.map(lambda x: x * 0.5, state))
+    assert int8_leaves(service._state) == n_q
+    assert service.stats()['reloads'] == 1

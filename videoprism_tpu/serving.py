@@ -131,6 +131,8 @@ class EmbeddingService:
       state = quantization.quantize_for_serving(
           state, on_host=tensor_parallel)
     self._model = model
+    self._quantize = quantize
+    self._tensor_parallel = tensor_parallel
     # tensor_parallel: keep the tree on host — make_tp_encoder_forward
     # device_puts each leaf straight into its sharded layout below;
     # an eager device_put here would materialize a full replica on one
@@ -165,6 +167,7 @@ class EmbeddingService:
     self._requests_served = 0
     self._batches_run = 0
     self._errors = 0
+    self._reloads = 0
     self._batch_latencies = collections.deque(maxlen=1024)  # seconds
 
     def normalize(videos):
@@ -250,6 +253,7 @@ class EmbeddingService:
           'errors': self._errors,
           'requests_shed': self._requests_shed,
           'requests_expired': self._requests_expired,
+          'reloads': self._reloads,
           'queue_depth': self._queue.qsize(),
           'batch_latency_p50_s': pct(0.50),
           'batch_latency_p99_s': pct(0.99),
@@ -262,6 +266,45 @@ class EmbeddingService:
     for b in self._buckets:
       video = np.zeros((b,) + clip_shape, dtype)
       np.asarray(jnp.sum(self._forward(self._state, jnp.asarray(video))))
+
+  def reload_state(self, state) -> None:
+    """Hot-swaps the served weights with zero downtime.
+
+    The new tree goes through the same preparation as ``__init__``
+    (int8 quantization if configured; device/sharded placement) and must
+    match the current tree leaf-for-leaf in structure, shape, and dtype —
+    so the cached per-bucket executables stay valid and no recompile
+    happens.  The swap itself is one attribute assignment: an in-flight
+    batch finishes on the old tree, the next batch reads the new one.
+    """
+    if self._quantize == 'int8':
+      from videoprism_tpu import quantization
+
+      state = quantization.quantize_for_serving(
+          state, on_host=self._tensor_parallel)
+    if self._tensor_parallel:
+      # Place each new leaf exactly where its predecessor lives (the
+      # shardings were computed once by the tp builder at __init__).
+      raw = self._model._unwrap(state)
+      state = jax.tree.map(
+          lambda new, old: jax.device_put(new, old.sharding),
+          raw, self._state)
+    else:
+      state = jax.device_put(state)
+
+    old_flat, old_def = jax.tree_util.tree_flatten(self._state)
+    new_flat, new_def = jax.tree_util.tree_flatten(state)
+    if old_def != new_def:
+      raise ValueError('reload_state: param tree structure differs from '
+                       'the served model (same architecture required)')
+    for o, n in zip(old_flat, new_flat):
+      if o.shape != n.shape or o.dtype != n.dtype:
+        raise ValueError(
+            f'reload_state: leaf mismatch {n.shape}/{n.dtype} vs served '
+            f'{o.shape}/{o.dtype} (same architecture required)')
+    self._state = state
+    with self._stats_lock:
+      self._reloads += 1
 
   # ------------------------------- client --------------------------------
 
