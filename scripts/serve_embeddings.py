@@ -60,6 +60,10 @@ def main():
   parser.add_argument('--max-pending', type=int, default=None,
                       help='bound the request queue; full -> HTTP 503 '
                            '(load shedding). Default: unbounded.')
+  parser.add_argument('--auth-token', default=None,
+                      help='require "Authorization: Bearer <token>" on the '
+                           'POST endpoints; defaults to $VIDEOPRISM_AUTH_TOKEN '
+                           '(env keeps the secret out of process listings)')
   parser.add_argument('--host', default='0.0.0.0')
   parser.add_argument('--port', type=int, default=8000)
   parser.add_argument('--warmup-frames', type=int, default=0,
@@ -162,9 +166,13 @@ def main():
   elif args.index:
     raise SystemExit('--index needs an lvt (CLIP) model')
 
+  auth_token = args.auth_token or os.environ.get('VIDEOPRISM_AUTH_TOKEN')
   server = EmbeddingHTTPServer(service, args.host, args.port,
                                quiet=args.smoke,
-                               text_encode_fn=text_encode_fn, index=index)
+                               text_encode_fn=text_encode_fn, index=index,
+                               auth_token=auth_token)
+  if auth_token:
+    print('auth: bearer token required on POST endpoints')
   endpoints = 'POST /v1/embed, GET /healthz, GET /stats'
   if text_encode_fn is not None:
     endpoints += ', POST /v1/embed_text'

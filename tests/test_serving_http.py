@@ -339,3 +339,59 @@ class TestDeadlineHTTP:
     with pytest.raises(urllib.error.HTTPError) as ei:
       urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400
+
+
+class TestBearerAuth:
+
+  @pytest.fixture(scope='class')
+  def auth_server(self):
+    cfg = fe.FactorizedEncoderConfig(**TINY)
+    model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
+    state = model.init(jax.random.PRNGKey(0))
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,),
+                                       max_wait_ms=1.0)
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(
+        service, host='127.0.0.1', port=0, auth_token='sesame')
+    httpd.start()
+    yield httpd
+    httpd.stop()
+    service.stop()
+
+  def _npy_body(self):
+    buf = io.BytesIO()
+    np.save(buf, np.zeros(CLIP_SHAPE, np.float32))
+    return buf.getvalue()
+
+  def test_missing_token_is_401(self, auth_server):
+    req = urllib.request.Request(
+        _url(auth_server, '/v1/embed'), self._npy_body(),
+        {'Content-Type': 'application/x-npy'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 401
+    assert ei.value.headers['WWW-Authenticate'] == 'Bearer'
+
+  def test_wrong_token_is_401(self, auth_server):
+    req = urllib.request.Request(
+        _url(auth_server, '/v1/embed'), self._npy_body(),
+        {'Content-Type': 'application/x-npy',
+         'Authorization': 'Bearer wrong'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 401
+
+  def test_valid_token_serves(self, auth_server):
+    req = urllib.request.Request(
+        _url(auth_server, '/v1/embed'), self._npy_body(),
+        {'Content-Type': 'application/x-npy',
+         'Authorization': 'Bearer sesame'})
+    out = urllib.request.urlopen(req, timeout=60).read()
+    emb = np.load(io.BytesIO(out))
+    assert emb.shape == (8, 16)
+
+  def test_health_and_metrics_stay_open(self, auth_server):
+    assert json.loads(urllib.request.urlopen(
+        _url(auth_server, '/healthz'), timeout=30).read())['status'] == 'ok'
+    assert b'videoprism_' in urllib.request.urlopen(
+        _url(auth_server, '/metrics'), timeout=30).read()

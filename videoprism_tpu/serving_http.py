@@ -115,6 +115,7 @@ class _Handler(BaseHTTPRequestHandler):
   service: EmbeddingService = None
   text_encode_fn = None   # list[str] -> [N, D] np.ndarray
   index = None            # retrieval.VideoIndex
+  auth_token: str | None = None   # Bearer token gating the POST API
   quiet: bool = True
 
   protocol_version = 'HTTP/1.1'
@@ -152,7 +153,30 @@ class _Handler(BaseHTTPRequestHandler):
     else:
       self._reply_json(404, {'error': f'unknown path {self.path}'})
 
+  def _authorized(self) -> bool:
+    """Constant-time Bearer check on the POST (inference) surface.
+    /healthz + /stats + /metrics stay open: liveness probes and metric
+    scrapers conventionally run without credentials."""
+    if self.auth_token is None:
+      return True
+    import hmac
+
+    got = self.headers.get('Authorization', '')
+    if hmac.compare_digest(got, f'Bearer {self.auth_token}'):
+      return True
+    self.send_response(401)
+    body = json.dumps({'error': 'missing or invalid bearer token'}).encode()
+    self.send_header('Content-Type', 'application/json')
+    self.send_header('Content-Length', str(len(body)))
+    self.send_header('WWW-Authenticate', 'Bearer')
+    self.close_connection = True  # body unread — keep-alive would desync
+    self.end_headers()
+    self.wfile.write(body)
+    return False
+
   def do_POST(self):  # noqa: N802
+    if not self._authorized():
+      return
     if self.path in ('/v1/embed_text', '/v1/search'):
       self._post_text()
       return
@@ -242,17 +266,19 @@ class EmbeddingHTTPServer:
 
   def __init__(self, service: EmbeddingService, host: str = '0.0.0.0',
                port: int = 8000, quiet: bool = True,
-               text_encode_fn=None, index=None):
+               text_encode_fn=None, index=None,
+               auth_token: str | None = None):
     """``text_encode_fn`` (see ``retrieval.make_text_query_encoder``)
     enables ``/v1/embed_text``; adding ``index`` (a
-    ``retrieval.VideoIndex``) enables ``/v1/search``."""
+    ``retrieval.VideoIndex``) enables ``/v1/search``; ``auth_token``
+    requires ``Authorization: Bearer <token>`` on the POST endpoints."""
     # staticmethod: a bare function stored on the class would otherwise
     # bind as a method and receive the handler as its first argument.
     handler = type('BoundHandler', (_Handler,),
                    {'service': service, 'quiet': quiet,
                     'text_encode_fn': (None if text_encode_fn is None
                                        else staticmethod(text_encode_fn)),
-                    'index': index})
+                    'index': index, 'auth_token': auth_token})
     self._httpd = ThreadingHTTPServer((host, port), handler)
     self._httpd.daemon_threads = True
     self.host = host
