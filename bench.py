@@ -132,6 +132,35 @@ def _time_forward(forward_n, params, video, warmup: int, runs: int,
   return times
 
 
+def _wait_for_devices(max_wait_s: float, probe_timeout_s: float = 90) -> bool:
+  """True once ``jax.devices()`` answers; bounded, probed in a subprocess.
+
+  A direct ``jax.devices()`` call in THIS process would block
+  uninterruptibly in the axon claim-retry loop — probing in a killable
+  child keeps the wait bounded and leaves this process clean to
+  initialize normally once a probe succeeds.
+  """
+  import subprocess
+  import sys
+
+  deadline = time.monotonic() + max_wait_s
+  while True:
+    try:
+      r = subprocess.run(
+          [sys.executable, '-c', 'import jax; jax.devices()'],
+          timeout=probe_timeout_s, capture_output=True)
+      if r.returncode == 0:
+        return True
+    except subprocess.TimeoutExpired:
+      pass
+    if time.monotonic() >= deadline:
+      return False
+    print('bench: device backend not ready (TPU claim pending); '
+          f'retrying for {deadline - time.monotonic():.0f}s more',
+          file=sys.stderr, flush=True)
+    time.sleep(min(60, max(1, deadline - time.monotonic())))
+
+
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--dtype', default='bfloat16',
@@ -164,7 +193,21 @@ def main():
                            'Round-2 b1 numbers under-read by ~27% '
                            'because 8 iters left ~2.9 ms of RTT on '
                            'every 7 ms pass.')
+  parser.add_argument('--claim-wait-s', type=float, default=1800,
+                      help='max seconds to wait for the TPU claim before '
+                           'emitting an error JSON (the axon claim can be '
+                           'unavailable for hours, and jax.devices() then '
+                           'blocks silently in a retry loop)')
   args = parser.parse_args()
+
+  if not _wait_for_devices(args.claim_wait_s):
+    print(json.dumps({
+        'metric': 'clips_per_sec', 'value': None, 'unit': 'clips/s/chip',
+        'vs_baseline': None,
+        'error': f'device backend unavailable after {args.claim_wait_s:g}s '
+                 '(TPU claim not granted); re-run when the claim returns',
+    }))
+    raise SystemExit(2)
 
   dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
   platform = jax.devices()[0].platform
