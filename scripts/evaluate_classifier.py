@@ -53,6 +53,9 @@ def main():
                       help='evaluate on the synthetic held-out set')
   parser.add_argument('--manifest', default=None,
                       help='CSV manifest: video_path,int_label per line')
+  parser.add_argument('--tar-shards', default=None,
+                      help='glob of uncompressed .tar shards '
+                           '(<key>.mp4 + <key>.cls pairs)')
   parser.add_argument('--checkpoint-dir', default=None,
                       help='orbax dir written by train_classifier.py '
                            '(restores the latest step)')
@@ -118,15 +121,19 @@ def main():
     source = data_lib.SyntheticLabeledSource(
         num_examples=max(16, args.batch_size * 2), num_frames=frames,
         size=size, num_classes=args.num_classes, seed=1)
+  elif args.tar_shards:
+    source = data_lib.TarShardSource.from_glob(
+        args.tar_shards, labeled=True, num_frames=frames, target_size=size)
   elif args.manifest:
     source = data_lib.VideoLabelSource.from_manifest(
         args.manifest, num_frames=frames, target_size=size)
   else:
-    raise SystemExit('need --manifest or --synthetic')
+    raise SystemExit('need --manifest, --tar-shards, or --synthetic')
 
   if args.temporal_views > 1 or args.spatial_views > 1:
-    if args.synthetic:
-      raise SystemExit('multi-view eval needs --manifest (real videos)')
+    if args.synthetic or args.tar_shards:
+      raise SystemExit('multi-view eval needs --manifest (path-backed '
+                       'videos: views re-decode at native resolution)')
     source = data_lib.MultiViewSource(
         source, temporal_views=args.temporal_views,
         spatial_views=args.spatial_views)

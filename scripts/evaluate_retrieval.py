@@ -116,8 +116,9 @@ def maybe_multiview(source, args):
   sv = getattr(args, 'spatial_views', 1)
   if tv <= 1 and sv <= 1:
     return source
-  if args.synthetic:
-    raise SystemExit('multi-view eval needs --manifest (real videos)')
+  if args.synthetic or getattr(args, 'tar_shards', None):
+    raise SystemExit('multi-view eval needs --manifest (path-backed '
+                     'videos: views re-decode at native resolution)')
   return data_lib.MultiViewSource(source, temporal_views=tv,
                                   spatial_views=sv)
 
@@ -128,6 +129,9 @@ def main():
   parser.add_argument('--manifest', default=None,
                       help='one video_path<TAB>caption per line (lines '
                            'without a tab split at the first comma)')
+  parser.add_argument('--tar-shards', default=None,
+                      help='glob of uncompressed .tar shards '
+                           '(<key>.mp4 + <key>.txt caption pairs)')
   args = parser.parse_args()
 
   cfg, params, tokenizer, frames, size = resolve_clip(args)
@@ -136,11 +140,14 @@ def main():
     source = data_lib.SyntheticSource(
         num_examples=max(16, args.batch_size * 2), num_frames=frames,
         size=size)
+  elif args.tar_shards:
+    source = data_lib.TarShardSource.from_glob(
+        args.tar_shards, num_frames=frames, target_size=size)
   elif args.manifest:
     source = data_lib.VideoTextSource.from_manifest(
         args.manifest, num_frames=frames, target_size=size)
   else:
-    raise SystemExit('need --manifest or --synthetic')
+    raise SystemExit('need --manifest, --tar-shards, or --synthetic')
   source = maybe_multiview(source, args)
 
   metrics = evaluate_retrieval(

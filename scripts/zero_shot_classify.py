@@ -46,6 +46,9 @@ def main():
                            '(labels index --class-names)')
   parser.add_argument('--class-names', default=None,
                       help='text file, one class name per line')
+  parser.add_argument('--tar-shards', default=None,
+                      help='glob of uncompressed .tar shards '
+                           '(<key>.mp4 + <key>.cls pairs)')
   args = parser.parse_args()
 
   cfg, params, tokenizer, frames, size = resolve_clip(args)
@@ -62,11 +65,14 @@ def main():
     source = data_lib.SyntheticLabeledSource(
         num_examples=max(16, args.batch_size * 2), num_frames=frames,
         size=size, num_classes=len(names), seed=1)
+  elif args.tar_shards:
+    source = data_lib.TarShardSource.from_glob(
+        args.tar_shards, labeled=True, num_frames=frames, target_size=size)
   elif args.manifest:
     source = data_lib.VideoLabelSource.from_manifest(
         args.manifest, num_frames=frames, target_size=size)
   else:
-    raise SystemExit('need --manifest or --synthetic')
+    raise SystemExit('need --manifest, --tar-shards, or --synthetic')
   source = maybe_multiview(source, args)
 
   metrics = evaluate_zero_shot(

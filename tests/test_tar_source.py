@@ -111,3 +111,18 @@ class TestTarShardSource:
     assert len(batches) == 1
     assert batches[0]['video'].shape == (2, 2, 36, 36, 3)
     assert batches[0]['text_token_ids'].shape == (2, 6)
+
+
+def test_mode_aware_target_views(tmp_path):
+  """labels/captions raise AttributeError in the wrong mode, so the eval
+  loops' getattr fallbacks stay honest (and never hit their
+  decode-everything path for the right mode)."""
+  cap = _make_shard(tmp_path / 'c.tar', ['a'])
+  lab = _make_shard(tmp_path / 'l.tar', ['a'], labeled=True)
+  cap_src = data_lib.TarShardSource([cap], num_frames=2, target_size=36)
+  lab_src = data_lib.TarShardSource([lab], labeled=True, num_frames=2,
+                                    target_size=36)
+  assert cap_src.captions == ['caption a']
+  assert lab_src.labels == [0]
+  assert getattr(cap_src, 'labels', None) is None
+  assert getattr(lab_src, 'captions', None) is None

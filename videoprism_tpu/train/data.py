@@ -231,9 +231,22 @@ class TarShardSource:
   def __len__(self) -> int:
     return len(self._index)
 
+  # Mode-aware target views (parity with VideoLabelSource.labels /
+  # VideoTextSource.captions). Raising AttributeError in the wrong mode
+  # keeps the eval loops' getattr(source, 'labels'/'captions', None)
+  # fallbacks honest — and avoids their decode-everything fallback path,
+  # which would decode every video just to read the targets.
   @property
   def labels(self) -> list:
-    """Targets in index order (parity with VideoLabelSource.labels)."""
+    if not self.labeled:
+      raise AttributeError('caption-mode TarShardSource has no labels '
+                           '(build with labeled=True)')
+    return [t for *_, t in self._index]
+
+  @property
+  def captions(self) -> list:
+    if self.labeled:
+      raise AttributeError('labeled TarShardSource has no captions')
     return [t for *_, t in self._index]
 
   def get(self, index: int):
