@@ -32,6 +32,21 @@ sys.path.insert(0, __file__.rsplit('/', 2)[0])
 from videoprism_tpu.io import checkpoints as ckpt_lib  # noqa: E402
 
 
+def _is_float_dtype(dtype) -> bool:
+  """np.issubdtype misses the ml_dtypes extension floats (bfloat16 — the
+  common serving dtype — reports kind 'V'), which would shunt bf16
+  checkpoints into the must-be-bit-identical branch."""
+  if np.issubdtype(dtype, np.floating):
+    return True
+  try:
+    import ml_dtypes
+
+    ml_dtypes.finfo(dtype)  # raises for non-float extension dtypes
+    return True
+  except (ImportError, ValueError):
+    return False
+
+
 def average_trees(trees, weights=None):
   """Leaf-wise weighted average of nested dict trees (host-side numpy)."""
   if not trees:
@@ -62,7 +77,7 @@ def average_trees(trees, weights=None):
       if leaf.shape != first.shape:
         raise ValueError(f'{key}: shape {leaf.shape} in checkpoint {i} '
                          f'!= {first.shape} in checkpoint 0')
-    if np.issubdtype(first.dtype, np.floating):
+    if _is_float_dtype(first.dtype):
       acc = sum(w * l.astype(np.float64) for w, l in zip(weights, leaves))
       out[key] = acc.astype(first.dtype)
     else:

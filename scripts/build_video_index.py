@@ -77,12 +77,17 @@ def main():
     ids = paths
 
   partial = args.output + '.partial.npz' if args.checkpoint_every else None
-  guard = preemption.PreemptionGuard().install()
+  # Only trap SIGTERM when the build can actually act on it: without
+  # --checkpoint-every there are no chunk boundaries to poll, and a
+  # trapped-but-never-read flag would make the process unkillable short
+  # of SIGKILL. Default SIGTERM (die immediately) is correct there.
+  guard = (preemption.PreemptionGuard().install()
+           if args.checkpoint_every else None)
   try:
     index = retrieval.build_video_index(
         params, cfg, source, ids=ids, batch_size=args.batch_size,
         checkpoint_path=partial, checkpoint_every=args.checkpoint_every,
-        should_stop=lambda: guard.triggered)
+        should_stop=(lambda: guard.triggered) if guard else None)
   except retrieval.IndexBuildInterrupted as e:
     print(f'preempted: {e}', flush=True)
     raise SystemExit(preemption.EXIT_PREEMPTED) from None

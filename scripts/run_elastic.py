@@ -94,6 +94,13 @@ def supervise(command: list[str], *, max_restarts: int, backoff: float,
       _log(f'run_elastic: child {kind}; restart {restarts}/{max_restarts} '
            f'in {backoff:g}s')
       time.sleep(backoff)
+      if signalled['count']:
+        # The stop signal landed between child exits (no live child to
+        # forward it to). Relaunching now would strand a trainer past
+        # the scheduler's grace period — propagate instead; the child
+        # already checkpointed (exit 75) or failed.
+        _log(f'run_elastic: stop signal during backoff, exiting {code}')
+        return code
   finally:
     for s, h in prev.items():
       signal.signal(s, h)

@@ -157,9 +157,9 @@ def main():
             allow_fixture=args.tiny or args.tiny_clip)
       except ValueError as e:
         raise SystemExit(str(e)) from None
+    tokenizer = SentencePieceTokenizer(tok_path)
     text_encode_fn = retrieval.make_text_query_encoder(
-        model._unwrap(state), model.config,
-        SentencePieceTokenizer(tok_path))
+        model._unwrap(state), model.config, tokenizer)
     if args.index:
       index = retrieval.VideoIndex.load(args.index)
       print(f'search index: {len(index)} videos from {args.index}')
@@ -232,6 +232,12 @@ def main():
       else:
         new_state = vp.load_pretrained_weights(args.model)
       service.reload_state(new_state)
+      if text_encode_fn is not None:
+        # lvt models serve BOTH towers: the text encoder closure holds
+        # its own copy of the weights, so it must be rebuilt too or
+        # /v1/search would score across mismatched embedding spaces.
+        server.update_text_encoder(retrieval.make_text_query_encoder(
+            model._unwrap(new_state), model.config, tokenizer))
       print(f'reload: serving new weights '
             f'(reload #{service.stats()["reloads"]})', flush=True)
     except Exception as e:

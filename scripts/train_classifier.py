@@ -35,7 +35,6 @@ jax.config.update(
                    os.path.expanduser('~/.cache/jax_comp_cache')))
 
 import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
 
 import videoprism_tpu as vp  # noqa: E402
 from videoprism_tpu.models import classifier as vc  # noqa: E402
@@ -318,6 +317,7 @@ def main():
   # SIGTERM (preemption / maintenance eviction) -> finish the in-flight
   # step, checkpoint, exit 75; `--resume` then continues bit-exactly.
   guard = preemption.PreemptionGuard().install()
+  seen_nonfinite = 0
   for i, batch in enumerate(loader, start=start_step):
     if i >= args.steps:
       break
@@ -331,11 +331,16 @@ def main():
       logger.log(i, metrics,
                  sec_per_step=round((time.time() - t0)
                                     / max(i - start_step, 1), 3))
-      # NaN/inf grad_norm == the step the finite-guard skipped (or, with
-      # the guard off, the step that just poisoned the params).
-      if args.skip_nonfinite and not np.isfinite(
-          float(jax.device_get(metrics['grad_norm']))):
-        logger.event('nonfinite_step', step=i)
+      # The guard's cumulative skip counter catches bad steps BETWEEN
+      # log points too (a per-step grad_norm fetch would sync every
+      # step; this one scalar reads only when already logging).
+      nf_total = getattr(state.opt_state, 'total_notfinite', None)
+      if nf_total is not None:
+        nf_total = int(jax.device_get(nf_total))
+        if nf_total > seen_nonfinite:
+          logger.event('nonfinite_steps', step=i, total=nf_total,
+                       new=nf_total - seen_nonfinite)
+          seen_nonfinite = nf_total
     saved_now = False
     if ckpt is not None:
       step_no = int(jax.device_get(state.step))

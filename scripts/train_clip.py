@@ -404,6 +404,7 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
   # SIGTERM (preemption / maintenance eviction) -> finish the in-flight
   # step, checkpoint, exit 75; `--resume` then continues bit-exactly.
   guard = preemption.PreemptionGuard().install()
+  seen_nonfinite = 0
   for i, batch in enumerate(loader, start=start_step):
     if i >= args.steps:
       break
@@ -417,11 +418,16 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
       logger.log(i, metrics,
                  sec_per_step=round((time.time() - t0)
                                     / max(i - start_step, 1), 3))
-      # NaN/inf grad_norm == the step the finite-guard skipped (or, with
-      # the guard off, the step that just poisoned the params).
-      if args.skip_nonfinite and not np.isfinite(
-          float(jax.device_get(metrics['grad_norm']))):
-        logger.event('nonfinite_step', step=i)
+      # The guard's cumulative skip counter catches bad steps BETWEEN
+      # log points too (a per-step grad_norm fetch would sync every
+      # step; this one scalar reads only when already logging).
+      nf_total = getattr(state.opt_state, 'total_notfinite', None)
+      if nf_total is not None:
+        nf_total = int(jax.device_get(nf_total))
+        if nf_total > seen_nonfinite:
+          logger.event('nonfinite_steps', step=i, total=nf_total,
+                       new=nf_total - seen_nonfinite)
+          seen_nonfinite = nf_total
     saved_now = False
     if ckpt is not None:
       step_no = int(jax.device_get(state.step))

@@ -87,3 +87,14 @@ def test_cli_subprocess_help():
        '--help'], capture_output=True, text=True, timeout=120)
   assert res.returncode == 0
   assert 'soup' in res.stdout
+
+
+def test_bfloat16_checkpoints_average():
+  """bf16 is the common serving dtype; ml_dtypes floats must take the
+  averaging branch, not the must-be-identical non-float branch."""
+  import ml_dtypes
+
+  a, b = _tree(1.0, ml_dtypes.bfloat16), _tree(2.0, ml_dtypes.bfloat16)
+  out = average_checkpoints.average_trees([a, b])
+  assert out['encoder']['w'].dtype == ml_dtypes.bfloat16
+  np.testing.assert_allclose(out['encoder']['w'].astype(np.float32), 1.5)

@@ -111,3 +111,25 @@ def test_sigterm_forwarded_child_checkpoints(tmp_path):
     time.sleep(0.05)
   proc.send_signal(signal.SIGTERM)
   assert proc.wait(timeout=30) == 75
+
+
+def test_signal_during_backoff_stops_instead_of_relaunching(tmp_path):
+  """A stop signal that lands between child exits (during the backoff
+  sleep, no live child to forward to) must end the loop — relaunching
+  would strand a trainer past the scheduler's grace period."""
+  cmd = _stub(tmp_path, 'sys.exit(75)\n')
+  real_sleep = run_elastic.time.sleep
+
+  def sleep_with_signal(seconds):
+    os.kill(os.getpid(), signal.SIGTERM)
+    real_sleep(0)
+
+  orig = run_elastic.time.sleep
+  run_elastic.time.sleep = sleep_with_signal
+  try:
+    code = run_elastic.supervise(cmd, max_restarts=10, backoff=1,
+                                 restart_on_failure=False)
+  finally:
+    run_elastic.time.sleep = orig
+  assert code == 75
+  assert _count(tmp_path) == 1  # never relaunched

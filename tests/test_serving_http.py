@@ -329,13 +329,17 @@ class TestDeadlineHTTP:
       httpd.stop()
       service.stop()
 
-  def test_bad_deadline_header_is_400(self, server):
+  @pytest.mark.parametrize('bad', ['soon', '-5', '0', 'nan'])
+  def test_bad_deadline_header_is_400(self, server, bad):
+    """Unparseable, nonpositive, AND NaN deadlines are the client's
+    mistake (NaN comparisons are all False — it would silently disable
+    expiry; nonpositive would surface as a 500 from the service)."""
     httpd, _, _ = server
     buf = io.BytesIO()
     np.save(buf, np.zeros(CLIP_SHAPE, np.float32))
     req = urllib.request.Request(
         _url(httpd, '/v1/embed'), buf.getvalue(),
-        {'Content-Type': 'application/x-npy', 'X-Deadline-Ms': 'soon'})
+        {'Content-Type': 'application/x-npy', 'X-Deadline-Ms': bad})
     with pytest.raises(urllib.error.HTTPError) as ei:
       urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400

@@ -126,3 +126,13 @@ def test_mode_aware_target_views(tmp_path):
   assert lab_src.labels == [0]
   assert getattr(cap_src, 'labels', None) is None
   assert getattr(lab_src, 'captions', None) is None
+
+
+def test_same_key_in_two_shards_is_two_examples(tmp_path):
+  """WebDataset shards restart numbering per shard: pairing must be
+  shard-scoped, never a global dict that overwrites or cross-pairs."""
+  s0 = _make_shard(tmp_path / 's0.tar', ['000000'], captions=['from s0'])
+  s1 = _make_shard(tmp_path / 's1.tar', ['000000'], captions=['from s1'])
+  src = data_lib.TarShardSource([s0, s1], num_frames=2, target_size=36)
+  assert len(src) == 2
+  assert [src.get(i)[1] for i in range(2)] == ['from s0', 'from s1']

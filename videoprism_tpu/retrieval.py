@@ -167,7 +167,13 @@ def build_video_index(
   if checkpoint_path and os.path.exists(checkpoint_path):
     with np.load(checkpoint_path, allow_pickle=False) as data:
       part, part_ids = data['embeddings'], [str(i) for i in data['ids']]
-    if part_ids == ids[:len(part_ids)] and len(part_ids) == len(part):
+      part_total = int(data['total']) if 'total' in data else -1
+    # NOTE: with auto-positional ids ('0', '1', ...) this check only
+    # guards corpus-LENGTH changes — same-length content changes are
+    # invisible. Pass real ids (paths, tar keys) for strong resume
+    # safety; the CLI does via --videos-glob/--manifest.
+    if (part_total == n and len(part_ids) == len(part)
+        and part_ids == ids[:len(part_ids)]):
       chunks.append(part)
       start = len(part)
       print(f'build_video_index: resuming at {start}/{n} '
@@ -179,7 +185,8 @@ def build_video_index(
   def save_partial(count: int) -> None:
     emb = np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 1))
     tmp = checkpoint_path + '.tmp.npz'
-    np.savez(tmp, embeddings=emb, ids=np.asarray(ids[:count], np.str_))
+    np.savez(tmp, embeddings=emb, ids=np.asarray(ids[:count], np.str_),
+             total=np.int64(n))
     os.replace(tmp, checkpoint_path)  # atomic: never a torn partial
 
   step = eval_loop.make_clip_video_eval_step(cfg)

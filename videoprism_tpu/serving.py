@@ -326,7 +326,9 @@ class EmbeddingService:
       raise RuntimeError(
           'EmbeddingService was stopped; embed() would block until its '
           'timeout with no worker to serve it')
-    if deadline_ms is not None and deadline_ms <= 0:
+    if deadline_ms is not None and not deadline_ms > 0:
+      # `not >` (rather than `<=`) also catches NaN, whose comparisons
+      # are all False and would silently disable expiry.
       raise ValueError(f'deadline_ms must be positive, got {deadline_ms}')
     req = _Request(
         video=video, event=threading.Event(),
@@ -359,6 +361,9 @@ class EmbeddingService:
     max_bucket = self._buckets[-1]
     outs = []
     inflight: collections.deque = collections.deque()
+    # Snapshot once: a hot reload_state landing between chunks must not
+    # mix weight versions within one response.
+    state = self._state
 
     def drain():
       out, n = inflight.popleft()
@@ -368,7 +373,7 @@ class EmbeddingService:
       chunk = videos[start:start + max_bucket]
       bucket = self._bucket_for(chunk.shape[0])
       padded = self._pad(chunk, bucket)
-      out = self._forward(self._state, jnp.asarray(padded))
+      out = self._forward(state, jnp.asarray(padded))
       inflight.append((out, chunk.shape[0]))
       if len(inflight) >= 2:
         drain()

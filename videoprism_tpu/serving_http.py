@@ -195,7 +195,14 @@ class _Handler(BaseHTTPRequestHandler):
       # Optional queueing deadline (ms). Applies to the micro-batched
       # single-clip path; the direct batch path never queues.
       deadline_ms = self.headers.get('X-Deadline-Ms')
-      deadline_ms = float(deadline_ms) if deadline_ms is not None else None
+      if deadline_ms is not None:
+        deadline_ms = float(deadline_ms)
+        # NaN comparisons are all False — it would silently disable the
+        # deadline; nonpositive would 500 out of service.embed. Both are
+        # the client's mistake: reject here as 400.
+        if not deadline_ms > 0:
+          raise ValueError(
+              f'X-Deadline-Ms must be a positive number, got {deadline_ms}')
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
       return
@@ -281,9 +288,18 @@ class EmbeddingHTTPServer:
                     'index': index, 'auth_token': auth_token})
     self._httpd = ThreadingHTTPServer((host, port), handler)
     self._httpd.daemon_threads = True
+    self._handler = handler
     self.host = host
     self.port = self._httpd.server_address[1]
     self._thread: threading.Thread | None = None
+
+  def update_text_encoder(self, text_encode_fn) -> None:
+    """Swaps the /v1/embed_text///v1/search text encoder (hot weight
+    reload must replace BOTH towers, or cross-modal scores silently mix
+    embedding spaces). One class-attribute assignment — atomic under the
+    GIL; in-flight requests finish on the encoder they started with."""
+    self._handler.text_encode_fn = (
+        None if text_encode_fn is None else staticmethod(text_encode_fn))
 
   def start(self) -> None:
     self._thread = threading.Thread(

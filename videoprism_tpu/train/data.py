@@ -156,9 +156,11 @@ class TarShardSource:
   """WebDataset-style sharded-tar ingestion with random access.
 
   Production video datasets ship as uncompressed ``.tar`` shards whose
-  members pair by basename: ``<key>.mp4`` (any of %s) with ``<key>.txt``
-  (caption) or ``<key>.cls`` (integer label).  On construction this
-  source makes one header-only pass per shard to build a global
+  members pair by basename *within their shard*: ``<key>.mp4`` (or .avi/
+  .mov/.mkv/.webm) with ``<key>.txt`` (caption) or ``<key>.cls``
+  (integer label) — the same key in two different shards is two
+  different examples, per the WebDataset convention.  On construction
+  this source makes one header-only pass per shard to build a global
   ``(shard, data offset, size)`` index — captions/labels (small) are read
   during that same pass — after which :meth:`get` is a single
   ``seek + read`` of the video bytes.  Random access over the flat index
@@ -172,7 +174,7 @@ class TarShardSource:
   ``labeled=True`` expects ``.cls`` members and yields ``(clip, int)``
   for :func:`labeled_loader`; the default expects ``.txt`` captions and
   yields ``(clip, str)`` for :func:`batched_loader`.
-  """ % (_TAR_VIDEO_EXTS,)
+  """
 
   def __init__(self, shards: Sequence[str], *, labeled: bool = False,
                num_frames: int = 16, target_size: int = 288,
@@ -187,10 +189,14 @@ class TarShardSource:
     self.labeled = labeled
     self._shards = [str(s) for s in shards]
     want_target = '.cls' if labeled else '.txt'
-    # key -> [shard_idx, offset, size, ext, target]; insertion order is
-    # the deterministic global example order (shards are iterated in the
-    # caller-given order, members in archive order).
-    entries: dict[str, list] = {}
+    # (shard_idx, key) -> [shard_idx, offset, size, ext, target]:
+    # pairing is scoped per shard — WebDataset shards commonly restart
+    # their numbering (each shard has its own 000000.mp4), and a global
+    # key dict would silently overwrite earlier shards' examples or pair
+    # one shard's video with another's caption. Insertion order is the
+    # deterministic global example order (shards in caller order,
+    # members in archive order).
+    entries: dict[tuple[int, str], list] = {}
     for si, shard in enumerate(self._shards):
       if shard.endswith(('.gz', '.tgz', '.bz2', '.xz', '.zst')):
         raise ValueError(
@@ -202,19 +208,20 @@ class TarShardSource:
             continue
           key, ext = _split_tar_key(m.name)
           ext = ext.lower()
-          e = entries.setdefault(key, [None, None, None, None, None])
+          e = entries.setdefault((si, key),
+                                 [None, None, None, None, None])
           if ext in _TAR_VIDEO_EXTS:
             e[:4] = [si, m.offset_data, m.size, ext]
           elif ext == want_target:
             raw = tf.extractfile(m).read().decode('utf-8').strip()
             e[4] = int(raw) if labeled else raw
     self._index = []
-    for key, (si, off, size, ext, target) in entries.items():
+    for (shard_i, key), (si, off, size, ext, target) in entries.items():
       if si is None:
         continue  # stray caption without a video — ignore
       if target is None:
         raise ValueError(
-            f'{self._shards[si]}: member {key}{ext} has no paired '
+            f'{self._shards[shard_i]}: member {key}{ext} has no paired '
             f'{key}{want_target}')
       self._index.append((si, off, size, ext, target))
     if not self._index:
