@@ -62,12 +62,14 @@ class TestPreemptionGuard:
 
 
 @pytest.mark.slow
-def test_trainer_preempt_then_resume(tmp_path):
+@pytest.mark.parametrize('script', ['train_clip.py', 'train_classifier.py'])
+def test_trainer_preempt_then_resume(tmp_path, script):
   """SIGTERM mid-run: the trainer checkpoints the post-step state, exits
-  75, and a --resume run continues from exactly that step."""
+  75, and a --resume run continues from exactly that step. Both trainer
+  loops carry the guard wiring independently, so both are exercised."""
   env = dict(os.environ)
   env['PYTHONPATH'] = str(_ROOT) + os.pathsep + env.get('PYTHONPATH', '')
-  base = [sys.executable, '-u', str(_ROOT / 'scripts' / 'train_clip.py'),
+  base = [sys.executable, '-u', str(_ROOT / 'scripts' / script),
           '--synthetic', '--tiny', '--batch-size', '4', '--cpu-devices', '1',
           '--checkpoint-dir', str(tmp_path / 'ck'), '--log-every', '1',
           # Periodic saves off (huge interval): the only checkpoint that
