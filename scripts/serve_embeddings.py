@@ -43,6 +43,7 @@ import numpy as np  # noqa: E402
 
 import videoprism_tpu as vp  # noqa: E402
 from videoprism_tpu import assets  # noqa: E402
+from videoprism_tpu import serving  # noqa: E402
 from videoprism_tpu.serving import EmbeddingService  # noqa: E402
 from videoprism_tpu.serving_http import EmbeddingHTTPServer  # noqa: E402
 
@@ -144,7 +145,7 @@ def main():
   # lvt models also serve the text tower (+ search when an index rides
   # along); the text encoder always uses the FLOAT weights — `state` here
   # is untouched by the service's int8 conversion of its own copy.
-  text_encode_fn = index = None
+  text_encode_fn = index = text_service = None
   from videoprism_tpu.models.clip import VideoCLIPConfig
   if isinstance(model.config, VideoCLIPConfig):
     from videoprism_tpu import retrieval
@@ -158,8 +159,14 @@ def main():
       except ValueError as e:
         raise SystemExit(str(e)) from None
     tokenizer = SentencePieceTokenizer(tok_path)
-    text_encode_fn = retrieval.make_text_query_encoder(
-        model._unwrap(state), model.config, tokenizer)
+    # Coalesce concurrent text requests into shared dispatches (the
+    # video path gets this from EmbeddingService's micro-batcher).
+    text_service = serving.TextEncodeService(
+        retrieval.make_text_query_encoder(
+            model._unwrap(state), model.config, tokenizer),
+        max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)
+    text_service.start()
+    text_encode_fn = text_service.encode
     if args.index:
       index = retrieval.VideoIndex.load(args.index)
       print(f'search index: {len(index)} videos from {args.index}')
@@ -208,6 +215,8 @@ def main():
       print(f'smoke search -> {out["results"][0]}')
     server.stop()
     service.stop()
+    if text_service is not None:
+      text_service.stop()
     return
   # Preemption/eviction sends SIGTERM: route it through the same graceful
   # path as ctrl-C so in-flight requests drain instead of dropping.
@@ -232,11 +241,11 @@ def main():
       else:
         new_state = vp.load_pretrained_weights(args.model)
       service.reload_state(new_state)
-      if text_encode_fn is not None:
+      if text_service is not None:
         # lvt models serve BOTH towers: the text encoder closure holds
         # its own copy of the weights, so it must be rebuilt too or
         # /v1/search would score across mismatched embedding spaces.
-        server.update_text_encoder(retrieval.make_text_query_encoder(
+        text_service.reload(retrieval.make_text_query_encoder(
             model._unwrap(new_state), model.config, tokenizer))
       print(f'reload: serving new weights '
             f'(reload #{service.stats()["reloads"]})', flush=True)
@@ -252,6 +261,8 @@ def main():
   finally:
     server.stop()
     service.stop()
+    if text_service is not None:
+      text_service.stop()
 
 
 if __name__ == '__main__':

@@ -574,3 +574,104 @@ class TestHotReload:
     service.reload_state(jax.tree.map(lambda x: x * 0.5, state))
     assert int8_leaves(service._state) == n_q
     assert service.stats()['reloads'] == 1
+
+
+class TestTextEncodeService:
+  """Cross-request text coalescing — pure queue/threading logic, tested
+  with a fake encoder (no model)."""
+
+  def _fake_encoder(self, calls):
+    def encode(texts):
+      calls.append(list(texts))
+      return np.asarray([[float(len(t))] * 4 for t in texts])
+    return encode
+
+  def test_results_fan_back_out_correctly(self):
+    calls = []
+    svc = serving.TextEncodeService(self._fake_encoder(calls),
+                                    max_wait_ms=50)
+    svc.start()
+    try:
+      results = {}
+
+      def worker(key, texts):
+        results[key] = svc.encode(texts)
+
+      threads = [threading.Thread(target=worker, args=(k, t)) for k, t in
+                 [('a', ['x', 'yy']), ('b', ['zzz']), ('c', ['pppp', 'q'])]]
+      for t in threads:
+        t.start()
+      for t in threads:
+        t.join(timeout=30)
+      np.testing.assert_allclose(results['a'][:, 0], [1, 2])
+      np.testing.assert_allclose(results['b'][:, 0], [3])
+      np.testing.assert_allclose(results['c'][:, 0], [4, 1])
+      # Coalesced: fewer underlying calls than requests.
+      assert len(calls) < 3
+      assert svc.stats()['text_requests_served'] == 3
+      assert svc.stats()['text_batches_run'] == len(calls)
+    finally:
+      svc.stop()
+
+  def test_reload_swaps_encoder_between_batches(self):
+    calls = []
+    svc = serving.TextEncodeService(self._fake_encoder(calls))
+    svc.start()
+    try:
+      assert svc.encode(['ab'])[0, 0] == 2.0
+      svc.reload(lambda texts: np.zeros((len(texts), 4)))
+      assert svc.encode(['ab'])[0, 0] == 0.0
+    finally:
+      svc.stop()
+
+  def test_encoder_error_broadcasts_and_service_survives(self):
+    def boom(texts):
+      raise RuntimeError('tokenizer exploded')
+
+    svc = serving.TextEncodeService(boom)
+    svc.start()
+    try:
+      with pytest.raises(RuntimeError, match='exploded'):
+        svc.encode(['x'])
+      svc.reload(lambda texts: np.ones((len(texts), 2)))
+      assert svc.encode(['x']).shape == (1, 2)
+      assert svc.stats()['text_errors'] == 1
+    finally:
+      svc.stop()
+
+  def test_stop_fails_queued_and_rejects_new(self):
+    svc = serving.TextEncodeService(lambda t: np.zeros((len(t), 2)))
+    svc.start()
+    svc.stop()
+    with pytest.raises(RuntimeError, match='stopped'):
+      svc.encode(['x'])
+
+  def test_validation(self):
+    svc = serving.TextEncodeService(lambda t: np.zeros((len(t), 2)))
+    with pytest.raises(ValueError, match='empty'):
+      svc.encode([])
+    with pytest.raises(ValueError, match='deadline_ms'):
+      svc.encode(['x'], deadline_ms=-1)
+    with pytest.raises(ValueError, match='max_texts'):
+      serving.TextEncodeService(lambda t: t, max_texts=0)
+
+  def test_expired_deadline_dropped(self):
+    svc = serving.TextEncodeService(lambda t: np.zeros((len(t), 2)))
+    errors = []
+
+    def caller():
+      try:
+        svc.encode(['x'], deadline_ms=50)
+      except Exception as e:
+        errors.append(e)
+
+    t = threading.Thread(target=caller, daemon=True)
+    t.start()  # service not started: request queues, deadline lapses
+    threading.Event().wait(0.2)
+    svc.start()
+    try:
+      t.join(timeout=30)
+      assert len(errors) == 1
+      assert isinstance(errors[0], serving.DeadlineExceeded)
+    finally:
+      svc.stop()

@@ -81,6 +81,163 @@ class _Request:
   deadline: float | None = None  # absolute time.monotonic()
 
 
+@dataclasses.dataclass
+class _TextRequest:
+  texts: list
+  event: threading.Event
+  result: np.ndarray | None = None
+  error: Exception | None = None
+  deadline: float | None = None
+
+
+class TextEncodeService:
+  """Cross-request micro-batching for the text tower.
+
+  :func:`videoprism_tpu.retrieval.make_text_query_encoder` batches the
+  texts *within* one call, but each concurrent ``/v1/embed_text`` //
+  ``/v1/search`` request still paid its own dispatch. This wrapper gives
+  text queries the same treatment the video path gets from
+  :class:`EmbeddingService`: concurrent callers' text lists coalesce
+  into one underlying ``encode_fn`` call and the result rows fan back
+  out — the padded fixed-geometry batch fills up instead of running
+  nearly empty once per request.
+
+  ``encode(texts)`` is a drop-in for the bare encoder function, so the
+  HTTP layer doesn't change. :meth:`reload` hot-swaps the underlying
+  encoder (paired with :meth:`EmbeddingService.reload_state`).
+  """
+
+  def __init__(self, encode_fn, *, max_wait_ms: float = 5.0,
+               max_texts: int = 64, max_pending: int | None = None):
+    if max_texts <= 0:
+      raise ValueError(f'max_texts must be positive, got {max_texts}')
+    if max_pending is not None and max_pending <= 0:
+      raise ValueError(f'max_pending must be positive, got {max_pending}')
+    self._encode_fn = encode_fn
+    self._max_wait = max_wait_ms / 1000.0
+    self._max_texts = max_texts
+    self._queue: queue.Queue[_TextRequest] = queue.Queue(
+        maxsize=max_pending or 0)
+    self._thread: threading.Thread | None = None
+    self._running = False
+    self._stopped = False
+    self._stats_lock = threading.Lock()
+    self._requests_served = 0
+    self._batches_run = 0
+    self._errors = 0
+
+  def start(self) -> None:
+    self._running = True
+    self._stopped = False
+    self._thread = threading.Thread(target=self._loop, daemon=True)
+    self._thread.start()
+
+  def stop(self) -> None:
+    self._running = False
+    self._stopped = True
+    if self._thread is not None:
+      self._thread.join(timeout=30)
+      self._thread = None
+    while True:
+      try:
+        req = self._queue.get_nowait()
+      except queue.Empty:
+        break
+      req.error = RuntimeError('TextEncodeService stopped')
+      req.event.set()
+
+  def reload(self, encode_fn) -> None:
+    """Swaps the underlying encoder between batches (hot reload)."""
+    self._encode_fn = encode_fn
+
+  def stats(self) -> dict[str, Any]:
+    with self._stats_lock:
+      return {
+          'text_requests_served': self._requests_served,
+          'text_batches_run': self._batches_run,
+          'text_errors': self._errors,
+          'text_queue_depth': self._queue.qsize(),
+      }
+
+  def encode(self, texts, timeout: float = 300.0,
+             deadline_ms: float | None = None) -> np.ndarray:
+    """Blocking ``list[str] -> [N, D]``; coalesces with concurrent
+    callers. Same overload/deadline semantics as
+    :meth:`EmbeddingService.embed`."""
+    texts = list(texts)
+    if not texts:
+      raise ValueError('encode: empty text list')
+    if self._stopped:
+      raise RuntimeError('TextEncodeService was stopped')
+    if deadline_ms is not None and not deadline_ms > 0:
+      raise ValueError(f'deadline_ms must be positive, got {deadline_ms}')
+    req = _TextRequest(
+        texts=texts, event=threading.Event(),
+        deadline=(time.monotonic() + deadline_ms / 1e3
+                  if deadline_ms is not None else None))
+    try:
+      self._queue.put_nowait(req)
+    except queue.Full:
+      raise ServiceOverloaded(
+          f'{self._queue.maxsize} text requests already pending; retry '
+          'with backoff') from None
+    if not req.event.wait(timeout):
+      raise TimeoutError('text encode request timed out')
+    if req.error is not None:
+      raise req.error
+    return req.result
+
+  def _loop(self) -> None:
+    while self._running:
+      try:
+        first = self._queue.get(timeout=0.1)
+      except queue.Empty:
+        continue
+      batch = [first]
+      count = len(first.texts)
+      deadline = time.monotonic() + self._max_wait
+      while count < self._max_texts:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+          break
+        try:
+          nxt = self._queue.get(timeout=remaining)
+        except queue.Empty:
+          break
+        batch.append(nxt)
+        count += len(nxt.texts)
+
+      now = time.monotonic()
+      live = []
+      for r in batch:
+        if r.deadline is not None and now > r.deadline:
+          r.error = DeadlineExceeded(
+              'deadline passed before the request reached the chip')
+          r.event.set()
+        else:
+          live.append(r)
+      if not live:
+        continue
+      merged = [t for r in live for t in r.texts]
+      try:
+        emb = np.asarray(self._encode_fn(merged))
+        off = 0
+        for r in live:
+          r.result = emb[off:off + len(r.texts)]
+          off += len(r.texts)
+        with self._stats_lock:
+          self._requests_served += len(live)
+          self._batches_run += 1
+      except Exception as e:  # surface to all waiters, keep serving
+        for r in live:
+          r.error = e
+        with self._stats_lock:
+          self._errors += len(live)
+      finally:
+        for r in live:
+          r.event.set()
+
+
 class EmbeddingService:
   """Micro-batching video-embedding server.
 
