@@ -49,6 +49,10 @@ def main():
                       help='no-op (resume is automatic from the partial '
                            'file); accepted so run_elastic.py can append '
                            'it')
+  parser.add_argument('--append', action='store_true',
+                      help='incremental rebuild: keep the existing index '
+                           'at --output and embed only videos whose path '
+                           'is not already indexed (growing-corpus mode)')
   args = parser.parse_args()
 
   cfg, params, _, frames, size = resolve_clip(args, need_tokenizer=False)
@@ -76,6 +80,23 @@ def main():
       raise SystemExit('no videos matched')
     ids = paths
 
+  existing = None
+  if args.append and os.path.exists(args.output):
+    if ids is None:
+      raise SystemExit('--append needs path ids (--videos-glob/--manifest)')
+    existing = retrieval.VideoIndex.load(args.output)
+    done = set(existing.ids)
+    fresh = [p for p in ids if p not in done]
+    print(f'append: {len(existing)} already indexed, '
+          f'{len(fresh)} new videos')
+    if not fresh:
+      print(json.dumps({'num_videos': len(existing), 'dim': existing.dim,
+                        'output': args.output, 'appended': 0}))
+      return
+    source = data_lib.VideoTextSource(
+        fresh, [''] * len(fresh), num_frames=frames, target_size=size)
+    ids = fresh
+
   partial = args.output + '.partial.npz' if args.checkpoint_every else None
   # Only trap SIGTERM when the build can actually act on it: without
   # --checkpoint-every there are no chunk boundaries to poll, and a
@@ -91,11 +112,19 @@ def main():
   except retrieval.IndexBuildInterrupted as e:
     print(f'preempted: {e}', flush=True)
     raise SystemExit(preemption.EXIT_PREEMPTED) from None
+  appended = None
+  if existing is not None:
+    appended = len(index)
+    existing.add(index._emb, index.ids)
+    index = existing
   index.save(args.output)
   if partial and os.path.exists(partial):
     os.remove(partial)
-  print(json.dumps({'num_videos': len(index), 'dim': index.dim,
-                    'output': args.output}))
+  out = {'num_videos': len(index), 'dim': index.dim,
+         'output': args.output}
+  if appended is not None:
+    out['appended'] = appended
+  print(json.dumps(out))
 
 
 if __name__ == '__main__':

@@ -282,3 +282,44 @@ class TestResumableBuild:
     cfg, params, source, full = setup
     again = retrieval.build_video_index(params, cfg, source, batch_size=2)
     np.testing.assert_allclose(again._emb, full._emb, atol=0)
+
+
+@pytest.mark.slow
+def test_cli_append_grows_index(tmp_path):
+  """--append embeds only new videos and keeps the existing entries."""
+  import os
+  import shutil
+  import subprocess
+  import sys
+
+  root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  corpus = tmp_path / 'corpus'
+  corpus.mkdir()
+  for name in ('a.mp4', 'b.mp4'):
+    shutil.copy(assets.demo_video_path(), corpus / name)
+  out = str(tmp_path / 'idx.npz')
+  env = dict(os.environ)
+  env['PYTHONPATH'] = root + os.pathsep + env.get('PYTHONPATH', '')
+  base = [sys.executable, os.path.join(root, 'scripts',
+                                       'build_video_index.py'),
+          '--tiny', '--videos-glob', str(corpus / '*.mp4'),
+          '--output', out, '--cpu-devices', '1']
+  r1 = subprocess.run(base, capture_output=True, text=True, timeout=300,
+                      env=env)
+  assert r1.returncode == 0, r1.stdout + r1.stderr
+  assert '"num_videos": 2' in r1.stdout
+
+  shutil.copy(assets.demo_video_path(), corpus / 'c.mp4')
+  r2 = subprocess.run(base + ['--append'], capture_output=True, text=True,
+                      timeout=300, env=env)
+  assert r2.returncode == 0, r2.stdout + r2.stderr
+  assert '"appended": 1' in r2.stdout
+  idx = retrieval.VideoIndex.load(out)
+  assert len(idx) == 3
+  assert sorted(os.path.basename(i) for i in idx.ids) == \
+      ['a.mp4', 'b.mp4', 'c.mp4']
+
+  # Idempotent: nothing new -> no re-embedding, same index.
+  r3 = subprocess.run(base + ['--append'], capture_output=True, text=True,
+                      timeout=300, env=env)
+  assert r3.returncode == 0 and '"appended": 0' in r3.stdout
