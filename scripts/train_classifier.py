@@ -91,6 +91,10 @@ def main():
   parser.add_argument('--steps', type=int, default=1000)
   parser.add_argument('--learning-rate', type=float, default=1e-3)
   parser.add_argument('--warmup-steps', type=int, default=100)
+  parser.add_argument('--schedule', default='cosine',
+                      choices=['cosine', 'linear', 'constant'],
+                      help='post-warmup LR decay (constant suits '
+                           'open-ended elastic runs)')
   parser.add_argument('--weight-decay', type=float, default=1e-4)
   parser.add_argument('--skip-nonfinite', type=int, default=0,
                       help='skip optimizer updates whose gradients contain '
@@ -191,7 +195,8 @@ def main():
   optimizer = make_optimizer(
       learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
       total_steps=args.steps, weight_decay=args.weight_decay,
-      skip_nonfinite=args.skip_nonfinite or None)
+      skip_nonfinite=args.skip_nonfinite or None,
+      schedule=args.schedule)
 
   accum = args.accum_steps
   batch_axis = 1 if accum > 1 else 0

@@ -86,6 +86,10 @@ def main():
                       help='eval video batch (default --batch-size)')
   parser.add_argument('--learning-rate', type=float, default=1e-4)
   parser.add_argument('--warmup-steps', type=int, default=100)
+  parser.add_argument('--schedule', default='cosine',
+                      choices=['cosine', 'linear', 'constant'],
+                      help='post-warmup LR decay (constant suits '
+                           'open-ended elastic runs)')
   parser.add_argument('--model-parallelism', type=int, default=1)
   parser.add_argument('--tp-impl', default='gspmd',
                       choices=['gspmd', 'manual'],
@@ -221,7 +225,8 @@ def main():
       learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
       total_steps=args.steps,
       mu_dtype=jnp.bfloat16 if args.bf16_moments else None,
-      skip_nonfinite=args.skip_nonfinite or None)
+      skip_nonfinite=args.skip_nonfinite or None,
+      schedule=args.schedule)
   pretrained = None
   if args.init_checkpoint:
     state0 = vp.load_pretrained_weights(

@@ -136,3 +136,35 @@ def test_sharded_step_composes_with_guard():
   s2, m2 = step(s1, _batch(nan=False, batch=8), rng)
   assert np.isfinite(float(m2['loss']))
   assert not _leaves_equal(jax.device_get(s2.params), p1)
+
+
+class TestScheduleChoices:
+  """make_optimizer schedule variants: warmup then cosine/linear/constant."""
+
+  def _lr_trace(self, schedule, steps=10):
+    # Drive the real optimizer on a scalar: the per-step update magnitude
+    # of a constant gradient tracks the schedule's LR.
+    params = {'w': jnp.ones(())}
+    opt = make_optimizer(learning_rate=1e-2, warmup_steps=2,
+                         total_steps=steps, schedule=schedule)
+    state = opt.init(params)
+    lrs = []
+    for _ in range(steps):
+      updates, state = opt.update({'w': jnp.ones(())}, state, params)
+      lrs.append(-float(updates['w']))  # update magnitude tracks the LR
+    return lrs
+
+  def test_constant_holds_peak(self):
+    lrs = self._lr_trace('constant')
+    assert lrs[0] < lrs[2]              # warmup ramps
+    assert lrs[4] == pytest.approx(lrs[8], rel=1e-3)  # then flat
+
+  def test_cosine_and_linear_decay_to_zero(self):
+    for schedule in ('cosine', 'linear'):
+      lrs = self._lr_trace(schedule)
+      assert lrs[3] > lrs[-1]
+      assert lrs[-1] < 0.3 * max(lrs)
+
+  def test_unknown_schedule_rejected(self):
+    with pytest.raises(ValueError, match='schedule'):
+      make_optimizer(schedule='polynomial')

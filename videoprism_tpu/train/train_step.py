@@ -63,8 +63,14 @@ def make_optimizer(
     clip_norm: float = 1.0,
     mu_dtype=None,
     skip_nonfinite: int | None = None,
+    schedule: str = 'cosine',
 ) -> optax.GradientTransformation:
-  """AdamW + cosine schedule + global-norm clipping.
+  """AdamW + warmup schedule + global-norm clipping.
+
+  ``schedule`` picks the post-warmup decay: ``'cosine'`` (to 0 at
+  ``total_steps``), ``'linear'`` (to 0), or ``'constant'`` (hold the
+  peak — the right choice when ``total_steps`` is open-ended, e.g.
+  elastic runs resumed indefinitely).
 
   ``warmup_steps`` is honored as given unless it would make the cosine
   decay span non-positive (warmup >= total), in which case it is clamped
@@ -85,12 +91,27 @@ def make_optimizer(
   """
   if warmup_steps >= total_steps:
     warmup_steps = max(total_steps - 1, 0)
-  schedule = optax.warmup_cosine_decay_schedule(
-      init_value=0.0, peak_value=learning_rate,
-      warmup_steps=warmup_steps, decay_steps=total_steps)
+  if schedule == 'cosine':
+    lr = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=learning_rate,
+        warmup_steps=warmup_steps, decay_steps=total_steps)
+  elif schedule == 'linear':
+    lr = optax.join_schedules([
+        optax.linear_schedule(0.0, learning_rate, warmup_steps),
+        optax.linear_schedule(learning_rate, 0.0,
+                              total_steps - warmup_steps),
+    ], [warmup_steps])
+  elif schedule == 'constant':
+    lr = optax.join_schedules([
+        optax.linear_schedule(0.0, learning_rate, warmup_steps),
+        optax.constant_schedule(learning_rate),
+    ], [warmup_steps])
+  else:
+    raise ValueError(f"unknown schedule {schedule!r} "
+                     "(expected 'cosine', 'linear', or 'constant')")
   opt = optax.chain(
       optax.clip_by_global_norm(clip_norm),
-      optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay,
+      optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay,
                   mu_dtype=mu_dtype),
   )
   if skip_nonfinite is not None:
