@@ -91,6 +91,13 @@ def main():
   parser.add_argument('--steps', type=int, default=1000)
   parser.add_argument('--learning-rate', type=float, default=1e-3)
   parser.add_argument('--warmup-steps', type=int, default=100)
+  parser.add_argument('--early-stop-patience', type=int, default=0,
+                      help='stop when --early-stop-metric fails to improve '
+                           'for N consecutive evals (needs --eval-every; '
+                           '0 = off)')
+  parser.add_argument('--early-stop-metric', default='top1_accuracy',
+                      help='eval metric to watch (mode inferred: '
+                           'loss/nll/rank minimize, else maximize)')
   parser.add_argument('--schedule', default='cosine',
                       choices=['cosine', 'linear', 'constant'],
                       help='post-warmup LR decay (constant suits '
@@ -316,13 +323,23 @@ def main():
         # eval batches are flat [B, ...] even when training accumulates
         sharding=data_sharding(mesh, 5) if shard else None,
         eval_step=eval_step)
-    logger.event('eval', step=step_no,
-                 **{k: round(v, 4) for k, v in em.items()})
+    em = {k: round(float(v), 4) for k, v in em.items()}
+    logger.event('eval', step=step_no, **em)
+    return em
 
   # SIGTERM (preemption / maintenance eviction) -> finish the in-flight
   # step, checkpoint, exit 75; `--resume` then continues bit-exactly.
   guard = preemption.PreemptionGuard().install()
   seen_nonfinite = 0
+  stopped_early = 0  # set to the stopping step by early stopping
+  stopper = None
+  if args.early_stop_patience:
+    if not (eval_source and args.eval_every):
+      raise SystemExit('--early-stop-patience needs --eval-every and an '
+                       'eval source')
+    from videoprism_tpu.train.eval_loop import EarlyStopper
+    stopper = EarlyStopper(args.early_stop_metric,
+                           args.early_stop_patience)
   for i, batch in enumerate(loader, start=start_step):
     if i >= args.steps:
       break
@@ -361,8 +378,22 @@ def main():
           state, ckpt, logger, ema_ckpt=ema_ckpt, ema_state=ema_state,
           already_saved=saved_now, checkpoint_dir=args.checkpoint_dir)
     if eval_source and args.eval_every and (i + 1) % args.eval_every == 0:
-      run_eval(i + 1)
-  if eval_source and not (args.eval_every and args.steps % args.eval_every == 0):
+      em = run_eval(i + 1)
+      if stopper is not None and stopper.update(em):
+        logger.event('early_stop', step=i + 1,
+                     metric=stopper.metric, best=stopper.best,
+                     stale_evals=stopper.stale)
+        print(f'early stop @ step {i + 1}: {stopper.metric} stuck at '
+              f'{stopper.best} for {stopper.stale} evals')
+        if ckpt is not None:
+          step_no = int(jax.device_get(state.step))
+          ckpt.save(step_no, state)
+          if ema_ckpt is not None:
+            ema_ckpt.save(step_no, ema_state)
+        stopped_early = i + 1
+        break
+  if eval_source and not stopped_early and not (
+      args.eval_every and args.steps % args.eval_every == 0):
     run_eval(args.steps)
   if ckpt is not None:
     ckpt.wait()
@@ -377,10 +408,13 @@ def main():
     save_checkpoint(args.export_merged,
                     export_lora_classifier(frozen_full, state, lora_cfg))
     print(f'merged LoRA checkpoint written to {args.export_merged}')
-  logger.event('run_complete', steps=args.steps,
+  done_steps = stopped_early or args.steps
+  logger.event('run_complete', steps=done_steps,
+               early_stopped=bool(stopped_early),
                wall_seconds=round(time.time() - t0, 1))
   logger.close()
-  print(f'done: {args.steps} steps in {time.time() - t0:.1f}s')
+  print(f'done: {done_steps} steps in {time.time() - t0:.1f}s'
+        + (' (early stop)' if stopped_early else ''))
 
 
 if __name__ == '__main__':

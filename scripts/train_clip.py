@@ -86,6 +86,13 @@ def main():
                       help='eval video batch (default --batch-size)')
   parser.add_argument('--learning-rate', type=float, default=1e-4)
   parser.add_argument('--warmup-steps', type=int, default=100)
+  parser.add_argument('--early-stop-patience', type=int, default=0,
+                      help='stop when --early-stop-metric fails to improve '
+                           'for N consecutive evals (needs --eval-every; '
+                           '0 = off)')
+  parser.add_argument('--early-stop-metric', default='t2v_recall@1',
+                      help='eval metric to watch (mode inferred: '
+                           'loss/nll/rank minimize, else maximize)')
   parser.add_argument('--schedule', default='cosine',
                       choices=['cosine', 'linear', 'constant'],
                       help='post-warmup LR decay (constant suits '
@@ -334,6 +341,7 @@ def _make_eval_fn(args, cfg, mesh, shard, eval_source, tokenizer,
     logger.event('eval', step=step_no, **em)
     print(f'eval @ step {step_no}: ' + '  '.join(
         f'{k} {v}' for k, v in sorted(em.items())))
+    return em
 
   return eval_fn
 
@@ -410,6 +418,14 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
   # step, checkpoint, exit 75; `--resume` then continues bit-exactly.
   guard = preemption.PreemptionGuard().install()
   seen_nonfinite = 0
+  stopped_early = 0  # set to the stopping step by early stopping
+  stopper = None
+  if args.early_stop_patience:
+    if eval_fn is None:
+      raise SystemExit('--early-stop-patience needs --eval-every')
+    from videoprism_tpu.train.eval_loop import EarlyStopper
+    stopper = EarlyStopper(args.early_stop_metric,
+                           args.early_stop_patience)
   for i, batch in enumerate(loader, start=start_step):
     if i >= args.steps:
       break
@@ -448,17 +464,34 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
           state, ckpt, logger, ema_ckpt=ema_ckpt, ema_state=ema_state,
           already_saved=saved_now, checkpoint_dir=args.checkpoint_dir)
     if eval_fn is not None and (i + 1) % args.eval_every == 0:
-      eval_fn(_eval_params(args, state, ema_state), i + 1, logger)
-  if eval_fn is not None and args.steps % args.eval_every:
+      em = eval_fn(_eval_params(args, state, ema_state), i + 1, logger)
+      if stopper is not None and stopper.update(em):
+        logger.event('early_stop', step=i + 1,
+                     metric=stopper.metric, best=stopper.best,
+                     stale_evals=stopper.stale)
+        print(f'early stop @ step {i + 1}: {stopper.metric} stuck at '
+              f'{stopper.best} for {stopper.stale} evals')
+        if ckpt is not None:
+          step_no = int(jax.device_get(state.step))
+          ckpt.save(step_no, state)
+          if ema_ckpt is not None:
+            ema_ckpt.save(step_no, ema_state)
+        stopped_early = i + 1
+        break
+  if eval_fn is not None and not stopped_early and \
+      args.steps % args.eval_every:
     eval_fn(_eval_params(args, state, ema_state), args.steps, logger)
   if ckpt is not None:
     ckpt.wait()
   if ema_ckpt is not None:
     ema_ckpt.wait()
-  logger.event('run_complete', steps=args.steps,
+  done_steps = stopped_early or args.steps
+  logger.event('run_complete', steps=done_steps,
+               early_stopped=bool(stopped_early),
                wall_seconds=round(time.time() - t0, 1))
   logger.close()
-  print(f'done: {args.steps} steps in {time.time() - t0:.1f}s')
+  print(f'done: {done_steps} steps in {time.time() - t0:.1f}s'
+        + (' (early stop)' if stopped_early else ''))
 
 
 if __name__ == '__main__':

@@ -5,6 +5,7 @@ batching must be invisible)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from videoprism_tpu import assets, evaluation
 from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
@@ -107,3 +108,46 @@ class TestVideoTextManifest:
     src = data_lib.VideoTextSource.from_manifest(str(p), num_frames=2)
     assert src.video_paths == ['a.mp4', 'b.mp4']
     assert src.captions == ['a person running, fast', 'drumming on water']
+
+
+class TestEarlyStopper:
+
+  def test_max_mode_default_and_patience(self):
+    from videoprism_tpu.train.eval_loop import EarlyStopper
+
+    s = EarlyStopper('top1_accuracy', patience=2)
+    assert not s.update({'top1_accuracy': 0.5})
+    assert not s.update({'top1_accuracy': 0.6})   # improved
+    assert not s.update({'top1_accuracy': 0.6})   # stale 1
+    assert s.update({'top1_accuracy': 0.55})      # stale 2 -> stop
+    assert s.best == 0.6
+
+  def test_min_mode_inferred_for_loss(self):
+    from videoprism_tpu.train.eval_loop import EarlyStopper
+
+    s = EarlyStopper('loss', patience=1)
+    assert s.mode == 'min'
+    assert not s.update({'loss': 2.0})
+    assert not s.update({'loss': 1.0})
+    assert s.update({'loss': 1.5})
+
+  def test_rank_metrics_minimize(self):
+    from videoprism_tpu.train.eval_loop import EarlyStopper
+
+    assert EarlyStopper('t2v_median_rank', patience=1).mode == 'min'
+    assert EarlyStopper('t2v_recall@1', patience=1).mode == 'max'
+
+  def test_missing_metric_is_loud(self):
+    from videoprism_tpu.train.eval_loop import EarlyStopper
+
+    s = EarlyStopper('nope', patience=1)
+    with pytest.raises(KeyError, match='nope'):
+      s.update({'top1_accuracy': 1.0})
+
+  def test_validation(self):
+    from videoprism_tpu.train.eval_loop import EarlyStopper
+
+    with pytest.raises(ValueError, match='patience'):
+      EarlyStopper('x', patience=0)
+    with pytest.raises(ValueError, match='mode'):
+      EarlyStopper('x', patience=1, mode='sideways')

@@ -323,3 +323,47 @@ def evaluate_zero_shot(
   metrics['num_examples'] = float(n)
   metrics['num_classes'] = float(len(class_names))
   return metrics
+
+
+class EarlyStopper:
+  """Stop training when an eval metric plateaus.
+
+  ``mode`` defaults by metric name: names containing ``loss``, ``nll``,
+  or ``rank`` minimize; everything else (accuracies, recalls) maximizes.
+  ``update(metrics)`` returns True when ``patience`` consecutive evals
+  have failed to improve on the best seen (by at least ``min_delta``).
+  """
+
+  def __init__(self, metric: str, patience: int, *, mode: str | None = None,
+               min_delta: float = 0.0):
+    if patience <= 0:
+      raise ValueError(f'patience must be positive, got {patience}')
+    if mode is None:
+      lowered = metric.lower()
+      mode = ('min' if any(s in lowered for s in ('loss', 'nll', 'rank'))
+              else 'max')
+    if mode not in ('min', 'max'):
+      raise ValueError(f"mode must be 'min' or 'max', got {mode!r}")
+    self.metric = metric
+    self.patience = patience
+    self.mode = mode
+    self.min_delta = min_delta
+    self.best: float | None = None
+    self.stale = 0
+
+  def update(self, metrics: dict) -> bool:
+    if self.metric not in metrics:
+      raise KeyError(
+          f'early-stop metric {self.metric!r} not in eval metrics '
+          f'{sorted(metrics)}')
+    value = float(metrics[self.metric])
+    improved = (
+        self.best is None
+        or (self.mode == 'max' and value > self.best + self.min_delta)
+        or (self.mode == 'min' and value < self.best - self.min_delta))
+    if improved:
+      self.best = value
+      self.stale = 0
+      return False
+    self.stale += 1
+    return self.stale >= self.patience
