@@ -6,6 +6,8 @@ access through the loader (shuffle/multi-host/accum all ride the flat
 index), and the compressed-shard rejection.
 """
 
+import os
+import pathlib
 import tarfile
 
 import numpy as np
@@ -136,3 +138,52 @@ def test_same_key_in_two_shards_is_two_examples(tmp_path):
   src = data_lib.TarShardSource([s0, s1], num_frames=2, target_size=36)
   assert len(src) == 2
   assert [src.get(i)[1] for i in range(2)] == ['from s0', 'from s1']
+
+
+class TestMakeTarShards:
+  """Write-side round trip: make_tar_shards output reads back through
+  TarShardSource with targets and order intact."""
+
+  def _write(self, tmp_path, n, argv_extra, manifest_line):
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    vids = tmp_path / 'vids'
+    vids.mkdir(exist_ok=True)
+    manifest = tmp_path / 'manifest.txt'
+    with open(manifest, 'w') as fh:
+      for i in range(n):
+        p = vids / f'v{i}.mp4'
+        if not p.exists():
+          import shutil
+          shutil.copy(assets.demo_video_path(), p)
+        fh.write(manifest_line(p, i) + '\n')
+    env = dict(os.environ)
+    env['PYTHONPATH'] = str(root) + os.pathsep + env.get('PYTHONPATH', '')
+    res = subprocess.run(
+        [sys.executable, str(root / 'scripts' / 'make_tar_shards.py'),
+         '--manifest', str(manifest), '--out', str(tmp_path / 'sh'),
+         '--shard-size', '2'] + argv_extra,
+        capture_output=True, text=True, timeout=300, env=env)
+    assert res.returncode == 0, res.stdout + res.stderr
+    import json
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+  def test_caption_round_trip_with_shard_split(self, tmp_path):
+    out = self._write(tmp_path, 5, [],
+                      lambda p, i: f'{p}\tcaption number {i}')
+    assert out['num_examples'] == 5 and out['num_shards'] == 3
+    src = data_lib.TarShardSource(out['shards'], num_frames=2,
+                                  target_size=36)
+    assert len(src) == 5
+    assert src.captions == [f'caption number {i}' for i in range(5)]
+    clip, cap = src.get(4)
+    assert clip.shape == (2, 36, 36, 3) and cap == 'caption number 4'
+
+  def test_labeled_round_trip(self, tmp_path):
+    out = self._write(tmp_path, 3, ['--labeled'],
+                      lambda p, i: f'{p},{i % 2}')
+    src = data_lib.TarShardSource(out['shards'], labeled=True,
+                                  num_frames=2, target_size=36)
+    assert src.labels == [0, 1, 0]
