@@ -32,6 +32,21 @@ from videoprism_tpu.train import data as data_lib  # noqa: E402
 from videoprism_tpu.train import preemption  # noqa: E402
 
 
+class _Subset:
+  """View of a source restricted to the given positions (append mode:
+  embed only the not-yet-indexed examples, any source type)."""
+
+  def __init__(self, source, positions):
+    self._source = source
+    self._positions = list(positions)
+
+  def __len__(self):
+    return len(self._positions)
+
+  def get(self, index):
+    return self._source.get(self._positions[index])
+
+
 def main():
   parser = argparse.ArgumentParser()
   add_clip_eval_args(parser)
@@ -39,6 +54,10 @@ def main():
   parser.add_argument('--manifest', default=None,
                       help='one video path per line (a trailing '
                            '<TAB>caption / ,caption column is ignored)')
+  parser.add_argument('--tar-shards', default=None,
+                      help='glob of uncompressed .tar shards '
+                           '(<key>.mp4 + <key>.txt pairs; ids become '
+                           '<shard>/<key>)')
   parser.add_argument('--output', required=True, help='index npz path')
   parser.add_argument('--checkpoint-every', type=int, default=0,
                       help='save partial embeddings every N batches to '
@@ -63,7 +82,11 @@ def main():
         size=size)
     ids = None
   else:
-    if args.videos_glob:
+    if args.tar_shards:
+      source = data_lib.TarShardSource.from_glob(
+          args.tar_shards, num_frames=frames, target_size=size)
+      paths = source.example_keys
+    elif args.videos_glob:
       paths = sorted(glob.glob(args.videos_glob))
       source = data_lib.VideoTextSource(
           paths, [''] * len(paths), num_frames=frames, target_size=size)
@@ -83,19 +106,19 @@ def main():
   existing = None
   if args.append and os.path.exists(args.output):
     if ids is None:
-      raise SystemExit('--append needs path ids (--videos-glob/--manifest)')
+      raise SystemExit('--append needs stable ids (--videos-glob/'
+                       '--manifest/--tar-shards)')
     existing = retrieval.VideoIndex.load(args.output)
     done = set(existing.ids)
-    fresh = [p for p in ids if p not in done]
+    fresh_pos = [i for i, p in enumerate(ids) if p not in done]
     print(f'append: {len(existing)} already indexed, '
-          f'{len(fresh)} new videos')
-    if not fresh:
+          f'{len(fresh_pos)} new videos')
+    if not fresh_pos:
       print(json.dumps({'num_videos': len(existing), 'dim': existing.dim,
                         'output': args.output, 'appended': 0}))
       return
-    source = data_lib.VideoTextSource(
-        fresh, [''] * len(fresh), num_frames=frames, target_size=size)
-    ids = fresh
+    source = _Subset(source, fresh_pos)
+    ids = [ids[i] for i in fresh_pos]
 
   partial = args.output + '.partial.npz' if args.checkpoint_every else None
   # Only trap SIGTERM when the build can actually act on it: without

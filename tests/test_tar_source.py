@@ -187,3 +187,10 @@ class TestMakeTarShards:
     src = data_lib.TarShardSource(out['shards'], labeled=True,
                                   num_frames=2, target_size=36)
     assert src.labels == [0, 1, 0]
+
+
+def test_example_keys_are_stable_ids(tmp_path):
+  s0 = _make_shard(tmp_path / 's0.tar', ['a', 'b'])
+  s1 = _make_shard(tmp_path / 's1.tar', ['a'])
+  src = data_lib.TarShardSource([s0, s1], num_frames=2, target_size=36)
+  assert src.example_keys == ['s0.tar/a', 's0.tar/b', 's1.tar/a']

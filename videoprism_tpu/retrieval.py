@@ -156,7 +156,10 @@ def build_video_index(
   if n == 0:
     raise ValueError('build_video_index: empty source')
   if ids is None:
-    paths = getattr(source, 'video_paths', None)
+    # Prefer the source's stable ids (paths, then tar keys); positional
+    # fallback only guards corpus-length changes across resumes.
+    paths = (getattr(source, 'video_paths', None)
+             or getattr(source, 'example_keys', None))
     ids = list(paths) if paths is not None else [str(i) for i in range(n)]
   ids = [str(i) for i in ids]
   if len(ids) != n:

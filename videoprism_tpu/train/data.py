@@ -19,6 +19,7 @@ from __future__ import annotations
 import collections
 import concurrent.futures
 import dataclasses
+import os
 from collections.abc import Iterator, Sequence
 from typing import Any, Protocol
 
@@ -216,6 +217,7 @@ class TarShardSource:
             raw = tf.extractfile(m).read().decode('utf-8').strip()
             e[4] = int(raw) if labeled else raw
     self._index = []
+    self._keys = []
     for (shard_i, key), (si, off, size, ext, target) in entries.items():
       if si is None:
         continue  # stray caption without a video — ignore
@@ -224,8 +226,15 @@ class TarShardSource:
             f'{self._shards[shard_i]}: member {key}{ext} has no paired '
             f'{key}{want_target}')
       self._index.append((si, off, size, ext, target))
+      self._keys.append(f'{os.path.basename(self._shards[si])}/{key}')
     if not self._index:
       raise ValueError(f'no {_TAR_VIDEO_EXTS} members found in {shards}')
+
+  @property
+  def example_keys(self) -> list[str]:
+    """Stable per-example ids, ``<shard basename>/<key>`` — the tar
+    analogue of ``video_paths`` (index ids, strong resume checks)."""
+    return list(self._keys)
 
   @classmethod
   def from_glob(cls, pattern: str, **kwargs) -> 'TarShardSource':
