@@ -177,7 +177,8 @@ def main():
   server = EmbeddingHTTPServer(service, args.host, args.port,
                                quiet=args.smoke,
                                text_encode_fn=text_encode_fn, index=index,
-                               auth_token=auth_token)
+                               auth_token=auth_token,
+                               text_service=text_service)
   if auth_token:
     print('auth: bearer token required on POST endpoints')
   endpoints = 'POST /v1/embed, GET /healthz, GET /stats'

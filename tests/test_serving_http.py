@@ -399,3 +399,38 @@ class TestBearerAuth:
         _url(auth_server, '/healthz'), timeout=30).read())['status'] == 'ok'
     assert b'videoprism_' in urllib.request.urlopen(
         _url(auth_server, '/metrics'), timeout=30).read()
+
+
+def test_text_service_stats_merge_into_endpoints():
+  """When the text tower is served through TextEncodeService, its
+  counters ride /stats and /metrics alongside the video service's."""
+  cfg = fe.FactorizedEncoderConfig(**TINY)
+  model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
+  state = model.init(jax.random.PRNGKey(0))
+  service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+  service.start()
+  text_service = serving.TextEncodeService(
+      lambda texts: np.zeros((len(texts), 8), np.float32))
+  text_service.start()
+  httpd = serving_http.EmbeddingHTTPServer(
+      service, host='127.0.0.1', port=0,
+      text_encode_fn=text_service.encode, text_service=text_service)
+  httpd.start()
+  try:
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed_text'),
+        json.dumps({'texts': ['hello']}).encode(),
+        {'Content-Type': 'application/json'})
+    out = json.loads(urllib.request.urlopen(req, timeout=30).read())
+    assert len(out['embeddings'][0]) == 8
+    stats = json.loads(urllib.request.urlopen(
+        _url(httpd, '/stats'), timeout=30).read())
+    assert stats['text_requests_served'] == 1
+    assert stats['text_batches_run'] == 1
+    metrics = urllib.request.urlopen(
+        _url(httpd, '/metrics'), timeout=30).read().decode()
+    assert 'videoprism_text_requests_served_total 1' in metrics
+  finally:
+    httpd.stop()
+    text_service.stop()
+    service.stop()

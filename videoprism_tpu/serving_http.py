@@ -100,6 +100,12 @@ def _prometheus_metrics(stats: dict) -> str:
   gauge('videoprism_requests_expired_total',
         stats.get('requests_expired'), 'counter')
   gauge('videoprism_queue_depth', stats.get('queue_depth'))
+  gauge('videoprism_text_requests_served_total',
+        stats.get('text_requests_served'), 'counter')
+  gauge('videoprism_text_batches_run_total',
+        stats.get('text_batches_run'), 'counter')
+  gauge('videoprism_text_errors_total', stats.get('text_errors'), 'counter')
+  gauge('videoprism_text_queue_depth', stats.get('text_queue_depth'))
   for q, key in (('0.5', 'batch_latency_p50_s'),
                  ('0.99', 'batch_latency_p99_s')):
     if stats.get(key) is not None:
@@ -114,6 +120,7 @@ class _Handler(BaseHTTPRequestHandler):
   # Set by EmbeddingHTTPServer.
   service: EmbeddingService = None
   text_encode_fn = None   # list[str] -> [N, D] np.ndarray
+  text_service = None     # TextEncodeService (its stats merge into /stats)
   index = None            # retrieval.VideoIndex
   auth_token: str | None = None   # Bearer token gating the POST API
   quiet: bool = True
@@ -142,14 +149,20 @@ class _Handler(BaseHTTPRequestHandler):
     self.close_connection = True
     self._reply_json(status, obj)
 
+  def _all_stats(self) -> dict:
+    stats = self.service.stats()
+    if self.text_service is not None:
+      stats.update(self.text_service.stats())
+    return stats
+
   def do_GET(self):  # noqa: N802
     if self.path == '/healthz':
       self._reply_json(200, {'status': 'ok'})
     elif self.path == '/stats':
-      self._reply_json(200, self.service.stats())
+      self._reply_json(200, self._all_stats())
     elif self.path == '/metrics':
       self._reply(200, 'text/plain; version=0.0.4',
-                  _prometheus_metrics(self.service.stats()).encode())
+                  _prometheus_metrics(self._all_stats()).encode())
     else:
       self._reply_json(404, {'error': f'unknown path {self.path}'})
 
@@ -274,7 +287,7 @@ class EmbeddingHTTPServer:
   def __init__(self, service: EmbeddingService, host: str = '0.0.0.0',
                port: int = 8000, quiet: bool = True,
                text_encode_fn=None, index=None,
-               auth_token: str | None = None):
+               auth_token: str | None = None, text_service=None):
     """``text_encode_fn`` (see ``retrieval.make_text_query_encoder``)
     enables ``/v1/embed_text``; adding ``index`` (a
     ``retrieval.VideoIndex``) enables ``/v1/search``; ``auth_token``
@@ -285,7 +298,8 @@ class EmbeddingHTTPServer:
                    {'service': service, 'quiet': quiet,
                     'text_encode_fn': (None if text_encode_fn is None
                                        else staticmethod(text_encode_fn)),
-                    'index': index, 'auth_token': auth_token})
+                    'index': index, 'auth_token': auth_token,
+                    'text_service': text_service})
     self._httpd = ThreadingHTTPServer((host, port), handler)
     self._httpd.daemon_threads = True
     self._handler = handler
