@@ -185,7 +185,7 @@ def main():
   if text_encode_fn is not None:
     endpoints += ', POST /v1/embed_text'
   if index is not None:
-    endpoints += ', POST /v1/search'
+    endpoints += ', POST /v1/search, POST /v1/search_video'
   print(f'serving on http://{args.host}:{server.port} ({endpoints})')
   if args.smoke:
     import io

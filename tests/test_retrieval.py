@@ -323,3 +323,56 @@ def test_cli_append_grows_index(tmp_path):
   r3 = subprocess.run(base + ['--append'], capture_output=True, text=True,
                       timeout=300, env=env)
   assert r3.returncode == 0 and '"appended": 0' in r3.stdout
+
+
+class TestSearchVideoHTTP:
+  """Video-to-video similarity endpoint: clip body -> top-k neighbors."""
+
+  @pytest.fixture(scope='class')
+  def server(self):
+    import io as io_mod
+
+    del io_mod
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    params = init_lib.init_video_clip(jax.random.PRNGKey(0), cfg)
+    source = data_lib.SyntheticSource(num_examples=6, num_frames=2, size=12)
+    index = retrieval.build_video_index(params, cfg, source, batch_size=2)
+    model = __import__('videoprism_tpu').Model(
+        cfg, vclip.apply, init_lib.init_video_clip)
+    service = serving.EmbeddingService(model, params, batch_buckets=(1,))
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(
+        service, host='127.0.0.1', port=0, index=index)
+    httpd.start()
+    yield httpd, source
+    httpd.stop()
+    service.stop()
+
+  def test_self_query_ranks_itself_first(self, server):
+    import io
+
+    httpd, source = server
+    clip = source.get(3)[0]
+    buf = io.BytesIO()
+    np.save(buf, clip)
+    req = urllib.request.Request(
+        f'http://127.0.0.1:{httpd.port}/v1/search_video?k=3',
+        buf.getvalue(), {'Content-Type': 'application/x-npy'})
+    out = json.loads(urllib.request.urlopen(req, timeout=60).read())
+    rows = out['results']
+    assert len(rows) == 1 and len(rows[0]) == 3
+    assert rows[0][0]['id'] == '3'
+    assert rows[0][0]['score'] > 0.999
+
+  def test_bad_shape_is_400_and_no_index_is_404(self, server):
+    import io
+
+    httpd, _ = server
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((2, 3), np.float32))
+    req = urllib.request.Request(
+        f'http://127.0.0.1:{httpd.port}/v1/search_video',
+        buf.getvalue(), {'Content-Type': 'application/x-npy'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400

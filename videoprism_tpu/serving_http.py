@@ -26,6 +26,9 @@ Endpoints:
 * ``POST /v1/search`` — JSON ``{"texts": [...], "k": 5}`` text-to-video
   retrieval against the attached :class:`videoprism_tpu.retrieval.VideoIndex`.
   Response: ``{"results": [[{"id", "score"}, ...], ...]}``.
+* ``POST /v1/search_video[?k=N]`` — video-to-video similarity: the body
+  is one clip (same wire formats as ``/v1/embed``); it embeds through
+  the micro-batcher and queries the index.  Response as ``/v1/search``.
 * ``GET /healthz`` — liveness.
 * ``GET /stats`` — the service's counters + latency percentiles (JSON).
 * ``GET /metrics`` — the same numbers in the Prometheus text exposition
@@ -193,6 +196,9 @@ class _Handler(BaseHTTPRequestHandler):
     if self.path in ('/v1/embed_text', '/v1/search'):
       self._post_text()
       return
+    if self.path.startswith('/v1/search_video'):
+      self._post_search_video()
+      return
     if self.path != '/v1/embed':
       self._reject_json(404, {'error': f'unknown path {self.path}'})
       return
@@ -241,6 +247,50 @@ class _Handler(BaseHTTPRequestHandler):
       return
     ctype, body = _encode_body(content_type, np.asarray(emb))
     self._reply(200, ctype, body)
+
+  def _post_search_video(self) -> None:
+    """/v1/search_video[?k=N]: video-to-video similarity — body is one
+    clip in the /v1/embed wire formats; the clip embeds through the
+    micro-batched service (same tower the index was built with) and
+    queries the index. Response matches /v1/search."""
+    if self.index is None:
+      self._reject_json(404, {'error': '/v1/search_video needs a video '
+                                       'index (serve with --index)'})
+      return
+    try:
+      from urllib.parse import parse_qs, urlparse
+
+      q = parse_qs(urlparse(self.path).query)
+      k = int(q['k'][0]) if 'k' in q else 5
+      if k <= 0:
+        raise ValueError(f'"k" must be positive, got {k}')
+      length = int(self.headers.get('Content-Length', 0))
+      if not 0 < length <= _MAX_BODY_BYTES:
+        raise ValueError(f'bad Content-Length {length}')
+      content_type = self.headers.get('Content-Type', 'application/x-npy')
+      video = _decode_body(content_type, self.rfile.read(length))
+      if video.ndim != 4:
+        raise ValueError(
+            f'expected one clip [T,H,W,3], got shape {video.shape}')
+    except Exception as e:  # malformed request — client's fault
+      self._reject_json(400, {'error': str(e)})
+      return
+    try:
+      emb = self.service.embed(video)
+      results = self.index.search(np.asarray(emb), k=k)
+      self._reply_json(200, {'results': [
+          [{'id': i, 'score': round(s, 6)} for i, s in row]
+          for row in results]})
+    except ServiceOverloaded as e:
+      self.send_response(503)
+      body = json.dumps({'error': str(e)}).encode()
+      self.send_header('Content-Type', 'application/json')
+      self.send_header('Content-Length', str(len(body)))
+      self.send_header('Retry-After', '1')
+      self.end_headers()
+      self.wfile.write(body)
+    except Exception as e:  # service-side failure
+      self._reply_json(500, {'error': str(e)})
 
   def _post_text(self) -> None:
     """/v1/embed_text and /v1/search (both JSON-only)."""
