@@ -31,16 +31,32 @@ def main():
   add_clip_eval_args(parser)
   parser.add_argument('--index', required=True, help='index npz path')
   parser.add_argument('--k', type=int, default=5)
-  parser.add_argument('queries', nargs='+', help='query texts')
+  parser.add_argument('--query-videos', action='store_true',
+                      help='queries are video FILE PATHS (video-to-video '
+                           'similarity) instead of texts')
+  parser.add_argument('queries', nargs='+',
+                      help='query texts (or video paths with '
+                           '--query-videos)')
   args = parser.parse_args()
 
-  cfg, params, tokenizer, _, _ = resolve_clip(args)
+  cfg, params, tokenizer, frames, size = resolve_clip(
+      args, need_tokenizer=not args.query_videos)
   index = retrieval.VideoIndex.load(args.index)
-  encode = retrieval.make_text_query_encoder(
-      params, cfg, tokenizer,
-      batch_size=args.text_batch_size or max(args.batch_size, 8))
+  if args.query_videos:
+    from videoprism_tpu.train import data as data_lib
 
-  results = index.search(encode(args.queries), k=args.k)
+    source = data_lib.VideoTextSource(
+        list(args.queries), [''] * len(args.queries), num_frames=frames,
+        target_size=size)
+    emb = retrieval.build_video_index(
+        params, cfg, source, batch_size=args.batch_size)._emb
+  else:
+    encode = retrieval.make_text_query_encoder(
+        params, cfg, tokenizer,
+        batch_size=args.text_batch_size or max(args.batch_size, 8))
+    emb = encode(args.queries)
+
+  results = index.search(emb, k=args.k)
   for query, row in zip(args.queries, results):
     print(json.dumps({
         'query': query,
