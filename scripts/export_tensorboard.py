@@ -82,12 +82,21 @@ def main(argv=None) -> int:
   args = parser.parse_args(argv)
 
   total = {}
+  used = set()
   for run in args.runs:
     jsonl = run if run.endswith('.jsonl') else os.path.join(
         run, 'metrics.jsonl')
     if not os.path.exists(jsonl):
       raise SystemExit(f'{jsonl}: not found')
-    name = os.path.basename(os.path.dirname(jsonl) or '.') or 'run'
+    name = os.path.basename(
+        os.path.dirname(os.path.abspath(jsonl))) or 'run'
+    # Same basename from different parents must not merge into one TB
+    # run (interleaved scalars with no warning) — suffix duplicates.
+    base, n = name, 2
+    while name in used:
+      name = f'{base}-{n}'
+      n += 1
+    used.add(name)
     out_dir = os.path.join(args.out, name)
     stats = export_run(jsonl, out_dir)
     total[name] = stats

@@ -109,6 +109,15 @@ def main(argv=None) -> int:
   missing = [p for p, _ in examples if not os.path.exists(p)]
   if missing:
     raise SystemExit(f'{len(missing)} videos missing, first: {missing[0]}')
+  # The reader (TarShardSource) pairs only these extensions — packing
+  # anything else would silently vanish on read.
+  bad_ext = [p for p, _ in examples
+             if (os.path.splitext(p)[1].lower() or '.mp4')
+             not in data_lib._TAR_VIDEO_EXTS]
+  if bad_ext:
+    raise SystemExit(
+        f'{len(bad_ext)} videos have extensions TarShardSource does not '
+        f'read ({data_lib._TAR_VIDEO_EXTS}); first: {bad_ext[0]}')
 
   shards = write_shards(examples, args.out, args.shard_size, target_ext)
   print(json.dumps({'num_examples': len(examples),

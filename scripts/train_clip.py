@@ -471,7 +471,9 @@ def _run_training_loop(args, state, step_fn, shard, source, tokenizer,
                      stale_evals=stopper.stale)
         print(f'early stop @ step {i + 1}: {stopper.metric} stuck at '
               f'{stopper.best} for {stopper.stale} evals')
-        if ckpt is not None:
+        # saved_now: the periodic maybe_save may have just written this
+        # exact step — orbax raises on a duplicate step save.
+        if ckpt is not None and not saved_now:
           step_no = int(jax.device_get(state.step))
           ckpt.save(step_no, state)
           if ema_ckpt is not None:

@@ -590,26 +590,35 @@ class TestTextEncodeService:
     calls = []
     svc = serving.TextEncodeService(self._fake_encoder(calls),
                                     max_wait_ms=50)
+    results = {}
+
+    def worker(key, texts):
+      results[key] = svc.encode(texts)
+
+    threads = [threading.Thread(target=worker, args=(k, t)) for k, t in
+               [('a', ['x', 'yy']), ('b', ['zzz']), ('c', ['pppp', 'q'])]]
+    # Queue ALL requests before the worker exists, then start: the first
+    # batch must coalesce everything — deterministic under any load
+    # (a live worker + thread-start jitter would make the batch count
+    # timing-dependent).
+    for t in threads:
+      t.start()
+    deadline = threading.Event()
+    for _ in range(200):
+      if svc._queue.qsize() == 3:
+        break
+      deadline.wait(0.01)
+    assert svc._queue.qsize() == 3
     svc.start()
     try:
-      results = {}
-
-      def worker(key, texts):
-        results[key] = svc.encode(texts)
-
-      threads = [threading.Thread(target=worker, args=(k, t)) for k, t in
-                 [('a', ['x', 'yy']), ('b', ['zzz']), ('c', ['pppp', 'q'])]]
-      for t in threads:
-        t.start()
       for t in threads:
         t.join(timeout=30)
       np.testing.assert_allclose(results['a'][:, 0], [1, 2])
       np.testing.assert_allclose(results['b'][:, 0], [3])
       np.testing.assert_allclose(results['c'][:, 0], [4, 1])
-      # Coalesced: fewer underlying calls than requests.
-      assert len(calls) < 3
+      assert len(calls) == 1  # one underlying call for all three
       assert svc.stats()['text_requests_served'] == 3
-      assert svc.stats()['text_batches_run'] == len(calls)
+      assert svc.stats()['text_batches_run'] == 1
     finally:
       svc.stop()
 

@@ -194,3 +194,16 @@ def test_example_keys_are_stable_ids(tmp_path):
   s1 = _make_shard(tmp_path / 's1.tar', ['a'])
   src = data_lib.TarShardSource([s0, s1], num_frames=2, target_size=36)
   assert src.example_keys == ['s0.tar/a', 's0.tar/b', 's1.tar/a']
+
+
+def test_example_keys_disambiguate_same_basename_subdirs(tmp_path):
+  """Per-subdir shard sets (data/*/shard-00000.tar) must not collide."""
+  (tmp_path / 'd1').mkdir()
+  (tmp_path / 'd2').mkdir()
+  s1 = _make_shard(tmp_path / 'd1' / 'shard-00000.tar', ['000000'])
+  s2 = _make_shard(tmp_path / 'd2' / 'shard-00000.tar', ['000000'])
+  src = data_lib.TarShardSource([s1, s2], num_frames=2, target_size=36)
+  keys = src.example_keys
+  assert len(set(keys)) == 2
+  assert keys == [f'd1{os.sep}shard-00000.tar/000000',
+                  f'd2{os.sep}shard-00000.tar/000000']

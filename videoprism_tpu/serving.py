@@ -181,6 +181,12 @@ class TextEncodeService:
       raise ServiceOverloaded(
           f'{self._queue.maxsize} text requests already pending; retry '
           'with backoff') from None
+    # Close the check-then-enqueue race with stop(): a request that
+    # landed after the drain has no worker — fail it now rather than
+    # letting the caller block until its timeout.
+    if self._stopped and not req.event.is_set():
+      req.error = RuntimeError('TextEncodeService stopped')
+      req.event.set()
     if not req.event.wait(timeout):
       raise TimeoutError('text encode request timed out')
     if req.error is not None:
@@ -499,6 +505,13 @@ class EmbeddingService:
       raise ServiceOverloaded(
           f'{self._queue.maxsize} requests already pending; retry with '
           'backoff') from None
+    # Close the check-then-enqueue race with stop(): a request that
+    # landed after the drain has no worker — fail it now rather than
+    # letting the caller block until its timeout.
+    if self._stopped and not req.event.is_set():
+      req.error = RuntimeError(
+          'EmbeddingService was stopped while the request was queued')
+      req.event.set()
     if not req.event.wait(timeout):
       raise TimeoutError('embedding request timed out')
     if req.error is not None:

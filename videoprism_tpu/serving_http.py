@@ -152,6 +152,17 @@ class _Handler(BaseHTTPRequestHandler):
     self.close_connection = True
     self._reply_json(status, obj)
 
+  def _reply_overloaded(self, e: Exception) -> None:
+    """503 + Retry-After: the client should back off, not treat the
+    shed as a server error (one implementation for every endpoint)."""
+    self.send_response(503)
+    body = json.dumps({'error': str(e)}).encode()
+    self.send_header('Content-Type', 'application/json')
+    self.send_header('Content-Length', str(len(body)))
+    self.send_header('Retry-After', '1')
+    self.end_headers()
+    self.wfile.write(body)
+
   def _all_stats(self) -> dict:
     stats = self.service.stats()
     if self.text_service is not None:
@@ -234,13 +245,7 @@ class _Handler(BaseHTTPRequestHandler):
       self._reply_json(504, {'error': str(e)})
       return
     except ServiceOverloaded as e:  # load shed — tell clients to back off
-      self.send_response(503)
-      body = json.dumps({'error': str(e)}).encode()
-      self.send_header('Content-Type', 'application/json')
-      self.send_header('Content-Length', str(len(body)))
-      self.send_header('Retry-After', '1')
-      self.end_headers()
-      self.wfile.write(body)
+      self._reply_overloaded(e)
       return
     except Exception as e:  # service-side failure
       self._reply_json(500, {'error': str(e)})
@@ -282,13 +287,7 @@ class _Handler(BaseHTTPRequestHandler):
           [{'id': i, 'score': round(s, 6)} for i, s in row]
           for row in results]})
     except ServiceOverloaded as e:
-      self.send_response(503)
-      body = json.dumps({'error': str(e)}).encode()
-      self.send_header('Content-Type', 'application/json')
-      self.send_header('Content-Length', str(len(body)))
-      self.send_header('Retry-After', '1')
-      self.end_headers()
-      self.wfile.write(body)
+      self._reply_overloaded(e)
     except Exception as e:  # service-side failure
       self._reply_json(500, {'error': str(e)})
 
@@ -326,6 +325,8 @@ class _Handler(BaseHTTPRequestHandler):
       self._reply_json(200, {'results': [
           [{'id': i, 'score': round(s, 6)} for i, s in row]
           for row in results]})
+    except ServiceOverloaded as e:  # text micro-batcher sheds load too
+      self._reply_overloaded(e)
     except Exception as e:  # service-side failure
       self._reply_json(500, {'error': str(e)})
 
@@ -352,18 +353,9 @@ class EmbeddingHTTPServer:
                     'text_service': text_service})
     self._httpd = ThreadingHTTPServer((host, port), handler)
     self._httpd.daemon_threads = True
-    self._handler = handler
     self.host = host
     self.port = self._httpd.server_address[1]
     self._thread: threading.Thread | None = None
-
-  def update_text_encoder(self, text_encode_fn) -> None:
-    """Swaps the /v1/embed_text///v1/search text encoder (hot weight
-    reload must replace BOTH towers, or cross-modal scores silently mix
-    embedding spaces). One class-attribute assignment — atomic under the
-    GIL; in-flight requests finish on the encoder they started with."""
-    self._handler.text_encode_fn = (
-        None if text_encode_fn is None else staticmethod(text_encode_fn))
 
   def start(self) -> None:
     self._thread = threading.Thread(

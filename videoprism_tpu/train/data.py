@@ -218,6 +218,14 @@ class TarShardSource:
             e[4] = int(raw) if labeled else raw
     self._index = []
     self._keys = []
+    # Key shards by their path relative to the common shard directory —
+    # basenames alone collide for per-subdir shard sets like
+    # data/*/shard-00000.tar (colliding ids would make --append silently
+    # skip the later shard's examples).
+    common = os.path.commonpath(
+        [os.path.dirname(os.path.abspath(s)) for s in self._shards])
+    rel = [os.path.relpath(os.path.abspath(s), common)
+           for s in self._shards]
     for (shard_i, key), (si, off, size, ext, target) in entries.items():
       if si is None:
         continue  # stray caption without a video — ignore
@@ -226,14 +234,15 @@ class TarShardSource:
             f'{self._shards[shard_i]}: member {key}{ext} has no paired '
             f'{key}{want_target}')
       self._index.append((si, off, size, ext, target))
-      self._keys.append(f'{os.path.basename(self._shards[si])}/{key}')
+      self._keys.append(f'{rel[si]}/{key}')
     if not self._index:
       raise ValueError(f'no {_TAR_VIDEO_EXTS} members found in {shards}')
 
   @property
   def example_keys(self) -> list[str]:
-    """Stable per-example ids, ``<shard basename>/<key>`` — the tar
-    analogue of ``video_paths`` (index ids, strong resume checks)."""
+    """Stable per-example ids, ``<shard path relative to the common
+    shard dir>/<key>`` — the tar analogue of ``video_paths`` (index
+    ids, strong resume checks)."""
     return list(self._keys)
 
   @classmethod
