@@ -42,8 +42,9 @@ jax.config.update(
 def main():
   parser = argparse.ArgumentParser(
       description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
-  parser.add_argument('--model', required=True,
-                      help='registry name or HF id (see vp.MODELS)')
+  parser.add_argument('--model', default=None,
+                      help='registry name or HF id (see vp.MODELS); '
+                           'not needed with --tiny')
   parser.add_argument('--output', required=True, help='artifact path')
   parser.add_argument('--tower', default='video', choices=('video', 'text'),
                       help='which CLIP tower to export (lvt models only)')
@@ -68,7 +69,16 @@ def main():
                       help='skip weight loading; artifact signature only '
                            'depends on shapes, so this exports the identical '
                            'program without a checkpoint on disk')
+  parser.add_argument('--tiny', action='store_true',
+                      help='export the tiny random smoke encoder (the same '
+                           'geometry serve_embeddings.py --tiny serves) — '
+                           'for wire-format/CLI smokes, implies random init')
+  parser.add_argument('--cpu-devices', type=int, default=0)
   args = parser.parse_args()
+
+  if args.cpu_devices:
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_num_cpu_devices', args.cpu_devices)
 
   import jax.numpy as jnp
 
@@ -76,13 +86,24 @@ def main():
   from videoprism_tpu import export as export_lib
 
   fprop = jnp.bfloat16 if args.fprop_dtype == 'bfloat16' else None
-  model = vp.get_model(args.model, fprop_dtype=fprop,
-                       attention_impl=args.attention_impl)
-  if args.random_init:
+  if args.tiny:
+    from smoke_configs import TINY_ENC
+    from videoprism_tpu.models import factorized_encoder as fe
+    from videoprism_tpu.models import init as init_lib
+
+    cfg = fe.FactorizedEncoderConfig(**TINY_ENC)
+    model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
     params = model.init(jax.random.PRNGKey(0))
   else:
-    params = vp.load_pretrained_weights(
-        args.model, checkpoint_path=args.weights_path)
+    if not args.model:
+      parser.error('--model is required (or pass --tiny)')
+    model = vp.get_model(args.model, fprop_dtype=fprop,
+                         attention_impl=args.attention_impl)
+    if args.random_init:
+      params = model.init(jax.random.PRNGKey(0))
+    else:
+      params = vp.load_pretrained_weights(
+          args.model, checkpoint_path=args.weights_path)
   if fprop is not None:
     params = jax.tree.map(lambda x: jnp.asarray(x, fprop), params)
 
@@ -99,7 +120,9 @@ def main():
   exported.save(args.output)
   nbytes = os.path.getsize(args.output)
   specs = ', '.join(str(a) for a in exported.in_avals[-2:])
-  print(f'exported {args.model} [{args.tower if "lvt" in args.model else "forward"}] '
+  name = args.model or 'tiny'
+  entry = args.tower if args.model and 'lvt' in args.model else 'forward'
+  print(f'exported {name} [{entry}] '
         f'-> {args.output} ({nbytes / 1024:.1f} KB, '
         f'platforms={list(exported.platforms)}, inputs ...{specs})')
 

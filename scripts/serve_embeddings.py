@@ -70,6 +70,12 @@ def main():
   parser.add_argument('--warmup-frames', type=int, default=0,
                       help='pre-compile every bucket at [N, 288, 288, 3] '
                            'uint8 before accepting traffic (0: skip)')
+  parser.add_argument('--from-export', default=None, metavar='ARTIFACT',
+                      help='AOT StableHLO artifact from '
+                           'scripts/export_model.py (symbolic batch): the '
+                           'video forward runs from it with no Python '
+                           'tracing/jit on startup. Must be exported from '
+                           'the same checkpoint (+ --quantize setting).')
   parser.add_argument('--index', default=None,
                       help='retrieval.VideoIndex npz (from '
                            'scripts/build_video_index.py): enables '
@@ -132,11 +138,13 @@ def main():
       state = vp.load_pretrained_weights(args.model)
     clip_shape = (args.warmup_frames or 16, 288, 288, 3)
 
+  if args.from_export:
+    print(f'video forward: AOT artifact {args.from_export} (no re-trace)')
   service = EmbeddingService(
       model, state,
       batch_buckets=tuple(int(b) for b in args.buckets.split(',')),
       max_wait_ms=args.max_wait_ms, quantize=args.quantize,
-      max_pending=args.max_pending)
+      max_pending=args.max_pending, exported=args.from_export)
   service.start()
   if args.warmup_frames or args.tiny or args.tiny_clip:
     print(f'warming up buckets at clip shape {clip_shape} ...')

@@ -684,3 +684,92 @@ class TestTextEncodeService:
       assert isinstance(errors[0], serving.DeadlineExceeded)
     finally:
       svc.stop()
+
+
+class TestExportedServing:
+  """EmbeddingService(exported=...): the AOT StableHLO artifact replaces
+  the jitted model.apply forward (videoprism_tpu/export.py) — cold-start
+  serving with no Python tracing."""
+
+  @pytest.fixture(scope='class')
+  def artifact(self, model_and_state):
+    from videoprism_tpu import export as export_lib
+    model, state = model_and_state
+    return export_lib.export_forward(model, state)  # symbolic batch
+
+  def _clip(self, seed=0, dtype=np.float32):
+    rng = np.random.RandomState(seed)
+    v = rng.rand(2, 12, 12, 3)
+    if dtype == np.uint8:
+      return (v * 255).astype(np.uint8)
+    return v.astype(dtype)
+
+  def test_matches_jit_forward(self, model_and_state, artifact):
+    model, state = model_and_state
+    svc = serving.EmbeddingService(model, state, batch_buckets=(1, 4),
+                                   exported=artifact)
+    svc.start()
+    try:
+      clip = self._clip()
+      got = svc.embed(clip)
+      ref, _ = model.apply(state, clip[None], train=False)
+      np.testing.assert_allclose(got, np.asarray(ref)[0], atol=1e-6)
+      batch = np.stack([self._clip(s) for s in range(3)])
+      got_b = svc.embed_batch(batch)
+      ref_b, _ = model.apply(state, batch, train=False)
+      np.testing.assert_allclose(got_b, np.asarray(ref_b), atol=1e-6)
+    finally:
+      svc.stop()
+
+  def test_uint8_ingestion_normalizes(self, model_and_state, artifact):
+    model, state = model_and_state
+    svc = serving.EmbeddingService(model, state, batch_buckets=(1,),
+                                   exported=artifact)
+    svc.start()
+    try:
+      clip = self._clip(seed=3, dtype=np.uint8)
+      got = svc.embed(clip)
+      ref, _ = model.apply(
+          state, clip[None].astype(np.float32) / 255.0, train=False)
+      np.testing.assert_allclose(got, np.asarray(ref)[0], atol=1e-5)
+    finally:
+      svc.stop()
+
+  def test_loads_from_path(self, model_and_state, artifact, tmp_path):
+    model, state = model_and_state
+    path = str(tmp_path / 'enc.stablehlo')
+    artifact.save(path)
+    svc = serving.EmbeddingService(model, state, batch_buckets=(1,),
+                                   exported=path)
+    svc.start()
+    try:
+      clip = self._clip(seed=5)
+      ref, _ = model.apply(state, clip[None], train=False)
+      np.testing.assert_allclose(svc.embed(clip), np.asarray(ref)[0],
+                                 atol=1e-6)
+    finally:
+      svc.stop()
+
+  def test_rejects_mesh_and_tp(self, model_and_state, artifact):
+    model, state = model_and_state
+    mesh = mesh_lib.make_mesh()
+    with pytest.raises(ValueError, match='exported'):
+      serving.EmbeddingService(model, state, exported=artifact, mesh=mesh)
+    with pytest.raises(ValueError, match='exported'):
+      serving.EmbeddingService(model, state, exported=artifact,
+                               tensor_parallel=True, mesh=mesh)
+
+  def test_hot_reload_serves_new_weights(self, model_and_state, artifact):
+    model, state = model_and_state
+    svc = serving.EmbeddingService(model, state, batch_buckets=(1,),
+                                   exported=artifact)
+    svc.start()
+    try:
+      new_state = model.init(jax.random.PRNGKey(7))
+      svc.reload_state(new_state)
+      clip = self._clip(seed=9)
+      ref, _ = model.apply(new_state, clip[None], train=False)
+      np.testing.assert_allclose(svc.embed(clip), np.asarray(ref)[0],
+                                 atol=1e-6)
+    finally:
+      svc.stop()

@@ -434,3 +434,31 @@ def test_text_service_stats_merge_into_endpoints():
     httpd.stop()
     text_service.stop()
     service.stop()
+
+
+@pytest.mark.slow
+def test_cli_serves_from_export_artifact(tmp_path):
+  """End-to-end CLI path: export_model.py --tiny writes an AOT artifact,
+  serve_embeddings.py --from-export serves from it (no re-trace), and the
+  --smoke self-request round-trips an embedding."""
+  import pathlib
+  import subprocess
+  import sys
+
+  root = pathlib.Path(__file__).resolve().parent.parent
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(root) + os.pathsep + env.get('PYTHONPATH', '')
+  artifact = str(tmp_path / 'tiny_enc.jaxexport')
+  r = subprocess.run(
+      [sys.executable, str(root / 'scripts' / 'export_model.py'),
+       '--tiny', '--cpu-devices', '1', '--output', artifact],
+      capture_output=True, text=True, env=env, timeout=300)
+  assert r.returncode == 0, r.stdout + r.stderr
+  assert os.path.getsize(artifact) > 0
+  r = subprocess.run(
+      [sys.executable, str(root / 'scripts' / 'serve_embeddings.py'),
+       '--tiny', '--cpu-devices', '1', '--port', '0', '--buckets', '1',
+       '--from-export', artifact, '--smoke'],
+      capture_output=True, text=True, env=env, timeout=300)
+  assert r.returncode == 0, r.stdout + r.stderr
+  assert 'AOT artifact' in r.stdout

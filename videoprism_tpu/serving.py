@@ -265,6 +265,7 @@ class EmbeddingService:
       tensor_parallel: bool = False,
       quantize: str | None = None,
       max_pending: int | None = None,
+      exported=None,
   ):
     """``tensor_parallel=True`` (requires ``mesh``) serves a video encoder
     with the shard_map TP path (:mod:`videoprism_tpu.parallel.tp`): params
@@ -283,9 +284,25 @@ class EmbeddingService:
     already waiting, :meth:`embed` raises :class:`ServiceOverloaded`
     immediately instead of growing an unbounded backlog (load shedding —
     a saturated service should fail fast, not accumulate latency).
-    ``None`` (default) keeps the queue unbounded."""
+    ``None`` (default) keeps the queue unbounded.
+
+    ``exported`` (an :class:`~videoprism_tpu.export.ExportedForward` or a
+    path to one saved by ``scripts/export_model.py``) replaces the jitted
+    ``model.apply`` forward with the AOT StableHLO artifact: a fresh
+    serving process (empty compilation cache) skips Python tracing
+    entirely and starts serving after XLA's per-bucket specialization
+    only.  The artifact's param signature must match ``state`` — export
+    from the same checkpoint (and, if ``quantize='int8'`` here, from a
+    model loaded with ``quantize='int8'``).  Export a symbolic batch
+    (the default) so one artifact covers every bucket.  Incompatible
+    with ``mesh``/``tensor_parallel``, whose forwards are built from
+    model code."""
     if quantize not in (None, 'int8'):
       raise ValueError(f'unknown quantize mode {quantize!r}')
+    if exported is not None and (tensor_parallel or mesh is not None):
+      raise ValueError(
+          'exported artifacts serve the replicated single-program path; '
+          'mesh/tensor_parallel forwards are built from model code')
     if quantize == 'int8':
       from videoprism_tpu import quantization
 
@@ -373,6 +390,27 @@ class EmbeddingService:
             f'{type(cfg).__name__}')
       self._forward = lambda params, videos: tp_fwd(
           params, normalize(videos))
+    elif exported is not None:
+      from videoprism_tpu import export as export_lib
+
+      if isinstance(exported, (str, bytes)) or hasattr(exported,
+                                                       '__fspath__'):
+        import os
+
+        exported = export_lib.ExportedForward.load(os.fspath(exported))
+      # Flat in_avals are (param leaves..., video): the last aval is the
+      # video spec the artifact was exported with.
+      in_dtype = exported.in_avals[-1].dtype
+      prep = jax.jit(lambda v: v.astype(in_dtype) / 255.0)
+
+      def exported_forward(params, videos):
+        if videos.dtype == jnp.uint8:
+          videos = prep(videos)     # uint8 ingestion, normalized on-device
+        elif videos.dtype != in_dtype:
+          videos = videos.astype(in_dtype)
+        return exported(params, videos)
+
+      self._forward = exported_forward
     elif mesh is not None:
       self._forward = data_parallel_forward(forward, mesh)
     else:
