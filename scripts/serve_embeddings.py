@@ -76,6 +76,10 @@ def main():
                            'video forward runs from it with no Python '
                            'tracing/jit on startup. Must be exported from '
                            'the same checkpoint (+ --quantize setting).')
+  parser.add_argument('--from-export-text', default=None, metavar='ARTIFACT',
+                      help="text-tower artifact (export_model.py --tower "
+                           "text) for /v1/embed_text — AOT, no re-trace "
+                           "(lvt models)")
   parser.add_argument('--index', default=None,
                       help='retrieval.VideoIndex npz (from '
                            'scripts/build_video_index.py): enables '
@@ -171,7 +175,8 @@ def main():
     # video path gets this from EmbeddingService's micro-batcher).
     text_service = serving.TextEncodeService(
         retrieval.make_text_query_encoder(
-            model._unwrap(state), model.config, tokenizer),
+            model._unwrap(state), model.config, tokenizer,
+            exported=args.from_export_text),
         max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)
     text_service.start()
     text_encode_fn = text_service.encode
@@ -180,6 +185,8 @@ def main():
       print(f'search index: {len(index)} videos from {args.index}')
   elif args.index:
     raise SystemExit('--index needs an lvt (CLIP) model')
+  elif args.from_export_text:
+    raise SystemExit('--from-export-text needs an lvt (CLIP) model')
 
   auth_token = args.auth_token or os.environ.get('VIDEOPRISM_AUTH_TOKEN')
   server = EmbeddingHTTPServer(service, args.host, args.port,

@@ -140,6 +140,27 @@ class TestBuildAndQuery:
     direct = vclip.encode_text(params, ids, pads, cfg, train=False)
     np.testing.assert_allclose(emb, np.asarray(direct), atol=1e-5)
 
+  def test_text_query_encoder_from_export(self, setup, tmp_path):
+    """The AOT text-tower artifact drop-in: same embeddings, and the
+    artifact's token length overrides max_text_len."""
+    cfg, params, tok = setup
+    from videoprism_tpu import export as export_lib
+    from videoprism_tpu.models.registry import Model
+
+    model = Model(cfg, vclip.apply, init_lib.init_video_clip)
+    art = export_lib.export_forward(model, params, tower='text',
+                                    text_len=12)
+    path = str(tmp_path / 'text.jaxexport')
+    art.save(path)
+    ref_encode = retrieval.make_text_query_encoder(
+        params, cfg, tok, batch_size=2, max_text_len=12)
+    got_encode = retrieval.make_text_query_encoder(
+        params, cfg, tok, batch_size=2, max_text_len=99,  # overridden
+        exported=path)
+    texts = ['a person playing drums', 'a dog', 'swimming']
+    np.testing.assert_allclose(got_encode(texts), ref_encode(texts),
+                               atol=1e-6)
+
   def test_empty_source_and_empty_texts_raise(self, setup):
     cfg, params, tok = setup
     encode = retrieval.make_text_query_encoder(params, cfg, tok)

@@ -229,13 +229,32 @@ def make_text_query_encoder(
     batch_size: int = 32,
     max_text_len: int = registry.TEXT_MAX_LEN,
     sharding=None,
+    exported=None,
 ):
   """Returns ``encode(texts: Sequence[str]) -> [N, D] np.float32``
   (l2-normalized) — tokenization + the text tower at one fixed compiled
-  geometry.  Thread-safe; the served ``/v1/embed_text`` handler."""
+  geometry.  Thread-safe; the served ``/v1/embed_text`` handler.
+
+  ``exported`` (an :class:`~videoprism_tpu.export.ExportedForward` from
+  ``export_forward(tower='text')``, or a path to one) runs the tower
+  from the AOT artifact instead of jitting ``cfg``'s model code — no
+  tracing on a cold process.  The artifact's token length overrides
+  ``max_text_len`` (tokenization must match the exported geometry)."""
   from videoprism_tpu.train import eval_loop
 
-  step = eval_loop.make_clip_text_eval_step(cfg)
+  if exported is not None:
+    from videoprism_tpu import export as export_lib
+
+    if isinstance(exported, str):
+      exported = export_lib.ExportedForward.load(exported)
+    # Flat in_avals end with (ids [b, L] int32, paddings [b, L] f32).
+    max_text_len = int(exported.in_avals[-1].shape[1])
+    artifact = exported
+
+    def step(p, ids, pads):
+      return artifact(p, ids, pads).astype('float32')
+  else:
+    step = eval_loop.make_clip_text_eval_step(cfg)
 
   def encode(texts: Sequence[str]) -> np.ndarray:
     if not texts:
