@@ -4,7 +4,12 @@
   python scripts/serve_embeddings.py --model videoprism_public_v1_base \
       --quantize int8 --port 8000
 
-Client (two lines of numpy)::
+Client (the SDK handles 503 backoff / deadlines / auth)::
+
+    from videoprism_tpu.client import VideoPrismClient
+    emb = VideoPrismClient('http://HOST:8000').embed(clip_uint8)
+
+or two lines of raw numpy::
 
     import numpy as np, urllib.request, io
     buf = io.BytesIO(); np.save(buf, clip_uint8)   # [T, H, W, 3]

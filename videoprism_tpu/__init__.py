@@ -17,7 +17,7 @@ Public API mirrors the reference `videoprism.models` module::
 
 __version__ = '0.1.0'
 
-from videoprism_tpu import export
+from videoprism_tpu import client, export
 from videoprism_tpu.models import (
     CHECKPOINTS,
     CONFIGS,
@@ -43,7 +43,7 @@ from videoprism_tpu.models import (
 __all__ = [
     'CHECKPOINTS', 'CONFIGS', 'K400_NUM_CLASSES', 'MODEL_CONFIGS', 'MODELS',
     'SSV2_NUM_CLASSES', 'TEXT_MAX_LEN', 'TEXT_TOKENIZERS', 'BoundModel',
-    'Model', 'export', 'get_model', 'get_model_config', 'has_model',
+    'Model', 'client', 'export', 'get_model', 'get_model_config', 'has_model',
     'load_classifier',
     'load_model', 'load_pretrained_weights', 'load_text_tokenizer',
     'load_video_encoder', 'tokenize_texts',

@@ -1,0 +1,196 @@
+"""Python client for the videoprism_tpu HTTP embedding service.
+
+Stdlib-only (urllib) counterpart to :mod:`videoprism_tpu.serving_http`:
+the server's load-shedding / deadline / auth contract is easy to get
+wrong in a hand-rolled two-line client, so this one implements it once:
+
+* **503 + Retry-After** (load shed) → exponential backoff capped at
+  ``max_retries``, honoring the server's ``Retry-After`` hint.
+* **Connection errors** retry the same way — hot weight reload and
+  elastic restarts (scripts/run_elastic.py) look like brief refusals.
+* **504** (queueing deadline lapsed server-side) → raises
+  :class:`DeadlineExceeded`; retrying a stale request is the caller's
+  decision, not the transport's.
+* **401** → :class:`AuthFailed` immediately (retrying cannot help).
+
+Wire format is ``application/x-npy`` both ways (``np.save`` bytes);
+uint8 clips ride the service's 4x-cheaper raw-bytes ingestion path
+unchanged.  Thread-safe: no mutable state beyond configuration.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+import urllib.error
+import urllib.request
+from typing import Any, Sequence
+
+import numpy as np
+
+
+class RequestError(RuntimeError):
+  """HTTP-level failure; ``status`` is the code (None for transport)."""
+
+  def __init__(self, message: str, status: int | None = None):
+    super().__init__(message)
+    self.status = status
+
+
+class Overloaded(RequestError):
+  """503 after exhausting retries — the service kept shedding load."""
+
+
+class DeadlineExceeded(RequestError):
+  """504 — the request's queueing deadline lapsed before it ran."""
+
+
+class AuthFailed(RequestError):
+  """401 — missing or wrong bearer token."""
+
+
+def _npy_bytes(array: np.ndarray) -> bytes:
+  buf = io.BytesIO()
+  np.save(buf, np.ascontiguousarray(array))
+  return buf.getvalue()
+
+
+class VideoPrismClient:
+  """Client for a ``scripts/serve_embeddings.py`` endpoint.
+
+  Example::
+
+      client = VideoPrismClient('http://host:8000', auth_token=token)
+      emb = client.embed(clip_uint8)                 # [D]
+      texts = client.embed_text(['a dog swimming'])  # [1, D]
+      hits = client.search(['drumming'], k=5)        # [[(id, score), ...]]
+  """
+
+  def __init__(self, base_url: str, *, auth_token: str | None = None,
+               timeout_s: float = 300.0, max_retries: int = 4,
+               backoff_s: float = 0.25, max_backoff_s: float = 30.0):
+    if max_retries < 0:
+      raise ValueError(f'max_retries must be >= 0, got {max_retries}')
+    self._base = base_url.rstrip('/')
+    self._auth = auth_token
+    self._timeout = timeout_s
+    self._max_retries = max_retries
+    self._backoff = backoff_s
+    self._max_backoff = max_backoff_s
+
+  # ----------------------------- transport ------------------------------
+
+  def _request(self, method: str, path: str, body: bytes | None = None,
+               headers: dict[str, str] | None = None) -> bytes:
+    hdrs = dict(headers or {})
+    if self._auth:
+      hdrs['Authorization'] = f'Bearer {self._auth}'
+    last_error: Exception | None = None
+    for attempt in range(self._max_retries + 1):
+      req = urllib.request.Request(self._base + path, data=body,
+                                   headers=hdrs, method=method)
+      try:
+        with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+          return resp.read()
+      except urllib.error.HTTPError as e:
+        detail = self._error_detail(e)
+        if e.code == 401:
+          raise AuthFailed(detail, status=401) from None
+        if e.code == 504:
+          raise DeadlineExceeded(detail, status=504) from None
+        if e.code != 503:  # 4xx/5xx that retrying cannot fix
+          raise RequestError(detail, status=e.code) from None
+        retry_after = e.headers.get('Retry-After')
+        last_error = Overloaded(detail, status=503)
+        delay = float(retry_after) if retry_after else 0.0
+      except (urllib.error.URLError, ConnectionError, TimeoutError) as e:
+        # Includes refused connections during hot reload / elastic
+        # restart; bounded by the same retry budget.
+        last_error = RequestError(f'{method} {path}: {e}')
+        delay = 0.0
+      if attempt == self._max_retries:
+        break
+      time.sleep(min(self._max_backoff,
+                     max(delay, self._backoff * (2 ** attempt))))
+    raise last_error  # type: ignore[misc]
+
+  @staticmethod
+  def _error_detail(e: urllib.error.HTTPError) -> str:
+    try:
+      payload = json.loads(e.read().decode('utf-8', 'replace'))
+      return f'HTTP {e.code}: {payload.get("error", payload)}'
+    except Exception:
+      return f'HTTP {e.code}'
+
+  def _post_json(self, path: str, spec: dict[str, Any]) -> dict[str, Any]:
+    body = json.dumps(spec).encode('utf-8')
+    out = self._request('POST', path, body,
+                        {'Content-Type': 'application/json'})
+    return json.loads(out.decode('utf-8'))
+
+  # ----------------------------- endpoints ------------------------------
+
+  def embed(self, clip: np.ndarray,
+            deadline_ms: float | None = None) -> np.ndarray:
+    """One clip ``[T, H, W, 3]`` → embedding ``[D]`` (micro-batched with
+    concurrent callers server-side).  ``deadline_ms`` bounds queueing
+    delay; a lapse raises :class:`DeadlineExceeded`."""
+    clip = np.asarray(clip)
+    if clip.ndim != 4:
+      raise ValueError(f'embed expects [T, H, W, 3], got {clip.shape}; '
+                       'use embed_batch for batches')
+    headers = {'Content-Type': 'application/x-npy'}
+    if deadline_ms is not None:
+      headers['X-Deadline-Ms'] = str(deadline_ms)
+    out = self._request('POST', '/v1/embed', _npy_bytes(clip), headers)
+    return np.load(io.BytesIO(out), allow_pickle=False)
+
+  def embed_batch(self, videos: np.ndarray) -> np.ndarray:
+    """A batch ``[B, T, H, W, 3]`` → ``[B, D]`` via the server's direct
+    pipelined path (no micro-batch queueing)."""
+    videos = np.asarray(videos)
+    if videos.ndim != 5:
+      raise ValueError(f'embed_batch expects [B, T, H, W, 3], '
+                       f'got {videos.shape}')
+    out = self._request('POST', '/v1/embed', _npy_bytes(videos),
+                        {'Content-Type': 'application/x-npy'})
+    return np.load(io.BytesIO(out), allow_pickle=False)
+
+  def embed_text(self, texts: Sequence[str]) -> np.ndarray:
+    """``[N]`` strings → l2-normalized ``[N, D]`` (lvt servers only)."""
+    out = self._post_json('/v1/embed_text', {'texts': list(texts)})
+    return np.asarray(out['embeddings'], np.float32)
+
+  def search(self, texts: Sequence[str],
+             k: int = 5) -> list[list[tuple[str, float]]]:
+    """Text-to-video retrieval against the server's index: per query, a
+    ``[(video_id, cosine_score), ...]`` list, best first."""
+    out = self._post_json('/v1/search', {'texts': list(texts), 'k': k})
+    return [[(hit['id'], hit['score']) for hit in row]
+            for row in out['results']]
+
+  def search_video(self, clip: np.ndarray,
+                   k: int = 5) -> list[tuple[str, float]]:
+    """Video-to-video similarity: one clip in, top-k neighbors out."""
+    clip = np.asarray(clip)
+    if clip.ndim != 4:
+      raise ValueError(f'search_video expects [T, H, W, 3], '
+                       f'got {clip.shape}')
+    out = self._request('POST', f'/v1/search_video?k={k}',
+                        _npy_bytes(clip),
+                        {'Content-Type': 'application/x-npy'})
+    results = json.loads(out.decode('utf-8'))['results']
+    return [(hit['id'], hit['score']) for hit in results[0]]
+
+  def healthy(self) -> bool:
+    """Liveness probe; False instead of raising (monitoring loops)."""
+    try:
+      self._request('GET', '/healthz')
+      return True
+    except Exception:
+      return False
+
+  def stats(self) -> dict[str, Any]:
+    """The server's counters + latency percentiles (GET /stats)."""
+    return json.loads(self._request('GET', '/stats').decode('utf-8'))
