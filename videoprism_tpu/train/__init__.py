@@ -32,6 +32,16 @@ from videoprism_tpu.train.lora import (
     make_lora_train_step,
     merge_lora,
 )
+from videoprism_tpu.train.distill import (
+    DistillTrainState,
+    cosine_distill_loss,
+    create_distill_train_state,
+    kd_kl_loss,
+    make_classifier_distill_step,
+    make_clip_vision_distill_step,
+    make_encoder_distill_step,
+    make_sharded_distill_step,
+)
 from videoprism_tpu.train.ema import (
     EmaState,
     ema_params,
@@ -50,8 +60,13 @@ from videoprism_tpu.train.pp_train_step import make_pp_train_step
 from videoprism_tpu.train.tp_train_step import make_tp_train_step
 
 __all__ = [
-    'ClassifierTrainState', 'EmaState', 'LoraConfig', 'TrainState',
-    'accumulate_gradients', 'create_classifier_train_state',
+    'ClassifierTrainState', 'DistillTrainState', 'EmaState', 'LoraConfig',
+    'TrainState',
+    'accumulate_gradients', 'cosine_distill_loss',
+    'create_classifier_train_state', 'create_distill_train_state',
+    'kd_kl_loss', 'make_classifier_distill_step',
+    'make_clip_vision_distill_step', 'make_encoder_distill_step',
+    'make_sharded_distill_step',
     'create_lora_classifier_train_state', 'create_lora_train_state',
     'export_lora_classifier', 'init_lora', 'lora_num_params',
     'make_lora_classifier_train_step', 'make_lora_train_step', 'merge_lora',

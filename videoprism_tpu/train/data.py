@@ -455,6 +455,39 @@ def batched_loader(
       skip_batches=skip_batches)
 
 
+def unlabeled_loader(
+    source,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_epochs: int | None = None,
+    num_workers: int = 4,
+    prefetch_depth: int = 2,
+    sharding=None,
+    drop_remainder: bool = True,
+    accum_steps: int = 1,
+    process_index: int | None = None,
+    process_count: int | None = None,
+    skip_batches: int = 0,
+) -> Iterator[dict[str, Any]]:
+  """Yields ``{'video'}`` batches from any ``(clip, *)`` source — the
+  caption/label element is ignored.  The distillation input pipeline
+  (feature matching needs only video); same engine and multi-host/
+  accumulation semantics as :func:`batched_loader`."""
+
+  def assemble(examples):
+    return {'video': np.stack([ex[0] for ex in examples], axis=0)}
+
+  return _loader_engine(
+      source, batch_size, assemble, shuffle=shuffle, seed=seed,
+      num_epochs=num_epochs, num_workers=num_workers,
+      prefetch_depth=prefetch_depth, sharding=sharding,
+      drop_remainder=drop_remainder, accum_steps=accum_steps,
+      process_index=process_index, process_count=process_count,
+      skip_batches=skip_batches)
+
+
 def labeled_loader(
     source,
     batch_size: int,
