@@ -212,3 +212,24 @@ class TestBatchedLoader:
       assert pa == pb
       np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                     err_msg=jax.tree_util.keystr(pa))
+
+
+class TestUnlabeledLoader:
+
+  def test_video_only_batches(self):
+    source = data_lib.SyntheticSource(num_examples=10)
+    batches = list(data_lib.unlabeled_loader(
+        source, batch_size=4, num_epochs=1, num_workers=2))
+    assert len(batches) == 2  # drop remainder
+    b = batches[0]
+    assert set(b.keys()) == {'video'}
+    assert b['video'].shape == (4, 4, 36, 36, 3)
+
+  def test_accum_layout_and_labeled_source_compat(self):
+    # Any (clip, *) source works — labels are ignored.
+    source = data_lib.SyntheticLabeledSource(num_examples=8, num_classes=3)
+    batches = list(data_lib.unlabeled_loader(
+        source, batch_size=2, accum_steps=2, num_epochs=1, shuffle=False,
+        num_workers=1))
+    assert len(batches) == 2
+    assert batches[0]['video'].shape == (2, 2, 4, 36, 36, 3)
