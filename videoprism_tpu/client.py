@@ -103,7 +103,12 @@ class VideoPrismClient:
           raise RequestError(detail, status=e.code) from None
         retry_after = e.headers.get('Retry-After')
         last_error = Overloaded(detail, status=503)
-        delay = float(retry_after) if retry_after else 0.0
+        try:
+          # Retry-After may also be an HTTP-date (RFC 9110); only the
+          # delta-seconds form is honored, a date falls back to backoff.
+          delay = float(retry_after) if retry_after else 0.0
+        except ValueError:
+          delay = 0.0
       except (urllib.error.URLError, ConnectionError, TimeoutError) as e:
         # Includes refused connections during hot reload / elastic
         # restart; bounded by the same retry budget.
