@@ -462,3 +462,47 @@ def test_cli_serves_from_export_artifact(tmp_path):
       capture_output=True, text=True, env=env, timeout=300)
   assert r.returncode == 0, r.stdout + r.stderr
   assert 'AOT artifact' in r.stdout
+
+
+class TestDebugTrace:
+
+  def test_capture_returns_trace_dir(self, server, tmp_path):
+    import glob
+    import urllib.request
+
+    httpd, _, _ = server
+    req = urllib.request.Request(_url(httpd, '/debug/trace?ms=50'),
+                                 b'', method='POST')
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      out = json.loads(resp.read())
+    assert out['duration_ms'] == 50
+    assert os.path.isdir(out['trace_dir'])
+    # jax writes plugins/profile/<run>/*.xplane.pb under the trace dir.
+    assert glob.glob(os.path.join(out['trace_dir'], '**', '*.xplane.pb'),
+                     recursive=True)
+
+  def test_bad_ms_rejected(self, server):
+    import urllib.request
+
+    httpd, _, _ = server
+    req = urllib.request.Request(_url(httpd, '/debug/trace?ms=0'),
+                                 b'', method='POST')
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+  def test_concurrent_capture_conflicts(self, server):
+    import urllib.request
+
+    from videoprism_tpu.serving_http import _Handler
+
+    httpd, _, _ = server
+    assert _Handler._trace_lock.acquire(blocking=False)
+    try:
+      req = urllib.request.Request(_url(httpd, '/debug/trace?ms=50'),
+                                   b'', method='POST')
+      with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+      assert ei.value.code == 409
+    finally:
+      _Handler._trace_lock.release()

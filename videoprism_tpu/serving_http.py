@@ -29,6 +29,9 @@ Endpoints:
 * ``POST /v1/search_video[?k=N]`` — video-to-video similarity: the body
   is one clip (same wire formats as ``/v1/embed``); it embeds through
   the micro-batcher and queries the index.  Response as ``/v1/search``.
+* ``POST /debug/trace?ms=N`` — capture a jax.profiler trace of the live
+  process for N ms (default 500) and return the trace directory; the
+  production "why is latency up" tool.  Auth-gated like all POSTs.
 * ``GET /healthz`` — liveness.
 * ``GET /stats`` — the service's counters + latency percentiles (JSON).
 * ``GET /metrics`` — the same numbers in the Prometheus text exposition
@@ -127,6 +130,10 @@ class _Handler(BaseHTTPRequestHandler):
   index = None            # retrieval.VideoIndex
   auth_token: str | None = None   # Bearer token gating the POST API
   quiet: bool = True
+  trace_root: str = '/tmp/videoprism_tpu_trace'
+  # jax.profiler is process-global: one capture at a time, even with
+  # several servers in one process — hence a _Handler-level lock.
+  _trace_lock = threading.Lock()
 
   protocol_version = 'HTTP/1.1'
 
@@ -204,6 +211,9 @@ class _Handler(BaseHTTPRequestHandler):
   def do_POST(self):  # noqa: N802
     if not self._authorized():
       return
+    if self.path.startswith('/debug/trace'):
+      self._post_trace()
+      return
     if self.path in ('/v1/embed_text', '/v1/search'):
       self._post_text()
       return
@@ -252,6 +262,49 @@ class _Handler(BaseHTTPRequestHandler):
       return
     ctype, body = _encode_body(content_type, np.asarray(emb))
     self._reply(200, ctype, body)
+
+  def _post_trace(self) -> None:
+    """``POST /debug/trace?ms=N`` — capture a jax.profiler (xplane)
+    trace of the live serving process for N ms (default 500) while
+    traffic keeps flowing, and return the trace directory (open it in
+    TensorBoard/Perfetto).  The debugging move when production latency
+    regresses and you need to see what the chip is actually doing.
+    Gated by the bearer token like every POST endpoint."""
+    import os as os_mod
+    import time as time_mod
+    from urllib.parse import parse_qs, urlparse
+
+    try:
+      q = parse_qs(urlparse(self.path).query)
+      ms = float(q['ms'][0]) if 'ms' in q else 500.0
+      if not 0 < ms <= 30000:
+        raise ValueError(f'ms must be in (0, 30000], got {ms}')
+      length = int(self.headers.get('Content-Length', 0) or 0)
+      if length:  # body unused; drain it to keep keep-alive in sync
+        self.rfile.read(length)
+    except Exception as e:
+      self._reject_json(400, {'error': str(e)})
+      return
+    if not _Handler._trace_lock.acquire(blocking=False):
+      self._reply_json(409, {'error': 'a trace capture is already running '
+                                      '(jax.profiler is process-global)'})
+      return
+    try:
+      import jax
+
+      trace_dir = os_mod.path.join(
+          self.trace_root, time_mod.strftime('%Y%m%d-%H%M%S'))
+      jax.profiler.start_trace(trace_dir)
+      try:
+        time_mod.sleep(ms / 1000.0)
+      finally:
+        jax.profiler.stop_trace()
+    except Exception as e:
+      self._reply_json(500, {'error': str(e)})
+      return
+    finally:
+      _Handler._trace_lock.release()
+    self._reply_json(200, {'trace_dir': trace_dir, 'duration_ms': ms})
 
   def _post_search_video(self) -> None:
     """/v1/search_video[?k=N]: video-to-video similarity — body is one
