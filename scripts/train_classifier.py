@@ -141,7 +141,8 @@ def main():
   parser.add_argument('--log-every', type=int, default=10)
   parser.add_argument('--cpu-devices', type=int, default=0)
   parser.add_argument('--seed', type=int, default=0)
-  args = parser.parse_args()
+  from videoprism_tpu.utils.cli import parse_with_config
+  args = parse_with_config(parser)
 
   if args.export_merged and not args.lora_rank:
     # Validate up front — discovering this only after a multi-hour run

@@ -167,7 +167,8 @@ def main():
                            'smoke without TPU hardware); must be the '
                            'first device-touching flag to take effect')
   parser.add_argument('--seed', type=int, default=0)
-  args = parser.parse_args()
+  from videoprism_tpu.utils.cli import parse_with_config
+  args = parse_with_config(parser)
 
   if args.cpu_devices:
     # Before any device query (the axon plugin ignores JAX_PLATFORMS env).
