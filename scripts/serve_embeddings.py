@@ -75,6 +75,15 @@ def main():
   parser.add_argument('--warmup-frames', type=int, default=0,
                       help='pre-compile every bucket at [N, 288, 288, 3] '
                            'uint8 before accepting traffic (0: skip)')
+  parser.add_argument('--num-classes', type=int, default=0,
+                      help='serve a TRAINED classifier: builds the '
+                           'classifier architecture over --model\'s '
+                           'encoder config; requires --checkpoint with '
+                           'the full classifier tree from '
+                           'train_classifier.py (0: embedding server)')
+  parser.add_argument('--labels', default=None, metavar='FILE',
+                      help='one class name per line; attaches names to '
+                           '/v1/classify predictions')
   parser.add_argument('--from-export', default=None, metavar='ARTIFACT',
                       help='AOT StableHLO artifact from '
                            'scripts/export_model.py (symbolic batch): the '
@@ -121,7 +130,28 @@ def main():
 
   from smoke_configs import TINY_CLIP, TINY_CLIP_SHAPE, TINY_ENC
 
-  if args.tiny_clip:
+  if args.num_classes:
+    from videoprism_tpu.models import classifier as vc
+    from videoprism_tpu.models import factorized_encoder as fe
+    from videoprism_tpu.models import init as init_lib
+
+    enc_cfg = (fe.FactorizedEncoderConfig(**TINY_ENC) if args.tiny
+               else vp.get_model(args.model).config)
+    cfg = vc.VideoClassifierConfig(encoder=enc_cfg,
+                                   num_classes=args.num_classes)
+    model = vp.Model(cfg, vc.apply, init_lib.init_video_classifier)
+    if args.tiny:
+      state = model.init(jax.random.PRNGKey(0))
+      clip_shape = TINY_CLIP_SHAPE
+    elif args.checkpoint:
+      state = vp.load_pretrained_weights(None,
+                                         checkpoint_path=args.checkpoint)
+      clip_shape = (args.warmup_frames or 16, 288, 288, 3)
+    else:
+      raise SystemExit('--num-classes serving needs --checkpoint (a '
+                       'trained classifier tree from train_classifier.py '
+                       '-- the registry ships only untrained heads)')
+  elif args.tiny_clip:
     from videoprism_tpu.models import clip as vclip
     from videoprism_tpu.models import init as init_lib
 
@@ -193,12 +223,16 @@ def main():
   elif args.from_export_text:
     raise SystemExit('--from-export-text needs an lvt (CLIP) model')
 
+  labels = None
+  if args.labels:
+    labels = [ln.strip() for ln in open(args.labels)
+              if ln.strip()]
   auth_token = args.auth_token or os.environ.get('VIDEOPRISM_AUTH_TOKEN')
   server = EmbeddingHTTPServer(service, args.host, args.port,
                                quiet=args.smoke,
                                text_encode_fn=text_encode_fn, index=index,
                                auth_token=auth_token,
-                               text_service=text_service)
+                               text_service=text_service, labels=labels)
   if auth_token:
     print('auth: bearer token required on POST endpoints')
   endpoints = 'POST /v1/embed, GET /healthz, GET /stats'
@@ -206,6 +240,8 @@ def main():
     endpoints += ', POST /v1/embed_text'
   if index is not None:
     endpoints += ', POST /v1/search, POST /v1/search_video'
+  if args.num_classes:
+    endpoints += ', POST /v1/classify'
   print(f'serving on http://{args.host}:{server.port} ({endpoints})')
   if args.smoke:
     import io

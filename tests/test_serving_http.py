@@ -506,3 +506,81 @@ class TestDebugTrace:
       assert ei.value.code == 409
     finally:
       _Handler._trace_lock.release()
+
+
+class TestClassifyEndpoint:
+
+  @pytest.fixture(scope='class')
+  def clf_server(self):
+    from videoprism_tpu.models import classifier as vc
+
+    enc = fe.FactorizedEncoderConfig(**TINY)
+    cfg = vc.VideoClassifierConfig(encoder=enc, num_classes=4)
+    model = vp.Model(cfg, vc.apply, init_lib.init_video_classifier)
+    state = model.init(jax.random.PRNGKey(0))
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(
+        service, host='127.0.0.1', port=0,
+        labels=['cat', 'dog', 'drum', 'sea'])
+    httpd.start()
+    yield httpd, model, state
+    httpd.stop()
+    service.stop()
+
+  def test_topk_matches_direct_softmax(self, clf_server):
+    from videoprism_tpu.client import VideoPrismClient
+
+    httpd, model, state = clf_server
+    clip = np.random.RandomState(0).rand(*CLIP_SHAPE).astype(np.float32)
+    preds = VideoPrismClient(
+        f'http://127.0.0.1:{httpd.port}').classify(clip, k=3)
+    assert len(preds) == 3
+    probs = [p['prob'] for p in preds]
+    assert probs == sorted(probs, reverse=True)
+    logits, _ = model.apply(state, clip[None], train=False)
+    want = int(np.argmax(np.asarray(logits)[0]))
+    assert preds[0]['class'] == want
+    assert preds[0]['label'] == ['cat', 'dog', 'drum', 'sea'][want]
+    assert abs(sum(p['prob'] for p in preds)) <= 1.0 + 1e-6
+
+  def test_k_clamped_and_bad_k_rejected(self, clf_server):
+    httpd, _, _ = clf_server
+    buf = io.BytesIO()
+    np.save(buf, np.zeros(CLIP_SHAPE, np.float32))
+    req = urllib.request.Request(
+        _url(httpd, '/v1/classify?k=99'), buf.getvalue(),
+        {'Content-Type': 'application/x-npy'})
+    out = json.loads(urllib.request.urlopen(req, timeout=60).read())
+    assert len(out['predictions']) == 4  # clamped to num_classes
+    req = urllib.request.Request(
+        _url(httpd, '/v1/classify?k=0'), buf.getvalue(),
+        {'Content-Type': 'application/x-npy'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+  def test_embedding_server_404s(self, server):
+    httpd, _, _ = server
+    buf = io.BytesIO()
+    np.save(buf, np.zeros(CLIP_SHAPE, np.float32))
+    req = urllib.request.Request(
+        _url(httpd, '/v1/classify'), buf.getvalue(),
+        {'Content-Type': 'application/x-npy'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 404
+
+  def test_label_count_mismatch_rejected(self):
+    from videoprism_tpu.models import classifier as vc
+
+    enc = fe.FactorizedEncoderConfig(**TINY)
+    cfg = vc.VideoClassifierConfig(encoder=enc, num_classes=4)
+    model = vp.Model(cfg, vc.apply, init_lib.init_video_classifier)
+    state = model.init(jax.random.PRNGKey(0))
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    try:
+      with pytest.raises(ValueError, match='labels'):
+        serving_http.EmbeddingHTTPServer(service, port=0, labels=['a'])
+    finally:
+      service.stop()

@@ -175,6 +175,17 @@ class VideoPrismClient:
     return [[(hit['id'], hit['score']) for hit in row]
             for row in out['results']]
 
+  def classify(self, clip: np.ndarray,
+               k: int = 5) -> list[dict[str, Any]]:
+    """Classifier servers: one clip → softmax top-k predictions
+    (``{'class', 'prob'[, 'label']}``, best first)."""
+    clip = np.asarray(clip)
+    if clip.ndim != 4:
+      raise ValueError(f'classify expects [T, H, W, 3], got {clip.shape}')
+    out = self._request('POST', f'/v1/classify?k={k}', _npy_bytes(clip),
+                        {'Content-Type': 'application/x-npy'})
+    return json.loads(out.decode('utf-8'))['predictions']
+
   def search_video(self, clip: np.ndarray,
                    k: int = 5) -> list[tuple[str, float]]:
     """Video-to-video similarity: one clip in, top-k neighbors out."""

@@ -29,6 +29,8 @@ Endpoints:
 * ``POST /v1/search_video[?k=N]`` — video-to-video similarity: the body
   is one clip (same wire formats as ``/v1/embed``); it embeds through
   the micro-batcher and queries the index.  Response as ``/v1/search``.
+* ``POST /v1/classify[?k=N]`` — classifier servers: one clip in, softmax
+  top-k ``{"class", "prob"[, "label"]}`` out (label map optional).
 * ``POST /debug/trace?ms=N`` — capture a jax.profiler trace of the live
   process for N ms (default 500) and return the trace directory; the
   production "why is latency up" tool.  Auth-gated like all POSTs.
@@ -130,6 +132,8 @@ class _Handler(BaseHTTPRequestHandler):
   index = None            # retrieval.VideoIndex
   auth_token: str | None = None   # Bearer token gating the POST API
   quiet: bool = True
+  classify_enabled: bool = False  # service wraps a classifier model
+  labels: list | None = None      # class-index -> name (optional)
   trace_root: str = '/tmp/videoprism_tpu_trace'
   # jax.profiler is process-global: one capture at a time, even with
   # several servers in one process — hence a _Handler-level lock.
@@ -220,6 +224,9 @@ class _Handler(BaseHTTPRequestHandler):
     if self.path.startswith('/v1/search_video'):
       self._post_search_video()
       return
+    if self.path.startswith('/v1/classify'):
+      self._post_classify()
+      return
     if self.path != '/v1/embed':
       self._reject_json(404, {'error': f'unknown path {self.path}'})
       return
@@ -262,6 +269,50 @@ class _Handler(BaseHTTPRequestHandler):
       return
     ctype, body = _encode_body(content_type, np.asarray(emb))
     self._reply(200, ctype, body)
+
+  def _post_classify(self) -> None:
+    """``POST /v1/classify[?k=N]`` — one clip through the classifier
+    service: softmax top-k ``{"class", "prob"}`` (+ ``"label"`` when the
+    server carries a label map).  404 on non-classifier servers."""
+    if not self.classify_enabled:
+      self._reject_json(404, {'error': '/v1/classify needs a classifier '
+                                       'model (this server embeds)'})
+      return
+    try:
+      from urllib.parse import parse_qs, urlparse
+
+      q = parse_qs(urlparse(self.path).query)
+      k = int(q['k'][0]) if 'k' in q else 5
+      if k <= 0:
+        raise ValueError(f'"k" must be positive, got {k}')
+      length = int(self.headers.get('Content-Length', 0))
+      if not 0 < length <= _MAX_BODY_BYTES:
+        raise ValueError(f'bad Content-Length {length}')
+      content_type = self.headers.get('Content-Type', 'application/x-npy')
+      video = _decode_body(content_type, self.rfile.read(length))
+      if video.ndim != 4:
+        raise ValueError(
+            f'expected one clip [T,H,W,3], got shape {video.shape}')
+    except Exception as e:  # malformed request — client's fault
+      self._reject_json(400, {'error': str(e)})
+      return
+    try:
+      logits = np.asarray(self.service.embed(video), np.float64)
+      probs = np.exp(logits - logits.max())
+      probs /= probs.sum()
+      k = min(k, len(probs))
+      top = np.argsort(-probs)[:k]
+      preds = []
+      for i in top:
+        entry = {'class': int(i), 'prob': round(float(probs[i]), 6)}
+        if self.labels is not None:
+          entry['label'] = self.labels[int(i)]
+        preds.append(entry)
+      self._reply_json(200, {'predictions': preds})
+    except ServiceOverloaded as e:
+      self._reply_overloaded(e)
+    except Exception as e:  # service-side failure
+      self._reply_json(500, {'error': str(e)})
 
   def _post_trace(self) -> None:
     """``POST /debug/trace?ms=N`` — capture a jax.profiler (xplane)
@@ -391,11 +442,28 @@ class EmbeddingHTTPServer:
   def __init__(self, service: EmbeddingService, host: str = '0.0.0.0',
                port: int = 8000, quiet: bool = True,
                text_encode_fn=None, index=None,
-               auth_token: str | None = None, text_service=None):
+               auth_token: str | None = None, text_service=None,
+               labels=None):
     """``text_encode_fn`` (see ``retrieval.make_text_query_encoder``)
     enables ``/v1/embed_text``; adding ``index`` (a
     ``retrieval.VideoIndex``) enables ``/v1/search``; ``auth_token``
-    requires ``Authorization: Bearer <token>`` on the POST endpoints."""
+    requires ``Authorization: Bearer <token>`` on the POST endpoints.
+
+    When ``service`` wraps a classifier model, ``/v1/classify`` is
+    enabled automatically; ``labels`` (class-index → name) attaches
+    human-readable names to its predictions and must match the model's
+    class count."""
+    from videoprism_tpu.models.classifier import VideoClassifierConfig
+
+    cfg = getattr(getattr(service, '_model', None), 'config', None)
+    classify_enabled = isinstance(cfg, VideoClassifierConfig)
+    if labels is not None:
+      if not classify_enabled:
+        raise ValueError('labels= needs a classifier-model service')
+      labels = list(labels)
+      if len(labels) != cfg.num_classes:
+        raise ValueError(f'{len(labels)} labels for a '
+                         f'{cfg.num_classes}-class model')
     # staticmethod: a bare function stored on the class would otherwise
     # bind as a method and receive the handler as its first argument.
     handler = type('BoundHandler', (_Handler,),
@@ -403,7 +471,9 @@ class EmbeddingHTTPServer:
                     'text_encode_fn': (None if text_encode_fn is None
                                        else staticmethod(text_encode_fn)),
                     'index': index, 'auth_token': auth_token,
-                    'text_service': text_service})
+                    'text_service': text_service,
+                    'classify_enabled': classify_enabled,
+                    'labels': labels})
     self._httpd = ThreadingHTTPServer((host, port), handler)
     self._httpd.daemon_threads = True
     self.host = host
