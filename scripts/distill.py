@@ -104,6 +104,15 @@ def main():
                       help='after training: write the bare student params '
                            'as a servable checkpoint npz (projection head '
                            'dropped)')
+  parser.add_argument('--eval-every', type=int, default=0,
+                      help='every N steps: held-out distillation quality '
+                           '(mean cosine to the teacher; classifier mode: '
+                           'top-1 agreement + KL), student in eval mode')
+  parser.add_argument('--eval-manifest', default=None,
+                      help='held-out manifest (default: a disjoint '
+                           'synthetic split for --synthetic/--tiny)')
+  parser.add_argument('--eval-batches', type=int, default=8,
+                      help='eval sweep length in batches')
   parser.add_argument('--log-every', type=int, default=10)
   parser.add_argument('--cpu-devices', type=int, default=0)
   parser.add_argument('--seed', type=int, default=0)
@@ -204,6 +213,28 @@ def main():
         source, args.batch_size, seed=args.seed, sharding=shard,
         accum_steps=args.accum_steps)
 
+  # ----- held-out eval -----
+  kind = {'encoder': 'encoder', 'clip': 'clip_vision',
+          'classifier': 'classifier'}[args.mode]
+  eval_step = eval_source = None
+  if args.eval_every:
+    eval_step = distill.make_distill_eval_step(t_cfg, s_cfg, kind=kind)
+    if args.eval_manifest:
+      if args.mode == 'classifier':
+        eval_source = data_lib.VideoLabelSource.from_manifest(
+            args.eval_manifest, num_frames=num_frames, target_size=size)
+      else:
+        eval_source = data_lib.VideoTextSource.from_manifest(
+            args.eval_manifest, allow_missing_captions=True,
+            num_frames=num_frames, target_size=size)
+    elif args.mode == 'classifier':
+      eval_source = data_lib.SyntheticLabeledSource(
+          num_examples=32, num_frames=num_frames, size=size,
+          num_classes=args.num_classes, seed=1)  # disjoint from training
+    else:
+      eval_source = data_lib.SyntheticSource(
+          num_examples=32, num_frames=num_frames, size=size, seed=1)
+
   # ----- sharded step + train loop -----
   jitted, state, teacher = distill.make_sharded_distill_step(
       step, mesh, state, teacher, accum_steps=args.accum_steps,
@@ -222,6 +253,13 @@ def main():
                       for k, v in sorted(metrics.items()))
       print(f'step {i + 1}/{args.steps} {line} ({dt * 1e3:.1f} ms/step)',
             flush=True)
+    if eval_step is not None and (i + 1) % args.eval_every == 0:
+      em = distill.evaluate_distill(
+          eval_step, state.trainable, teacher, eval_source,
+          batch_size=args.batch_size, max_batches=args.eval_batches)
+      line = ' '.join(f'{k}={v:.4f}' for k, v in sorted(em.items()))
+      print(f'eval @ step {i + 1}: {line}', flush=True)
+      t0 = time.perf_counter()  # eval time must not pollute ms/step
     if ckpt is not None:
       ckpt.maybe_save(i + 1, state, every=args.checkpoint_every)
   if ckpt is not None:

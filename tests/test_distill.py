@@ -217,3 +217,46 @@ class TestShardedDistill:
     for a, b in zip(jax.tree.leaves(ref_state.trainable),
                     jax.tree.leaves(got_state.trainable)):
       np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestDistillEval:
+
+  def test_identical_models_score_perfectly(self):
+    """Same cfg + same params as teacher and student: cosine == 1,
+    agreement == 1, KL == 0 — the eval metrics' fixed point."""
+    s_cfg = fe.FactorizedEncoderConfig(**STUDENT_ENC)
+    params = init_lib.init_factorized_encoder(jax.random.PRNGKey(0), s_cfg)
+    eval_step = distill.make_distill_eval_step(s_cfg, s_cfg)
+    metrics = eval_step({'student': params}, params,
+                        np.asarray(_video(b=2)))
+    assert float(metrics['eval_cosine']) > 1 - 1e-5
+
+    enc_t = fe.FactorizedEncoderConfig(**STUDENT_ENC)
+    c_cfg = vc.VideoClassifierConfig(encoder=enc_t, num_classes=4)
+    c_params = init_lib.init_video_classifier(jax.random.PRNGKey(1), c_cfg)
+    c_eval = distill.make_distill_eval_step(c_cfg, c_cfg,
+                                            kind='classifier')
+    m = c_eval({'student': c_params}, c_params, np.asarray(_video(b=2)))
+    assert float(m['eval_agreement']) == 1.0
+    assert float(m['eval_kl']) < 1e-5
+
+  def test_evaluate_distill_sweeps_source(self):
+    from videoprism_tpu.train import data as data_lib
+
+    t_cfg = fe.FactorizedEncoderConfig(**TEACHER_ENC)
+    s_cfg = fe.FactorizedEncoderConfig(**STUDENT_ENC)
+    teacher = init_lib.init_factorized_encoder(jax.random.PRNGKey(0), t_cfg)
+    opt = make_optimizer(1e-3, total_steps=10, warmup_steps=0)
+    state = distill.create_distill_train_state(
+        jax.random.PRNGKey(1), s_cfg, opt, teacher_dim=t_cfg.model_dim)
+    eval_step = distill.make_distill_eval_step(t_cfg, s_cfg)
+    source = data_lib.SyntheticSource(num_examples=6, num_frames=2, size=12)
+    out = distill.evaluate_distill(eval_step, state.trainable, teacher,
+                                   source, batch_size=2, max_batches=2)
+    assert set(out) == {'eval_cosine'}
+    assert -1.0 <= out['eval_cosine'] <= 1.0
+    with pytest.raises(ValueError, match='no full batch'):
+      distill.evaluate_distill(eval_step, state.trainable, teacher,
+                               data_lib.SyntheticSource(
+                                   num_examples=1, num_frames=2, size=12),
+                               batch_size=2)

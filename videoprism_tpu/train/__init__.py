@@ -36,9 +36,11 @@ from videoprism_tpu.train.distill import (
     DistillTrainState,
     cosine_distill_loss,
     create_distill_train_state,
+    evaluate_distill,
     kd_kl_loss,
     make_classifier_distill_step,
     make_clip_vision_distill_step,
+    make_distill_eval_step,
     make_encoder_distill_step,
     make_sharded_distill_step,
 )
@@ -64,9 +66,9 @@ __all__ = [
     'TrainState',
     'accumulate_gradients', 'cosine_distill_loss',
     'create_classifier_train_state', 'create_distill_train_state',
-    'kd_kl_loss', 'make_classifier_distill_step',
-    'make_clip_vision_distill_step', 'make_encoder_distill_step',
-    'make_sharded_distill_step',
+    'evaluate_distill', 'kd_kl_loss', 'make_classifier_distill_step',
+    'make_clip_vision_distill_step', 'make_distill_eval_step',
+    'make_encoder_distill_step', 'make_sharded_distill_step',
     'create_lora_classifier_train_state', 'create_lora_train_state',
     'export_lora_classifier', 'init_lora', 'lora_num_params',
     'make_lora_classifier_train_step', 'make_lora_train_step', 'merge_lora',

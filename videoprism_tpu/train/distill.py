@@ -296,6 +296,84 @@ def _make_step(loss_fn, optimizer, *, accum_steps: int,
   return step
 
 
+def make_distill_eval_step(
+    teacher_cfg,
+    student_cfg,
+    kind: str = 'encoder',
+):
+  """Held-out distillation quality: jitted ``(trainable, teacher_params,
+  video) -> metrics`` with the student in EVAL mode (no dropout) — the
+  metric the training loop's in-batch ``cosine`` only approximates.
+
+  Metrics: ``eval_cosine`` (encoder / clip_vision: mean cosine to the
+  teacher, the quantity distillation maximizes) or ``eval_agreement`` +
+  ``eval_kl`` (classifier: teacher-student top-1 agreement and KL).
+  """
+  if kind == 'encoder':
+    _check_token_alignment(teacher_cfg, student_cfg)
+
+    def eval_step(trainable, teacher_params, video):
+      t, _ = fe.apply(teacher_params, video, teacher_cfg, train=False)
+      s, _ = fe.apply(trainable['student'], video, student_cfg,
+                      train=False)
+      _, metrics = cosine_distill_loss(_apply_proj(trainable, s), t)
+      return {'eval_cosine': metrics['cosine']}
+  elif kind == 'clip_vision':
+    def eval_step(trainable, teacher_params, video):
+      t, _ = vclip.encode_vision(teacher_params, video, teacher_cfg,
+                                 train=False)
+      s, _ = vclip.encode_vision(trainable['student'], video, student_cfg,
+                                 train=False)
+      _, metrics = cosine_distill_loss(s, t)
+      return {'eval_cosine': metrics['cosine']}
+  elif kind == 'classifier':
+    def eval_step(trainable, teacher_params, video):
+      t, _ = vc.apply(teacher_params, video, teacher_cfg, train=False)
+      s, _ = vc.apply(trainable['student'], video, student_cfg,
+                      train=False)
+      agree = jnp.mean(
+          (jnp.argmax(t, axis=-1) == jnp.argmax(s, axis=-1)).astype(
+              jnp.float32))
+      return {'eval_agreement': agree, 'eval_kl': kd_kl_loss(s, t, 1.0)}
+  else:
+    raise ValueError(f'unknown kind {kind!r}')
+
+  return jax.jit(eval_step)
+
+
+def evaluate_distill(
+    eval_step,
+    trainable: Params,
+    teacher_params: Params,
+    source,
+    *,
+    batch_size: int = 8,
+    max_batches: int | None = None,
+) -> dict[str, float]:
+  """Sweeps a ``(clip, *)`` source through ``eval_step`` at one fixed
+  geometry (pad rows dropped by weighting) and returns mean metrics."""
+  import numpy as np
+
+  totals: dict[str, float] = {}
+  weight = 0
+  n = len(source)
+  batches = range(0, n - batch_size + 1, batch_size)
+  if max_batches is not None:
+    batches = list(batches)[:max_batches]
+  for start in batches:
+    video = np.stack(
+        [source.get(i)[0] for i in range(start, start + batch_size)])
+    metrics = eval_step(trainable, teacher_params, video)
+    for key, value in metrics.items():
+      totals[key] = totals.get(key, 0.0) + float(value) * batch_size
+    weight += batch_size
+  if not weight:
+    raise ValueError(
+        f'evaluate_distill: source of {n} examples yields no full '
+        f'batch of {batch_size}')
+  return {k: v / weight for k, v in totals.items()}
+
+
 def make_sharded_distill_step(
     step,
     mesh,
