@@ -262,10 +262,7 @@ def make_classifier_distill_step(
     metrics['loss'] = loss
     return loss, metrics
 
-  def batch_loss(trainable, teacher_params, batch, rng):
-    return loss_fn(trainable, teacher_params, batch, rng)
-
-  return _make_step(batch_loss, optimizer, accum_steps=accum_steps,
+  return _make_step(loss_fn, optimizer, accum_steps=accum_steps,
                     batch_is_dict=True)
 
 
