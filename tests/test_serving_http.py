@@ -584,3 +584,53 @@ class TestClassifyEndpoint:
         serving_http.EmbeddingHTTPServer(service, port=0, labels=['a'])
     finally:
       service.stop()
+
+
+class TestMalformedRequests:
+  """Fuzz-ish robustness: arbitrary garbage on every endpoint must come
+  back as a clean JSON 4xx and never wedge the server."""
+
+  CASES = [
+      ('/v1/embed', b'', 'application/x-npy'),                # empty body
+      ('/v1/embed', b'not-an-npy-blob', 'application/x-npy'),
+      ('/v1/embed', b'\x93NUMPY\x01\x00garbage', 'application/x-npy'),
+      ('/v1/embed', b'{"shape": "nope"}', 'application/json'),
+      ('/v1/embed', b'\xff\xfe\x00', 'application/json'),     # not utf-8
+      ('/v1/embed_text', b'{"texts": []}', 'application/json'),
+      ('/v1/embed_text', b'{"texts": [1, 2]}', 'application/json'),
+      ('/v1/embed_text', b'{', 'application/json'),
+      ('/v1/search', b'{"k": -3, "texts": ["x"]}', 'application/json'),
+      ('/v1/search_video', b'junk', 'application/x-npy'),
+      ('/v1/classify', b'junk', 'application/x-npy'),
+      ('/debug/trace?ms=banana', b'', 'application/x-npy'),
+  ]
+
+  def test_garbage_yields_json_4xx_and_server_survives(self, server):
+    httpd, _, _ = server
+    for path, body, ctype in self.CASES:
+      req = urllib.request.Request(
+          _url(httpd, path), body, {'Content-Type': ctype},
+          method='POST')
+      with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+      assert 400 <= ei.value.code < 500, (path, ei.value.code)
+      payload = json.loads(ei.value.read())
+      assert 'error' in payload, path
+    # The server is still alive and serving after the barrage.
+    with urllib.request.urlopen(_url(httpd, '/healthz'),
+                                timeout=30) as resp:
+      assert resp.status == 200
+
+  def test_oversized_content_length_rejected(self, server):
+    import http.client
+
+    httpd, _, _ = server
+    conn = http.client.HTTPConnection('127.0.0.1', httpd.port, timeout=30)
+    # Claim 2 GB without sending it: must be rejected on the header.
+    conn.putrequest('POST', '/v1/embed')
+    conn.putheader('Content-Type', 'application/x-npy')
+    conn.putheader('Content-Length', str(2 << 30))
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
