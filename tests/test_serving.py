@@ -773,3 +773,12 @@ class TestExportedServing:
                                  atol=1e-6)
     finally:
       svc.stop()
+
+  def test_mismatched_artifact_fails_loudly(self, model_and_state, artifact):
+    """An int8-quantized state with an artifact exported from the float
+    model must fail at construction with a actionable message, not at
+    call time inside jax.export."""
+    model, state = model_and_state
+    with pytest.raises(ValueError, match='param leaves'):
+      serving.EmbeddingService(model, state, batch_buckets=(1,),
+                               exported=artifact, quantize='int8')

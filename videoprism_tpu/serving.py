@@ -400,6 +400,16 @@ class EmbeddingService:
         exported = export_lib.ExportedForward.load(os.fspath(exported))
       # Flat in_avals are (param leaves..., video): the last aval is the
       # video spec the artifact was exported with.
+      n_leaves = len(jax.tree_util.tree_leaves(
+          self._model._unwrap(self._state)))
+      n_artifact = len(exported.in_avals) - 1
+      if n_leaves != n_artifact:
+        raise ValueError(
+            f'exported artifact takes {n_artifact} param leaves but the '
+            f'served state has {n_leaves} — export from the same '
+            f'checkpoint and the same quantize= setting you serve '
+            f"(int8 states need an artifact exported from a "
+            f"quantize='int8' model)")
       in_dtype = exported.in_avals[-1].dtype
       prep = jax.jit(lambda v: v.astype(in_dtype) / 255.0)
 
