@@ -23,6 +23,9 @@ runs, in order, and writes ``validate_release_report.json``:
      MSRVTT-1K R@1 to compare vs the published 50.1).
   5. int8_delta — quantize, re-embed, report embedding cosine and the
      retrieval-delta vs the bf16 path.
+  6. export     — AOT StableHLO artifacts for both lvt towers:
+     serialize → deserialize → match against the direct apply (the
+     serving fleet ships these artifacts).
 
 Offline (this build environment has no egress), the SAME stages run on
 their strongest local proxies — ``--offline`` forces it, and stages also
@@ -435,7 +438,44 @@ def stage_int8_delta(offline: bool, shared: dict) -> dict:
   }
 
 
-STAGES = ('checkpoints', 'parity', 'tokenizer', 'retrieval', 'int8_delta')
+def stage_export(offline: bool, shared: dict) -> dict:
+  """AOT artifacts for the serving fleet: export both lvt towers, round-
+  trip serialize→deserialize, and match against the direct apply — the
+  release check that the shipped StableHLO computes the shipped model."""
+  from videoprism_tpu import export as export_lib
+
+  if 'model' not in shared:
+    return {'status': 'skip', 'detail': 'retrieval stage did not run'}
+  model, params = shared['model'], shared['params']
+  videos, ids, pads = shared['videos'], shared['ids'], shared['pads']
+  is_real = shared['is_real']
+
+  worst = 0.0
+  sizes = {}
+  for tower in ('video', 'text'):
+    art = export_lib.export_forward(model, params, tower=tower,
+                                    text_len=ids.shape[1])
+    blob = art.serialize()
+    sizes[tower] = len(blob)
+    back = export_lib.ExportedForward.deserialize(blob)
+    if tower == 'video':
+      got = np.asarray(back(params, videos[:2]))
+      want, _, _ = model.apply(params, videos[:2], None, None, train=False)
+    else:
+      got = np.asarray(back(params, ids[:2], pads[:2]))
+      _, want, _ = model.apply(params, None, ids[:2], pads[:2],
+                               train=False)
+    worst = max(worst, float(np.max(np.abs(got - np.asarray(want)))))
+  ok = worst <= 1e-5
+  return {
+      'status': ('pass' if is_real else 'proxy-pass') if ok else 'fail',
+      'max_abs_diff_vs_direct': worst,
+      'artifact_bytes': sizes,
+  }
+
+
+STAGES = ('checkpoints', 'parity', 'tokenizer', 'retrieval', 'int8_delta',
+          'export')
 
 
 def main() -> int:
@@ -472,8 +512,10 @@ def main() -> int:
         result = stage_tokenizer(args.offline)
       elif stage == 'retrieval':
         result = stage_retrieval(args.offline, args.msrvtt_dir, shared)
-      else:
+      elif stage == 'int8_delta':
         result = stage_int8_delta(args.offline, shared)
+      else:
+        result = stage_export(args.offline, shared)
     except Exception as e:
       import traceback
 
