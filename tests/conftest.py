@@ -25,6 +25,12 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
+# Persistent compilation cache: this host is single-core, so XLA compiles
+# dominate suite wall time — warm re-runs skip them.  (CLI subprocess
+# tests inherit their scripts' own cache-dir setup.)
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.expanduser('~/.cache/jax_comp_cache_tests'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 _REFERENCE_PATH = '/root/reference'
 # VIDEOPRISM_TPU_NO_REFERENCE=1 simulates an absent reference checkout:
