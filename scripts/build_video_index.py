@@ -26,6 +26,8 @@ import argparse
 import glob
 import json
 
+import numpy as np  # noqa: E402
+
 from evaluate_retrieval import add_clip_eval_args, resolve_clip  # noqa: E402
 from videoprism_tpu import retrieval  # noqa: E402
 from videoprism_tpu.train import data as data_lib  # noqa: E402
@@ -58,6 +60,10 @@ def main():
                       help='glob of uncompressed .tar shards '
                            '(<key>.mp4 + <key>.txt pairs; ids become '
                            '<shard>/<key>)')
+  parser.add_argument('--fp16', action='store_true',
+                      help='store embeddings as float16 (half the index '
+                           'size; scoring stays fp32, ranking unchanged; '
+                           'with --append the existing index dtype wins)')
   parser.add_argument('--output', required=True, help='index npz path')
   parser.add_argument('--checkpoint-every', type=int, default=0,
                       help='save partial embeddings every N batches to '
@@ -131,7 +137,8 @@ def main():
     index = retrieval.build_video_index(
         params, cfg, source, ids=ids, batch_size=args.batch_size,
         checkpoint_path=partial, checkpoint_every=args.checkpoint_every,
-        should_stop=(lambda: guard.triggered) if guard else None)
+        should_stop=(lambda: guard.triggered) if guard else None,
+        storage_dtype=np.float16 if args.fp16 else np.float32)
   except retrieval.IndexBuildInterrupted as e:
     print(f'preempted: {e}', flush=True)
     raise SystemExit(preemption.EXIT_PREEMPTED) from None

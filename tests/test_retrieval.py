@@ -397,3 +397,62 @@ class TestSearchVideoHTTP:
     with pytest.raises(urllib.error.HTTPError) as ei:
       urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400
+
+
+class TestFp16Storage:
+
+  def test_fp16_index_matches_fp32_ranking(self):
+    rng = np.random.RandomState(0)
+    emb = rng.randn(200, 32).astype(np.float32)
+    ids = [f'v{i}' for i in range(200)]
+    f32 = retrieval.VideoIndex(emb, ids)
+    f16 = retrieval.VideoIndex(emb, ids, storage_dtype=np.float16)
+    q = rng.randn(5, 32).astype(np.float32)
+    for row32, row16 in zip(f32.search(q, k=5), f16.search(q, k=5)):
+      assert [i for i, _ in row32] == [i for i, _ in row16]
+      for (_, s32), (_, s16) in zip(row32, row16):
+        assert abs(s32 - s16) < 2e-3
+    assert f16._emb.dtype == np.float16
+    assert f16._emb.nbytes == f32._emb.nbytes // 2
+
+  def test_save_load_preserves_dtype(self, tmp_path):
+    rng = np.random.RandomState(1)
+    idx = retrieval.VideoIndex(rng.randn(10, 8).astype(np.float32),
+                               [str(i) for i in range(10)],
+                               storage_dtype=np.float16)
+    idx.add(rng.randn(3, 8).astype(np.float32), ['a', 'b', 'c'])
+    path = str(tmp_path / 'idx.npz')
+    idx.save(path)
+    back = retrieval.VideoIndex.load(path)
+    assert back._emb.dtype == np.float16 and len(back) == 13
+
+  def test_bad_dtype_rejected(self):
+    with pytest.raises(ValueError, match='storage_dtype'):
+      retrieval.VideoIndex(storage_dtype=np.int8)
+
+
+def test_build_cli_fp16(tmp_path):
+  """--fp16 halves the stored index and preserves search."""
+  import os
+  import shutil
+  import subprocess
+  import sys
+
+  root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  corpus = tmp_path / 'corpus'
+  corpus.mkdir()
+  shutil.copy(assets.demo_video_path(), corpus / 'a.mp4')
+  out = str(tmp_path / 'idx16.npz')
+  env = dict(os.environ)
+  env['PYTHONPATH'] = root + os.pathsep + env.get('PYTHONPATH', '')
+  r = subprocess.run(
+      [sys.executable, os.path.join(root, 'scripts',
+                                    'build_video_index.py'),
+       '--tiny', '--videos-glob', str(corpus / '*.mp4'),
+       '--output', out, '--cpu-devices', '1', '--fp16'],
+      capture_output=True, text=True, timeout=300, env=env)
+  assert r.returncode == 0, r.stdout + r.stderr
+  idx = retrieval.VideoIndex.load(out)
+  assert idx._emb.dtype == np.float16
+  hits = idx.search(idx._emb[:1].astype(np.float32), k=1)
+  assert hits[0][0][1] > 0.999  # self-match survives fp16 storage

@@ -39,9 +39,18 @@ class VideoIndex:
   """
 
   def __init__(self, embeddings: np.ndarray | None = None,
-               ids: Sequence[str] | None = None):
-    self._emb = (np.zeros((0, 0), np.float32) if embeddings is None
-                 else self._normalize(embeddings))
+               ids: Sequence[str] | None = None, *,
+               storage_dtype=np.float32):
+    """``storage_dtype=np.float16`` halves corpus memory (a million
+    1024-d clips: 4 GB -> 2 GB); normalization and scoring stay fp32
+    (chunks upcast inside the sweep), so scores move by ~1e-3 —
+    irrelevant at retrieval's score gaps."""
+    self._dtype = np.dtype(storage_dtype)
+    if self._dtype not in (np.float32, np.float16):
+      raise ValueError(f'storage_dtype must be float32 or float16, '
+                       f'got {self._dtype}')
+    self._emb = (np.zeros((0, 0), self._dtype) if embeddings is None
+                 else self._normalize(embeddings).astype(self._dtype))
     self._ids = list(ids) if ids is not None else [
         str(i) for i in range(len(self._emb))]
     if len(self._ids) != len(self._emb):
@@ -68,7 +77,7 @@ class VideoIndex:
     return list(self._ids)
 
   def add(self, embeddings: np.ndarray, ids: Sequence[str]) -> None:
-    emb = self._normalize(embeddings)
+    emb = self._normalize(embeddings).astype(self._dtype)
     if len(ids) != len(emb):
       raise ValueError(f'{len(ids)} ids for {len(emb)} embeddings')
     if len(self._emb) and emb.shape[1] != self.dim:
@@ -93,7 +102,10 @@ class VideoIndex:
     best_scores = np.full((len(q), 0), -np.inf, np.float32)
     best_rows = np.zeros((len(q), 0), np.int64)
     for start in range(0, len(self._emb), chunk_size):
-      scores = q @ self._emb[start:start + chunk_size].T
+      # fp16 storage upcasts per chunk: fp32 scores, O(chunk) temp.
+      chunk = self._emb[start:start + chunk_size].astype(np.float32,
+                                                         copy=False)
+      scores = q @ chunk.T
       rows = np.arange(start, start + scores.shape[1])
       cand_s = np.concatenate([best_scores, scores], axis=1)
       cand_r = np.concatenate(
@@ -118,7 +130,8 @@ class VideoIndex:
   @classmethod
   def load(cls, path: str) -> 'VideoIndex':
     with np.load(path, allow_pickle=False) as data:
-      return cls(data['embeddings'], [str(i) for i in data['ids']])
+      return cls(data['embeddings'], [str(i) for i in data['ids']],
+                 storage_dtype=data['embeddings'].dtype)
 
 
 def build_video_index(
@@ -133,6 +146,7 @@ def build_video_index(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
     should_stop=None,
+    storage_dtype=np.float32,
 ) -> VideoIndex:
   """Embed every clip of a ``(clip, *)`` source (``VideoTextSource``,
   ``VideoLabelSource``, ...) through the lvt vision tower and index it.
@@ -207,7 +221,10 @@ def build_video_index(
       if checkpoint_path:
         save_partial(i)
       raise IndexBuildInterrupted(i, n)
-  return VideoIndex(np.concatenate(chunks, axis=0), ids)
+  # Partial checkpoints stay fp32 (resume-compatible); only the final
+  # index converts to the requested storage dtype.
+  return VideoIndex(np.concatenate(chunks, axis=0), ids,
+                    storage_dtype=storage_dtype)
 
 
 class IndexBuildInterrupted(RuntimeError):
