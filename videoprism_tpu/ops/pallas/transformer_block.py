@@ -181,9 +181,15 @@ def attention_block_supported(t: int, d: int, nh_total: int,
 
 
 # Route production dispatch through sequence-group coarsening
-# (ops/transformer._try_fused_layer).  Interpret-mode parity is tested on
-# CPU; keep False until scripts/smoke_vmem.py + the A/B microbench have
-# validated the Mosaic lowering and the win on real hardware.
+# (ops/transformer._try_fused_layer).  CLOSED session 7 — stays False:
+# the hardware A/B (scripts/probes/bench_seqgroup_ab.py, interleaved
+# paired timing to cancel the chip's ~10% run-to-run drift) measures
+# g=2/4 at +0.3%..+1.9% median across the b1/throughput spatial and
+# packed temporal grids — inside the paired spread.  The attention block
+# is VPU/core-bound (LN + [T,T] softmax), not projection-bound, so the
+# MXU M-coarsening the probe predicted never materializes e2e.  The
+# kernels keep the seq_group parameter (tested in interpret mode) for
+# future hardware where the balance differs.
 SEQ_GROUP_DISPATCH = False
 
 
