@@ -190,7 +190,7 @@ def main():
                            'chain more passes so the one-per-dispatch '
                            'tunnel RTT (~23 ms measured on this axon '
                            'link) is amortized equally per clip. '
-                           'Round-2 b1 numbers under-read by ~27% '
+                           'Round-2 b1 numbers under-read by ~27%% '
                            'because 8 iters left ~2.9 ms of RTT on '
                            'every 7 ms pass.')
   parser.add_argument('--claim-wait-s', type=float, default=1800,

@@ -15,10 +15,15 @@ import pytest
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
 _EXAMPLES = sorted((_ROOT / 'examples').glob('*.py'))
 _SCRIPTS = sorted((_ROOT / 'scripts').glob('*.py'))
+# Repo-root CLIs (the driver runs bench.py with real args; --help once
+# crashed on a bare '%' in a help string that only argparse's help
+# formatter expands — scripts/probes/ are deliberately excluded since
+# they have no argparse and would execute real hardware work).
+_ROOT_CLIS = [_ROOT / 'bench.py', _ROOT / 'verify_parity.py']
 
 
 @pytest.mark.parametrize(
-    'script', _EXAMPLES + _SCRIPTS,
+    'script', _EXAMPLES + _SCRIPTS + _ROOT_CLIS,
     ids=lambda p: f'{p.parent.name}/{p.name}')
 def test_script_help_runs(script):
   env = dict(os.environ)
