@@ -58,6 +58,19 @@ class TestRoundTrips:
                          train=False)
     np.testing.assert_allclose(emb, np.asarray(ref), atol=1e-4)
 
+  def test_compressed_client_matches_identity(self, server):
+    """compress=True gzips the clip payload; the server inflates it and
+    the embedding is identical to the uncompressed wire."""
+    httpd, model, state = server
+    c = client_lib.VideoPrismClient(f'http://127.0.0.1:{httpd.port}',
+                                    compress=True)
+    clip = (np.random.RandomState(3).rand(*CLIP_SHAPE)
+            * 255).astype(np.uint8)
+    emb = c.embed(clip)
+    ref, _ = model.apply(state, clip[None].astype(np.float32) / 255.0,
+                         train=False)
+    np.testing.assert_allclose(emb, np.asarray(ref)[0], atol=1e-4)
+
   def test_shape_validation_is_client_side(self, server):
     httpd, _, _ = server
     c = client_lib.VideoPrismClient(f'http://127.0.0.1:{httpd.port}')

@@ -144,6 +144,68 @@ class TestErrors:
     assert exc_info.value.code == status
     return json.loads(exc_info.value.read())
 
+  def test_gzip_body_matches_identity(self, server):
+    """Content-Encoding: gzip inflates transparently on every
+    body-reading endpoint (wire-bound network clients compress)."""
+    import gzip
+
+    httpd, model, state = server
+    clip = np.random.default_rng(7).random(CLIP_SHAPE, np.float32)
+    buf = io.BytesIO()
+    np.save(buf, clip)
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed'), gzip.compress(buf.getvalue()),
+        {'Content-Type': 'application/x-npy',
+         'Content-Encoding': 'gzip'})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      emb = np.load(io.BytesIO(resp.read()))
+    ref, _ = model.apply(state, clip[None], train=False)
+    np.testing.assert_allclose(emb, np.asarray(ref)[0], atol=1e-6)
+
+  @pytest.mark.parametrize('body,encoding', [
+      (b'\x1f\x8b\x08\x00not really gzip', 'gzip'),     # corrupt stream
+      (b'plain bytes', 'gzip'),                         # not gzip at all
+      (b'anything', 'zstd'),                            # unsupported coding
+  ])
+  def test_bad_encoding_is_400(self, server, body, encoding):
+    httpd, _, _ = server
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed'), body,
+        {'Content-Type': 'application/x-npy', 'Content-Encoding': encoding})
+    with pytest.raises(urllib.error.HTTPError) as e:
+      urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+  def test_truncated_gzip_is_400(self, server):
+    import gzip
+
+    httpd, _, _ = server
+    whole = gzip.compress(b'x' * 4096)
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed'), whole[:-8],  # drop the gzip trailer
+        {'Content-Type': 'application/x-npy', 'Content-Encoding': 'gzip'})
+    with pytest.raises(urllib.error.HTTPError) as e:
+      urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    assert 'truncated' in json.loads(e.value.read())['error']
+
+  def test_gzip_bomb_is_400(self, server, monkeypatch):
+    """A small gzip body inflating past the size cap must be rejected
+    without the server allocating the inflated size (cap monkeypatched
+    down so the test itself stays small)."""
+    import gzip
+
+    httpd, _, _ = server
+    monkeypatch.setattr(serving_http, '_MAX_BODY_BYTES', 1 << 20)
+    bomb = gzip.compress(b'\0' * (3 << 20))  # ~3 KB wire, 3 MB inflated
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed'), bomb,
+        {'Content-Type': 'application/x-npy', 'Content-Encoding': 'gzip'})
+    with pytest.raises(urllib.error.HTTPError) as e:
+      urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    assert 'inflates past' in json.loads(e.value.read())['error']
+
   def test_bad_payload_is_400(self, server):
     httpd, _, _ = server
     out = self._expect_status(

@@ -15,11 +15,14 @@ wrong in a hand-rolled two-line client, so this one implements it once:
 
 Wire format is ``application/x-npy`` both ways (``np.save`` bytes);
 uint8 clips ride the service's 4x-cheaper raw-bytes ingestion path
-unchanged.  Thread-safe: no mutable state beyond configuration.
+unchanged, and ``compress=True`` additionally gzips clip payloads
+(``Content-Encoding: gzip``) for wire-bound links.  Thread-safe: no
+mutable state beyond configuration.
 """
 
 from __future__ import annotations
 
+import gzip
 import io
 import json
 import time
@@ -69,7 +72,13 @@ class VideoPrismClient:
 
   def __init__(self, base_url: str, *, auth_token: str | None = None,
                timeout_s: float = 300.0, max_retries: int = 4,
-               backoff_s: float = 0.25, max_backoff_s: float = 30.0):
+               backoff_s: float = 0.25, max_backoff_s: float = 30.0,
+               compress: bool = False):
+    """``compress=True`` gzips clip payloads (``Content-Encoding: gzip``,
+    level 1 — fast, and real video bytes still shrink ~1.5-3x).  Worth it
+    when the network link to the server is the bottleneck; pure CPU
+    overhead on a fast local link, and useless on incompressible
+    (e.g. random/synthetic) pixels."""
     if max_retries < 0:
       raise ValueError(f'max_retries must be >= 0, got {max_retries}')
     self._base = base_url.rstrip('/')
@@ -78,6 +87,7 @@ class VideoPrismClient:
     self._max_retries = max_retries
     self._backoff = backoff_s
     self._max_backoff = max_backoff_s
+    self._compress = compress
 
   # ----------------------------- transport ------------------------------
 
@@ -128,6 +138,15 @@ class VideoPrismClient:
     except Exception:
       return f'HTTP {e.code}'
 
+  def _npy_payload(self, array: np.ndarray,
+                   headers: dict[str, str]) -> bytes:
+    """npy-encodes a clip payload, gzipping it when ``compress=True``."""
+    body = _npy_bytes(array)
+    if self._compress:
+      body = gzip.compress(body, compresslevel=1)
+      headers['Content-Encoding'] = 'gzip'
+    return body
+
   def _post_json(self, path: str, spec: dict[str, Any]) -> dict[str, Any]:
     body = json.dumps(spec).encode('utf-8')
     out = self._request('POST', path, body,
@@ -148,7 +167,8 @@ class VideoPrismClient:
     headers = {'Content-Type': 'application/x-npy'}
     if deadline_ms is not None:
       headers['X-Deadline-Ms'] = str(deadline_ms)
-    out = self._request('POST', '/v1/embed', _npy_bytes(clip), headers)
+    body = self._npy_payload(clip, headers)
+    out = self._request('POST', '/v1/embed', body, headers)
     return np.load(io.BytesIO(out), allow_pickle=False)
 
   def embed_batch(self, videos: np.ndarray) -> np.ndarray:
@@ -158,8 +178,9 @@ class VideoPrismClient:
     if videos.ndim != 5:
       raise ValueError(f'embed_batch expects [B, T, H, W, 3], '
                        f'got {videos.shape}')
-    out = self._request('POST', '/v1/embed', _npy_bytes(videos),
-                        {'Content-Type': 'application/x-npy'})
+    headers = {'Content-Type': 'application/x-npy'}
+    body = self._npy_payload(videos, headers)
+    out = self._request('POST', '/v1/embed', body, headers)
     return np.load(io.BytesIO(out), allow_pickle=False)
 
   def embed_text(self, texts: Sequence[str]) -> np.ndarray:
@@ -182,8 +203,9 @@ class VideoPrismClient:
     clip = np.asarray(clip)
     if clip.ndim != 4:
       raise ValueError(f'classify expects [T, H, W, 3], got {clip.shape}')
-    out = self._request('POST', f'/v1/classify?k={k}', _npy_bytes(clip),
-                        {'Content-Type': 'application/x-npy'})
+    headers = {'Content-Type': 'application/x-npy'}
+    body = self._npy_payload(clip, headers)
+    out = self._request('POST', f'/v1/classify?k={k}', body, headers)
     return json.loads(out.decode('utf-8'))['predictions']
 
   def search_video(self, clip: np.ndarray,
@@ -193,9 +215,9 @@ class VideoPrismClient:
     if clip.ndim != 4:
       raise ValueError(f'search_video expects [T, H, W, 3], '
                        f'got {clip.shape}')
-    out = self._request('POST', f'/v1/search_video?k={k}',
-                        _npy_bytes(clip),
-                        {'Content-Type': 'application/x-npy'})
+    headers = {'Content-Type': 'application/x-npy'}
+    body = self._npy_payload(clip, headers)
+    out = self._request('POST', f'/v1/search_video?k={k}', body, headers)
     results = json.loads(out.decode('utf-8'))['results']
     return [(hit['id'], hit['score']) for hit in results[0]]
 
