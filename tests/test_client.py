@@ -71,6 +71,21 @@ class TestRoundTrips:
                          train=False)
     np.testing.assert_allclose(emb, np.asarray(ref)[0], atol=1e-4)
 
+  def test_embed_file_matches_local_decode(self, server):
+    from videoprism_tpu import assets
+    from videoprism_tpu.io import video as video_io
+
+    httpd, model, state = server
+    c = client_lib.VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    emb = c.embed_file(assets.demo_video_path())
+    clip = video_io.load_video(assets.demo_video_path(), num_frames=2,
+                               target_size=12, as_uint8=True)
+    ref, _ = model.apply(state, clip[None].astype(np.float32) / 255.0,
+                         train=False)
+    np.testing.assert_allclose(emb, np.asarray(ref)[0], atol=1e-5)
+    with pytest.raises(ValueError, match='path or raw video bytes'):
+      c.embed_file(12345)
+
   def test_shape_validation_is_client_side(self, server):
     httpd, _, _ = server
     c = client_lib.VideoPrismClient(f'http://127.0.0.1:{httpd.port}')

@@ -144,6 +144,67 @@ class TestErrors:
     assert exc_info.value.code == status
     return json.loads(exc_info.value.read())
 
+  def test_embed_file_matches_decoded_clip(self, server):
+    """POST /v1/embed_file: the server decodes the container exactly as
+    io.video.load_video would, then embeds — so the embedding equals
+    embedding the locally decoded clip."""
+    from videoprism_tpu import assets
+    from videoprism_tpu.io import video as video_io
+
+    httpd, model, state = server
+    with open(assets.demo_video_path(), 'rb') as f:
+      blob = f.read()
+    # Default geometry comes from the tiny config (2 frames, 12px).
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed_file'), blob,
+        {'Content-Type': 'video/mp4'})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      emb = np.load(io.BytesIO(resp.read()))
+    clip = video_io.load_video(assets.demo_video_path(), num_frames=2,
+                               target_size=12, as_uint8=True)
+    ref, _ = model.apply(state, clip[None].astype(np.float32) / 255.0,
+                         train=False)
+    np.testing.assert_allclose(emb, np.asarray(ref)[0], atol=1e-5)
+
+  def test_embed_file_geometry_override(self, server):
+    """?frames=&size= override the model's native defaults (the tiny
+    model still accepts any spatial grid; frame count must match its
+    compiled geometry here, so override size only)."""
+    from videoprism_tpu import assets
+
+    httpd, model, state = server
+    with open(assets.demo_video_path(), 'rb') as f:
+      blob = f.read()
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed_file?frames=2&size=18'), blob,
+        {'Content-Type': 'video/mp4'})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      emb = np.load(io.BytesIO(resp.read()))
+    assert emb.ndim == 2  # [tokens, D] for the tiny encoder head
+
+  def test_embed_file_garbage_is_400(self, server):
+    httpd, _, _ = server
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed_file'), b'not a video container',
+        {'Content-Type': 'video/mp4'})
+    with pytest.raises(urllib.error.HTTPError) as e:
+      urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+    assert 'could not decode' in json.loads(e.value.read())['error']
+
+  def test_embed_file_bad_params_are_400(self, server):
+    from videoprism_tpu import assets
+
+    httpd, _, _ = server
+    with open(assets.demo_video_path(), 'rb') as f:
+      blob = f.read()
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed_file?frames=0'), blob,
+        {'Content-Type': 'video/mp4'})
+    with pytest.raises(urllib.error.HTTPError) as e:
+      urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
   def test_gzip_body_matches_identity(self, server):
     """Content-Encoding: gzip inflates transparently on every
     body-reading endpoint (wire-bound network clients compress)."""

@@ -183,6 +183,36 @@ class VideoPrismClient:
     out = self._request('POST', '/v1/embed', body, headers)
     return np.load(io.BytesIO(out), allow_pickle=False)
 
+  def embed_file(self, video: 'str | bytes',
+                 frames: int | None = None,
+                 size: int | None = None,
+                 deadline_ms: float | None = None) -> np.ndarray:
+    """A video FILE (path or raw container bytes) → embedding ``[D]``.
+
+    The server decodes, samples and crops (``/v1/embed_file``) — the
+    compressed container is 10-50x smaller on the wire than the raw
+    frame array :meth:`embed` ships, which is the difference that
+    matters when the network link, not the chip, is the bottleneck.
+    ``frames``/``size`` override the server model's native geometry.
+    """
+    if isinstance(video, str):
+      with open(video, 'rb') as f:
+        video = f.read()
+    if not isinstance(video, (bytes, bytearray)):
+      raise ValueError('embed_file expects a path or raw video bytes, '
+                       f'got {type(video).__name__}')
+    query = []
+    if frames is not None:
+      query.append(f'frames={frames}')
+    if size is not None:
+      query.append(f'size={size}')
+    path = '/v1/embed_file' + ('?' + '&'.join(query) if query else '')
+    headers = {'Content-Type': 'video/mp4'}
+    if deadline_ms is not None:
+      headers['X-Deadline-Ms'] = str(deadline_ms)
+    out = self._request('POST', path, bytes(video), headers)
+    return np.load(io.BytesIO(out), allow_pickle=False)
+
   def embed_text(self, texts: Sequence[str]) -> np.ndarray:
     """``[N]`` strings → l2-normalized ``[N, D]`` (lvt servers only)."""
     out = self._post_json('/v1/embed_text', {'texts': list(texts)})

@@ -36,6 +36,14 @@ Endpoints:
 * ``POST /v1/search_video[?k=N]`` — video-to-video similarity: the body
   is one clip (same wire formats as ``/v1/embed``); it embeds through
   the micro-batcher and queries the index.  Response as ``/v1/search``.
+* ``POST /v1/embed_file[?frames=N&size=S]`` — the body is a VIDEO FILE
+  (mp4/webm/...; any container FFmpeg or OpenCV can open).  The server
+  decodes it (native FFmpeg decoder, `native/video_decoder.cc`),
+  uniformly samples ``frames`` frames at ``size``² center-crop (defaults:
+  the model's native geometry) and embeds through the micro-batcher.
+  THE cheap wire path: a compressed container is 10-50x smaller than the
+  raw frame array `/v1/embed` takes, and the wire — not the chip — is
+  the bottleneck for network-attached clients.  Response: npy ``[D]``.
 * ``POST /v1/classify[?k=N]`` — classifier servers: one clip in, softmax
   top-k ``{"class", "prob"[, "label"]}`` out (label map optional).
 * ``POST /debug/trace?ms=N`` — capture a jax.profiler trace of the live
@@ -142,6 +150,8 @@ class _Handler(BaseHTTPRequestHandler):
   quiet: bool = True
   classify_enabled: bool = False  # service wraps a classifier model
   labels: list | None = None      # class-index -> name (optional)
+  # (frames, size) defaults for /v1/embed_file, from the model config.
+  clip_geometry: tuple | None = None
   trace_root: str = '/tmp/videoprism_tpu_trace'
   # jax.profiler is process-global: one capture at a time, even with
   # several servers in one process — hence a _Handler-level lock.
@@ -262,6 +272,9 @@ class _Handler(BaseHTTPRequestHandler):
     if self.path.startswith('/v1/search_video'):
       self._post_search_video()
       return
+    if self.path.startswith('/v1/embed_file'):
+      self._post_embed_file()
+      return
     if self.path.startswith('/v1/classify'):
       self._post_classify()
       return
@@ -304,6 +317,71 @@ class _Handler(BaseHTTPRequestHandler):
       return
     ctype, body = _encode_body(content_type, np.asarray(emb))
     self._reply(200, ctype, body)
+
+  def _post_embed_file(self) -> None:
+    """``POST /v1/embed_file[?frames=N&size=S]`` — body is a compressed
+    video container; decode + uniform frame sampling + center crop run
+    server-side (``io.video.load_video``, native FFmpeg first), then the
+    clip embeds through the micro-batcher exactly like ``/v1/embed``.
+    Geometry defaults to the model's native ``pos_emb_shape``; decode
+    failures are the client's file — 400, not 500."""
+    import os as os_mod
+    import tempfile
+    from urllib.parse import parse_qs, urlparse
+
+    try:
+      q = parse_qs(urlparse(self.path).query)
+      frames, size = self.clip_geometry
+      if 'frames' in q:
+        frames = int(q['frames'][0])
+      if 'size' in q:
+        size = int(q['size'][0])
+      if frames <= 0 or size <= 0:
+        raise ValueError(f'frames/size must be positive, got '
+                         f'{frames}/{size}')
+      deadline_ms = self.headers.get('X-Deadline-Ms')
+      if deadline_ms is not None:
+        deadline_ms = float(deadline_ms)
+        if not deadline_ms > 0:
+          raise ValueError(
+              f'X-Deadline-Ms must be a positive number, got {deadline_ms}')
+      body = self._read_body()
+    except Exception as e:  # malformed request — client's fault
+      self._reject_json(400, {'error': str(e)})
+      return
+    try:
+      from videoprism_tpu.io import video as video_io
+
+      # The decoders want a path (FFmpeg demuxers probe by content, so
+      # the suffix is cosmetic).
+      fd, path = tempfile.mkstemp(suffix='.mp4',
+                                  prefix='videoprism_upload_')
+      try:
+        with os_mod.fdopen(fd, 'wb') as f:
+          f.write(body)
+        clip = video_io.load_video(path, num_frames=frames,
+                                   target_size=size, as_uint8=True)
+      finally:
+        os_mod.unlink(path)
+    except ImportError as e:   # no decoder available — server's problem
+      self._reply_json(500, {'error': str(e)})
+      return
+    except Exception as e:     # undecodable bytes — client's file
+      self._reply_json(400, {'error': f'could not decode video: {e}'})
+      return
+    try:
+      emb = self.service.embed(clip, deadline_ms=deadline_ms)
+    except DeadlineExceeded as e:
+      self._reply_json(504, {'error': str(e)})
+      return
+    except ServiceOverloaded as e:
+      self._reply_overloaded(e)
+      return
+    except Exception as e:
+      self._reply_json(500, {'error': str(e)})
+      return
+    ctype, out = _encode_body('application/x-npy', np.asarray(emb))
+    self._reply(200, ctype, out)
 
   def _post_classify(self) -> None:
     """``POST /v1/classify[?k=N]`` — one clip through the classifier
@@ -480,9 +558,21 @@ class EmbeddingHTTPServer:
     human-readable names to its predictions and must match the model's
     class count."""
     from videoprism_tpu.models.classifier import VideoClassifierConfig
+    from videoprism_tpu.models.clip import VideoCLIPConfig
 
     cfg = getattr(getattr(service, '_model', None), 'config', None)
     classify_enabled = isinstance(cfg, VideoClassifierConfig)
+    # /v1/embed_file geometry defaults (native frames / crop size).
+    enc_cfg = cfg
+    if isinstance(cfg, VideoClassifierConfig):
+      enc_cfg = cfg.encoder
+    elif isinstance(cfg, VideoCLIPConfig):
+      enc_cfg = cfg.vision_config()
+    if enc_cfg is not None and hasattr(enc_cfg, 'pos_emb_shape'):
+      clip_geometry = (enc_cfg.pos_emb_shape[0],
+                       enc_cfg.pos_emb_shape[1] * enc_cfg.patch_size)
+    else:  # e.g. an AOT-exported service with no config attached
+      clip_geometry = (16, 288)
     if labels is not None:
       if not classify_enabled:
         raise ValueError('labels= needs a classifier-model service')
@@ -499,7 +589,7 @@ class EmbeddingHTTPServer:
                     'index': index, 'auth_token': auth_token,
                     'text_service': text_service,
                     'classify_enabled': classify_enabled,
-                    'labels': labels})
+                    'labels': labels, 'clip_geometry': clip_geometry})
     self._httpd = ThreadingHTTPServer((host, port), handler)
     self._httpd.daemon_threads = True
     self.host = host
