@@ -385,6 +385,19 @@ class TestSearchVideoHTTP:
     assert rows[0][0]['id'] == '3'
     assert rows[0][0]['score'] > 0.999
 
+  def test_search_video_file_body(self, server):
+    """A video/* body decodes server-side (client: search_video_file);
+    the demo asset queries the synthetic index without error."""
+    from videoprism_tpu import assets
+    from videoprism_tpu.client import VideoPrismClient
+
+    httpd, _ = server
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    hits = c.search_video_file(assets.demo_video_path(), k=2)
+    assert len(hits) == 2
+    assert all(isinstance(i, str) and isinstance(s, float)
+               for i, s in hits)
+
   def test_bad_shape_is_400_and_no_index_is_404(self, server):
     import io
 

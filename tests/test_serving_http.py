@@ -683,6 +683,32 @@ class TestClassifyEndpoint:
       urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400
 
+  def test_classify_video_file_body(self, clf_server):
+    """A video/* body decodes server-side and classifies like the
+    locally decoded clip (client: classify_file)."""
+    from videoprism_tpu import assets
+    from videoprism_tpu.client import VideoPrismClient
+    from videoprism_tpu.io import video as video_io
+
+    httpd, model, state = clf_server
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    preds = c.classify_file(assets.demo_video_path(), k=2)
+    assert len(preds) == 2
+    clip = video_io.load_video(assets.demo_video_path(), num_frames=2,
+                               target_size=12, as_uint8=True)
+    logits, _ = model.apply(state, clip[None].astype(np.float32) / 255.0,
+                            train=False)
+    assert preds[0]['class'] == int(np.argmax(np.asarray(logits)[0]))
+
+  def test_classify_garbage_file_is_400(self, clf_server):
+    httpd, _, _ = clf_server
+    req = urllib.request.Request(
+        _url(httpd, '/v1/classify'), b'not a container',
+        {'Content-Type': 'video/mp4'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+
   def test_embedding_server_404s(self, server):
     httpd, _, _ = server
     buf = io.BytesIO()

@@ -195,23 +195,58 @@ class VideoPrismClient:
     matters when the network link, not the chip, is the bottleneck.
     ``frames``/``size`` override the server model's native geometry.
     """
+    path = '/v1/embed_file' + self._file_query(frames, size)
+    headers = {'Content-Type': 'video/mp4'}
+    if deadline_ms is not None:
+      headers['X-Deadline-Ms'] = str(deadline_ms)
+    out = self._request('POST', path, self._file_bytes(video), headers)
+    return np.load(io.BytesIO(out), allow_pickle=False)
+
+  def classify_file(self, video: 'str | bytes', k: int = 5,
+                    frames: int | None = None,
+                    size: int | None = None) -> list[dict[str, Any]]:
+    """Classifier servers: a video FILE (path or container bytes) →
+    softmax top-k predictions; decode runs server-side as in
+    :meth:`embed_file`."""
+    path = f'/v1/classify?k={k}' + self._file_query(frames, size,
+                                                    joiner='&')
+    out = self._request('POST', path, self._file_bytes(video),
+                        {'Content-Type': 'video/mp4'})
+    return json.loads(out.decode('utf-8'))['predictions']
+
+  def search_video_file(self, video: 'str | bytes', k: int = 5,
+                        frames: int | None = None,
+                        size: int | None = None
+                        ) -> list[tuple[str, float]]:
+    """Video-to-video similarity from a video FILE: top-k neighbors of
+    the uploaded container (server-side decode as in
+    :meth:`embed_file`)."""
+    path = f'/v1/search_video?k={k}' + self._file_query(frames, size,
+                                                        joiner='&')
+    out = self._request('POST', path, self._file_bytes(video),
+                        {'Content-Type': 'video/mp4'})
+    results = json.loads(out.decode('utf-8'))['results']
+    return [(hit['id'], hit['score']) for hit in results[0]]
+
+  @staticmethod
+  def _file_bytes(video: 'str | bytes') -> bytes:
     if isinstance(video, str):
       with open(video, 'rb') as f:
-        video = f.read()
+        return f.read()
     if not isinstance(video, (bytes, bytearray)):
-      raise ValueError('embed_file expects a path or raw video bytes, '
+      raise ValueError('expected a path or raw video bytes, '
                        f'got {type(video).__name__}')
+    return bytes(video)
+
+  @staticmethod
+  def _file_query(frames: int | None, size: int | None,
+                  joiner: str = '?') -> str:
     query = []
     if frames is not None:
       query.append(f'frames={frames}')
     if size is not None:
       query.append(f'size={size}')
-    path = '/v1/embed_file' + ('?' + '&'.join(query) if query else '')
-    headers = {'Content-Type': 'video/mp4'}
-    if deadline_ms is not None:
-      headers['X-Deadline-Ms'] = str(deadline_ms)
-    out = self._request('POST', path, bytes(video), headers)
-    return np.load(io.BytesIO(out), allow_pickle=False)
+    return joiner + '&'.join(query) if query else ''
 
   def embed_text(self, texts: Sequence[str]) -> np.ndarray:
     """``[N]`` strings → l2-normalized ``[N, D]`` (lvt servers only)."""

@@ -46,6 +46,9 @@ Endpoints:
   the bottleneck for network-attached clients.  Response: npy ``[D]``.
 * ``POST /v1/classify[?k=N]`` — classifier servers: one clip in, softmax
   top-k ``{"class", "prob"[, "label"]}`` out (label map optional).
+  ``/v1/classify`` and ``/v1/search_video`` also accept a ``video/*``
+  body — the uploaded container decodes server-side exactly like
+  ``/v1/embed_file`` (same ``?frames=&size=`` overrides).
 * ``POST /debug/trace?ms=N`` — capture a jax.profiler trace of the live
   process for N ms (default 500) and return the trace directory; the
   production "why is latency up" tool.  Auth-gated like all POSTs.
@@ -318,6 +321,50 @@ class _Handler(BaseHTTPRequestHandler):
     ctype, body = _encode_body(content_type, np.asarray(emb))
     self._reply(200, ctype, body)
 
+  class _ClientFileError(ValueError):
+    """Undecodable uploaded video — maps to 400, after the body is read."""
+
+  def _file_geometry(self, q) -> tuple[int, int]:
+    """(frames, size) for a file upload: model-native unless overridden
+    by ``?frames=&size=``.  Raises ValueError on bad params (→ 400)."""
+    frames, size = self.clip_geometry
+    if 'frames' in q:
+      frames = int(q['frames'][0])
+    if 'size' in q:
+      size = int(q['size'][0])
+    if frames <= 0 or size <= 0:
+      raise ValueError(f'frames/size must be positive, got '
+                       f'{frames}/{size}')
+    return frames, size
+
+  def _decode_video_file(self, body: bytes, frames: int,
+                         size: int) -> np.ndarray:
+    """Decodes an uploaded container to a uint8 ``[frames, size, size,
+    3]`` clip (``io.video.load_video``: native FFmpeg first, cv2
+    fallback).  Undecodable bytes raise :class:`_ClientFileError`; a
+    missing decoder (ImportError) propagates — that is the server's
+    problem, not the client's."""
+    import os as os_mod
+    import tempfile
+
+    from videoprism_tpu.io import video as video_io
+
+    # The decoders want a path (FFmpeg demuxers probe by content, so the
+    # suffix is cosmetic).
+    fd, path = tempfile.mkstemp(suffix='.mp4', prefix='videoprism_upload_')
+    try:
+      with os_mod.fdopen(fd, 'wb') as f:
+        f.write(body)
+      try:
+        return video_io.load_video(path, num_frames=frames,
+                                   target_size=size, as_uint8=True)
+      except ImportError:
+        raise
+      except Exception as e:
+        raise self._ClientFileError(f'could not decode video: {e}') from e
+    finally:
+      os_mod.unlink(path)
+
   def _post_embed_file(self) -> None:
     """``POST /v1/embed_file[?frames=N&size=S]`` — body is a compressed
     video container; decode + uniform frame sampling + center crop run
@@ -325,20 +372,11 @@ class _Handler(BaseHTTPRequestHandler):
     clip embeds through the micro-batcher exactly like ``/v1/embed``.
     Geometry defaults to the model's native ``pos_emb_shape``; decode
     failures are the client's file — 400, not 500."""
-    import os as os_mod
-    import tempfile
     from urllib.parse import parse_qs, urlparse
 
     try:
       q = parse_qs(urlparse(self.path).query)
-      frames, size = self.clip_geometry
-      if 'frames' in q:
-        frames = int(q['frames'][0])
-      if 'size' in q:
-        size = int(q['size'][0])
-      if frames <= 0 or size <= 0:
-        raise ValueError(f'frames/size must be positive, got '
-                         f'{frames}/{size}')
+      frames, size = self._file_geometry(q)
       deadline_ms = self.headers.get('X-Deadline-Ms')
       if deadline_ms is not None:
         deadline_ms = float(deadline_ms)
@@ -350,24 +388,12 @@ class _Handler(BaseHTTPRequestHandler):
       self._reject_json(400, {'error': str(e)})
       return
     try:
-      from videoprism_tpu.io import video as video_io
-
-      # The decoders want a path (FFmpeg demuxers probe by content, so
-      # the suffix is cosmetic).
-      fd, path = tempfile.mkstemp(suffix='.mp4',
-                                  prefix='videoprism_upload_')
-      try:
-        with os_mod.fdopen(fd, 'wb') as f:
-          f.write(body)
-        clip = video_io.load_video(path, num_frames=frames,
-                                   target_size=size, as_uint8=True)
-      finally:
-        os_mod.unlink(path)
-    except ImportError as e:   # no decoder available — server's problem
-      self._reply_json(500, {'error': str(e)})
+      clip = self._decode_video_file(body, frames, size)
+    except self._ClientFileError as e:
+      self._reply_json(400, {'error': str(e)})
       return
-    except Exception as e:     # undecodable bytes — client's file
-      self._reply_json(400, {'error': f'could not decode video: {e}'})
+    except Exception as e:     # no decoder available — server's problem
+      self._reply_json(500, {'error': str(e)})
       return
     try:
       emb = self.service.embed(clip, deadline_ms=deadline_ms)
@@ -399,13 +425,26 @@ class _Handler(BaseHTTPRequestHandler):
       if k <= 0:
         raise ValueError(f'"k" must be positive, got {k}')
       content_type = self.headers.get('Content-Type', 'application/x-npy')
-      video = _decode_body(content_type, self._read_body())
-      if video.ndim != 4:
-        raise ValueError(
-            f'expected one clip [T,H,W,3], got shape {video.shape}')
+      body = self._read_body()
+      if content_type.startswith('video/'):
+        video, file_geom = None, self._file_geometry(q)
+      else:
+        video = _decode_body(content_type, body)
+        if video.ndim != 4:
+          raise ValueError(
+              f'expected one clip [T,H,W,3], got shape {video.shape}')
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
       return
+    if video is None:  # video/* body: decode the container server-side
+      try:
+        video = self._decode_video_file(body, *file_geom)
+      except self._ClientFileError as e:
+        self._reply_json(400, {'error': str(e)})
+        return
+      except Exception as e:  # no decoder available — server's problem
+        self._reply_json(500, {'error': str(e)})
+        return
     try:
       logits = np.asarray(self.service.embed(video), np.float64)
       probs = np.exp(logits - logits.max())
@@ -484,13 +523,26 @@ class _Handler(BaseHTTPRequestHandler):
       if k <= 0:
         raise ValueError(f'"k" must be positive, got {k}')
       content_type = self.headers.get('Content-Type', 'application/x-npy')
-      video = _decode_body(content_type, self._read_body())
-      if video.ndim != 4:
-        raise ValueError(
-            f'expected one clip [T,H,W,3], got shape {video.shape}')
+      body = self._read_body()
+      if content_type.startswith('video/'):
+        video, file_geom = None, self._file_geometry(q)
+      else:
+        video = _decode_body(content_type, body)
+        if video.ndim != 4:
+          raise ValueError(
+              f'expected one clip [T,H,W,3], got shape {video.shape}')
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
       return
+    if video is None:  # video/* body: decode the container server-side
+      try:
+        video = self._decode_video_file(body, *file_geom)
+      except self._ClientFileError as e:
+        self._reply_json(400, {'error': str(e)})
+        return
+      except Exception as e:  # no decoder available — server's problem
+        self._reply_json(500, {'error': str(e)})
+        return
     try:
       emb = self.service.embed(video)
       results = self.index.search(np.asarray(emb), k=k)
