@@ -8,6 +8,9 @@ Client (the SDK handles 503 backoff / deadlines / auth)::
 
     from videoprism_tpu.client import VideoPrismClient
     emb = VideoPrismClient('http://HOST:8000').embed(clip_uint8)
+    emb = VideoPrismClient('http://HOST:8000').embed_file('clip.mp4')
+    # embed_file ships the compressed container (10-50x less wire than
+    # raw frames) and decodes server-side with the native decoder.
 
 or two lines of raw numpy::
 
