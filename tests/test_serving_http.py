@@ -144,6 +144,34 @@ class TestErrors:
     assert exc_info.value.code == status
     return json.loads(exc_info.value.read())
 
+  def test_bf16_model_ships_float32_on_the_wire(self):
+    """A bf16-serving model (fprop_dtype=bfloat16) produces
+    ml_dtypes.bfloat16 embeddings; shipped raw those npy-serialize as
+    opaque void16 that a plain-numpy client cannot use.  The wire
+    must upcast to float32.  (Caught on hardware: every CPU test
+    fixture was fp32, so this path first failed on the real TPU
+    serving config.)"""
+    import jax.numpy as jnp
+
+    cfg = fe.FactorizedEncoderConfig(**TINY, dtype=jnp.bfloat16)
+    model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
+    state = model.init(jax.random.PRNGKey(0))
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(service, host='127.0.0.1',
+                                             port=0)
+    httpd.start()
+    try:
+      clip = np.random.default_rng(5).random(CLIP_SHAPE, np.float32)
+      emb = _post_npy(httpd, clip)
+      assert emb.dtype == np.float32
+      ref, _ = model.apply(state, clip[None], train=False)
+      np.testing.assert_allclose(emb, np.asarray(ref)[0].astype(np.float32),
+                                 atol=1e-6)
+    finally:
+      httpd.stop()
+      service.stop()
+
   def test_embed_file_matches_decoded_clip(self, server):
     """POST /v1/embed_file: the server decodes the container exactly as
     io.video.load_video would, then embeds — so the embedding equals

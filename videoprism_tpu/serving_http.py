@@ -93,6 +93,11 @@ def _decode_body(content_type: str, body: bytes) -> np.ndarray:
 
 
 def _encode_body(content_type: str, array: np.ndarray) -> tuple[str, bytes]:
+  # bf16-serving models produce ml_dtypes.bfloat16 embeddings, which
+  # numpy serializes as opaque void16 — a plain-numpy client cannot read
+  # them back.  Ship anything outside the interchange dtypes as float32.
+  if array.dtype.kind not in 'fiub':
+    array = array.astype(np.float32)
   if content_type.startswith('application/json'):
     payload = {
         'shape': list(array.shape),
