@@ -140,6 +140,18 @@ class TestBuildAndQuery:
     direct = vclip.encode_text(params, ids, pads, cfg, train=False)
     np.testing.assert_allclose(emb, np.asarray(direct), atol=1e-5)
 
+  def test_text_query_encoder_accepts_init_wrapper(self, setup):
+    """Model.init's {'params': ...} wrapper works like the raw tree
+    (EmbeddingService unwraps it; this must too — caught driving the
+    real-TPU serving config)."""
+    cfg, params, tok = setup
+    raw = retrieval.make_text_query_encoder(
+        params, cfg, tok, batch_size=2, max_text_len=12)
+    wrapped = retrieval.make_text_query_encoder(
+        {'params': params}, cfg, tok, batch_size=2, max_text_len=12)
+    texts = ['a dog']
+    np.testing.assert_array_equal(raw(texts), wrapped(texts))
+
   def test_text_query_encoder_from_export(self, setup, tmp_path):
     """The AOT text-tower artifact drop-in: same embeddings, and the
     artifact's token length overrides max_text_len."""

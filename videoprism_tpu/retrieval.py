@@ -259,6 +259,10 @@ def make_text_query_encoder(
   ``max_text_len`` (tokenization must match the exported geometry)."""
   from videoprism_tpu.train import eval_loop
 
+  # Accept both the raw checkpoint tree and Model.init's {'params': ...}
+  # wrapper, like EmbeddingService does.
+  params = registry.Model._unwrap(params)
+
   if exported is not None:
     from videoprism_tpu import export as export_lib
 
