@@ -27,6 +27,9 @@ setup(
         # Checkpoint download from HuggingFace.
         'hub': ['huggingface-hub'],
         'safetensors': ['safetensors'],
+        # Training checkpoint/resume (train.checkpointing imports orbax
+        # at module level).
+        'train': ['orbax-checkpoint'],
         'test': ['pytest', 'chex', 'flax', 'einshape', 'einops'],
     },
     license='Apache 2.0',
