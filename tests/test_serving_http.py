@@ -220,18 +220,24 @@ class TestErrors:
     assert e.value.code == 400
     assert 'could not decode' in json.loads(e.value.read())['error']
 
-  def test_embed_file_bad_params_are_400(self, server):
+  @pytest.mark.parametrize('query,needle', [
+      ('?frames=0', 'positive'),
+      # a small upload must not force a giant decoded allocation
+      ('?frames=200000&size=4096', 'decoded clip'),
+  ])
+  def test_embed_file_bad_params_are_400(self, server, query, needle):
     from videoprism_tpu import assets
 
     httpd, _, _ = server
     with open(assets.demo_video_path(), 'rb') as f:
       blob = f.read()
     req = urllib.request.Request(
-        _url(httpd, '/v1/embed_file?frames=0'), blob,
+        _url(httpd, f'/v1/embed_file{query}'), blob,
         {'Content-Type': 'video/mp4'})
     with pytest.raises(urllib.error.HTTPError) as e:
       urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+    assert needle in json.loads(e.value.read())['error']
 
   def test_gzip_body_matches_identity(self, server):
     """Content-Encoding: gzip inflates transparently on every
@@ -277,6 +283,21 @@ class TestErrors:
       urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
     assert 'truncated' in json.loads(e.value.read())['error']
+
+  def test_multi_member_gzip_is_400(self, server):
+    """cat a.gz b.gz would otherwise silently decode only the first
+    member — a truncated payload treated as complete."""
+    import gzip
+
+    httpd, _, _ = server
+    body = gzip.compress(b'first member') + gzip.compress(b'second')
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed'), body,
+        {'Content-Type': 'application/x-npy', 'Content-Encoding': 'gzip'})
+    with pytest.raises(urllib.error.HTTPError) as e:
+      urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    assert 'multi-member' in json.loads(e.value.read())['error']
 
   def test_gzip_bomb_is_400(self, server, monkeypatch):
     """A small gzip body inflating past the size cap must be rejected

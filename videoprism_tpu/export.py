@@ -41,7 +41,11 @@ from jax import export as jax_export
 from videoprism_tpu.models import classifier as vc
 from videoprism_tpu.models import clip as vclip
 from videoprism_tpu.models import factorized_encoder as fe
-from videoprism_tpu.models.registry import BoundModel, Model
+from videoprism_tpu.models.registry import (
+    BoundModel,
+    Model,
+    native_clip_geometry,
+)
 
 TOWERS = ('video', 'text')
 
@@ -115,9 +119,9 @@ def _forward_and_specs(
   b = _batch_dim(batch)
 
   def video_spec(enc_cfg):
-    t = num_frames if num_frames is not None else enc_cfg.pos_emb_shape[0]
-    s = (frame_size if frame_size is not None
-         else enc_cfg.pos_emb_shape[1] * enc_cfg.patch_size)
+    nt, ns = native_clip_geometry(enc_cfg)
+    t = num_frames if num_frames is not None else nt
+    s = frame_size if frame_size is not None else ns
     return jax.ShapeDtypeStruct((b, t, s, s, 3), input_dtype)
 
   if isinstance(cfg, fe.FactorizedEncoderConfig):

@@ -217,6 +217,25 @@ class Model:
     return self.config.dtype
 
 
+def encoder_config_of(cfg):
+  """The FactorizedEncoderConfig inside any model-family config
+  (classifier wraps it as ``.encoder``, CLIP derives it via
+  ``.vision_config()``, encoders are it)."""
+  if isinstance(cfg, vc.VideoClassifierConfig):
+    return cfg.encoder
+  if isinstance(cfg, vclip.VideoCLIPConfig):
+    return cfg.vision_config()
+  return cfg
+
+
+def native_clip_geometry(cfg) -> tuple[int, int]:
+  """(num_frames, frame_size) a config was trained at — the default
+  clip geometry for exports (export.py) and server-side file decode
+  (serving_http ``/v1/embed_file``)."""
+  enc = encoder_config_of(cfg)
+  return enc.pos_emb_shape[0], enc.pos_emb_shape[1] * enc.patch_size
+
+
 def _encoder_model(config_name: str, **overrides) -> Model:
   cfg = fe.FactorizedEncoderConfig(**CONFIGS[config_name], **overrides)
   return Model(cfg, fe.apply, init_lib.init_factorized_encoder,

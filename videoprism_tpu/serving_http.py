@@ -199,6 +199,11 @@ class _Handler(BaseHTTPRequestHandler):
                        f'{_MAX_BODY_BYTES}-byte limit')
     if not inflater.eof:
       raise ValueError('truncated gzip body')
+    if inflater.unused_data:
+      # A second gzip member (cat a.gz b.gz / bgzip) would otherwise be
+      # silently dropped and a truncated payload decoded as if complete.
+      raise ValueError('trailing data after the gzip stream '
+                       '(multi-member bodies are not supported)')
     return out
 
   def _reply(self, status: int, content_type: str, body: bytes) -> None:
@@ -331,7 +336,12 @@ class _Handler(BaseHTTPRequestHandler):
 
   def _file_geometry(self, q) -> tuple[int, int]:
     """(frames, size) for a file upload: model-native unless overridden
-    by ``?frames=&size=``.  Raises ValueError on bad params (→ 400)."""
+    by ``?frames=&size=``.  Raises ValueError on bad params (→ 400).
+
+    The decoded-clip size is capped like the body size: without this, a
+    small upload with ``?frames=200000&size=4096`` would make the
+    server allocate the decoded array (petabyte-scale) — the same hole
+    the gzip-bomb cap closes for compressed bodies."""
     frames, size = self.clip_geometry
     if 'frames' in q:
       frames = int(q['frames'][0])
@@ -340,7 +350,26 @@ class _Handler(BaseHTTPRequestHandler):
     if frames <= 0 or size <= 0:
       raise ValueError(f'frames/size must be positive, got '
                        f'{frames}/{size}')
+    decoded = frames * size * size * 3
+    if decoded > _MAX_BODY_BYTES:
+      raise ValueError(
+          f'decoded clip [{frames}, {size}, {size}, 3] would be '
+          f'{decoded} bytes (limit {_MAX_BODY_BYTES}); lower '
+          f'?frames=/?size=')
     return frames, size
+
+  def _decode_file_or_reply(self, body: bytes,
+                            geom: tuple[int, int]) -> 'np.ndarray | None':
+    """Decodes a ``video/*`` body, or replies (400 for an undecodable
+    upload, 500 for a missing decoder) and returns None.  One error
+    mapping for all three file-accepting endpoints."""
+    try:
+      return self._decode_video_file(body, *geom)
+    except self._ClientFileError as e:
+      self._reply_json(400, {'error': str(e)})
+    except Exception as e:  # no decoder available — server's problem
+      self._reply_json(500, {'error': str(e)})
+    return None
 
   def _decode_video_file(self, body: bytes, frames: int,
                          size: int) -> np.ndarray:
@@ -392,13 +421,8 @@ class _Handler(BaseHTTPRequestHandler):
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
       return
-    try:
-      clip = self._decode_video_file(body, frames, size)
-    except self._ClientFileError as e:
-      self._reply_json(400, {'error': str(e)})
-      return
-    except Exception as e:     # no decoder available — server's problem
-      self._reply_json(500, {'error': str(e)})
+    clip = self._decode_file_or_reply(body, (frames, size))
+    if clip is None:
       return
     try:
       emb = self.service.embed(clip, deadline_ms=deadline_ms)
@@ -442,13 +466,8 @@ class _Handler(BaseHTTPRequestHandler):
       self._reject_json(400, {'error': str(e)})
       return
     if video is None:  # video/* body: decode the container server-side
-      try:
-        video = self._decode_video_file(body, *file_geom)
-      except self._ClientFileError as e:
-        self._reply_json(400, {'error': str(e)})
-        return
-      except Exception as e:  # no decoder available — server's problem
-        self._reply_json(500, {'error': str(e)})
+      video = self._decode_file_or_reply(body, file_geom)
+      if video is None:
         return
     try:
       logits = np.asarray(self.service.embed(video), np.float64)
@@ -540,13 +559,8 @@ class _Handler(BaseHTTPRequestHandler):
       self._reject_json(400, {'error': str(e)})
       return
     if video is None:  # video/* body: decode the container server-side
-      try:
-        video = self._decode_video_file(body, *file_geom)
-      except self._ClientFileError as e:
-        self._reply_json(400, {'error': str(e)})
-        return
-      except Exception as e:  # no decoder available — server's problem
-        self._reply_json(500, {'error': str(e)})
+      video = self._decode_file_or_reply(body, file_geom)
+      if video is None:
         return
     try:
       emb = self.service.embed(video)
@@ -615,19 +629,18 @@ class EmbeddingHTTPServer:
     human-readable names to its predictions and must match the model's
     class count."""
     from videoprism_tpu.models.classifier import VideoClassifierConfig
-    from videoprism_tpu.models.clip import VideoCLIPConfig
+    from videoprism_tpu.models.registry import (
+        encoder_config_of,
+        native_clip_geometry,
+    )
 
     cfg = getattr(getattr(service, '_model', None), 'config', None)
     classify_enabled = isinstance(cfg, VideoClassifierConfig)
-    # /v1/embed_file geometry defaults (native frames / crop size).
-    enc_cfg = cfg
-    if isinstance(cfg, VideoClassifierConfig):
-      enc_cfg = cfg.encoder
-    elif isinstance(cfg, VideoCLIPConfig):
-      enc_cfg = cfg.vision_config()
-    if enc_cfg is not None and hasattr(enc_cfg, 'pos_emb_shape'):
-      clip_geometry = (enc_cfg.pos_emb_shape[0],
-                       enc_cfg.pos_emb_shape[1] * enc_cfg.patch_size)
+    # /v1/embed_file geometry defaults (native frames / crop size) —
+    # shared with export.py's artifact defaults via native_clip_geometry.
+    if cfg is not None and hasattr(encoder_config_of(cfg),
+                                   'pos_emb_shape'):
+      clip_geometry = native_clip_geometry(cfg)
     else:  # e.g. an AOT-exported service with no config attached
       clip_geometry = (16, 288)
     if labels is not None:
