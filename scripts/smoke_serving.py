@@ -142,10 +142,14 @@ def main() -> int:
     assert t.shape == (2, dim) and np.isfinite(t).all(), t.shape
     assert len(c.search(['drumming'], k=3)[0]) == 3
     assert len(c.search_video_file(args.clip, k=2)) == 2
+    # ViViT multi-view protocol server-side: 2x2 views, one decode,
+    # aggregated embedding stays unit-norm.
+    mv = c.embed_file(args.clip, temporal_views=2, spatial_views=2)
+    assert mv.shape == (dim,) and abs(np.linalg.norm(mv) - 1.0) < 1e-3
     httpd.stop()
     svc.stop()
-    print(f'2. lvt text/search/search_video_file: {t.shape}  OK',
-          flush=True)
+    print(f'2. lvt text/search/search_video_file/multi-view: {t.shape}, '
+          f'|mv|={np.linalg.norm(mv):.4f}  OK', flush=True)
 
   if 3 in stages:
     import dataclasses

@@ -368,6 +368,7 @@ class TestSearchVideoHTTP:
     del io_mod
     cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
     params = init_lib.init_video_clip(jax.random.PRNGKey(0), cfg)
+    type(self)._served = (params, cfg)
     source = data_lib.SyntheticSource(num_examples=6, num_frames=2, size=12)
     index = retrieval.build_video_index(params, cfg, source, batch_size=2)
     model = __import__('videoprism_tpu').Model(
@@ -396,6 +397,43 @@ class TestSearchVideoHTTP:
     assert len(rows) == 1 and len(rows[0]) == 3
     assert rows[0][0]['id'] == '3'
     assert rows[0][0]['score'] > 0.999
+
+  def test_embed_file_views_match_eval_protocol(self, server):
+    """/v1/embed_file with views on the CLIP tower == the eval loops'
+    multi-view protocol: mean of l2-normalized per-view embeddings,
+    re-normalized."""
+    import io as io_mod
+
+    from videoprism_tpu import assets
+    from videoprism_tpu.io import video as video_io
+
+    httpd, _ = server
+    with open(assets.demo_video_path(), 'rb') as f:
+      blob = f.read()
+    req = urllib.request.Request(
+        f'http://127.0.0.1:{httpd.port}'
+        '/v1/embed_file?temporal_views=2&spatial_views=2', blob,
+        {'Content-Type': 'video/mp4'})
+    got = np.load(io_mod.BytesIO(
+        urllib.request.urlopen(req, timeout=120).read()))
+
+    views = video_io.load_video_views(
+        assets.demo_video_path(), num_frames=2, target_size=12,
+        temporal_views=2, spatial_views=2, as_uint8=True)
+    per_view, _ = vclip.encode_vision(
+        self._params(httpd), views.astype(np.float32) / 255.0,
+        self._cfg(httpd), train=False)
+    want = np.asarray(per_view, np.float32).mean(axis=0)
+    want /= np.linalg.norm(want)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+  @staticmethod
+  def _params(httpd):
+    return TestSearchVideoHTTP._served[0]
+
+  @staticmethod
+  def _cfg(httpd):
+    return TestSearchVideoHTTP._served[1]
 
   def test_search_video_file_body(self, server):
     """A video/* body decodes server-side (client: search_video_file);

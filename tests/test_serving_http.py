@@ -223,7 +223,8 @@ class TestErrors:
   @pytest.mark.parametrize('query,needle', [
       ('?frames=0', 'positive'),
       # a small upload must not force a giant decoded allocation
-      ('?frames=200000&size=4096', 'decoded clip'),
+      ('?frames=200000&size=4096', 'decoded views'),
+      ('?temporal_views=100000&spatial_views=100', 'decoded views'),
   ])
   def test_embed_file_bad_params_are_400(self, server, query, needle):
     from videoprism_tpu import assets
@@ -238,6 +239,22 @@ class TestErrors:
       urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
     assert needle in json.loads(e.value.read())['error']
+
+  def test_embed_file_views_rejected_for_token_output(self, server):
+    """Multi-view aggregation needs one vector per clip; the plain
+    encoder returns [tokens, D] per view -> 400 with a clear reason."""
+    from videoprism_tpu import assets
+
+    httpd, _, _ = server
+    with open(assets.demo_video_path(), 'rb') as f:
+      blob = f.read()
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed_file?temporal_views=2'), blob,
+        {'Content-Type': 'video/mp4'})
+    with pytest.raises(urllib.error.HTTPError) as e:
+      urllib.request.urlopen(req, timeout=120)
+    assert e.value.code == 400
+    assert 'multi-view aggregation' in json.loads(e.value.read())['error']
 
   def test_gzip_body_matches_identity(self, server):
     """Content-Encoding: gzip inflates transparently on every
@@ -748,6 +765,29 @@ class TestClassifyEndpoint:
     logits, _ = model.apply(state, clip[None].astype(np.float32) / 255.0,
                             train=False)
     assert preds[0]['class'] == int(np.argmax(np.asarray(logits)[0]))
+
+  def test_classify_file_multi_view_averages_logits(self, clf_server):
+    """?temporal_views=2 runs the ViViT protocol server-side: the
+    response softmax must equal softmax(mean of per-view logits) from a
+    local decode of the same views."""
+    from videoprism_tpu import assets
+    from videoprism_tpu.client import VideoPrismClient
+    from videoprism_tpu.io import video as video_io
+
+    httpd, model, state = clf_server
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    preds = c.classify_file(assets.demo_video_path(), k=4,
+                            temporal_views=2)
+    views = video_io.load_video_views(
+        assets.demo_video_path(), num_frames=2, target_size=12,
+        temporal_views=2, as_uint8=True)
+    logits, _ = model.apply(state, views.astype(np.float32) / 255.0,
+                            train=False)
+    mean_logits = np.asarray(logits, np.float64).mean(axis=0)
+    want = np.exp(mean_logits - mean_logits.max())
+    want /= want.sum()
+    got = sorted(preds, key=lambda p: p['class'])
+    np.testing.assert_allclose([p['prob'] for p in got], want, atol=1e-5)
 
   def test_classify_garbage_file_is_400(self, clf_server):
     httpd, _, _ = clf_server

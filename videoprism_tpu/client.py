@@ -186,7 +186,9 @@ class VideoPrismClient:
   def embed_file(self, video: 'str | bytes',
                  frames: int | None = None,
                  size: int | None = None,
-                 deadline_ms: float | None = None) -> np.ndarray:
+                 deadline_ms: float | None = None,
+                 temporal_views: int | None = None,
+                 spatial_views: int | None = None) -> np.ndarray:
     """A video FILE (path or raw container bytes) → embedding ``[D]``.
 
     The server decodes, samples and crops (``/v1/embed_file``) — the
@@ -195,7 +197,8 @@ class VideoPrismClient:
     matters when the network link, not the chip, is the bottleneck.
     ``frames``/``size`` override the server model's native geometry.
     """
-    path = '/v1/embed_file' + self._file_query(frames, size)
+    path = '/v1/embed_file' + self._file_query(
+        frames, size, temporal_views, spatial_views)
     headers = {'Content-Type': 'video/mp4'}
     if deadline_ms is not None:
       headers['X-Deadline-Ms'] = str(deadline_ms)
@@ -204,25 +207,30 @@ class VideoPrismClient:
 
   def classify_file(self, video: 'str | bytes', k: int = 5,
                     frames: int | None = None,
-                    size: int | None = None) -> list[dict[str, Any]]:
+                    size: int | None = None,
+                    temporal_views: int | None = None,
+                    spatial_views: int | None = None
+                    ) -> list[dict[str, Any]]:
     """Classifier servers: a video FILE (path or container bytes) →
     softmax top-k predictions; decode runs server-side as in
     :meth:`embed_file`."""
-    path = f'/v1/classify?k={k}' + self._file_query(frames, size,
-                                                    joiner='&')
+    path = f'/v1/classify?k={k}' + self._file_query(
+        frames, size, temporal_views, spatial_views, joiner='&')
     out = self._request('POST', path, self._file_bytes(video),
                         {'Content-Type': 'video/mp4'})
     return json.loads(out.decode('utf-8'))['predictions']
 
   def search_video_file(self, video: 'str | bytes', k: int = 5,
                         frames: int | None = None,
-                        size: int | None = None
+                        size: int | None = None,
+                        temporal_views: int | None = None,
+                        spatial_views: int | None = None
                         ) -> list[tuple[str, float]]:
     """Video-to-video similarity from a video FILE: top-k neighbors of
     the uploaded container (server-side decode as in
     :meth:`embed_file`)."""
-    path = f'/v1/search_video?k={k}' + self._file_query(frames, size,
-                                                        joiner='&')
+    path = f'/v1/search_video?k={k}' + self._file_query(
+        frames, size, temporal_views, spatial_views, joiner='&')
     out = self._request('POST', path, self._file_bytes(video),
                         {'Content-Type': 'video/mp4'})
     results = json.loads(out.decode('utf-8'))['results']
@@ -240,12 +248,18 @@ class VideoPrismClient:
 
   @staticmethod
   def _file_query(frames: int | None, size: int | None,
+                  temporal_views: int | None = None,
+                  spatial_views: int | None = None,
                   joiner: str = '?') -> str:
     query = []
     if frames is not None:
       query.append(f'frames={frames}')
     if size is not None:
       query.append(f'size={size}')
+    if temporal_views is not None:
+      query.append(f'temporal_views={temporal_views}')
+    if spatial_views is not None:
+      query.append(f'spatial_views={spatial_views}')
     return joiner + '&'.join(query) if query else ''
 
   def embed_text(self, texts: Sequence[str]) -> np.ndarray:

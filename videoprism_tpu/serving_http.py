@@ -44,6 +44,9 @@ Endpoints:
   THE cheap wire path: a compressed container is 10-50x smaller than the
   raw frame array `/v1/embed` takes, and the wire — not the chip — is
   the bottleneck for network-attached clients.  Response: npy ``[D]``.
+  ``?temporal_views=N&spatial_views=M`` runs the ViViT NxM multi-view
+  protocol server-side (one decode, all views in one batch, eval-loop
+  aggregation) for higher-fidelity embeddings/predictions.
 * ``POST /v1/classify[?k=N]`` — classifier servers: one clip in, softmax
   top-k ``{"class", "prob"[, "label"]}`` out (label map optional).
   ``/v1/classify`` and ``/v1/search_video`` also accept a ``video/*``
@@ -347,19 +350,21 @@ class _Handler(BaseHTTPRequestHandler):
       frames = int(q['frames'][0])
     if 'size' in q:
       size = int(q['size'][0])
-    if frames <= 0 or size <= 0:
-      raise ValueError(f'frames/size must be positive, got '
-                       f'{frames}/{size}')
-    decoded = frames * size * size * 3
+    tviews = int(q['temporal_views'][0]) if 'temporal_views' in q else 1
+    sviews = int(q['spatial_views'][0]) if 'spatial_views' in q else 1
+    if frames <= 0 or size <= 0 or tviews <= 0 or sviews <= 0:
+      raise ValueError(f'frames/size/views must be positive, got '
+                       f'{frames}/{size}/{tviews}x{sviews}')
+    decoded = frames * size * size * 3 * tviews * sviews
     if decoded > _MAX_BODY_BYTES:
       raise ValueError(
-          f'decoded clip [{frames}, {size}, {size}, 3] would be '
-          f'{decoded} bytes (limit {_MAX_BODY_BYTES}); lower '
-          f'?frames=/?size=')
-    return frames, size
+          f'decoded views [{tviews * sviews}, {frames}, {size}, {size}, '
+          f'3] would be {decoded} bytes (limit {_MAX_BODY_BYTES}); lower '
+          f'?frames=/?size=/?*_views=')
+    return frames, size, tviews, sviews
 
   def _decode_file_or_reply(self, body: bytes,
-                            geom: tuple[int, int]) -> 'np.ndarray | None':
+                            geom: tuple) -> 'np.ndarray | None':
     """Decodes a ``video/*`` body, or replies (400 for an undecodable
     upload, 500 for a missing decoder) and returns None.  One error
     mapping for all three file-accepting endpoints."""
@@ -371,13 +376,15 @@ class _Handler(BaseHTTPRequestHandler):
       self._reply_json(500, {'error': str(e)})
     return None
 
-  def _decode_video_file(self, body: bytes, frames: int,
-                         size: int) -> np.ndarray:
+  def _decode_video_file(self, body: bytes, frames: int, size: int,
+                         tviews: int = 1, sviews: int = 1) -> np.ndarray:
     """Decodes an uploaded container to a uint8 ``[frames, size, size,
-    3]`` clip (``io.video.load_video``: native FFmpeg first, cv2
-    fallback).  Undecodable bytes raise :class:`_ClientFileError`; a
-    missing decoder (ImportError) propagates — that is the server's
-    problem, not the client's."""
+    3]`` clip — or, with views requested, the ViViT NxM protocol's
+    ``[tviews * sviews, frames, size, size, 3]`` view stack
+    (``io.video``: native FFmpeg first, cv2 fallback).  Undecodable
+    bytes raise :class:`_ClientFileError`; a missing decoder
+    (ImportError) propagates — that is the server's problem, not the
+    client's."""
     import os as os_mod
     import tempfile
 
@@ -390,8 +397,12 @@ class _Handler(BaseHTTPRequestHandler):
       with os_mod.fdopen(fd, 'wb') as f:
         f.write(body)
       try:
-        return video_io.load_video(path, num_frames=frames,
-                                   target_size=size, as_uint8=True)
+        if tviews == 1 and sviews == 1:
+          return video_io.load_video(path, num_frames=frames,
+                                     target_size=size, as_uint8=True)
+        return video_io.load_video_views(
+            path, num_frames=frames, target_size=size,
+            temporal_views=tviews, spatial_views=sviews, as_uint8=True)
       except ImportError:
         raise
       except Exception as e:
@@ -399,38 +410,76 @@ class _Handler(BaseHTTPRequestHandler):
     finally:
       os_mod.unlink(path)
 
+  def _run_clip_or_views(self, video: np.ndarray,
+                         deadline_ms: 'float | None' = None) -> np.ndarray:
+    """One clip ``[T,H,W,3]`` → per-clip output via the micro-batcher;
+    a view stack ``[V,T,H,W,3]`` → per-view outputs through the direct
+    batch path, aggregated by the multi-view eval protocol: vector
+    outputs (pooled embeddings / logits) average over views, and
+    near-unit-norm rows (the l2-normalized CLIP towers) re-normalize
+    after the mean (train/eval_loop._sweep_videos).  Token-level
+    outputs cannot aggregate across crops — 400 via ValueError."""
+    if video.ndim == 4:
+      return np.asarray(self.service.embed(video, deadline_ms=deadline_ms))
+    per_view = np.asarray(self.service.embed_batch(video), np.float32)
+    if per_view.ndim != 2:
+      raise ValueError(
+          'multi-view aggregation needs a model with one output vector '
+          'per clip (pooled CLIP-vision embedding or classifier logits); '
+          f'this server returns shape {per_view.shape[1:]} per view')
+    agg = per_view.mean(axis=0)
+    norms = np.linalg.norm(per_view, axis=-1)
+    if np.all(np.abs(norms - 1.0) < 1e-2):  # l2-normalized embeddings
+      agg /= max(float(np.linalg.norm(agg)), 1e-12)
+    return agg
+
+  def _deadline_ms(self) -> 'float | None':
+    """Parses ``X-Deadline-Ms``; raises ValueError on bad values (→
+    400).  NaN comparisons are all False — NaN would silently disable
+    the deadline; nonpositive would 500 out of ``service.embed``."""
+    deadline_ms = self.headers.get('X-Deadline-Ms')
+    if deadline_ms is None:
+      return None
+    deadline_ms = float(deadline_ms)
+    if not deadline_ms > 0:
+      raise ValueError(
+          f'X-Deadline-Ms must be a positive number, got {deadline_ms}')
+    return deadline_ms
+
   def _post_embed_file(self) -> None:
-    """``POST /v1/embed_file[?frames=N&size=S]`` — body is a compressed
-    video container; decode + uniform frame sampling + center crop run
-    server-side (``io.video.load_video``, native FFmpeg first), then the
-    clip embeds through the micro-batcher exactly like ``/v1/embed``.
+    """``POST /v1/embed_file[?frames=N&size=S&temporal_views=N&
+    spatial_views=M]`` — body is a compressed video container; decode +
+    uniform frame sampling + center crop run server-side
+    (``io.video.load_video``, native FFmpeg first), then the clip embeds
+    through the micro-batcher exactly like ``/v1/embed``.  With views
+    requested, the ViViT NxM protocol runs: all views embed in one
+    batch and aggregate (mean, re-normalized for unit-norm embedding
+    spaces) — the eval loops' multi-view protocol at serving time.
     Geometry defaults to the model's native ``pos_emb_shape``; decode
     failures are the client's file — 400, not 500."""
     from urllib.parse import parse_qs, urlparse
 
     try:
       q = parse_qs(urlparse(self.path).query)
-      frames, size = self._file_geometry(q)
-      deadline_ms = self.headers.get('X-Deadline-Ms')
-      if deadline_ms is not None:
-        deadline_ms = float(deadline_ms)
-        if not deadline_ms > 0:
-          raise ValueError(
-              f'X-Deadline-Ms must be a positive number, got {deadline_ms}')
+      geom = self._file_geometry(q)
+      deadline_ms = self._deadline_ms()
       body = self._read_body()
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
       return
-    clip = self._decode_file_or_reply(body, (frames, size))
+    clip = self._decode_file_or_reply(body, geom)
     if clip is None:
       return
     try:
-      emb = self.service.embed(clip, deadline_ms=deadline_ms)
+      emb = self._run_clip_or_views(clip, deadline_ms)
     except DeadlineExceeded as e:
       self._reply_json(504, {'error': str(e)})
       return
     except ServiceOverloaded as e:
       self._reply_overloaded(e)
+      return
+    except ValueError as e:  # view aggregation unsupported for model
+      self._reply_json(400, {'error': str(e)})
       return
     except Exception as e:
       self._reply_json(500, {'error': str(e)})
@@ -453,6 +502,7 @@ class _Handler(BaseHTTPRequestHandler):
       k = int(q['k'][0]) if 'k' in q else 5
       if k <= 0:
         raise ValueError(f'"k" must be positive, got {k}')
+      deadline_ms = self._deadline_ms()
       content_type = self.headers.get('Content-Type', 'application/x-npy')
       body = self._read_body()
       if content_type.startswith('video/'):
@@ -470,7 +520,10 @@ class _Handler(BaseHTTPRequestHandler):
       if video is None:
         return
     try:
-      logits = np.asarray(self.service.embed(video), np.float64)
+      # Multi-view: mean of per-view logits (the eval loops'
+      # view_aggregate='logits' protocol) before the softmax.
+      logits = np.asarray(self._run_clip_or_views(video, deadline_ms),
+                          np.float64)
       probs = np.exp(logits - logits.max())
       probs /= probs.sum()
       k = min(k, len(probs))
@@ -482,6 +535,8 @@ class _Handler(BaseHTTPRequestHandler):
           entry['label'] = self.labels[int(i)]
         preds.append(entry)
       self._reply_json(200, {'predictions': preds})
+    except DeadlineExceeded as e:
+      self._reply_json(504, {'error': str(e)})
     except ServiceOverloaded as e:
       self._reply_overloaded(e)
     except Exception as e:  # service-side failure
@@ -546,6 +601,7 @@ class _Handler(BaseHTTPRequestHandler):
       k = int(q['k'][0]) if 'k' in q else 5
       if k <= 0:
         raise ValueError(f'"k" must be positive, got {k}')
+      deadline_ms = self._deadline_ms()
       content_type = self.headers.get('Content-Type', 'application/x-npy')
       body = self._read_body()
       if content_type.startswith('video/'):
@@ -563,13 +619,17 @@ class _Handler(BaseHTTPRequestHandler):
       if video is None:
         return
     try:
-      emb = self.service.embed(video)
+      emb = self._run_clip_or_views(video, deadline_ms)
       results = self.index.search(np.asarray(emb), k=k)
       self._reply_json(200, {'results': [
           [{'id': i, 'score': round(s, 6)} for i, s in row]
           for row in results]})
+    except DeadlineExceeded as e:
+      self._reply_json(504, {'error': str(e)})
     except ServiceOverloaded as e:
       self._reply_overloaded(e)
+    except ValueError as e:  # view aggregation unsupported for model
+      self._reply_json(400, {'error': str(e)})
     except Exception as e:  # service-side failure
       self._reply_json(500, {'error': str(e)})
 
