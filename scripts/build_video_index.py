@@ -28,7 +28,11 @@ import json
 
 import numpy as np  # noqa: E402
 
-from evaluate_retrieval import add_clip_eval_args, resolve_clip  # noqa: E402
+from evaluate_retrieval import (  # noqa: E402
+    add_clip_eval_args,
+    maybe_multiview,
+    resolve_clip,
+)
 from videoprism_tpu import retrieval  # noqa: E402
 from videoprism_tpu.train import data as data_lib  # noqa: E402
 from videoprism_tpu.train import preemption  # noqa: E402
@@ -47,6 +51,12 @@ class _Subset:
 
   def get(self, index):
     return self._source.get(self._positions[index])
+
+  @property
+  def num_views(self):
+    # Forward the multi-view count so the embedding sweep aggregates
+    # (eval_loop._num_views reads it).
+    return getattr(self._source, 'num_views', 1)
 
 
 def main():
@@ -108,6 +118,10 @@ def main():
     if not paths:
       raise SystemExit('no videos matched')
     ids = paths
+  # NxM multi-view indexing (--temporal-views/--spatial-views): the
+  # index stores the protocol-aggregated embedding per video.  Without
+  # this wrap the shared flags would be silently ignored here.
+  source = maybe_multiview(source, args)
 
   existing = None
   if args.append and os.path.exists(args.output):

@@ -358,6 +358,53 @@ def test_cli_append_grows_index(tmp_path):
   assert r3.returncode == 0 and '"appended": 0' in r3.stdout
 
 
+@pytest.mark.slow
+def test_cli_multiview_index_matches_protocol(tmp_path):
+  """--temporal-views/--spatial-views produce protocol-aggregated index
+  embeddings (they were previously accepted but silently ignored)."""
+  import os
+  import shutil
+  import subprocess
+  import sys
+
+  import jax
+
+  from videoprism_tpu.io import video as video_io
+  from videoprism_tpu.models import clip as vclip_lib
+  from videoprism_tpu.models import init as init_lib
+  from videoprism_tpu.train import data as data_lib
+
+  root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  corpus = tmp_path / 'corpus'
+  corpus.mkdir()
+  shutil.copy(assets.demo_video_path(), corpus / 'a.mp4')
+  out = str(tmp_path / 'idx_mv.npz')
+  env = dict(os.environ)
+  env['PYTHONPATH'] = root + os.pathsep + env.get('PYTHONPATH', '')
+  r = subprocess.run(
+      [sys.executable, os.path.join(root, 'scripts',
+                                    'build_video_index.py'),
+       '--tiny', '--videos-glob', str(corpus / '*.mp4'),
+       '--output', out, '--cpu-devices', '1', '--seed', '0',
+       '--temporal-views', '2', '--spatial-views', '2'],
+      capture_output=True, text=True, timeout=300, env=env)
+  assert r.returncode == 0, r.stdout + r.stderr
+  idx = retrieval.VideoIndex.load(out)
+  assert len(idx) == 1
+
+  sys.path.insert(0, os.path.join(root, 'scripts'))
+  from smoke_configs import TINY_CLIP as TINY_CFG_CLI
+  cfg = vclip_lib.VideoCLIPConfig(**TINY_CFG_CLI)
+  params = init_lib.init_video_clip(jax.random.PRNGKey(0), cfg)
+  views = video_io.load_video_views(str(corpus / 'a.mp4'), num_frames=2,
+                                    target_size=12, temporal_views=2,
+                                    spatial_views=2)
+  per_view, _ = vclip_lib.encode_vision(params, views, cfg, train=False)
+  want = np.asarray(per_view, np.float32).mean(axis=0)
+  want /= np.linalg.norm(want)
+  np.testing.assert_allclose(idx._emb[0], want, atol=1e-5)
+
+
 class TestSearchVideoHTTP:
   """Video-to-video similarity endpoint: clip body -> top-k neighbors."""
 
