@@ -22,7 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 
-from evaluate_retrieval import add_clip_eval_args, resolve_clip  # noqa: E402
+from evaluate_retrieval import (  # noqa: E402
+    add_clip_eval_args,
+    maybe_multiview,
+    resolve_clip,
+)
 from videoprism_tpu import retrieval  # noqa: E402
 
 
@@ -48,6 +52,9 @@ def main():
     source = data_lib.VideoTextSource(
         list(args.queries), [''] * len(args.queries), num_frames=frames,
         target_size=size)
+    # --temporal-views/--spatial-views: protocol-aggregated query
+    # embeddings (otherwise the shared flags would be silently ignored).
+    source = maybe_multiview(source, args)
     emb = retrieval.build_video_index(
         params, cfg, source, batch_size=args.batch_size)._emb
   else:
