@@ -169,6 +169,12 @@ class _Handler(BaseHTTPRequestHandler):
   _trace_lock = threading.Lock()
 
   protocol_version = 'HTTP/1.1'
+  # Socket timeout for reading a request (headers + body).  Without it a
+  # client that connects and trickles bytes (slowloris) pins a handler
+  # thread forever; with it the read raises and the thread is reclaimed.
+  # Generous because legitimate bodies can be hundreds of MB on slow
+  # links.
+  timeout = 300
 
   def log_message(self, fmt, *args):  # noqa: N802 (stdlib name)
     if not self.quiet:
