@@ -18,12 +18,21 @@ def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    *,
+    force: bool = False,
 ) -> None:
   """Initializes jax.distributed if running under a multi-host launcher.
 
-  With no arguments, relies on TPU metadata / environment auto-detection
-  (works on Cloud TPU VMs).  Safe to call unconditionally: single-process
-  runs are detected and skipped.
+  Any explicit argument means the caller knows this is a multi-host job —
+  ``jax.distributed.initialize`` always runs then (it raises if the
+  combination is incomplete, which beats silently training N independent
+  single-host jobs).  With no arguments the env launchers set
+  (``COORDINATOR_ADDRESS`` / ``TPU_WORKER_HOSTNAMES`` /
+  ``MEGASCALE_COORDINATOR_ADDRESS``) gate the call; plain single-host
+  dev runs skip it.  ``force=True`` calls it unconditionally and defers
+  entirely to jax's own cluster auto-detection — required on platforms
+  whose detection uses the cloud metadata server rather than env vars
+  (e.g. GCE multi-host TPU VMs outside GKE).
 
   Must run before anything initializes the XLA backend, so the guard only
   inspects jax's distributed global state — calling e.g.
@@ -33,12 +42,13 @@ def initialize(
   """
   if _already_initialized():
     return
-  explicit = coordinator_address is not None
+  explicit = (coordinator_address is not None or num_processes is not None
+              or process_id is not None)
   auto = any(
       v in os.environ
       for v in ('COORDINATOR_ADDRESS', 'TPU_WORKER_HOSTNAMES',
                 'MEGASCALE_COORDINATOR_ADDRESS'))
-  if not (explicit or auto):
+  if not (explicit or auto or force):
     return  # single host
   jax.distributed.initialize(
       coordinator_address=coordinator_address,

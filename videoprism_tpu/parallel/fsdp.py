@@ -52,8 +52,11 @@ def add_fsdp_axis(
 ) -> PartitionSpec:
   """Shards the largest still-replicated, divisible dim over ``data``.
 
-  ``base`` is the tensor-parallel spec (possibly shorter than the rank —
-  trailing dims replicated).  Ties prefer the later dimension.
+  ``base`` is the tensor-parallel spec: full-rank (the partition rules
+  right-align to full rank, ``sharding._spec``) or empty (fully
+  replicated).  Any other length is rejected — padding a partial spec
+  here would have to guess the alignment convention and a wrong guess
+  silently mis-shards the weight.  Ties prefer the later dimension.
   ``skip_leading`` excludes dim 0 (the scan-stacked layer axis: sharding it
   would turn every scan iteration's layer slice into a cross-device gather
   instead of a per-layer all-gather).
@@ -63,7 +66,11 @@ def add_fsdp_axis(
     size *= d
   if data_size <= 1 or size < min_size:
     return base
-  spec = list(base) + [None] * (len(shape) - len(base))
+  if len(base) not in (0, len(shape)):
+    raise ValueError(
+        f'partial partition spec {tuple(base)} for rank-{len(shape)} leaf; '
+        'FSDP augmentation needs full-rank (right-aligned) or empty specs')
+  spec = list(base) if base else [None] * len(shape)
   best = None
   for i, (entry, dim) in enumerate(zip(spec, shape)):
     if entry is not None or dim % data_size:

@@ -22,14 +22,14 @@ def make_mesh(
     model_parallelism: int = 1,
     *,
     devices=None,
-    data_axis: str = DATA_AXIS,
-    model_axis: str = MODEL_AXIS,
 ) -> Mesh:
   """Builds a ``(data, model)`` mesh over all (or given) devices.
 
   ``model_parallelism`` devices form the tensor-parallel group (innermost —
   adjacent on the ICI torus, where the per-layer collectives ride);
-  the remainder is the data-parallel axis.
+  the remainder is the data-parallel axis.  Axis names are fixed to
+  ``('data', 'model')``: every sharding rule, psum axis, and spec in the
+  parallel tier references these names.
   """
   devices = np.asarray(devices if devices is not None else jax.devices())
   n = devices.size
@@ -37,7 +37,7 @@ def make_mesh(
     raise ValueError(
         f'{n} devices not divisible by model_parallelism={model_parallelism}')
   grid = devices.reshape(n // model_parallelism, model_parallelism)
-  return Mesh(grid, (data_axis, model_axis))
+  return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
 def shard_map_compat(fn, mesh: Mesh, in_specs, out_specs):
@@ -49,7 +49,10 @@ def shard_map_compat(fn, mesh: Mesh, in_specs, out_specs):
 
     return partial(jax.shard_map, check_vma=False)(
         fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-  except AttributeError:  # jax < 0.5
+  # TypeError covers the transition window where jax.shard_map exists
+  # but still names the kwarg check_rep — without it the shim crashes
+  # instead of degrading to the experimental API.
+  except (AttributeError, TypeError):  # jax < 0.5 / renamed kwarg
     from jax.experimental.shard_map import shard_map
 
     return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

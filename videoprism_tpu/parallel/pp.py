@@ -44,6 +44,7 @@ from videoprism_tpu.ops.transformer import (
     transformer_layer,
 )
 from videoprism_tpu.parallel import mesh as mesh_lib
+from videoprism_tpu.parallel import sharding as shard_lib
 
 Array = jax.Array
 Params = Any
@@ -178,7 +179,7 @@ def make_pp_encoder_forward(
   P = PartitionSpec
 
   def param_spec(path, _):
-    names = [getattr(p, 'key', getattr(p, 'name', None)) for p in path]
+    names = shard_lib._key_path(path)
     if 'spatial_encoder' in names and 'x_layers' in names:
       return P(mesh_lib.MODEL_AXIS)
     return P()
@@ -214,10 +215,7 @@ def make_pp_encoder_forward(
       local, mesh,
       in_specs=(param_specs, P(mesh_lib.DATA_AXIS, None, None, None, None)),
       out_specs=P(mesh_lib.DATA_AXIS, None, None))
-  sharded_params = jax.device_put(
-      params, jax.tree.map(
-          lambda s: jax.sharding.NamedSharding(mesh, s), param_specs,
-          is_leaf=lambda x: isinstance(x, PartitionSpec)))
+  sharded_params = shard_lib.shard_params(params, mesh, specs=param_specs)
   return jax.jit(sharded), sharded_params
 
 

@@ -102,7 +102,17 @@ def param_shardings(params: Params, mesh: Mesh) -> Params:
       is_leaf=lambda x: isinstance(x, PartitionSpec))
 
 
-def shard_params(params: Params, mesh: Mesh) -> Params:
-  """Places a (host or device) param tree into its sharded layout."""
-  shardings = param_shardings(params, mesh)
+def shard_params(params: Params, mesh: Mesh, specs: Params | None = None
+                 ) -> Params:
+  """Places a (host or device) param tree into its sharded layout.
+
+  ``specs``: optional PartitionSpec tree overriding the Megatron rules —
+  for callers (TP CLIP/classifier, PP) that already computed custom
+  specs; passing it also avoids recomputing the rule tree."""
+  if specs is None:
+    shardings = param_shardings(params, mesh)
+  else:
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, PartitionSpec))
   return jax.device_put(params, shardings)

@@ -282,7 +282,12 @@ def make_sp_aux_pooler_forward(
       local, mesh,
       in_specs=(P(), P(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS, None)),
       out_specs=P(mesh_lib.DATA_AXIS, None))
-  return jax.jit(sharded)
+
+  def fwd(p, toks):
+    _check_sp_shapes(mesh, batch=toks.shape[0], tokens=toks.shape[1])
+    return sharded(p, toks)
+
+  return jax.jit(fwd)
 
 
 def make_sp_clip_vision_forward(
@@ -333,7 +338,30 @@ def make_sp_clip_vision_forward(
       out_specs=P(mesh_lib.DATA_AXIS, None))
 
   def fwd(p, video):
+    # Trace-time precondition checks: a violation otherwise surfaces as
+    # an opaque XLA sharding error deep inside the shard_maps (tp.py's
+    # validate_tp_config is the analogous guard for the TP tier).
+    dp = mesh.shape[mesh_lib.DATA_AXIS]
+    sp = mesh.shape[mesh_lib.MODEL_AXIS]
+    if video.shape[0] % (dp * sp):
+      raise ValueError(
+          f'batch {video.shape[0]} not divisible by data*model = '
+          f'{dp}*{sp} (the encoder stage folds both axes into data '
+          'parallelism)')
     tokens = enc(p['vision_encoder'], video)   # [B, T*N, D]
+    _check_sp_shapes(mesh, batch=tokens.shape[0], tokens=tokens.shape[1])
     return sp_tail(p, tokens)
 
   return jax.jit(fwd)
+
+
+def _check_sp_shapes(mesh: Mesh, *, batch: int, tokens: int) -> None:
+  dp = mesh.shape[mesh_lib.DATA_AXIS]
+  sp = mesh.shape[mesh_lib.MODEL_AXIS]
+  if batch % dp:
+    raise ValueError(f'batch {batch} not divisible by the data axis '
+                     f'({dp})')
+  if tokens % sp:
+    raise ValueError(f'sequence length {tokens} not divisible by the '
+                     f'model axis ({sp}) — sequence parallelism shards '
+                     'tokens over it')

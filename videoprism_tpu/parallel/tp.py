@@ -67,7 +67,7 @@ def make_tp_encoder_forward(
       cfg, tp_axis=mesh_lib.MODEL_AXIS, kernel_interpret=kernel_interpret)
 
   param_specs = shard_lib.param_partition_specs(params)
-  sharded_params = shard_lib.shard_params(params, mesh)
+  sharded_params = shard_lib.shard_params(params, mesh, specs=param_specs)
   video_spec = PartitionSpec(mesh_lib.DATA_AXIS, None, None, None, None)
   out_spec = PartitionSpec(mesh_lib.DATA_AXIS, None, None)
 
@@ -118,10 +118,7 @@ def make_tp_clip_vision_forward(
       cfg, tp_axis=mesh_lib.MODEL_AXIS, kernel_interpret=kernel_interpret)
 
   param_specs = _clip_param_specs(params)
-  sharded_params = jax.device_put(
-      params, jax.tree.map(
-          lambda s: jax.sharding.NamedSharding(mesh, s), param_specs,
-          is_leaf=lambda x: isinstance(x, PartitionSpec)))
+  sharded_params = shard_lib.shard_params(params, mesh, specs=param_specs)
   video_spec = PartitionSpec(mesh_lib.DATA_AXIS, None, None, None, None)
   out_spec = PartitionSpec(mesh_lib.DATA_AXIS, None)
 
@@ -156,7 +153,7 @@ def make_tp_classifier_forward(
           kernel_interpret=kernel_interpret))
 
   param_specs = shard_lib.param_partition_specs(params)
-  sharded_params = shard_lib.shard_params(params, mesh)
+  sharded_params = shard_lib.shard_params(params, mesh, specs=param_specs)
   video_spec = PartitionSpec(mesh_lib.DATA_AXIS, None, None, None, None)
   out_spec = PartitionSpec(mesh_lib.DATA_AXIS, None)
 
