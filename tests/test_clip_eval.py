@@ -61,6 +61,24 @@ class TestEvaluateRetrieval:
     for k, val in expected.items():
       np.testing.assert_allclose(metrics[k], val, atol=1e-6, err_msg=k)
 
+  def test_rank5_sharding_reaches_text_sweep(self):
+    """The train CLI passes data_sharding(mesh, 5) for the videos; the
+    rank-2 text sweep must adapt it instead of crashing device_put
+    (regression: multi-device --eval-every died at the first eval)."""
+    from videoprism_tpu.parallel import mesh as mesh_lib
+
+    cfg, params, tok = _setup()
+    mesh = mesh_lib.make_mesh()  # all 8 virtual devices on 'data'
+    source = data_lib.SyntheticSource(num_examples=8, num_frames=2,
+                                      size=12)
+    metrics = evaluate_retrieval(
+        params, cfg, source, tok, batch_size=8, max_text_len=MAX_LEN,
+        sharding=mesh_lib.data_sharding(mesh, 5))
+    base = evaluate_retrieval(
+        params, cfg, source, tok, batch_size=8, max_text_len=MAX_LEN)
+    for k, val in base.items():
+      np.testing.assert_allclose(metrics[k], val, atol=1e-5, err_msg=k)
+
   def test_self_retrieval_is_perfect(self):
     """Querying video embeddings against themselves: R@1 == 1."""
     cfg, params, tok = _setup()

@@ -253,10 +253,19 @@ class TestDistillEval:
     source = data_lib.SyntheticSource(num_examples=6, num_frames=2, size=12)
     out = distill.evaluate_distill(eval_step, state.trainable, teacher,
                                    source, batch_size=2, max_batches=2)
-    assert set(out) == {'eval_cosine'}
+    assert set(out) == {'eval_cosine', 'num_examples'}
+    assert out['num_examples'] == 4.0  # max_batches caps the population
     assert -1.0 <= out['eval_cosine'] <= 1.0
-    with pytest.raises(ValueError, match='no full batch'):
-      distill.evaluate_distill(eval_step, state.trainable, teacher,
-                               data_lib.SyntheticSource(
-                                   num_examples=1, num_frames=2, size=12),
-                               batch_size=2)
+    # A tail smaller than batch_size still counts (it used to be
+    # silently dropped): 5 examples at batch 2 -> all 5 scored.
+    tail = distill.evaluate_distill(
+        eval_step, state.trainable, teacher,
+        data_lib.SyntheticSource(num_examples=5, num_frames=2, size=12),
+        batch_size=2)
+    assert tail['num_examples'] == 5.0
+    # And a source smaller than one batch works outright.
+    small = distill.evaluate_distill(
+        eval_step, state.trainable, teacher,
+        data_lib.SyntheticSource(num_examples=1, num_frames=2, size=12),
+        batch_size=2)
+    assert small['num_examples'] == 1.0

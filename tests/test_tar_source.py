@@ -116,9 +116,10 @@ class TestTarShardSource:
 
 
 def test_mode_aware_target_views(tmp_path):
-  """labels/captions raise AttributeError in the wrong mode, so the eval
-  loops' getattr fallbacks stay honest (and never hit their
-  decode-everything path for the right mode)."""
+  """Wrong-mode labels/captions raise TypeError — NOT AttributeError,
+  which ``getattr(source, ..., None)`` (the eval loops' probe) would
+  swallow, silently sending a mode-mismatched source down the
+  decode-everything fallback to die on an unrelated cast error later."""
   cap = _make_shard(tmp_path / 'c.tar', ['a'])
   lab = _make_shard(tmp_path / 'l.tar', ['a'], labeled=True)
   cap_src = data_lib.TarShardSource([cap], num_frames=2, target_size=36)
@@ -126,8 +127,10 @@ def test_mode_aware_target_views(tmp_path):
                                     target_size=36)
   assert cap_src.captions == ['caption a']
   assert lab_src.labels == [0]
-  assert getattr(cap_src, 'labels', None) is None
-  assert getattr(lab_src, 'captions', None) is None
+  with pytest.raises(TypeError, match='has no labels'):
+    getattr(cap_src, 'labels', None)
+  with pytest.raises(TypeError, match='has no captions'):
+    getattr(lab_src, 'captions', None)
 
 
 def test_same_key_in_two_shards_is_two_examples(tmp_path):

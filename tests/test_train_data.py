@@ -1,6 +1,7 @@
 """Training data pipeline tests: loader semantics + end-to-end train loop."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -106,6 +107,51 @@ class TestBatchedLoader:
       next(iter(data_lib.batched_loader(
           source, tokenizer, batch_size=4, sharding=lambda n: None,
           process_index=2, process_count=2)))
+    # A partial final batch cannot split into equal per-process rows —
+    # rejected up front, not as a reshape crash at epoch end.
+    with pytest.raises(ValueError, match='multi-host.*drop_remainder'):
+      next(iter(data_lib.batched_loader(
+          source, tokenizer, batch_size=4, sharding=lambda n: None,
+          process_index=0, process_count=2, drop_remainder=False)))
+
+  def test_weight_decay_mask_spares_non_matmul_leaves(self):
+    """AdamW decay hits only matmul/embedding weights: biases, LN
+    scales, and the contrastive log_temperature must not shrink (the
+    standard CLIP/ViT recipe — decaying the logit scale fights the
+    learned temperature)."""
+    from videoprism_tpu.train.train_step import _weight_decay_mask
+
+    params = {
+        'layer_norm': {'scale': jnp.ones((3, 4)), 'bias': jnp.ones((4,))},
+        'self_attention': {'query': {'w': jnp.ones((4, 2, 2)),
+                                     'b': jnp.ones((2, 2))}},
+        'ffn_layer1': {'linear': {'kernel': jnp.ones((4, 8)),
+                                  'bias': jnp.ones((8,))}},
+        'token_emb': {'emb_var': jnp.ones((10, 4))},
+    }
+    trainable = (params, jnp.asarray(0.5))  # (tree, log_temperature)
+    mask = _weight_decay_mask(trainable)
+    assert mask[1] is False                       # log_temperature
+    tree = mask[0]
+    assert tree['self_attention']['query']['w'] is True
+    assert tree['ffn_layer1']['linear']['kernel'] is True
+    assert tree['token_emb']['emb_var'] is True
+    assert tree['self_attention']['query']['b'] is False
+    assert tree['layer_norm']['scale'] is False   # 2-D but named scale
+    assert tree['layer_norm']['bias'] is False
+    assert tree['ffn_layer1']['linear']['bias'] is False
+
+    # End to end: zero gradients + heavy decay shrink only masked leaves.
+    opt = make_optimizer(learning_rate=1e-2, weight_decay=1.0,
+                         warmup_steps=0, total_steps=2, clip_norm=1e9,
+                         schedule='constant')
+    opt_state = opt.init(trainable)
+    zero_grads = jax.tree.map(jnp.zeros_like, trainable)
+    updates, _ = opt.update(zero_grads, opt_state, trainable)
+    new = jax.tree.map(lambda p, u: p + u, trainable, updates)
+    assert float(new[1]) == 0.5                   # log_temperature intact
+    assert float(new[0]['layer_norm']['scale'][0, 0]) == 1.0
+    assert float(new[0]['self_attention']['query']['w'][0, 0, 0]) < 1.0
 
   def test_shuffling_differs_across_epochs(self, tokenizer):
     source = data_lib.SyntheticSource(num_examples=8)

@@ -62,11 +62,11 @@ from videoprism_tpu.train.pp_train_step import make_pp_train_step
 from videoprism_tpu.train.tp_train_step import make_tp_train_step
 
 __all__ = [
-    'ClassifierTrainState', 'DistillTrainState', 'EmaState', 'LoraConfig',
-    'TrainState',
-    'accumulate_gradients', 'cosine_distill_loss',
+    'AugmentConfig', 'ClassifierTrainState', 'DistillTrainState',
+    'EmaState', 'LoraConfig', 'TrainState',
+    'accumulate_gradients', 'augment_clips', 'cosine_distill_loss',
     'create_classifier_train_state', 'create_distill_train_state',
-    'evaluate_distill', 'kd_kl_loss', 'make_classifier_distill_step',
+    'evaluate_distill', 'kd_kl_loss', 'make_augment_fn', 'make_classifier_distill_step',
     'make_clip_vision_distill_step', 'make_distill_eval_step',
     'make_encoder_distill_step', 'make_sharded_distill_step',
     'create_lora_classifier_train_state', 'create_lora_train_state',

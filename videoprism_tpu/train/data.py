@@ -42,6 +42,11 @@ class ExampleSource(Protocol):
 class VideoTextSource:
   """(video path, caption) pairs decoded with the reference loader."""
 
+  # Single-view clips [T, H, W, 3]: declared so the eval sweeps never
+  # decode an example just to probe the clip rank (MultiViewSource
+  # overrides with its real count).
+  num_views = 1
+
   video_paths: Sequence[str]
   captions: Sequence[str]
   num_frames: int = 16
@@ -99,6 +104,11 @@ class SyntheticSource:
   the historical examples.
   """
 
+  # Single-view clips [T, H, W, 3]: declared so the eval sweeps never
+  # decode an example just to probe the clip rank (MultiViewSource
+  # overrides with its real count).
+  num_views = 1
+
   num_examples: int = 64
   num_frames: int = 4
   size: int = 36
@@ -120,6 +130,11 @@ class SyntheticSource:
 @dataclasses.dataclass
 class VideoLabelSource:
   """(video path, integer label) pairs for classifier fine-tuning."""
+
+  # Single-view clips [T, H, W, 3]: declared so the eval sweeps never
+  # decode an example just to probe the clip rank (MultiViewSource
+  # overrides with its real count).
+  num_views = 1
 
   video_paths: Sequence[str]
   labels: Sequence[int]
@@ -176,6 +191,11 @@ class TarShardSource:
   for :func:`labeled_loader`; the default expects ``.txt`` captions and
   yields ``(clip, str)`` for :func:`batched_loader`.
   """
+
+  # Single-view clips [T, H, W, 3]: declared so the eval sweeps never
+  # decode an example just to probe the clip rank (MultiViewSource
+  # overrides with its real count).
+  num_views = 1
 
   def __init__(self, shards: Sequence[str], *, labeled: bool = False,
                num_frames: int = 16, target_size: int = 288,
@@ -257,21 +277,23 @@ class TarShardSource:
     return len(self._index)
 
   # Mode-aware target views (parity with VideoLabelSource.labels /
-  # VideoTextSource.captions). Raising AttributeError in the wrong mode
-  # keeps the eval loops' getattr(source, 'labels'/'captions', None)
-  # fallbacks honest — and avoids their decode-everything fallback path,
-  # which would decode every video just to read the targets.
+  # VideoTextSource.captions).  Wrong-mode access raises TypeError, NOT
+  # AttributeError: ``getattr(source, 'labels', None)`` (the eval loops'
+  # probe) swallows AttributeError raised inside a property and returns
+  # the default — the mode mismatch would then silently take the
+  # decode-everything fallback and die on an unrelated cast error hours
+  # later.  TypeError propagates through getattr, failing loudly here.
   @property
   def labels(self) -> list:
     if not self.labeled:
-      raise AttributeError('caption-mode TarShardSource has no labels '
-                           '(build with labeled=True)')
+      raise TypeError('caption-mode TarShardSource has no labels '
+                      '(build with labeled=True)')
     return [t for *_, t in self._index]
 
   @property
   def captions(self) -> list:
     if self.labeled:
-      raise AttributeError('labeled TarShardSource has no captions')
+      raise TypeError('labeled TarShardSource has no captions')
     return [t for *_, t in self._index]
 
   def get(self, index: int):
@@ -362,6 +384,11 @@ class SyntheticLabeledSource:
   ``seed`` partitions the example space: sources with different seeds are
   disjoint held-out sets (seed 0 keeps the historical examples).
   """
+
+  # Single-view clips [T, H, W, 3]: declared so the eval sweeps never
+  # decode an example just to probe the clip rank (MultiViewSource
+  # overrides with its real count).
+  num_views = 1
 
   num_examples: int = 64
   num_frames: int = 4
@@ -561,6 +588,12 @@ def _loader_engine(
     raise ValueError('accum_steps > 1 requires drop_remainder=True '
                      '(a partial final batch cannot reshape to '
                      '[accum_steps, batch_size, ...])')
+  if pcount > 1 and not drop_remainder:
+    raise ValueError(
+        'multi-host loading requires drop_remainder=True: a partial '
+        'final batch cannot split into equal per-process rows, and the '
+        'global batch shape must stay fixed for '
+        'make_array_from_process_local_data')
   if drop_remainder and len(source) < step_size:
     raise ValueError(
         f'source has {len(source)} examples but one step consumes '

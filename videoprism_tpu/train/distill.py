@@ -347,28 +347,33 @@ def evaluate_distill(
     batch_size: int = 8,
     max_batches: int | None = None,
 ) -> dict[str, float]:
-  """Sweeps a ``(clip, *)`` source through ``eval_step`` at one fixed
-  geometry (pad rows dropped by weighting) and returns mean metrics."""
+  """Sweeps a ``(clip, *)`` source through ``eval_step`` and returns
+  example-weighted mean metrics (``num_examples`` records the population).
+
+  The tail batch runs at its natural (smaller) size — one extra compile,
+  but every example counts; silently dropping ``n % batch_size``
+  examples would report metrics over a different population than the
+  caller believes."""
   import numpy as np
 
   totals: dict[str, float] = {}
   weight = 0
   n = len(source)
-  batches = range(0, n - batch_size + 1, batch_size)
+  batches = list(range(0, n, batch_size))
   if max_batches is not None:
-    batches = list(batches)[:max_batches]
+    batches = batches[:max_batches]
   for start in batches:
-    video = np.stack(
-        [source.get(i)[0] for i in range(start, start + batch_size)])
+    stop = min(start + batch_size, n)
+    video = np.stack([source.get(i)[0] for i in range(start, stop)])
     metrics = eval_step(trainable, teacher_params, video)
     for key, value in metrics.items():
-      totals[key] = totals.get(key, 0.0) + float(value) * batch_size
-    weight += batch_size
+      totals[key] = totals.get(key, 0.0) + float(value) * (stop - start)
+    weight += stop - start
   if not weight:
-    raise ValueError(
-        f'evaluate_distill: source of {n} examples yields no full '
-        f'batch of {batch_size}')
-  return {k: v / weight for k, v in totals.items()}
+    raise ValueError(f'evaluate_distill: empty source of {n} examples')
+  out = {k: v / weight for k, v in totals.items()}
+  out['num_examples'] = float(weight)
+  return out
 
 
 def make_sharded_distill_step(

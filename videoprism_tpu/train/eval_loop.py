@@ -108,6 +108,7 @@ def evaluate_classifier(
   if view_aggregate not in ('logits', 'probs'):
     raise ValueError(f'view_aggregate must be "logits" or "probs", '
                      f'got {view_aggregate!r}')
+  sharding = _rank_sharding(sharding, 5)
   views = _num_views(source)
   per_batch = max(1, batch_size // views)
   device_rows = max(batch_size, views)
@@ -193,6 +194,7 @@ def _sweep_videos(step, params, source, indices, *, batch_size, num_workers,
   embeddings are averaged and re-normalized (the standard multi-view
   retrieval protocol).
   """
+  sharding = _rank_sharding(sharding, 5)
   views = _num_views(source)
   per_batch = max(1, batch_size // views)
   device_rows = max(batch_size, views)
@@ -219,9 +221,29 @@ def _sweep_videos(step, params, source, indices, *, batch_size, num_workers,
   return np.concatenate(out, axis=0)
 
 
+def _rank_sharding(sharding, ndim: int):
+  """Adapts a batch-leading NamedSharding to an array rank.
+
+  The eval entry points take ONE ``sharding`` but place both rank-5
+  videos and rank-2 token batches — a caller's
+  ``data_sharding(mesh, 5)`` must not crash the text sweep (device_put
+  rejects rank/spec mismatches).  Only the batch axis is ever sharded
+  here, so rebuild the spec at the needed rank."""
+  if sharding is None:
+    return None
+  from jax.sharding import NamedSharding, PartitionSpec
+
+  if isinstance(sharding, NamedSharding):
+    batch = sharding.spec[0] if len(sharding.spec) else None
+    return NamedSharding(sharding.mesh,
+                         PartitionSpec(batch, *([None] * (ndim - 1))))
+  return sharding  # unknown sharding type: trust the caller
+
+
 def _sweep_texts(step, params, texts, tokenizer, *, batch_size, max_text_len,
                  sharding) -> np.ndarray:
   """Fixed-geometry padded text sweep (pad rows are all-padding)."""
+  sharding = _rank_sharding(sharding, 2)
   out: list[np.ndarray] = []
   for s in range(0, len(texts), batch_size):
     chunk = list(texts[s:s + batch_size])

@@ -53,6 +53,32 @@ jax.tree_util.register_pytree_node(
     TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
 
 
+def _weight_decay_mask(params) -> Any:
+  """True (decay) only for matmul/embedding weight leaves.
+
+  Standard AdamW practice — and what every reference CLIP/ViT recipe
+  does — is to exclude biases, LayerNorm scales, and the contrastive
+  ``log_temperature`` from decay: decaying the logit scale fights the
+  learned temperature, and decaying norm parameters is a silent
+  quality regression.  Keyed by leaf NAME, not rank, because scanned
+  stacks give biases a second (layer) axis: the checkpoint schema names
+  matmul kernels ``w`` (attention, ``[L?, D, N, H]``), ``kernel``
+  (dense), and ``emb_var`` (embedding/pos-emb tables).  Everything else
+  — ``b``/``bias``, ``scale``, ``per_dim_scale``, ``log_temperature``,
+  LoRA a/b adapters at their default-on scale — is excluded.
+  """
+  decay_names = ('w', 'kernel', 'emb_var')
+
+  def leaf_mask(path, _):
+    for entry in reversed(path):
+      key = getattr(entry, 'key', getattr(entry, 'name', None))
+      if key is not None:
+        return str(key) in decay_names
+    return False  # bare leaf (e.g. log_temperature in the trainable tuple)
+
+  return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
 def make_optimizer(
     learning_rate: float = 1e-4,
     weight_decay: float = 1e-4,
@@ -112,7 +138,7 @@ def make_optimizer(
   opt = optax.chain(
       optax.clip_by_global_norm(clip_norm),
       optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay,
-                  mu_dtype=mu_dtype),
+                  mu_dtype=mu_dtype, mask=_weight_decay_mask),
   )
   if skip_nonfinite is not None:
     if skip_nonfinite <= 0:
