@@ -138,8 +138,12 @@ def main():
     from videoprism_tpu.models import factorized_encoder as fe
     from videoprism_tpu.models import init as init_lib
 
+    # Same production knobs as the embedding path below: bf16 + fused
+    # kernels (fp32/XLA here would also make --quantize int8 dequantize
+    # inside every step instead of engaging the int8 kernels).
     enc_cfg = (fe.FactorizedEncoderConfig(**TINY_ENC) if args.tiny
-               else vp.get_model(args.model).config)
+               else vp.get_model(args.model, fprop_dtype=jnp.bfloat16,
+                                 attention_impl='flash').config)
     cfg = vc.VideoClassifierConfig(encoder=enc_cfg,
                                    num_classes=args.num_classes)
     model = vp.Model(cfg, vc.apply, init_lib.init_video_classifier)
@@ -306,7 +310,8 @@ def main():
         # its own copy of the weights, so it must be rebuilt too or
         # /v1/search would score across mismatched embedding spaces.
         text_service.reload(retrieval.make_text_query_encoder(
-            model._unwrap(new_state), model.config, tokenizer))
+            model._unwrap(new_state), model.config, tokenizer,
+            exported=args.from_export_text))
       print(f'reload: serving new weights '
             f'(reload #{service.stats()["reloads"]})', flush=True)
     except Exception as e:

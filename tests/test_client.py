@@ -211,6 +211,53 @@ class TestRetryContract:
       c.embed(np.zeros(CLIP_SHAPE, np.float32))
 
 
+class TestRetryAfterParsing:
+
+  def test_delta_seconds(self):
+    assert client_lib._retry_after_delay('2') == 2.0
+    assert client_lib._retry_after_delay('0') == 0.0
+    assert client_lib._retry_after_delay('-3') == 0.0  # clamped
+
+  def test_http_date_future_and_past(self):
+    from email.utils import format_datetime
+    import datetime as dt
+
+    now = dt.datetime.now(dt.timezone.utc)
+    future = format_datetime(now + dt.timedelta(seconds=30), usegmt=True)
+    past = format_datetime(now - dt.timedelta(seconds=30), usegmt=True)
+    delay = client_lib._retry_after_delay(future)
+    assert 25.0 < delay <= 30.0
+    assert client_lib._retry_after_delay(past) == 0.0
+
+  def test_garbage_and_missing(self):
+    assert client_lib._retry_after_delay('soon') == 0.0
+    assert client_lib._retry_after_delay(None) == 0.0
+    assert client_lib._retry_after_delay('') == 0.0
+
+  def test_http_date_retry_after_end_to_end(self):
+    """A 503 whose Retry-After is an HTTP date (in the past, so no real
+    sleep) still retries into the eventual success."""
+    from email.utils import format_datetime
+    import datetime as dt
+
+    past = format_datetime(
+        dt.datetime.now(dt.timezone.utc) - dt.timedelta(seconds=5),
+        usegmt=True)
+    emb = np.arange(4, dtype=np.float32)
+    httpd, seen = _scripted_server([
+        (503, {'Retry-After': past}, b'{"error": "shed"}'),
+        (200, {'Content-Type': 'application/x-npy'}, _npy(emb)),
+    ])
+    try:
+      c = client_lib.VideoPrismClient(f'http://127.0.0.1:{httpd.server_port}',
+                                      backoff_s=0.01)
+      got = c.embed(np.zeros(CLIP_SHAPE, np.float32))
+      np.testing.assert_array_equal(got, emb)
+      assert len(seen) == 2
+    finally:
+      httpd.shutdown()
+
+
 class TestTextAndSearch:
 
   def test_embed_text_and_search_wire(self):

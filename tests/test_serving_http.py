@@ -74,6 +74,15 @@ class TestEndpoints:
     assert 'videoprism_queue_depth' in body
     assert 'videoprism_requests_shed_total 0' in body
 
+  def test_prometheus_summary_has_one_type_line(self):
+    """Both latency quantiles share ONE metric family: duplicate # TYPE
+    lines are invalid exposition format and strict scrapers reject the
+    whole page."""
+    body = serving_http._prometheus_metrics(
+        {'batch_latency_p50_s': 0.01, 'batch_latency_p99_s': 0.05})
+    assert body.count('# TYPE videoprism_batch_latency_seconds') == 1
+    assert 'quantile="0.5"' in body and 'quantile="0.99"' in body
+
   def test_npy_single_clip_matches_direct(self, server):
     httpd, model, state = server
     clip = np.random.default_rng(0).random(CLIP_SHAPE, np.float32)
@@ -570,6 +579,18 @@ class TestBearerAuth:
         _url(auth_server, '/v1/embed'), self._npy_body(),
         {'Content-Type': 'application/x-npy',
          'Authorization': 'Bearer wrong'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 401
+
+  def test_non_ascii_token_is_401_not_500(self, auth_server):
+    """str hmac.compare_digest raises TypeError on non-ASCII input — the
+    comparison must run on bytes so a garbage header gets a clean 401
+    instead of a dropped connection."""
+    req = urllib.request.Request(
+        _url(auth_server, '/v1/embed'), self._npy_body(),
+        {'Content-Type': 'application/x-npy',
+         'Authorization': 'Bearer s\xe9same\xff'})
     with pytest.raises(urllib.error.HTTPError) as ei:
       urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 401

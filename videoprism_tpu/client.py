@@ -33,6 +33,31 @@ from typing import Any, Sequence
 import numpy as np
 
 
+def _retry_after_delay(value: 'str | None') -> float:
+  """Seconds to wait per a ``Retry-After`` header — both RFC 9110 forms:
+  delta-seconds (``"2"``) and HTTP-date (``"Wed, 21 Oct 2026 07:28:00
+  GMT"``).  Unparseable or past values yield 0.0 (the caller's own
+  exponential backoff then sets the floor)."""
+  if not value:
+    return 0.0
+  try:
+    return max(0.0, float(value))
+  except ValueError:
+    pass
+  try:
+    from email.utils import parsedate_to_datetime
+
+    import datetime as _dt
+
+    when = parsedate_to_datetime(value)
+    if when.tzinfo is None:  # RFC 9110 dates are GMT
+      when = when.replace(tzinfo=_dt.timezone.utc)
+    return max(0.0, (when - _dt.datetime.now(_dt.timezone.utc))
+               .total_seconds())
+  except Exception:
+    return 0.0
+
+
 class RequestError(RuntimeError):
   """HTTP-level failure; ``status`` is the code (None for transport)."""
 
@@ -111,14 +136,8 @@ class VideoPrismClient:
           raise DeadlineExceeded(detail, status=504) from None
         if e.code != 503:  # 4xx/5xx that retrying cannot fix
           raise RequestError(detail, status=e.code) from None
-        retry_after = e.headers.get('Retry-After')
         last_error = Overloaded(detail, status=503)
-        try:
-          # Retry-After may also be an HTTP-date (RFC 9110); only the
-          # delta-seconds form is honored, a date falls back to backoff.
-          delay = float(retry_after) if retry_after else 0.0
-        except ValueError:
-          delay = 0.0
+        delay = _retry_after_delay(e.headers.get('Retry-After'))
       except (urllib.error.URLError, ConnectionError, TimeoutError) as e:
         # Includes refused connections during hot reload / elastic
         # restart; bounded by the same retry budget.

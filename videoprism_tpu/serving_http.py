@@ -141,13 +141,17 @@ def _prometheus_metrics(stats: dict) -> str:
         stats.get('text_batches_run'), 'counter')
   gauge('videoprism_text_errors_total', stats.get('text_errors'), 'counter')
   gauge('videoprism_text_queue_depth', stats.get('text_queue_depth'))
-  for q, key in (('0.5', 'batch_latency_p50_s'),
-                 ('0.99', 'batch_latency_p99_s')):
-    if stats.get(key) is not None:
-      lines.append('# TYPE videoprism_batch_latency_seconds summary')
+  quantiles = [(q, stats[key])
+               for q, key in (('0.5', 'batch_latency_p50_s'),
+                              ('0.99', 'batch_latency_p99_s'))
+               if stats.get(key) is not None]
+  if quantiles:
+    # One TYPE line per metric family — duplicates are invalid in the
+    # exposition format and strict scrapers reject the whole page.
+    lines.append('# TYPE videoprism_batch_latency_seconds summary')
+    for q, value in quantiles:
       lines.append(
-          f'videoprism_batch_latency_seconds{{quantile="{q}"}} '
-          f'{stats[key]}')
+          f'videoprism_batch_latency_seconds{{quantile="{q}"}} {value}')
   return '\n'.join(lines) + '\n'
 
 
@@ -269,8 +273,12 @@ class _Handler(BaseHTTPRequestHandler):
       return True
     import hmac
 
-    got = self.headers.get('Authorization', '')
-    if hmac.compare_digest(got, f'Bearer {self.auth_token}'):
+    # Compare as bytes: str compare_digest raises TypeError on any
+    # non-ASCII header, which would 500 instead of 401.  Headers arrive
+    # latin-1-decoded from http.server, so latin-1 round-trips exactly.
+    got = self.headers.get('Authorization', '').encode('latin-1', 'replace')
+    want = f'Bearer {self.auth_token}'.encode('utf-8')
+    if hmac.compare_digest(got, want):
       return True
     self.send_response(401)
     body = json.dumps({'error': 'missing or invalid bearer token'}).encode()

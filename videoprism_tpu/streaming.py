@@ -168,6 +168,9 @@ def embed_long_video(
   per_window = list(stream_embeddings(
       embed_fn, frames, window=window, stride=stride,
       batch_windows=batch_windows))
+  if not per_window:
+    raise ValueError(
+        f'embed_long_video: no windows from {frames.shape[0]} frames')
   stacked = np.stack(per_window, axis=0)
   return aggregate(stacked, normalize=normalize), stacked
 
