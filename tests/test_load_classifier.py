@@ -67,6 +67,23 @@ class TestLoadClassifier:
     logits, _ = bound(jnp.zeros((1, 2, 12, 12, 3)), train=False)
     assert logits.shape == (1, 5)
 
+  def test_serving_knobs(self, tiny_registry, tmp_path):
+    """fprop_dtype/attention_impl reach the encoder config (the serving
+    configuration without hand-editing dataclasses)."""
+    from videoprism_tpu.models import factorized_encoder as fe
+
+    enc_cfg = fe.FactorizedEncoderConfig(**TINY_ENC)
+    enc_params = init_lib.init_factorized_encoder(
+        jax.random.PRNGKey(0), enc_cfg)
+    path = str(tmp_path / 'enc.npz')
+    ckpt_lib.save_checkpoint(path, enc_params)
+
+    bound = vp.load_classifier(
+        'videoprism_public_v1_base', num_classes=5, weights_path=path,
+        fprop_dtype=jnp.bfloat16, attention_impl='flash')
+    assert bound.config.encoder.dtype == jnp.bfloat16
+    assert bound.config.encoder.attention_impl == 'flash'
+
   def test_wrong_checkpoint_fails_loudly(self, tiny_registry, tmp_path):
     path = str(tmp_path / 'bogus.npz')
     ckpt_lib.save_checkpoint(path, {'not_a_backbone': np.zeros(3)})

@@ -581,13 +581,17 @@ def load_classifier(
     num_classes: int,
     weights_path: str | None = None,
     head_rng: jax.Array | None = None,
+    *,
+    fprop_dtype=None,
+    attention_impl: str | None = None,
 ) -> BoundModel:
   """Builds a classifier whose backbone is initialized from a pretrained
   checkpoint; the pooler and projection head are freshly initialized.
 
   Unlike the reference (which silently proceeds with fully random weights
   when the remap fails, videoprism/models_mlx.py:291-293), missing backbone
-  weights raise.
+  weights raise.  ``fprop_dtype``/``attention_impl`` are the TPU serving
+  knobs of :func:`get_model`, applied to the encoder config.
 
   Reference: videoprism/models_mlx.py:213-294.
   """
@@ -600,7 +604,12 @@ def load_classifier(
       'videoprism_v1_large' if 'large' in model_name else
       'videoprism_v1_giant' if 'giant' in model_name else
       'videoprism_v1_base')
-  model = _classifier_model(config_name, num_classes)
+  overrides = {}
+  if fprop_dtype is not None:
+    overrides['dtype'] = jnp.dtype(fprop_dtype)
+  if attention_impl is not None:
+    overrides['attention_impl'] = attention_impl
+  model = _classifier_model(config_name, num_classes, **overrides)
 
   pretrained = _resolve_weights(model_name, weights_path)
   pretrained = Model._unwrap(pretrained)
