@@ -478,7 +478,6 @@ class VideoPrefetcher:
         batch, num_frames, target_size, resize_mode, num_workers=num_workers)
     self._prefetch_depth = prefetch_depth
     self._sharding = sharding
-    self._pool = concurrent.futures.ThreadPoolExecutor(1)
 
   def _batches(self) -> Iterator[list[str]]:
     for i in range(0, len(self._paths), self._batch_size):
@@ -487,22 +486,31 @@ class VideoPrefetcher:
   def __iter__(self) -> Iterator[jax.Array]:
     queue = collections.deque()
     batches = self._batches()
+    # Per-iteration pool (not __init__): each pass owns and releases its
+    # decode thread, and the prefetcher stays re-iterable.
+    pool = concurrent.futures.ThreadPoolExecutor(1)
 
     def submit(paths):
-      queue.append(self._pool.submit(self._load, paths))
+      queue.append(pool.submit(self._load, paths))
 
-    for _ in range(self._prefetch_depth):
-      paths = next(batches, None)
-      if paths is None:
-        break
-      submit(paths)
-
-    while queue:
-      host_batch = queue.popleft().result()
-      paths = next(batches, None)
-      if paths is not None:
+    # try/finally: release the decode thread when the iterator is
+    # dropped or exhausted (repeatedly iterating prefetchers would
+    # otherwise accumulate idle pools).
+    try:
+      for _ in range(self._prefetch_depth):
+        paths = next(batches, None)
+        if paths is None:
+          break
         submit(paths)
-      if self._sharding is not None:
-        yield jax.device_put(host_batch, self._sharding)
-      else:
-        yield jax.device_put(host_batch)
+
+      while queue:
+        host_batch = queue.popleft().result()
+        paths = next(batches, None)
+        if paths is not None:
+          submit(paths)
+        if self._sharding is not None:
+          yield jax.device_put(host_batch, self._sharding)
+        else:
+          yield jax.device_put(host_batch)
+    finally:
+      pool.shutdown(wait=False, cancel_futures=True)

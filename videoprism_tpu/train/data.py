@@ -652,15 +652,22 @@ def _loader_engine(
   pending = collections.deque()
   submit_pool = concurrent.futures.ThreadPoolExecutor(1)
 
-  for _ in range(prefetch_depth):
-    indices = next(streams, None)
-    if indices is None:
-      break
-    pending.append(submit_pool.submit(make_batch, indices))
-
-  while pending:
-    batch = pending.popleft().result()
-    indices = next(streams, None)
-    if indices is not None:
+  # try/finally so an abandoned iterator (GeneratorExit) or exhaustion
+  # releases the worker threads — a trainer that builds loaders
+  # repeatedly would otherwise accumulate idle thread pools.
+  try:
+    for _ in range(prefetch_depth):
+      indices = next(streams, None)
+      if indices is None:
+        break
       pending.append(submit_pool.submit(make_batch, indices))
-    yield batch
+
+    while pending:
+      batch = pending.popleft().result()
+      indices = next(streams, None)
+      if indices is not None:
+        pending.append(submit_pool.submit(make_batch, indices))
+      yield batch
+  finally:
+    submit_pool.shutdown(wait=False, cancel_futures=True)
+    pool.shutdown(wait=False, cancel_futures=True)
