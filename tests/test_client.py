@@ -211,6 +211,38 @@ class TestRetryContract:
       c.embed(np.zeros(CLIP_SHAPE, np.float32))
 
 
+class TestZeroShot:
+
+  def test_zero_shot_protocol(self):
+    """zero_shot = embed + prompt-ensembled embed_text + softmax(sims/T):
+    the class whose (template-averaged) text embedding aligns with the
+    video embedding wins."""
+    d = 4
+    video_emb = np.eye(d, dtype=np.float32)[0]          # e-0
+    # 2 classes x 4 templates: class 0's templates average toward e0,
+    # class 1's toward e1.
+    t0 = np.tile(np.eye(d, dtype=np.float32)[0], (4, 1))
+    t1 = np.tile(np.eye(d, dtype=np.float32)[1], (4, 1))
+    texts = np.concatenate([t0, t1], axis=0)
+    httpd, seen = _scripted_server([
+        (200, {'Content-Type': 'application/x-npy'}, _npy(video_emb)),
+        (200, {'Content-Type': 'application/json'},
+         json.dumps({'embeddings': texts.tolist()}).encode()),
+    ])
+    try:
+      c = client_lib.VideoPrismClient(f'http://127.0.0.1:{httpd.server_port}')
+      preds = c.zero_shot(np.zeros(CLIP_SHAPE, np.float32),
+                          ['drumming', 'swimming'], k=2)
+      assert preds[0]['label'] == 'drumming' and preds[0]['class'] == 0
+      assert preds[0]['prob'] > 0.99 > preds[1]['prob']
+      assert seen[0][0] == '/v1/embed'
+      assert seen[1][0] == '/v1/embed_text'
+      # 2 classes x 4 default templates rode one embed_text call.
+      assert len(seen) == 2
+    finally:
+      httpd.shutdown()
+
+
 class TestRetryAfterParsing:
 
   def test_delta_seconds(self):

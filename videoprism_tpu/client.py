@@ -319,6 +319,40 @@ class VideoPrismClient:
     results = json.loads(out.decode('utf-8'))['results']
     return [(hit['id'], hit['score']) for hit in results[0]]
 
+  def zero_shot(self, video: 'np.ndarray | str | bytes',
+                class_names: Sequence[str], k: int = 5,
+                temperature: float = 0.01,
+                templates: Sequence[str] | None = None,
+                **file_kwargs) -> list[dict[str, Any]]:
+    """Zero-shot classification against an lvt server: one clip (array
+    ``[T, H, W, 3]``, or a video file path / container bytes — decoded
+    server-side as in :meth:`embed_file`) scored against ``class_names``
+    via the CLIP protocol: prompt-ensembled class text embeddings
+    (:data:`videoprism_tpu.evaluation.DEFAULT_PROMPT_TEMPLATES`),
+    cosine similarities, softmax at ``temperature``.  Returns top-k
+    ``{'class', 'label', 'prob'}``, best first.
+
+    Two requests (video + texts); both micro-batch server-side."""
+    from videoprism_tpu import evaluation
+
+    video = np.asarray(video) if isinstance(video, np.ndarray) else video
+    if isinstance(video, np.ndarray):
+      emb = self.embed(video)
+    else:
+      emb = self.embed_file(video, **file_kwargs)
+    emb = np.asarray(emb, np.float32).reshape(-1)
+    emb /= max(float(np.linalg.norm(emb)), 1e-12)
+    class_emb = evaluation.zero_shot_classifier(
+        self.embed_text, class_names,
+        templates=templates or evaluation.DEFAULT_PROMPT_TEMPLATES)
+    sims = class_emb @ emb
+    logits = sims / max(temperature, 1e-8)
+    probs = np.exp(logits - logits.max())
+    probs /= probs.sum()
+    top = np.argsort(-probs)[:min(k, len(probs))]
+    return [{'class': int(i), 'label': str(class_names[i]),
+             'prob': round(float(probs[i]), 6)} for i in top]
+
   def healthy(self) -> bool:
     """Liveness probe; False instead of raising (monitoring loops)."""
     try:
