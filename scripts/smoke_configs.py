@@ -17,3 +17,37 @@ TINY_CLIP = dict(
 
 # The [T, H, W, C] clip shape the tiny models expect.
 TINY_CLIP_SHAPE = (2, 12, 12, 3)
+
+
+def ensure_tpu_executes(timeout_s: float = 90.0) -> None:
+  """Fail fast (exit 75, EX_TEMPFAIL) when the TPU claim is unavailable.
+
+  The axon claim can be held elsewhere for hours; when it is,
+  ``jax.devices()`` may still LIST the chip while any actual execution
+  blocks in the claim-retry loop — a hardware smoke then burns its whole
+  wall-clock and dies as a misleading downstream timeout.  This probes
+  with a real tiny execution under a deadline: run it first in every
+  hardware smoke so an unavailable claim is one clear line, not a
+  10-minute hang.  (exit 75 so supervisors/retry wrappers treat it as
+  "try again later", like the preemption exit.)
+  """
+  import os
+  import threading
+
+  done = threading.Event()
+
+  def probe():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    np.asarray(jnp.sum(jnp.ones((8, 8), jnp.float32)))
+    done.set()
+
+  t = threading.Thread(target=probe, daemon=True)
+  t.start()
+  if not done.wait(timeout_s):
+    print(f'TPU claim unavailable: a trivial execution did not complete '
+          f'in {timeout_s:.0f}s (the axon claim is likely held by another '
+          f'process — retry later).', flush=True)
+    os._exit(75)

@@ -81,6 +81,12 @@ def main() -> int:
   jax.config.update('jax_compilation_cache_dir',
                     os.path.expanduser('~/.cache/jax_comp_cache'))
 
+  from smoke_configs import ensure_tpu_executes
+
+  # One clear line instead of a 10-minute hang when the axon claim is
+  # held elsewhere (exit 75: retry later).
+  ensure_tpu_executes()
+
   import videoprism_tpu as vp
   from videoprism_tpu import retrieval, serving, serving_http
   from videoprism_tpu.client import VideoPrismClient

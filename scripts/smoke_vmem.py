@@ -279,6 +279,11 @@ def main():
           f'(backend={jax.default_backend()}). The budget formulas can '
           'only overflow on hardware.')
     return 0
+  from smoke_configs import ensure_tpu_executes
+
+  # One clear line instead of a long hang when the axon claim is held
+  # elsewhere (exit 75: retry later).
+  ensure_tpu_executes()
   results = []
   for name, t, d, n, h, f in GEOMETRIES:
     run_attention(name, t, d, n, h, results)
