@@ -107,3 +107,31 @@ def test_bench_serving_smoke():
   assert report['value'] > 0
   assert report['errors'] == 0
   assert report['avg_batch_size'] >= 1.0
+
+
+def test_ensure_tpu_executes_both_paths():
+  """The hardware smokes' claim probe: completes on a live backend,
+  exits 75 (EX_TEMPFAIL) when the probe cannot execute in time."""
+  env = dict(os.environ)
+  env['PYTHONPATH'] = (str(_ROOT) + os.pathsep + str(_ROOT / 'scripts')
+                       + os.pathsep + env.get('PYTHONPATH', ''))
+  happy = (
+      "import jax;"
+      "jax.config.update('jax_platforms', 'cpu');"
+      "from smoke_configs import ensure_tpu_executes;"
+      "ensure_tpu_executes(timeout_s=60); print('probe ok')")
+  res = subprocess.run([sys.executable, '-c', happy],
+                       capture_output=True, text=True, timeout=120, env=env)
+  assert res.returncode == 0 and 'probe ok' in res.stdout, (
+      res.stdout + res.stderr)
+
+  # timeout_s=0 forces the deadline branch regardless of backend.
+  blocked = (
+      "import jax;"
+      "jax.config.update('jax_platforms', 'cpu');"
+      "from smoke_configs import ensure_tpu_executes;"
+      "ensure_tpu_executes(timeout_s=0)")
+  res = subprocess.run([sys.executable, '-c', blocked],
+                       capture_output=True, text=True, timeout=120, env=env)
+  assert res.returncode == 75, (res.returncode, res.stdout, res.stderr)
+  assert 'TPU claim unavailable' in res.stdout
