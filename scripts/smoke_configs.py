@@ -19,7 +19,7 @@ TINY_CLIP = dict(
 TINY_CLIP_SHAPE = (2, 12, 12, 3)
 
 
-def ensure_tpu_executes(timeout_s: float = 90.0) -> None:
+def ensure_tpu_executes(timeout_s: float = 180.0) -> None:
   """Fail fast (exit 75, EX_TEMPFAIL) when the TPU claim is unavailable.
 
   The axon claim can be held elsewhere for hours; when it is,
@@ -30,6 +30,10 @@ def ensure_tpu_executes(timeout_s: float = 90.0) -> None:
   hardware smoke so an unavailable claim is one clear line, not a
   10-minute hang.  (exit 75 so supervisors/retry wrappers treat it as
   "try again later", like the preemption exit.)
+
+  The default budget is generous because plain claim ACQUISITION has
+  been measured at ~50s under contention — the probe must distinguish
+  "slow acquire" from "held elsewhere indefinitely".
   """
   import os
   import threading
