@@ -893,3 +893,51 @@ class TestMalformedRequests:
     resp = conn.getresponse()
     assert resp.status == 400
     conn.close()
+
+
+class TestHealthTripsOnErrorStreak:
+  """A pod whose chip is gone serves only errors — /healthz must flip to
+  503 (drop out of the load balancer) and recover on the next success."""
+
+  def test_healthz_trips_and_recovers(self):
+    from videoprism_tpu.client import VideoPrismClient
+
+    cfg = fe.FactorizedEncoderConfig(**TINY)
+    model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
+    state = model.init(jax.random.PRNGKey(0))
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(1,), max_wait_ms=1.0,
+        unhealthy_after_errors=2)
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(service, host='127.0.0.1',
+                                             port=0)
+    httpd.start()
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}', max_retries=0,
+                         timeout_s=60)
+    clip = np.zeros(CLIP_SHAPE, np.float32)
+    try:
+      assert c.healthy()
+      good_forward = service._forward
+      service._forward = lambda *a: (_ for _ in ()).throw(
+          RuntimeError('chip gone'))
+      for _ in range(2):  # trip the 2-error threshold
+        with pytest.raises(Exception):
+          c.embed(clip)
+      assert not service.healthy()
+      assert not c.healthy()
+      with urllib.request.urlopen(
+          _url(httpd, '/healthz'), timeout=30) as r:  # noqa: F841
+        raise AssertionError('expected 503')
+    except urllib.error.HTTPError as e:
+      assert e.code == 503
+      assert json.loads(e.read())['status'] == 'unhealthy'
+    finally:
+      service._forward = good_forward
+    # One successful batch restores health.
+    emb = c.embed(clip)
+    assert emb.shape == (8, 16)
+    assert service.healthy() and c.healthy()
+    assert service.stats()['consecutive_batch_errors'] == 0
+    httpd.stop()
+    service.stop()
+    assert not service.healthy()  # stopped services report unhealthy

@@ -354,10 +354,15 @@ class VideoPrismClient:
              'prob': round(float(probs[i]), 6)} for i in top]
 
   def healthy(self) -> bool:
-    """Liveness probe; False instead of raising (monitoring loops)."""
+    """Liveness probe; False instead of raising (monitoring loops).
+
+    One-shot — no retry/backoff: an unhealthy server answers 503 (the
+    service's consecutive-batch-error trip) and a monitoring loop wants
+    that verdict immediately, not after the 503-retry budget."""
     try:
-      self._request('GET', '/healthz')
-      return True
+      req = urllib.request.Request(self._base + '/healthz')
+      with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+        return resp.status == 200
     except Exception:
       return False
 

@@ -266,6 +266,7 @@ class EmbeddingService:
       quantize: str | None = None,
       max_pending: int | None = None,
       exported=None,
+      unhealthy_after_errors: int = 16,
   ):
     """``tensor_parallel=True`` (requires ``mesh``) serves a video encoder
     with the shard_map TP path (:mod:`videoprism_tpu.parallel.tp`): params
@@ -285,6 +286,13 @@ class EmbeddingService:
     immediately instead of growing an unbounded backlog (load shedding —
     a saturated service should fail fast, not accumulate latency).
     ``None`` (default) keeps the queue unbounded.
+
+    ``unhealthy_after_errors``: after this many CONSECUTIVE failed
+    batches (any success resets the streak), :meth:`healthy` flips
+    False and ``/healthz`` starts returning 503 — a pod whose chip is
+    gone (device claim revoked, runtime wedged) then drops out of the
+    load balancer instead of serving errors forever.  Transient
+    failures never trip it: one good batch restores health.
 
     ``exported`` (an :class:`~videoprism_tpu.export.ExportedForward` or a
     path to one saved by ``scripts/export_model.py``) replaces the jitted
@@ -348,6 +356,11 @@ class EmbeddingService:
     self._batches_run = 0
     self._errors = 0
     self._reloads = 0
+    if unhealthy_after_errors <= 0:
+      raise ValueError(f'unhealthy_after_errors must be positive, '
+                       f'got {unhealthy_after_errors}')
+    self._unhealthy_after = unhealthy_after_errors
+    self._consecutive_batch_errors = 0
     self._batch_latencies = collections.deque(maxlen=1024)  # seconds
 
     def normalize(videos):
@@ -466,9 +479,19 @@ class EmbeddingService:
           'requests_expired': self._requests_expired,
           'reloads': self._reloads,
           'queue_depth': self._queue.qsize(),
+          'consecutive_batch_errors': self._consecutive_batch_errors,
           'batch_latency_p50_s': pct(0.50),
           'batch_latency_p99_s': pct(0.99),
       }
+
+  def healthy(self) -> bool:
+    """False once ``unhealthy_after_errors`` consecutive batches failed
+    (or the service was stopped) — the ``/healthz`` signal that pulls a
+    chip-less pod out of rotation.  Any successful batch resets it."""
+    if self._stopped:
+      return False
+    with self._stats_lock:
+      return self._consecutive_batch_errors < self._unhealthy_after
 
   def warmup(self, clip_shape: tuple[int, int, int, int],
              dtype=np.float32) -> None:
@@ -668,11 +691,13 @@ class EmbeddingService:
             self._requests_served += len(group)
             self._batches_run += 1
             self._batch_latencies.append(time.monotonic() - t0)
+            self._consecutive_batch_errors = 0
         except Exception as e:  # surface errors to all waiters, keep serving
           for r in group:
             r.error = e
           with self._stats_lock:
             self._errors += len(group)
+            self._consecutive_batch_errors += 1
         finally:
           for r in group:
             r.event.set()

@@ -55,7 +55,10 @@ Endpoints:
 * ``POST /debug/trace?ms=N`` — capture a jax.profiler trace of the live
   process for N ms (default 500) and return the trace directory; the
   production "why is latency up" tool.  Auth-gated like all POSTs.
-* ``GET /healthz`` — liveness.
+* ``GET /healthz`` — liveness: 200 while serving, 503 once
+  ``unhealthy_after_errors`` consecutive batches failed (a pod whose
+  chip is gone must drop out of the load balancer, not keep answering
+  200 while every request 500s; one good batch restores it).
 * ``GET /stats`` — the service's counters + latency percentiles (JSON).
 * ``GET /metrics`` — the same numbers in the Prometheus text exposition
   format for scrape-based monitoring.
@@ -256,7 +259,17 @@ class _Handler(BaseHTTPRequestHandler):
 
   def do_GET(self):  # noqa: N802
     if self.path == '/healthz':
-      self._reply_json(200, {'status': 'ok'})
+      # Liveness tracks the service's consecutive-batch-error streak: a
+      # pod whose chip is gone (claim revoked, runtime wedged) serves
+      # only errors and must drop out of the load balancer, not keep
+      # answering 200.  One successful batch restores health.
+      if getattr(self.service, 'healthy', lambda: True)():
+        self._reply_json(200, {'status': 'ok'})
+      else:
+        self._reply_json(503, {
+            'status': 'unhealthy',
+            'consecutive_batch_errors':
+                self.service.stats().get('consecutive_batch_errors')})
     elif self.path == '/stats':
       self._reply_json(200, self._all_stats())
     elif self.path == '/metrics':
