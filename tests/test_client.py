@@ -211,6 +211,78 @@ class TestRetryContract:
       c.embed(np.zeros(CLIP_SHAPE, np.float32))
 
 
+class TestKeepAlive:
+
+  @staticmethod
+  def _counting_server(script):
+    """HTTP/1.1 scripted server that counts distinct TCP connections."""
+    seen_conns = []
+
+    class Handler(BaseHTTPRequestHandler):
+      protocol_version = 'HTTP/1.1'
+
+      def setup(self):
+        super().setup()
+        seen_conns.append(id(self.connection))
+
+      def _serve(self):
+        length = int(self.headers.get('Content-Length', 0))
+        self.rfile.read(length)
+        status, headers, body = (script.pop(0) if script
+                                 else (200, {}, b'{}'))
+        self.send_response(status)
+        for k, v in headers.items():
+          self.send_header(k, v)
+        self.send_header('Content-Length', str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+      do_GET = do_POST = _serve
+
+      def log_message(self, *a):
+        pass
+
+    httpd = ThreadingHTTPServer(('127.0.0.1', 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, seen_conns
+
+  def test_sequential_requests_reuse_one_connection(self):
+    emb = np.arange(4, dtype=np.float32)
+    script = [(200, {'Content-Type': 'application/x-npy'}, _npy(emb))] * 5
+    httpd, conns = self._counting_server(script)
+    try:
+      c = client_lib.VideoPrismClient(f'http://127.0.0.1:{httpd.server_port}')
+      for _ in range(5):
+        np.testing.assert_array_equal(
+            c.embed(np.zeros(CLIP_SHAPE, np.float32)), emb)
+      # one accepted connection == one Handler.setup call
+      assert len(conns) == 1, f'{len(conns)} connections for 5 requests'
+    finally:
+      httpd.shutdown()
+
+  def test_stale_connection_redials_transparently(self):
+    """A cached keep-alive socket killed between requests (server
+    restart, idle timeout) must be re-dialed transparently —
+    max_retries=0, so any visible error would fail this test."""
+    emb = np.arange(4, dtype=np.float32)
+    body = _npy(emb)
+    httpd, conns = self._counting_server(
+        [(200, {'Content-Type': 'application/x-npy'}, body)] * 2)
+    try:
+      c = client_lib.VideoPrismClient(
+          f'http://127.0.0.1:{httpd.server_port}', max_retries=0)
+      np.testing.assert_array_equal(
+          c.embed(np.zeros(CLIP_SHAPE, np.float32)), emb)
+      # Kill the cached socket out from under the client (what a server
+      # restart / LB idle reap does to a keep-alive connection).
+      c._local.conn.sock.close()
+      np.testing.assert_array_equal(
+          c.embed(np.zeros(CLIP_SHAPE, np.float32)), emb)
+      assert len(conns) == 2  # first conn + the transparent re-dial
+    finally:
+      httpd.shutdown()
+
+
 class TestZeroShot:
 
   def test_zero_shot_protocol(self):
