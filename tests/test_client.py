@@ -260,6 +260,32 @@ class TestKeepAlive:
     finally:
       httpd.shutdown()
 
+  def test_one_client_many_threads(self, server):
+    """One client instance shared by concurrent threads: each thread
+    owns its connection (threading.local), results stay correct."""
+    httpd, model, state = server
+    c = client_lib.VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    clips = np.random.RandomState(7).rand(4, *CLIP_SHAPE).astype(np.float32)
+    results = [None] * 8
+    errors = []
+
+    def worker(i):
+      try:
+        results[i] = c.embed(clips[i % 4])
+      except Exception as e:  # pragma: no cover - failure detail
+        errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+      t.start()
+    for t in threads:
+      t.join(timeout=120)
+    assert not errors, errors
+    ref, _ = model.apply(state, clips, train=False)
+    for i in range(8):
+      np.testing.assert_allclose(results[i], np.asarray(ref)[i % 4],
+                                 atol=1e-5)
+
   def test_stale_connection_redials_transparently(self):
     """A cached keep-alive socket killed between requests (server
     restart, idle timeout) must be re-dialed transparently —
