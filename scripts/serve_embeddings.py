@@ -56,6 +56,74 @@ from videoprism_tpu.serving import EmbeddingService  # noqa: E402
 from videoprism_tpu.serving_http import EmbeddingHTTPServer  # noqa: E402
 
 
+def _build_extra_model(spec: str, args):
+  """``NAME=MODEL[:int8]`` → (name, started EmbeddingService,
+  text_encode_fn, text_service, warmup clip shape).
+
+  MODEL is a registry name (bf16 + flash, weights auto-resolved — lvt
+  models get a text tower) or the ``tiny``/``tiny_clip`` smoke fixtures
+  (random init).  Bucket/wait/shedding knobs are shared with the default
+  model; classifier extras are not supported here (they need a trained
+  checkpoint + ``--num-classes`` — run them as the default model)."""
+  from smoke_configs import TINY_CLIP, TINY_CLIP_SHAPE, TINY_ENC
+
+  name, _, model_spec = spec.partition('=')
+  if not name or not model_spec:
+    raise SystemExit(f'--extra-model expects NAME=MODEL[:int8], '
+                     f'got {spec!r}')
+  model_name, _, quant = model_spec.partition(':')
+  quantize = quant or None
+  if quantize not in (None, 'int8'):
+    raise SystemExit(f'--extra-model {spec!r}: unknown option {quant!r} '
+                     "(only ':int8')")
+  if model_name == 'tiny':
+    from videoprism_tpu.models import factorized_encoder as fe
+    from videoprism_tpu.models import init as init_lib
+
+    cfg = fe.FactorizedEncoderConfig(**TINY_ENC)
+    model = vp.Model(cfg, fe.apply, init_lib.init_factorized_encoder)
+    state = model.init(jax.random.PRNGKey(7))
+    clip_shape = TINY_CLIP_SHAPE
+  elif model_name == 'tiny_clip':
+    from videoprism_tpu.models import clip as vclip
+    from videoprism_tpu.models import init as init_lib
+
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+    state = model.init(jax.random.PRNGKey(7))
+    clip_shape = TINY_CLIP_SHAPE
+  else:
+    model = vp.get_model(model_name, fprop_dtype=jnp.bfloat16,
+                         attention_impl='flash')
+    state = vp.load_pretrained_weights(model_name)
+    clip_shape = (args.warmup_frames or 16, 288, 288, 3)
+  service = EmbeddingService(
+      model, state,
+      batch_buckets=tuple(int(b) for b in args.buckets.split(',')),
+      max_wait_ms=args.max_wait_ms, quantize=quantize,
+      max_pending=args.max_pending)
+  service.start()
+  text_encode_fn = text_service = None
+  from videoprism_tpu.models.clip import VideoCLIPConfig
+  if isinstance(model.config, VideoCLIPConfig):
+    from videoprism_tpu import retrieval
+    from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
+
+    try:
+      tok_path = assets.resolve_tokenizer_path(
+          args.tokenizer_model, allow_fixture=model_name == 'tiny_clip')
+    except ValueError as e:
+      raise SystemExit(str(e)) from None
+    tokenizer = SentencePieceTokenizer(tok_path)
+    text_service = serving.TextEncodeService(
+        retrieval.make_text_query_encoder(
+            model._unwrap(state), model.config, tokenizer),
+        max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)
+    text_service.start()
+    text_encode_fn = text_service.encode
+  return name, service, text_encode_fn, text_service, clip_shape
+
+
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--model', default='videoprism_public_v1_base')
@@ -105,6 +173,16 @@ def main():
                       help='SentencePiece model for /v1/embed_text '
                            '(lvt models; default: bundled fixture or '
                            '$VIDEOPRISM_SPM_PATH)')
+  parser.add_argument('--extra-model', action='append', default=None,
+                      metavar='NAME=MODEL[:int8]',
+                      help='serve another model from the same process/port '
+                           'at /v1/models/<NAME>/... (repeatable). MODEL is '
+                           'a registry name (weights auto-resolve; lvt '
+                           'models get their text tower too) or "tiny"/'
+                           '"tiny_clip" for smoke fixtures. ":int8" turns '
+                           'on W8A8 serving for that model. Buckets/wait/'
+                           'shedding knobs are shared; SIGHUP hot reload '
+                           'applies to the default model only.')
   parser.add_argument('--tiny', action='store_true',
                       help='tiny random model (wire-format smoke testing)')
   parser.add_argument('--tiny-clip', action='store_true',
@@ -242,6 +320,20 @@ def main():
                                text_service=text_service, labels=labels)
   if auth_token:
     print('auth: bearer token required on POST endpoints')
+
+  # Additional models on the same process/port (/v1/models/<name>/...).
+  extra_services = []
+  for spec in args.extra_model or []:
+    name, svc2, text_fn2, text_svc2, shape2 = _build_extra_model(spec, args)
+    server.add_model(name, svc2, text_encode_fn=text_fn2,
+                     text_service=text_svc2)
+    extra_services.append((svc2, text_svc2))
+    if args.warmup_frames or spec.split('=', 1)[1].startswith('tiny'):
+      print(f'warming up model {name!r} at clip shape {shape2} ...')
+      svc2.warmup(shape2, np.uint8)
+    print(f'extra model {name!r}: /v1/models/{name}/embed'
+          + (', .../embed_text' if text_fn2 is not None else ''))
+
   endpoints = 'POST /v1/embed, GET /healthz, GET /stats'
   if text_encode_fn is not None:
     endpoints += ', POST /v1/embed_text'
@@ -249,6 +341,8 @@ def main():
     endpoints += ', POST /v1/search, POST /v1/search_video'
   if args.num_classes:
     endpoints += ', POST /v1/classify'
+  if extra_services:
+    endpoints += ', GET /v1/models'
   print(f'serving on http://{args.host}:{server.port} ({endpoints})')
   if args.smoke:
     import io
@@ -277,10 +371,23 @@ def main():
           {'Content-Type': 'application/json'})
       out = json.loads(urllib.request.urlopen(req).read())
       print(f'smoke search -> {out["results"][0]}')
+    for spec in args.extra_model or []:
+      name = spec.partition('=')[0]
+      buf = io.BytesIO()
+      np.save(buf, np.zeros(TINY_CLIP_SHAPE, np.uint8))
+      req = urllib.request.Request(
+          f'http://127.0.0.1:{server.port}/v1/models/{name}/embed',
+          buf.getvalue(), {'Content-Type': 'application/x-npy'})
+      emb = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
+      print(f'smoke embed via model {name!r} -> {emb.shape} {emb.dtype}')
     server.stop()
     service.stop()
     if text_service is not None:
       text_service.stop()
+    for svc2, text_svc2 in extra_services:
+      svc2.stop()
+      if text_svc2 is not None:
+        text_svc2.stop()
     return
   # Preemption/eviction sends SIGTERM: route it through the same graceful
   # path as ctrl-C so in-flight requests drain instead of dropping.
@@ -328,6 +435,10 @@ def main():
     service.stop()
     if text_service is not None:
       text_service.stop()
+    for svc2, text_svc2 in extra_services:
+      svc2.stop()
+      if text_svc2 is not None:
+        text_svc2.stop()
 
 
 if __name__ == '__main__':

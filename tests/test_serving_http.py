@@ -79,7 +79,8 @@ class TestEndpoints:
     lines are invalid exposition format and strict scrapers reject the
     whole page."""
     body = serving_http._prometheus_metrics(
-        {'batch_latency_p50_s': 0.01, 'batch_latency_p99_s': 0.05})
+        {'default': {'batch_latency_p50_s': 0.01,
+                     'batch_latency_p99_s': 0.05}})
     assert body.count('# TYPE videoprism_batch_latency_seconds') == 1
     assert 'quantile="0.5"' in body and 'quantile="0.99"' in body
 

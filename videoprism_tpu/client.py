@@ -107,12 +107,16 @@ class VideoPrismClient:
   def __init__(self, base_url: str, *, auth_token: str | None = None,
                timeout_s: float = 300.0, max_retries: int = 4,
                backoff_s: float = 0.25, max_backoff_s: float = 30.0,
-               compress: bool = False):
+               compress: bool = False, model: str | None = None):
     """``compress=True`` gzips clip payloads (``Content-Encoding: gzip``,
     level 1 — fast, and real video bytes still shrink ~1.5-3x).  Worth it
     when the network link to the server is the bottleneck; pure CPU
     overhead on a fast local link, and useless on incompressible
-    (e.g. random/synthetic) pixels."""
+    (e.g. random/synthetic) pixels.
+
+    ``model`` addresses one model on a multi-model server (the
+    ``/v1/models/<name>/...`` routes); None uses the server's default
+    model.  :meth:`models` lists what a server hosts."""
     if max_retries < 0:
       raise ValueError(f'max_retries must be >= 0, got {max_retries}')
     self._base = base_url.rstrip('/')
@@ -128,7 +132,15 @@ class VideoPrismClient:
     self._backoff = backoff_s
     self._max_backoff = max_backoff_s
     self._compress = compress
+    self._model = model
     self._local = threading.local()
+
+  def _api(self, suffix: str) -> str:
+    """Endpoint path: at the server's default model, or — when the
+    client is pinned with ``model=`` — at ``/v1/models/<name>/...``."""
+    if self._model is None:
+      return '/v1/' + suffix
+    return f'/v1/models/{self._model}/{suffix}'
 
   # ----------------------------- transport ------------------------------
 
@@ -257,7 +269,7 @@ class VideoPrismClient:
     if deadline_ms is not None:
       headers['X-Deadline-Ms'] = str(deadline_ms)
     body = self._npy_payload(clip, headers)
-    out = self._request('POST', '/v1/embed', body, headers)
+    out = self._request('POST', self._api('embed'), body, headers)
     return np.load(io.BytesIO(out), allow_pickle=False)
 
   def embed_batch(self, videos: np.ndarray) -> np.ndarray:
@@ -269,7 +281,7 @@ class VideoPrismClient:
                        f'got {videos.shape}')
     headers = {'Content-Type': 'application/x-npy'}
     body = self._npy_payload(videos, headers)
-    out = self._request('POST', '/v1/embed', body, headers)
+    out = self._request('POST', self._api('embed'), body, headers)
     return np.load(io.BytesIO(out), allow_pickle=False)
 
   def embed_file(self, video: 'str | bytes',
@@ -286,7 +298,7 @@ class VideoPrismClient:
     matters when the network link, not the chip, is the bottleneck.
     ``frames``/``size`` override the server model's native geometry.
     """
-    path = '/v1/embed_file' + self._file_query(
+    path = self._api('embed_file') + self._file_query(
         frames, size, temporal_views, spatial_views)
     headers = {'Content-Type': 'video/mp4'}
     if deadline_ms is not None:
@@ -303,7 +315,7 @@ class VideoPrismClient:
     """Classifier servers: a video FILE (path or container bytes) →
     softmax top-k predictions; decode runs server-side as in
     :meth:`embed_file`."""
-    path = f'/v1/classify?k={k}' + self._file_query(
+    path = self._api(f'classify?k={k}') + self._file_query(
         frames, size, temporal_views, spatial_views, joiner='&')
     out = self._request('POST', path, self._file_bytes(video),
                         {'Content-Type': 'video/mp4'})
@@ -318,7 +330,7 @@ class VideoPrismClient:
     """Video-to-video similarity from a video FILE: top-k neighbors of
     the uploaded container (server-side decode as in
     :meth:`embed_file`)."""
-    path = f'/v1/search_video?k={k}' + self._file_query(
+    path = self._api(f'search_video?k={k}') + self._file_query(
         frames, size, temporal_views, spatial_views, joiner='&')
     out = self._request('POST', path, self._file_bytes(video),
                         {'Content-Type': 'video/mp4'})
@@ -353,14 +365,14 @@ class VideoPrismClient:
 
   def embed_text(self, texts: Sequence[str]) -> np.ndarray:
     """``[N]`` strings → l2-normalized ``[N, D]`` (lvt servers only)."""
-    out = self._post_json('/v1/embed_text', {'texts': list(texts)})
+    out = self._post_json(self._api('embed_text'), {'texts': list(texts)})
     return np.asarray(out['embeddings'], np.float32)
 
   def search(self, texts: Sequence[str],
              k: int = 5) -> list[list[tuple[str, float]]]:
     """Text-to-video retrieval against the server's index: per query, a
     ``[(video_id, cosine_score), ...]`` list, best first."""
-    out = self._post_json('/v1/search', {'texts': list(texts), 'k': k})
+    out = self._post_json(self._api('search'), {'texts': list(texts), 'k': k})
     return [[(hit['id'], hit['score']) for hit in row]
             for row in out['results']]
 
@@ -373,7 +385,7 @@ class VideoPrismClient:
       raise ValueError(f'classify expects [T, H, W, 3], got {clip.shape}')
     headers = {'Content-Type': 'application/x-npy'}
     body = self._npy_payload(clip, headers)
-    out = self._request('POST', f'/v1/classify?k={k}', body, headers)
+    out = self._request('POST', self._api(f'classify?k={k}'), body, headers)
     return json.loads(out.decode('utf-8'))['predictions']
 
   def search_video(self, clip: np.ndarray,
@@ -385,7 +397,7 @@ class VideoPrismClient:
                        f'got {clip.shape}')
     headers = {'Content-Type': 'application/x-npy'}
     body = self._npy_payload(clip, headers)
-    out = self._request('POST', f'/v1/search_video?k={k}', body, headers)
+    out = self._request('POST', self._api(f'search_video?k={k}'), body, headers)
     results = json.loads(out.decode('utf-8'))['results']
     return [(hit['id'], hit['score']) for hit in results[0]]
 
@@ -438,3 +450,11 @@ class VideoPrismClient:
   def stats(self) -> dict[str, Any]:
     """The server's counters + latency percentiles (GET /stats)."""
     return json.loads(self._request('GET', '/stats').decode('utf-8'))
+
+  def models(self) -> list[dict[str, Any]]:
+    """What the server hosts (GET /v1/models): per model its name,
+    kind (embedding/classifier), whether text/search are enabled, the
+    native clip geometry, and which one is the default.  Pass a name as
+    ``VideoPrismClient(..., model=name)`` to address it."""
+    out = json.loads(self._request('GET', '/v1/models').decode('utf-8'))
+    return out['models']

@@ -63,6 +63,19 @@ Endpoints:
 * ``GET /metrics`` — the same numbers in the Prometheus text exposition
   format for scrape-based monitoring.
 
+**Multi-model serving** — one process (one chip claim, one port) can
+host several models: :meth:`EmbeddingHTTPServer.add_model` registers
+additional services, each addressable at
+``/v1/models/<name>/<endpoint>`` (e.g. ``/v1/models/large/embed``,
+``/v1/models/k400/classify``); the bare ``/v1/...`` paths keep routing
+to the default model, so single-model deployments are unchanged.  The
+canonical use is a base tier for bulk + a large tier for quality, or an
+embedding model + a classifier head, sharing the chip.  ``GET
+/v1/models`` lists what is served; ``/stats`` nests per-model counters
+and ``/metrics`` grows a ``{model="..."}`` label once more than one
+model is registered; ``/healthz`` goes 503 if ANY model's service is
+unhealthy (a pod serving errors on one tier must leave the LB).
+
 The reference has no serving tier at all (SURVEY.md §5: its deployment
 story stops at a Python function call); this module is part of the
 north-star serving subsystem.
@@ -71,8 +84,10 @@ north-star serving subsystem.
 from __future__ import annotations
 
 import base64
+import dataclasses
 import io
 import json
+import re
 import threading
 import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -86,6 +101,57 @@ from videoprism_tpu.serving import (
 )
 
 _MAX_BODY_BYTES = 1 << 30
+
+# Model names appear in URL path segments and as Prometheus label values;
+# this alphabet needs no escaping in either.
+_MODEL_NAME_RE = re.compile(r'[A-Za-z0-9._-]+')
+
+
+@dataclasses.dataclass(frozen=True)
+class _ModelBinding:
+  """Everything the handler needs to serve one model: the micro-batched
+  service plus its optional surfaces (text tower, search index,
+  classifier labels) and the /v1/embed_file geometry defaults."""
+
+  service: EmbeddingService
+  text_encode_fn: 'object | None' = None   # list[str] -> [N, D]
+  text_service: 'object | None' = None     # stats merge into /stats
+  index: 'object | None' = None            # retrieval.VideoIndex
+  classify_enabled: bool = False
+  labels: 'list | None' = None
+  clip_geometry: tuple = (16, 288)
+
+
+def _make_binding(service: EmbeddingService, *, text_encode_fn=None,
+                  index=None, labels=None, text_service=None) -> _ModelBinding:
+  """Derives the per-model serving surfaces from the service's config:
+  classifier models enable ``/v1/classify``; the encoder's
+  ``pos_emb_shape`` sets the ``/v1/embed_file`` decode geometry."""
+  from videoprism_tpu.models.classifier import VideoClassifierConfig
+  from videoprism_tpu.models.registry import (
+      encoder_config_of,
+      native_clip_geometry,
+  )
+
+  cfg = getattr(getattr(service, '_model', None), 'config', None)
+  classify_enabled = isinstance(cfg, VideoClassifierConfig)
+  # /v1/embed_file geometry defaults (native frames / crop size) —
+  # shared with export.py's artifact defaults via native_clip_geometry.
+  if cfg is not None and hasattr(encoder_config_of(cfg), 'pos_emb_shape'):
+    clip_geometry = native_clip_geometry(cfg)
+  else:  # e.g. an AOT-exported service with no config attached
+    clip_geometry = (16, 288)
+  if labels is not None:
+    if not classify_enabled:
+      raise ValueError('labels= needs a classifier-model service')
+    labels = list(labels)
+    if len(labels) != cfg.num_classes:
+      raise ValueError(f'{len(labels)} labels for a '
+                       f'{cfg.num_classes}-class model')
+  return _ModelBinding(service=service, text_encode_fn=text_encode_fn,
+                       text_service=text_service, index=index,
+                       classify_enabled=classify_enabled, labels=labels,
+                       clip_geometry=clip_geometry)
 
 
 def _decode_body(content_type: str, body: bytes) -> np.ndarray:
@@ -117,60 +183,80 @@ def _encode_body(content_type: str, array: np.ndarray) -> tuple[str, bytes]:
   return 'application/x-npy', buf.getvalue()
 
 
-def _prometheus_metrics(stats: dict) -> str:
+_METRIC_FAMILIES = (
+    ('videoprism_requests_served_total', 'requests_served', 'counter'),
+    ('videoprism_batches_run_total', 'batches_run', 'counter'),
+    ('videoprism_errors_total', 'errors', 'counter'),
+    ('videoprism_requests_shed_total', 'requests_shed', 'counter'),
+    ('videoprism_requests_expired_total', 'requests_expired', 'counter'),
+    ('videoprism_queue_depth', 'queue_depth', 'gauge'),
+    ('videoprism_text_requests_served_total', 'text_requests_served',
+     'counter'),
+    ('videoprism_text_batches_run_total', 'text_batches_run', 'counter'),
+    ('videoprism_text_errors_total', 'text_errors', 'counter'),
+    ('videoprism_text_queue_depth', 'text_queue_depth', 'gauge'),
+)
+
+
+def _prometheus_metrics(per_model: 'dict[str, dict]') -> str:
   """Service stats in the Prometheus text exposition format (0.0.4) —
   ``GET /metrics`` for scrape-based monitoring; ``/stats`` keeps the
-  same numbers as JSON."""
+  same numbers as JSON.  With one model the output is unlabeled (so
+  single-model dashboards never change); additional models add a
+  ``{model="..."}`` label per time series, one ``# TYPE`` line per
+  family either way (duplicates are invalid in the exposition format
+  and strict scrapers reject the whole page)."""
+  multi = len(per_model) > 1
   lines = []
 
-  def gauge(name, value, kind='gauge', labels=''):
-    if value is None:
-      return
-    lines.append(f'# TYPE {name} {kind}')
-    lines.append(f'{name}{labels} {value}')
+  def labels(model: str, extra: str = '') -> str:
+    parts = [f'model="{model}"'] if multi else []
+    if extra:
+      parts.append(extra)
+    return '{' + ','.join(parts) + '}' if parts else ''
 
-  gauge('videoprism_requests_served_total',
-        stats.get('requests_served'), 'counter')
-  gauge('videoprism_batches_run_total', stats.get('batches_run'), 'counter')
-  gauge('videoprism_errors_total', stats.get('errors'), 'counter')
-  gauge('videoprism_requests_shed_total',
-        stats.get('requests_shed'), 'counter')
-  gauge('videoprism_requests_expired_total',
-        stats.get('requests_expired'), 'counter')
-  gauge('videoprism_queue_depth', stats.get('queue_depth'))
-  gauge('videoprism_text_requests_served_total',
-        stats.get('text_requests_served'), 'counter')
-  gauge('videoprism_text_batches_run_total',
-        stats.get('text_batches_run'), 'counter')
-  gauge('videoprism_text_errors_total', stats.get('text_errors'), 'counter')
-  gauge('videoprism_text_queue_depth', stats.get('text_queue_depth'))
-  quantiles = [(q, stats[key])
-               for q, key in (('0.5', 'batch_latency_p50_s'),
-                              ('0.99', 'batch_latency_p99_s'))
-               if stats.get(key) is not None]
-  if quantiles:
-    # One TYPE line per metric family — duplicates are invalid in the
-    # exposition format and strict scrapers reject the whole page.
+  for metric, key, kind in _METRIC_FAMILIES:
+    rows = [(name, stats.get(key)) for name, stats in sorted(
+        per_model.items()) if stats.get(key) is not None]
+    if not rows:
+      continue
+    lines.append(f'# TYPE {metric} {kind}')
+    for name, value in rows:
+      lines.append(f'{metric}{labels(name)} {value}')
+  summary_rows = []
+  for name, stats in sorted(per_model.items()):
+    for q, key in (('0.5', 'batch_latency_p50_s'),
+                   ('0.99', 'batch_latency_p99_s')):
+      if stats.get(key) is not None:
+        summary_rows.append((name, q, stats[key]))
+  if summary_rows:
     lines.append('# TYPE videoprism_batch_latency_seconds summary')
-    for q, value in quantiles:
+    for name, q, value in summary_rows:
+      quantile = 'quantile="%s"' % q
       lines.append(
-          f'videoprism_batch_latency_seconds{{quantile="{q}"}} {value}')
+          f'videoprism_batch_latency_seconds{labels(name, quantile)} {value}')
   return '\n'.join(lines) + '\n'
 
 
 class _Handler(BaseHTTPRequestHandler):
-  # Set by EmbeddingHTTPServer.
+  # Set by EmbeddingHTTPServer: every model this server hosts, and which
+  # one the bare /v1/... paths route to.
+  models: 'dict[str, _ModelBinding]' = {}
+  default_model: str = 'default'
+  auth_token: str | None = None   # Bearer token gating the POST API
+  quiet: bool = True
+  trace_root: str = '/tmp/videoprism_tpu_trace'
+  # Per-REQUEST model surfaces, rebound by _bind_model at the top of
+  # every inference request (instance attributes shadow these class
+  # defaults; one keep-alive connection may interleave models).
   service: EmbeddingService = None
   text_encode_fn = None   # list[str] -> [N, D] np.ndarray
   text_service = None     # TextEncodeService (its stats merge into /stats)
   index = None            # retrieval.VideoIndex
-  auth_token: str | None = None   # Bearer token gating the POST API
-  quiet: bool = True
   classify_enabled: bool = False  # service wraps a classifier model
   labels: list | None = None      # class-index -> name (optional)
   # (frames, size) defaults for /v1/embed_file, from the model config.
   clip_geometry: tuple | None = None
-  trace_root: str = '/tmp/videoprism_tpu_trace'
   # jax.profiler is process-global: one capture at a time, even with
   # several servers in one process — hence a _Handler-level lock.
   _trace_lock = threading.Lock()
@@ -251,30 +337,94 @@ class _Handler(BaseHTTPRequestHandler):
     self.end_headers()
     self.wfile.write(body)
 
-  def _all_stats(self) -> dict:
-    stats = self.service.stats()
-    if self.text_service is not None:
-      stats.update(self.text_service.stats())
+  def _bind_model(self) -> bool:
+    """Resolves which model this request addresses and binds its
+    surfaces onto the handler instance.  ``/v1/models/<name>/<rest>``
+    routes to the named model (the path is rewritten to ``/v1/<rest>``
+    so every endpoint handler stays model-agnostic); any other path goes
+    to the default model.  Replies 404 and returns False for an unknown
+    name — before the body is read, so the connection is closed."""
+    name = self.default_model
+    if self.path.startswith('/v1/models/'):
+      rest = self.path[len('/v1/models/'):]
+      name, sep, tail = rest.partition('/')
+      if not sep or not tail:
+        self._reject_json(404, {
+            'error': f'expected /v1/models/<name>/<endpoint>, '
+                     f'got {self.path}'})
+        return False
+      self.path = '/v1/' + tail
+    binding = self.models.get(name)
+    if binding is None:
+      self._reject_json(404, {'error': f'unknown model {name!r}',
+                              'models': sorted(self.models)})
+      return False
+    self.model_name = name
+    self.service = binding.service
+    self.text_encode_fn = binding.text_encode_fn
+    self.text_service = binding.text_service
+    self.index = binding.index
+    self.classify_enabled = binding.classify_enabled
+    self.labels = binding.labels
+    self.clip_geometry = binding.clip_geometry
+    return True
+
+  @staticmethod
+  def _stats_of(binding: _ModelBinding) -> dict:
+    stats = binding.service.stats()
+    if binding.text_service is not None:
+      stats.update(binding.text_service.stats())
     return stats
+
+  def _per_model_stats(self) -> 'dict[str, dict]':
+    return {name: self._stats_of(b) for name, b in self.models.items()}
 
   def do_GET(self):  # noqa: N802
     if self.path == '/healthz':
-      # Liveness tracks the service's consecutive-batch-error streak: a
+      # Liveness tracks each service's consecutive-batch-error streak: a
       # pod whose chip is gone (claim revoked, runtime wedged) serves
       # only errors and must drop out of the load balancer, not keep
-      # answering 200.  One successful batch restores health.
-      if getattr(self.service, 'healthy', lambda: True)():
+      # answering 200.  One successful batch restores health.  With
+      # several models, ANY unhealthy one trips the pod.
+      health = {name: getattr(b.service, 'healthy', lambda: True)()
+                for name, b in self.models.items()}
+      if all(health.values()):
         self._reply_json(200, {'status': 'ok'})
-      else:
+      elif len(self.models) == 1:
+        (binding,) = self.models.values()
         self._reply_json(503, {
             'status': 'unhealthy',
             'consecutive_batch_errors':
-                self.service.stats().get('consecutive_batch_errors')})
+                binding.service.stats().get('consecutive_batch_errors')})
+      else:
+        self._reply_json(503, {
+            'status': 'unhealthy',
+            'models': {name: ('ok' if ok else 'unhealthy')
+                       for name, ok in sorted(health.items())}})
     elif self.path == '/stats':
-      self._reply_json(200, self._all_stats())
+      # Single model keeps the historical flat payload; more models nest
+      # per-model so the counters stay attributable.
+      if len(self.models) == 1:
+        (binding,) = self.models.values()
+        self._reply_json(200, self._stats_of(binding))
+      else:
+        self._reply_json(200, {'models': self._per_model_stats()})
     elif self.path == '/metrics':
       self._reply(200, 'text/plain; version=0.0.4',
-                  _prometheus_metrics(self._all_stats()).encode())
+                  _prometheus_metrics(self._per_model_stats()).encode())
+    elif self.path == '/v1/models':
+      listing = []
+      for name, b in sorted(self.models.items()):
+        frames, size = b.clip_geometry
+        listing.append({
+            'name': name,
+            'default': name == self.default_model,
+            'kind': 'classifier' if b.classify_enabled else 'embedding',
+            'text': b.text_encode_fn is not None,
+            'search': b.index is not None,
+            'clip_geometry': {'frames': frames, 'size': size},
+        })
+      self._reply_json(200, {'models': listing})
     else:
       self._reply_json(404, {'error': f'unknown path {self.path}'})
 
@@ -307,7 +457,9 @@ class _Handler(BaseHTTPRequestHandler):
     if not self._authorized():
       return
     if self.path.startswith('/debug/trace'):
-      self._post_trace()
+      self._post_trace()  # process-global (jax.profiler), not per-model
+      return
+    if not self._bind_model():
       return
     if self.path in ('/v1/embed_text', '/v1/search'):
       self._post_text()
@@ -705,7 +857,7 @@ class EmbeddingHTTPServer:
                port: int = 8000, quiet: bool = True,
                text_encode_fn=None, index=None,
                auth_token: str | None = None, text_service=None,
-               labels=None):
+               labels=None, model_name: str = 'default'):
     """``text_encode_fn`` (see ``retrieval.make_text_query_encoder``)
     enables ``/v1/embed_text``; adding ``index`` (a
     ``retrieval.VideoIndex``) enables ``/v1/search``; ``auth_token``
@@ -714,44 +866,51 @@ class EmbeddingHTTPServer:
     When ``service`` wraps a classifier model, ``/v1/classify`` is
     enabled automatically; ``labels`` (class-index → name) attaches
     human-readable names to its predictions and must match the model's
-    class count."""
-    from videoprism_tpu.models.classifier import VideoClassifierConfig
-    from videoprism_tpu.models.registry import (
-        encoder_config_of,
-        native_clip_geometry,
-    )
+    class count.
 
-    cfg = getattr(getattr(service, '_model', None), 'config', None)
-    classify_enabled = isinstance(cfg, VideoClassifierConfig)
-    # /v1/embed_file geometry defaults (native frames / crop size) —
-    # shared with export.py's artifact defaults via native_clip_geometry.
-    if cfg is not None and hasattr(encoder_config_of(cfg),
-                                   'pos_emb_shape'):
-      clip_geometry = native_clip_geometry(cfg)
-    else:  # e.g. an AOT-exported service with no config attached
-      clip_geometry = (16, 288)
-    if labels is not None:
-      if not classify_enabled:
-        raise ValueError('labels= needs a classifier-model service')
-      labels = list(labels)
-      if len(labels) != cfg.num_classes:
-        raise ValueError(f'{len(labels)} labels for a '
-                         f'{cfg.num_classes}-class model')
-    # staticmethod: a bare function stored on the class would otherwise
-    # bind as a method and receive the handler as its first argument.
+    ``service`` becomes the DEFAULT model: the bare ``/v1/...`` paths
+    route to it (and to it alone until :meth:`add_model` registers
+    more).  ``model_name`` is how it appears under ``/v1/models/...``
+    and in per-model stats/metrics."""
+    self._check_model_name(model_name)
+    self._bindings: dict[str, _ModelBinding] = {
+        model_name: _make_binding(service, text_encode_fn=text_encode_fn,
+                                  index=index, labels=labels,
+                                  text_service=text_service)}
+    # The handler class shares this dict OBJECT, so add_model's inserts
+    # are visible to in-flight handlers (dict assignment is atomic).
     handler = type('BoundHandler', (_Handler,),
-                   {'service': service, 'quiet': quiet,
-                    'text_encode_fn': (None if text_encode_fn is None
-                                       else staticmethod(text_encode_fn)),
-                    'index': index, 'auth_token': auth_token,
-                    'text_service': text_service,
-                    'classify_enabled': classify_enabled,
-                    'labels': labels, 'clip_geometry': clip_geometry})
+                   {'models': self._bindings, 'default_model': model_name,
+                    'quiet': quiet, 'auth_token': auth_token})
     self._httpd = ThreadingHTTPServer((host, port), handler)
     self._httpd.daemon_threads = True
     self.host = host
     self.port = self._httpd.server_address[1]
     self._thread: threading.Thread | None = None
+
+  @staticmethod
+  def _check_model_name(name: str) -> None:
+    if not _MODEL_NAME_RE.fullmatch(name or ''):
+      raise ValueError(
+          f'bad model name {name!r}: must match {_MODEL_NAME_RE.pattern} '
+          '(it becomes a URL path segment and a Prometheus label value)')
+
+  def add_model(self, name: str, service: EmbeddingService, *,
+                text_encode_fn=None, index=None, labels=None,
+                text_service=None) -> None:
+    """Registers another model on this server, reachable at
+    ``/v1/models/<name>/<endpoint>`` — one process, one chip claim, one
+    port hosting several models (a base tier for bulk + a large tier
+    for quality, or an embedding model + a classifier head).  The same
+    optional surfaces as ``__init__`` apply per model.  The service
+    must already be ``start()``-ed (same contract as the constructor);
+    models cannot be removed or replaced while serving."""
+    self._check_model_name(name)
+    if name in self._bindings:
+      raise ValueError(f'model {name!r} is already served')
+    self._bindings[name] = _make_binding(
+        service, text_encode_fn=text_encode_fn, index=index, labels=labels,
+        text_service=text_service)
 
   def start(self) -> None:
     self._thread = threading.Thread(
