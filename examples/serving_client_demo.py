@@ -120,6 +120,14 @@ def main():
                                         'surfing'], k=3)
   print('zero_shot: ', preds)
 
+  # Server-side zero-shot: the class prompts encode ONCE (the set caches
+  # under a content-hash id); each clip is then one round trip with no
+  # per-call text-tower work — the mode for scoring many clips against
+  # one label set.
+  preds_remote = client.zero_shot(args.video, ['drumming', 'sleeping cat',
+                                               'surfing'], k=3, remote=True)
+  print('zero_shot (remote, cached prototypes):', preds_remote)
+
   print('healthy:   ', client.healthy())
   stats = client.stats()
   print(f'stats:      {stats["requests_served"]} requests in '

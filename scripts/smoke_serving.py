@@ -152,10 +152,20 @@ def main() -> int:
     # aggregated embedding stays unit-norm.
     mv = c.embed_file(args.clip, temporal_views=2, spatial_views=2)
     assert mv.shape == (dim,) and abs(np.linalg.norm(mv) - 1.0) < 1e-3
+    # Server-side zero-shot: register once, classify in one round trip
+    # (remote) == the two-request client-side protocol.
+    names = ['drumming on a bottle', 'swimming in the sea']
+    zs_local = c.zero_shot(clip, names, temperature=1.0)
+    zs_remote = c.zero_shot(clip, names, temperature=1.0, remote=True)
+    assert [p['label'] for p in zs_local] == [
+        p['label'] for p in zs_remote], (zs_local, zs_remote)
+    assert abs(zs_local[0]['prob'] - zs_remote[0]['prob']) < 1e-3
     httpd.stop()
     svc.stop()
-    print(f'2. lvt text/search/search_video_file/multi-view: {t.shape}, '
-          f'|mv|={np.linalg.norm(mv):.4f}  OK', flush=True)
+    print(f'2. lvt text/search/search_video_file/multi-view/zero-shot: '
+          f'{t.shape}, |mv|={np.linalg.norm(mv):.4f}, '
+          f'zs={zs_remote[0]["label"]!r}@{zs_remote[0]["prob"]}  OK',
+          flush=True)
 
   if 3 in stages:
     import dataclasses

@@ -134,6 +134,7 @@ class VideoPrismClient:
     self._compress = compress
     self._model = model
     self._local = threading.local()
+    self._class_sets: dict[Any, str] = {}  # registered zero-shot sets
 
   def _api(self, suffix: str) -> str:
     """Endpoint path: at the server's default model, or — when the
@@ -401,10 +402,69 @@ class VideoPrismClient:
     results = json.loads(out.decode('utf-8'))['results']
     return [(hit['id'], hit['score']) for hit in results[0]]
 
+  def register_classes(self, class_names: Sequence[str],
+                       templates: Sequence[str] | None = None) -> str:
+    """Registers a zero-shot label set server-side (lvt servers): the
+    class-name prompts run through the text tower ONCE and the
+    ensembled prototypes cache under the returned set id — clips then
+    classify against it via ``zero_shot(..., remote=True)`` in one
+    round trip with no per-call text work.  Idempotent and memoized
+    client-side (re-registering the same set is a dict lookup)."""
+    key = (tuple(class_names),
+           tuple(templates) if templates is not None else None)
+    cached = self._class_sets.get(key)
+    if cached is not None:
+      return cached
+    spec: dict[str, Any] = {'classes': list(class_names)}
+    if templates is not None:
+      spec['templates'] = list(templates)
+    out = self._post_json(self._api('zero_shot/classes'), spec)
+    self._class_sets[key] = out['set']
+    return out['set']
+
+  def _zero_shot_remote(self, video, class_names, templates, k,
+                        temperature, file_kwargs) -> list[dict[str, Any]]:
+    if isinstance(video, np.ndarray):
+      video = np.asarray(video)
+      if video.ndim != 4:
+        raise ValueError(f'zero_shot expects [T, H, W, 3], '
+                         f'got {video.shape}')
+      headers = {'Content-Type': 'application/x-npy'}
+      body = self._npy_payload(video, headers)
+      extra = ''
+    else:
+      headers = {'Content-Type': 'video/mp4'}
+      body = self._file_bytes(video)
+      extra = self._file_query(
+          file_kwargs.get('frames'), file_kwargs.get('size'),
+          file_kwargs.get('temporal_views'),
+          file_kwargs.get('spatial_views'), joiner='&')
+
+    def path(set_id: str) -> str:
+      return self._api(f'zero_shot?set={set_id}&k={k}'
+                       f'&temperature={temperature}') + extra
+
+    set_id = self.register_classes(class_names, templates)
+    try:
+      out = self._request('POST', path(set_id), body, headers)
+    except RequestError as e:
+      if e.status != 404 or 'class set' not in str(e):
+        raise
+      # The set was evicted server-side (LRU) or the server restarted:
+      # drop the memo, re-register, retry once.
+      self._class_sets.pop(
+          (tuple(class_names),
+           tuple(templates) if templates is not None else None), None)
+      out = self._request(
+          'POST', path(self.register_classes(class_names, templates)),
+          body, headers)
+    return json.loads(out.decode('utf-8'))['predictions']
+
   def zero_shot(self, video: 'np.ndarray | str | bytes',
                 class_names: Sequence[str], k: int = 5,
                 temperature: float = 0.01,
                 templates: Sequence[str] | None = None,
+                remote: bool = False,
                 **file_kwargs) -> list[dict[str, Any]]:
     """Zero-shot classification against an lvt server: one clip (array
     ``[T, H, W, 3]``, or a video file path / container bytes — decoded
@@ -414,7 +474,14 @@ class VideoPrismClient:
     cosine similarities, softmax at ``temperature``.  Returns top-k
     ``{'class', 'label', 'prob'}``, best first.
 
-    Two requests (video + texts); both micro-batch server-side."""
+    ``remote=False`` runs the protocol client-side (video + texts: two
+    requests, prompts re-encoded per call).  ``remote=True`` registers
+    the class set server-side once (:meth:`register_classes`) and then
+    classifies in ONE round trip per clip with zero text-tower work —
+    the right mode when many clips score against one label set."""
+    if remote:
+      return self._zero_shot_remote(video, class_names, templates, k,
+                                    temperature, file_kwargs)
     from videoprism_tpu import evaluation
 
     video = np.asarray(video) if isinstance(video, np.ndarray) else video

@@ -125,6 +125,7 @@ class TextEncodeService:
     self._requests_served = 0
     self._batches_run = 0
     self._errors = 0
+    self._generation = 0
 
   def start(self) -> None:
     self._running = True
@@ -149,6 +150,15 @@ class TextEncodeService:
   def reload(self, encode_fn) -> None:
     """Swaps the underlying encoder between batches (hot reload)."""
     self._encode_fn = encode_fn
+    self._generation += 1
+
+  @property
+  def generation(self) -> int:
+    """Bumps on every :meth:`reload` — anything caching DERIVED text
+    embeddings (e.g. zero-shot class prototypes) keys on this so a
+    weight swap invalidates the cache instead of serving a stale
+    embedding space."""
+    return self._generation
 
   def stats(self) -> dict[str, Any]:
     with self._stats_lock:

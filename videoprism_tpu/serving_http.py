@@ -47,6 +47,13 @@ Endpoints:
   ``?temporal_views=N&spatial_views=M`` runs the ViViT NxM multi-view
   protocol server-side (one decode, all views in one batch, eval-loop
   aggregation) for higher-fidelity embeddings/predictions.
+* ``POST /v1/zero_shot/classes`` + ``POST /v1/zero_shot?set=<id>`` —
+  zero-shot classification on lvt servers: register a label set once
+  (the class-name prompts run through the text tower and the ensembled
+  prototypes cache server-side under a content-hash id, LRU-bounded,
+  invalidated by hot weight reloads), then classify clips against it in
+  one round trip with zero text-tower work per clip.  Bodies as
+  ``/v1/embed`` or ``video/*`` (server-side decode, multi-view capable).
 * ``POST /v1/classify[?k=N]`` — classifier servers: one clip in, softmax
   top-k ``{"class", "prob"[, "label"]}`` out (label map optional).
   ``/v1/classify`` and ``/v1/search_video`` also accept a ``video/*``
@@ -107,6 +114,44 @@ _MAX_BODY_BYTES = 1 << 30
 _MODEL_NAME_RE = re.compile(r'[A-Za-z0-9._-]+')
 
 
+class _ZeroShotSets:
+  """Per-model store of zero-shot class-prototype sets (``POST
+  /v1/zero_shot/classes``): a bounded LRU keyed by the content hash of
+  (classes, templates), so registering the same class list twice is
+  free and distinct label sets coexist.  Entries remember the text
+  tower's generation — a hot weight reload recomputes prototypes on
+  next use instead of scoring clips in a stale embedding space."""
+
+  def __init__(self, max_sets: int = 16):
+    import collections
+
+    self._lock = threading.Lock()
+    self._sets = collections.OrderedDict()
+    self._max = max_sets
+
+  @staticmethod
+  def set_id(classes, templates) -> str:
+    import hashlib
+
+    blob = json.dumps([list(classes), list(templates)],
+                      ensure_ascii=False).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+  def put(self, set_id: str, entry: dict) -> None:
+    with self._lock:
+      self._sets[set_id] = entry
+      self._sets.move_to_end(set_id)
+      while len(self._sets) > self._max:
+        self._sets.popitem(last=False)
+
+  def get(self, set_id: str) -> 'dict | None':
+    with self._lock:
+      entry = self._sets.get(set_id)
+      if entry is not None:
+        self._sets.move_to_end(set_id)
+      return entry
+
+
 @dataclasses.dataclass(frozen=True)
 class _ModelBinding:
   """Everything the handler needs to serve one model: the micro-batched
@@ -120,6 +165,9 @@ class _ModelBinding:
   classify_enabled: bool = False
   labels: 'list | None' = None
   clip_geometry: tuple = (16, 288)
+  # Registered zero-shot class sets (lvt servers; /v1/zero_shot).
+  zero_shot_sets: _ZeroShotSets = dataclasses.field(
+      default_factory=_ZeroShotSets)
 
 
 def _make_binding(service: EmbeddingService, *, text_encode_fn=None,
@@ -257,6 +305,7 @@ class _Handler(BaseHTTPRequestHandler):
   labels: list | None = None      # class-index -> name (optional)
   # (frames, size) defaults for /v1/embed_file, from the model config.
   clip_geometry: tuple | None = None
+  zero_shot_sets: _ZeroShotSets | None = None
   # jax.profiler is process-global: one capture at a time, even with
   # several servers in one process — hence a _Handler-level lock.
   _trace_lock = threading.Lock()
@@ -367,6 +416,7 @@ class _Handler(BaseHTTPRequestHandler):
     self.classify_enabled = binding.classify_enabled
     self.labels = binding.labels
     self.clip_geometry = binding.clip_geometry
+    self.zero_shot_sets = binding.zero_shot_sets
     return True
 
   @staticmethod
@@ -463,6 +513,12 @@ class _Handler(BaseHTTPRequestHandler):
       return
     if self.path in ('/v1/embed_text', '/v1/search'):
       self._post_text()
+      return
+    if self.path == '/v1/zero_shot/classes':
+      self._post_zero_shot_classes()
+      return
+    if self.path.startswith('/v1/zero_shot'):
+      self._post_zero_shot()
       return
     if self.path.startswith('/v1/search_video'):
       self._post_search_video()
@@ -701,23 +757,176 @@ class _Handler(BaseHTTPRequestHandler):
     try:
       # Multi-view: mean of per-view logits (the eval loops'
       # view_aggregate='logits' protocol) before the softmax.
-      logits = np.asarray(self._run_clip_or_views(video, deadline_ms),
-                          np.float64)
-      probs = np.exp(logits - logits.max())
-      probs /= probs.sum()
-      k = min(k, len(probs))
-      top = np.argsort(-probs)[:k]
-      preds = []
-      for i in top:
-        entry = {'class': int(i), 'prob': round(float(probs[i]), 6)}
-        if self.labels is not None:
-          entry['label'] = self.labels[int(i)]
-        preds.append(entry)
+      logits = self._run_clip_or_views(video, deadline_ms)
+      preds = self._topk_predictions(logits, k, self.labels)
       self._reply_json(200, {'predictions': preds})
     except DeadlineExceeded as e:
       self._reply_json(504, {'error': str(e)})
     except ServiceOverloaded as e:
       self._reply_overloaded(e)
+    except Exception as e:  # service-side failure
+      self._reply_json(500, {'error': str(e)})
+
+  @staticmethod
+  def _topk_predictions(logits, k: int, labels=None) -> list:
+    """Softmax top-k ``{'class', 'prob'[, 'label']}`` rows, best first."""
+    logits = np.asarray(logits, np.float64)
+    probs = np.exp(logits - logits.max())
+    probs /= probs.sum()
+    k = min(k, len(probs))
+    top = np.argsort(-probs)[:k]
+    preds = []
+    for i in top:
+      entry = {'class': int(i), 'prob': round(float(probs[i]), 6)}
+      if labels is not None:
+        entry['label'] = str(labels[int(i)])
+      preds.append(entry)
+    return preds
+
+  def _text_generation(self) -> int:
+    return getattr(self.text_service, 'generation', 0)
+
+  def _compute_zero_shot_entry(self, classes: list, templates: list) -> dict:
+    """Prompt-ensembled class prototypes through the (micro-batched)
+    text tower, stamped with the tower's generation."""
+    from videoprism_tpu import evaluation
+
+    generation = self._text_generation()
+    prototypes = evaluation.zero_shot_classifier(
+        self.text_encode_fn, classes, templates=templates)
+    return {'classes': classes, 'templates': templates,
+            'prototypes': prototypes, 'generation': generation}
+
+  def _post_zero_shot_classes(self) -> None:
+    """``POST /v1/zero_shot/classes`` (lvt servers) — register a label
+    set for zero-shot classification: JSON ``{"classes": [...],
+    "templates": [...]?}`` → the class-name prompts run through the
+    text tower ONCE and the ensembled prototypes are cached server-side
+    under a content-hash id.  Returns ``{"set": id, "num_classes": N}``;
+    idempotent (same classes+templates → same id).  Clips then classify
+    against the set via ``/v1/zero_shot?set=<id>`` without re-encoding
+    the prompts — for a 400-class set the per-call saving is hundreds of
+    text-tower dispatches."""
+    if self.text_encode_fn is None:
+      self._reject_json(404, {'error': '/v1/zero_shot needs a text '
+                                       'encoder (serve an lvt model)'})
+      return
+    try:
+      spec = json.loads(self._read_body())
+      classes = spec.get('classes')
+      if (not isinstance(classes, list) or not classes
+          or not all(isinstance(c, str) and c for c in classes)):
+        raise ValueError('"classes" must be a non-empty list of '
+                         'non-empty strings')
+      if len(classes) > 10000:
+        raise ValueError(f'{len(classes)} classes (limit 10000)')
+      templates = spec.get('templates')
+      if templates is not None:
+        if (not isinstance(templates, list) or not templates
+            or not all(isinstance(t, str) for t in templates)):
+          raise ValueError('"templates" must be a non-empty list of '
+                           'strings')
+        bad = [t for t in templates if '{' not in t]
+        if bad:
+          raise ValueError(
+              f'templates need a {{}} placeholder for the class name; '
+              f'bad: {bad[:3]}')
+    except Exception as e:  # malformed request — client's fault
+      self._reject_json(400, {'error': str(e)})
+      return
+    from videoprism_tpu import evaluation
+
+    templates = templates or list(evaluation.DEFAULT_PROMPT_TEMPLATES)
+    set_id = _ZeroShotSets.set_id(classes, templates)
+    try:
+      if self.zero_shot_sets.get(set_id) is None:
+        self.zero_shot_sets.put(
+            set_id, self._compute_zero_shot_entry(classes, templates))
+    except ServiceOverloaded as e:
+      self._reply_overloaded(e)
+      return
+    except Exception as e:  # service-side failure
+      self._reply_json(500, {'error': str(e)})
+      return
+    self._reply_json(200, {'set': set_id, 'num_classes': len(classes)})
+
+  def _post_zero_shot(self) -> None:
+    """``POST /v1/zero_shot?set=<id>[&k=N&temperature=T]`` — zero-shot
+    classification of one clip against a registered class set: the body
+    is a clip (``/v1/embed`` wire formats) or a ``video/*`` container
+    (decoded server-side, ``?frames=&size=&*_views=`` as in
+    ``/v1/embed_file``); the pooled lvt vision embedding scores against
+    the cached prototypes (cosine / temperature, softmax top-k).  One
+    round trip and zero text-tower work per clip — the CLIP zero-shot
+    protocol (reference colab's use case) as a serving endpoint."""
+    if self.text_encode_fn is None:
+      self._reject_json(404, {'error': '/v1/zero_shot needs a text '
+                                       'encoder (serve an lvt model)'})
+      return
+    try:
+      from urllib.parse import parse_qs, urlparse
+
+      q = parse_qs(urlparse(self.path).query)
+      if 'set' not in q:
+        raise ValueError('missing ?set= (register the class list via '
+                         'POST /v1/zero_shot/classes first)')
+      set_id = q['set'][0]
+      k = int(q['k'][0]) if 'k' in q else 5
+      if k <= 0:
+        raise ValueError(f'"k" must be positive, got {k}')
+      temperature = (float(q['temperature'][0])
+                     if 'temperature' in q else 0.01)
+      if not temperature > 0:
+        raise ValueError(f'"temperature" must be positive, '
+                         f'got {temperature}')
+      deadline_ms = self._deadline_ms()
+      content_type = self.headers.get('Content-Type', 'application/x-npy')
+      body = self._read_body()
+      if content_type.startswith('video/'):
+        video, file_geom = None, self._file_geometry(q)
+      else:
+        video = _decode_body(content_type, body)
+        if video.ndim != 4:
+          raise ValueError(
+              f'expected one clip [T,H,W,3], got shape {video.shape}')
+    except Exception as e:  # malformed request — client's fault
+      self._reject_json(400, {'error': str(e)})
+      return
+    entry = self.zero_shot_sets.get(set_id)
+    if entry is None:
+      self._reply_json(404, {
+          'error': f'unknown class set {set_id!r} (it may have been '
+                   'evicted — re-register via /v1/zero_shot/classes)'})
+      return
+    if video is None:  # video/* body: decode the container server-side
+      video = self._decode_file_or_reply(body, file_geom)
+      if video is None:
+        return
+    try:
+      if entry['generation'] != self._text_generation():
+        # The text tower was hot-reloaded since registration: recompute
+        # the prototypes in the NEW embedding space rather than scoring
+        # across mismatched spaces (or failing the request).
+        entry = self._compute_zero_shot_entry(
+            entry['classes'], entry['templates'])
+        self.zero_shot_sets.put(set_id, entry)
+      emb = np.asarray(self._run_clip_or_views(video, deadline_ms),
+                       np.float32)
+      if emb.ndim != 1:
+        raise ValueError(
+            'zero_shot needs a pooled-embedding (lvt) server; this '
+            f'model returns shape {emb.shape} per clip')
+      emb = emb / max(float(np.linalg.norm(emb)), 1e-12)
+      sims = entry['prototypes'] @ emb
+      preds = self._topk_predictions(sims / temperature, k,
+                                     entry['classes'])
+      self._reply_json(200, {'predictions': preds, 'set': set_id})
+    except DeadlineExceeded as e:
+      self._reply_json(504, {'error': str(e)})
+    except ServiceOverloaded as e:
+      self._reply_overloaded(e)
+    except ValueError as e:  # view aggregation / shape — client-visible
+      self._reply_json(400, {'error': str(e)})
     except Exception as e:  # service-side failure
       self._reply_json(500, {'error': str(e)})
 
