@@ -13,6 +13,12 @@ colab does the same); this module makes it a product surface:
   text tower, batched + padded to one compiled geometry, tokenization
   included.
 
+* :func:`make_frame_embeddings_fn` + :func:`localize_moments` —
+  text-to-TIME localization: per-frame pooled CLIP embeddings (the
+  reference's ``frame_embeddings`` intermediate) swept by sliding
+  windows against text queries, answering "when does X happen" inside
+  one video (``scripts/localize_moments.py`` is the CLI form).
+
 Pairs with :mod:`videoprism_tpu.serving_http`'s ``/v1/embed_text`` and
 ``/v1/search`` endpoints for the served form.
 """
@@ -285,3 +291,131 @@ def make_text_query_encoder(
         max_text_len=max_text_len, sharding=sharding)
 
   return encode
+
+
+def make_frame_embeddings_fn(params, cfg: vclip.VideoCLIPConfig):
+  """Returns ``frame_embeddings(videos) -> [B, T, D] np.float32``.
+
+  Per-FRAME CLIP embeddings: the contrastive pooler applied to each
+  frame's spatial tokens (the ``frame_embeddings`` intermediate,
+  reference encoders.py:874-885) — l2-normalized rows living in the
+  SAME space as the text tower, so a text query scores directly against
+  every frame.  This is what :func:`localize_moments` consumes for
+  text-to-time localization.  Accepts one clip ``[T, H, W, 3]`` or a
+  batch; uint8 inputs ride the cheap cast (/255 fused into the jit).
+  """
+  import jax
+  import jax.numpy as jnp
+
+  params = registry.Model._unwrap(params)
+
+  @jax.jit
+  def step(p, videos):
+    if videos.dtype == jnp.uint8:
+      videos = videos.astype(jnp.float32) / 255.0
+    _, _, out = vclip.apply(
+        p, videos, None, None, cfg, train=False,
+        return_intermediate={'frame_embeddings'})
+    return out['frame_embeddings'].astype(jnp.float32)
+
+  def frame_embeddings(videos) -> np.ndarray:
+    videos = np.asarray(videos)
+    squeeze = videos.ndim == 4
+    if squeeze:
+      videos = videos[None]
+    if videos.ndim != 5:
+      raise ValueError(f'expected [T,H,W,3] or [B,T,H,W,3], '
+                       f'got {videos.shape}')
+    out = np.asarray(step(params, jnp.asarray(videos)))
+    return out[0] if squeeze else out
+
+  return frame_embeddings
+
+
+def localize_moments(
+    frame_embeddings: np.ndarray,
+    text_embeddings: np.ndarray,
+    *,
+    window_sizes: Sequence[int] = (1, 2, 4, 8),
+    top_k: int = 5,
+    iou_threshold: float = 0.5,
+) -> list[list[dict[str, Any]]]:
+  """Text-to-time moment localization over per-frame embeddings.
+
+  The reference exposes per-frame pooled CLIP embeddings
+  (``frame_embeddings``) but never productizes them; this turns them
+  into "WHEN does the query happen": every sliding window (all
+  ``window_sizes``, stride 1) is scored by the cosine between the
+  query and the re-normalized mean of the window's frame embeddings —
+  the same aggregation the multi-view protocol uses for unit-norm
+  spaces — and the per-query top segments survive a greedy temporal
+  NMS at ``iou_threshold``.
+
+  Args:
+    frame_embeddings: ``[T, D]`` (rows ~unit-norm, e.g. from
+      :func:`make_frame_embeddings_fn`).
+    text_embeddings: ``[Q, D]`` or ``[D]`` l2-normalized queries.
+
+  Returns:
+    Per query, a score-descending list of
+    ``{'start': int, 'end': int, 'score': float}`` segments
+    (``end`` exclusive, frame units), at most ``top_k`` long.
+
+  Prefix sums make the sweep O(T · |window_sizes|) regardless of
+  window length.
+  """
+  frames = np.asarray(frame_embeddings, np.float32)
+  if frames.ndim != 2:
+    raise ValueError(f'frame_embeddings must be [T, D], '
+                     f'got {frames.shape}')
+  queries = np.atleast_2d(np.asarray(text_embeddings, np.float32))
+  if queries.shape[1] != frames.shape[1]:
+    raise ValueError(f'query dim {queries.shape[1]} != frame dim '
+                     f'{frames.shape[1]}')
+  if top_k <= 0:
+    raise ValueError(f'top_k must be positive, got {top_k}')
+  if not 0.0 <= iou_threshold <= 1.0:
+    raise ValueError(f'iou_threshold must be in [0, 1], '
+                     f'got {iou_threshold}')
+  t = len(frames)
+  sizes = sorted({int(w) for w in window_sizes if 0 < int(w) <= t})
+  if not sizes:
+    raise ValueError(f'no window size in window_sizes={window_sizes!r} '
+                     f'fits the {t}-frame clip')
+
+  frames = frames / np.maximum(
+      np.linalg.norm(frames, axis=-1, keepdims=True), 1e-12)
+  queries = queries / np.maximum(
+      np.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
+  prefix = np.concatenate(
+      [np.zeros((1, frames.shape[1]), np.float32),
+       np.cumsum(frames, axis=0)], axis=0)
+
+  candidates: list[tuple[int, int, np.ndarray]] = []  # (start, end, [Q])
+  for w in sizes:
+    seg = prefix[w:] - prefix[:-w]                      # [T-w+1, D]
+    seg = seg / np.maximum(
+        np.linalg.norm(seg, axis=-1, keepdims=True), 1e-12)
+    scores = queries @ seg.T                            # [Q, T-w+1]
+    for start in range(t - w + 1):
+      candidates.append((start, start + w, scores[:, start]))
+
+  def iou(a: tuple[int, int], b: tuple[int, int]) -> float:
+    inter = max(0, min(a[1], b[1]) - max(a[0], b[0]))
+    union = (a[1] - a[0]) + (b[1] - b[0]) - inter
+    return inter / union if union else 0.0
+
+  results = []
+  for q in range(len(queries)):
+    ranked = sorted(candidates, key=lambda c: -float(c[2][q]))
+    kept: list[dict[str, Any]] = []
+    for start, end, score in ranked:
+      if len(kept) >= top_k:
+        break
+      if any(iou((start, end), (k['start'], k['end'])) > iou_threshold
+             for k in kept):
+        continue
+      kept.append({'start': int(start), 'end': int(end),
+                   'score': round(float(score[q]), 6)})
+    results.append(kept)
+  return results
