@@ -14,6 +14,11 @@ Frozen-backbone fine-tune from a pretrained encoder checkpoint:
   python scripts/train_classifier.py --model videoprism_public_v1_base \
       --num-classes 400 --freeze-backbone \
       --manifest train.csv   # lines: /path/clip.mp4,<int label>
+
+Serve what you trained: scripts/export_params.py turns the orbax
+--checkpoint-dir (or its EMA) into a flat-key npz for
+serve_embeddings --num-classes N --checkpoint; LoRA runs use
+--export-merged instead.
 """
 
 from __future__ import annotations

@@ -10,6 +10,10 @@ Smoke run (synthetic data, CPU or one chip):
 
 Real data: --videos-glob 'data/*.mp4' --captions captions.txt (one caption
 per line, aligned with the sorted glob), plus a tokenizer model.
+
+Serve what you trained: scripts/export_params.py turns the orbax
+--checkpoint-dir (or its EMA) into a flat-key npz/safetensors tree for
+serve_embeddings --checkpoint / quantize_checkpoint / export_model.
 """
 
 from __future__ import annotations
