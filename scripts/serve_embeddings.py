@@ -173,6 +173,12 @@ def main():
                       help='SentencePiece model for /v1/embed_text '
                            '(lvt models; default: bundled fixture or '
                            '$VIDEOPRISM_SPM_PATH)')
+  parser.add_argument('--enable-localize', action='store_true',
+                      help='lvt models: also serve the per-frame '
+                           'embedding forward and enable /v1/localize '
+                           '(text-to-time moment search). The frames '
+                           'service shares the float weight tree (one '
+                           'HBM copy).')
   parser.add_argument('--extra-model', action='append', default=None,
                       metavar='NAME=MODEL[:int8]',
                       help='serve another model from the same process/port '
@@ -308,6 +314,26 @@ def main():
   elif args.from_export_text:
     raise SystemExit('--from-export-text needs an lvt (CLIP) model')
 
+  frames_service = None
+  if args.enable_localize:
+    if text_encode_fn is None:
+      raise SystemExit('--enable-localize needs an lvt (CLIP) model '
+                       '(localization scores text against per-frame '
+                       'CLIP embeddings)')
+    from videoprism_tpu import retrieval as retrieval_mod
+
+    # Same float tree as the text tower: device placement of an
+    # already-placed tree is a no-op, so this adds a forward, not a
+    # second HBM copy of the weights.
+    frames_model = retrieval_mod.make_frame_embeddings_model(model.config)
+    frames_service = EmbeddingService(
+        frames_model, state,
+        batch_buckets=tuple(int(b) for b in args.buckets.split(',')),
+        max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)
+    frames_service.start()
+    if args.warmup_frames or args.tiny or args.tiny_clip:
+      frames_service.warmup(clip_shape, np.uint8)
+
   labels = None
   if args.labels:
     labels = [ln.strip() for ln in open(args.labels)
@@ -317,7 +343,8 @@ def main():
                                quiet=args.smoke,
                                text_encode_fn=text_encode_fn, index=index,
                                auth_token=auth_token,
-                               text_service=text_service, labels=labels)
+                               text_service=text_service, labels=labels,
+                               frames_service=frames_service)
   if auth_token:
     print('auth: bearer token required on POST endpoints')
 
@@ -341,6 +368,8 @@ def main():
     endpoints += ', POST /v1/search, POST /v1/search_video'
   if args.num_classes:
     endpoints += ', POST /v1/classify'
+  if frames_service is not None:
+    endpoints += ', POST /v1/localize'
   if extra_services:
     endpoints += ', GET /v1/models'
   print(f'serving on http://{args.host}:{server.port} ({endpoints})')
@@ -384,6 +413,8 @@ def main():
     service.stop()
     if text_service is not None:
       text_service.stop()
+    if frames_service is not None:
+      frames_service.stop()
     for svc2, text_svc2 in extra_services:
       svc2.stop()
       if text_svc2 is not None:
@@ -435,6 +466,8 @@ def main():
     service.stop()
     if text_service is not None:
       text_service.stop()
+    if frames_service is not None:
+      frames_service.stop()
     for svc2, text_svc2 in extra_services:
       svc2.stop()
       if text_svc2 is not None:

@@ -30,6 +30,7 @@ connection; configuration is immutable.
 
 from __future__ import annotations
 
+import base64
 import gzip
 import http.client
 import io
@@ -501,6 +502,48 @@ class VideoPrismClient:
     top = np.argsort(-probs)[:min(k, len(probs))]
     return [{'class': int(i), 'label': str(class_names[i]),
              'prob': round(float(probs[i]), 6)} for i in top]
+
+  def localize(self, video: 'np.ndarray | str | bytes',
+               queries: Sequence[str], k: int = 3,
+               window_sizes: Sequence[int] | None = None,
+               iou_threshold: float | None = None,
+               frames: int | None = None,
+               size: int | None = None) -> dict[str, Any]:
+    """Text-to-time moment localization (lvt servers started with
+    ``--enable-localize``): WHEN does each query happen in the video.
+
+    ``video`` is a clip array ``[T, H, W, 3]`` (sent as JSON) or a
+    video file path / container bytes (decoded server-side;
+    ``frames=`` sets the temporal resolution — more frames, finer
+    localization).  Returns ``{'frames': T, 'results': [{'query',
+    'segments': [{'start', 'end', 'score'}, ...]}, ...]}`` with
+    frame-unit segments, best first; divide by ``frames`` for position
+    fractions of the source duration."""
+    params = [f'k={k}']
+    if iou_threshold is not None:
+      params.append(f'iou_threshold={iou_threshold}')
+    if window_sizes is not None:
+      params.append('window_sizes=' + ','.join(str(w) for w in window_sizes))
+    if isinstance(video, np.ndarray):
+      video = np.ascontiguousarray(video)
+      if video.ndim != 4:
+        raise ValueError(f'localize expects [T, H, W, 3], '
+                         f'got {video.shape}')
+      spec = {'video': {'shape': list(video.shape),
+                        'dtype': str(video.dtype),
+                        'data_b64': base64.b64encode(
+                            video.tobytes()).decode('ascii')},
+              'queries': list(queries)}
+      out = self._request(
+          'POST', self._api('localize?' + '&'.join(params)),
+          json.dumps(spec).encode(), {'Content-Type': 'application/json'})
+    else:
+      params += ['q=' + urllib.parse.quote(t) for t in queries]
+      path = (self._api('localize?' + '&'.join(params))
+              + self._file_query(frames, size, joiner='&'))
+      out = self._request('POST', path, self._file_bytes(video),
+                          {'Content-Type': 'video/mp4'})
+    return json.loads(out.decode('utf-8'))
 
   def healthy(self) -> bool:
     """Liveness probe; False instead of raising (monitoring loops).

@@ -419,3 +419,25 @@ def localize_moments(
                    'score': round(float(score[q]), 6)})
     results.append(kept)
   return results
+
+
+def make_frame_embeddings_model(cfg: vclip.VideoCLIPConfig):
+  """The per-frame-embedding forward packaged as a ``Model`` handle.
+
+  ``apply(params, videos, train=False)`` → ``([B, T, D], {})`` — the
+  shape :class:`videoprism_tpu.serving.EmbeddingService` expects, so
+  frame-level extraction gets the whole serving treatment
+  (micro-batching, buckets, deadlines, hot reload) and powers the HTTP
+  ``/v1/localize`` endpoint.  Shares the lvt checkpoint schema: bind
+  the SAME state as the pooled-embedding service (device_put the tree
+  once and hand it to both — placement is a no-op the second time, one
+  HBM copy serves both forwards)."""
+  from videoprism_tpu.models import init as init_lib
+
+  def frame_apply(params, videos, cfg, train=False):
+    _, _, out = vclip.apply(params, videos, None, None, cfg, train=train,
+                            return_intermediate={'frame_embeddings'})
+    return out['frame_embeddings'], {}
+
+  return registry.Model(cfg, frame_apply, init_lib.init_video_clip,
+                        name='frame_embeddings')

@@ -54,6 +54,13 @@ Endpoints:
   invalidated by hot weight reloads), then classify clips against it in
   one round trip with zero text-tower work per clip.  Bodies as
   ``/v1/embed`` or ``video/*`` (server-side decode, multi-view capable).
+* ``POST /v1/localize`` — text-to-time moment localization on lvt
+  servers started with a frames service: the body is JSON
+  ``{"video": {shape,dtype,data_b64}, "queries": [...]}`` or a
+  ``video/*`` container with ``?q=<query>`` (repeatable); per-frame
+  pooled CLIP embeddings are swept by sliding windows against each
+  query (``retrieval.localize_moments``) and the top temporal segments
+  come back per query.
 * ``POST /v1/classify[?k=N]`` — classifier servers: one clip in, softmax
   top-k ``{"class", "prob"[, "label"]}`` out (label map optional).
   ``/v1/classify`` and ``/v1/search_video`` also accept a ``video/*``
@@ -165,13 +172,17 @@ class _ModelBinding:
   classify_enabled: bool = False
   labels: 'list | None' = None
   clip_geometry: tuple = (16, 288)
+  # A frame-level EmbeddingService (retrieval.make_frame_embeddings_model)
+  # enabling /v1/localize on lvt servers.
+  frames_service: 'EmbeddingService | None' = None
   # Registered zero-shot class sets (lvt servers; /v1/zero_shot).
   zero_shot_sets: _ZeroShotSets = dataclasses.field(
       default_factory=_ZeroShotSets)
 
 
 def _make_binding(service: EmbeddingService, *, text_encode_fn=None,
-                  index=None, labels=None, text_service=None) -> _ModelBinding:
+                  index=None, labels=None, text_service=None,
+                  frames_service=None) -> _ModelBinding:
   """Derives the per-model serving surfaces from the service's config:
   classifier models enable ``/v1/classify``; the encoder's
   ``pos_emb_shape`` sets the ``/v1/embed_file`` decode geometry."""
@@ -196,18 +207,25 @@ def _make_binding(service: EmbeddingService, *, text_encode_fn=None,
     if len(labels) != cfg.num_classes:
       raise ValueError(f'{len(labels)} labels for a '
                        f'{cfg.num_classes}-class model')
+  if frames_service is not None and text_encode_fn is None:
+    raise ValueError('frames_service (localization) needs text_encode_fn '
+                     '(an lvt text tower) on the same model')
   return _ModelBinding(service=service, text_encode_fn=text_encode_fn,
                        text_service=text_service, index=index,
                        classify_enabled=classify_enabled, labels=labels,
-                       clip_geometry=clip_geometry)
+                       clip_geometry=clip_geometry,
+                       frames_service=frames_service)
+
+
+def _array_from_json_spec(spec: dict) -> np.ndarray:
+  data = base64.b64decode(spec['data_b64'])
+  return np.frombuffer(data, np.dtype(spec['dtype'])).reshape(
+      spec['shape'])
 
 
 def _decode_body(content_type: str, body: bytes) -> np.ndarray:
   if content_type.startswith('application/json'):
-    spec = json.loads(body)
-    data = base64.b64decode(spec['data_b64'])
-    return np.frombuffer(data, np.dtype(spec['dtype'])).reshape(
-        spec['shape'])
+    return _array_from_json_spec(json.loads(body))
   # npy is the default: np.save bytes round-trip, no pickle accepted.
   return np.load(io.BytesIO(body), allow_pickle=False)
 
@@ -305,6 +323,7 @@ class _Handler(BaseHTTPRequestHandler):
   labels: list | None = None      # class-index -> name (optional)
   # (frames, size) defaults for /v1/embed_file, from the model config.
   clip_geometry: tuple | None = None
+  frames_service = None           # frame-level service (/v1/localize)
   zero_shot_sets: _ZeroShotSets | None = None
   # jax.profiler is process-global: one capture at a time, even with
   # several servers in one process — hence a _Handler-level lock.
@@ -416,6 +435,7 @@ class _Handler(BaseHTTPRequestHandler):
     self.classify_enabled = binding.classify_enabled
     self.labels = binding.labels
     self.clip_geometry = binding.clip_geometry
+    self.frames_service = binding.frames_service
     self.zero_shot_sets = binding.zero_shot_sets
     return True
 
@@ -472,6 +492,7 @@ class _Handler(BaseHTTPRequestHandler):
             'kind': 'classifier' if b.classify_enabled else 'embedding',
             'text': b.text_encode_fn is not None,
             'search': b.index is not None,
+            'localize': b.frames_service is not None,
             'clip_geometry': {'frames': frames, 'size': size},
         })
       self._reply_json(200, {'models': listing})
@@ -519,6 +540,9 @@ class _Handler(BaseHTTPRequestHandler):
       return
     if self.path.startswith('/v1/zero_shot'):
       self._post_zero_shot()
+      return
+    if self.path.startswith('/v1/localize'):
+      self._post_localize()
       return
     if self.path.startswith('/v1/search_video'):
       self._post_search_video()
@@ -973,6 +997,96 @@ class _Handler(BaseHTTPRequestHandler):
       _Handler._trace_lock.release()
     self._reply_json(200, {'trace_dir': trace_dir, 'duration_ms': ms})
 
+  def _post_localize(self) -> None:
+    """``POST /v1/localize[?k=N&window_sizes=1,2,4&iou_threshold=T]`` —
+    text-to-time moment localization (lvt servers with a frames
+    service): the clip's per-frame pooled CLIP embeddings sweep against
+    each query via :func:`videoprism_tpu.retrieval.localize_moments`.
+    Body forms: JSON ``{"video": {shape, dtype, data_b64}, "queries":
+    [...]}`` (k/window_sizes/iou_threshold may ride in the JSON too) or
+    a ``video/*`` container with ``?q=<query>`` repeated (server-side
+    decode; ``?frames=&size=`` as in ``/v1/embed_file`` — more frames =
+    finer temporal resolution).  Response: ``{"frames": T, "results":
+    [{"query", "segments": [{"start", "end", "score"}, ...]}, ...]}``
+    with frame-unit segments, best first."""
+    if self.frames_service is None or self.text_encode_fn is None:
+      self._reject_json(404, {
+          'error': '/v1/localize needs an lvt server with a frames '
+                   'service (serve_embeddings --enable-localize)'})
+      return
+    try:
+      from urllib.parse import parse_qs, urlparse
+
+      q = parse_qs(urlparse(self.path).query)
+      k = int(q['k'][0]) if 'k' in q else 3
+      iou = (float(q['iou_threshold'][0])
+             if 'iou_threshold' in q else 0.5)
+      windows = (tuple(int(w) for w in q['window_sizes'][0].split(','))
+                 if 'window_sizes' in q else None)
+      deadline_ms = self._deadline_ms()
+      content_type = self.headers.get('Content-Type', 'application/json')
+      body = self._read_body()
+      if content_type.startswith('video/'):
+        queries = q.get('q')
+        if not queries:
+          raise ValueError('video/* localize needs at least one '
+                           '?q=<query> parameter')
+        video, file_geom = None, self._file_geometry(q)
+        if file_geom[2] != 1 or file_geom[3] != 1:
+          raise ValueError('localize is temporal — multi-view '
+                           'aggregation would destroy the time axis')
+      elif content_type.startswith('application/json'):
+        spec = json.loads(body)
+        queries = spec.get('queries')
+        video = _array_from_json_spec(spec['video'])
+        k = int(spec.get('k', k))
+        iou = float(spec.get('iou_threshold', iou))
+        if 'window_sizes' in spec:
+          windows = tuple(int(w) for w in spec['window_sizes'])
+      else:
+        raise ValueError('localize takes application/json (clip + '
+                         'queries) or video/* (+ ?q= params), '
+                         f'not {content_type!r}')
+      if (not isinstance(queries, list) or not queries
+          or not all(isinstance(t, str) and t for t in queries)):
+        raise ValueError('"queries" must be a non-empty list of '
+                         'non-empty strings')
+      if video is not None and video.ndim != 4:
+        raise ValueError(
+            f'expected one clip [T,H,W,3], got shape {video.shape}')
+    except Exception as e:  # malformed request — client's fault
+      self._reject_json(400, {'error': str(e)})
+      return
+    if video is None:  # video/* body: decode the container server-side
+      video = self._decode_file_or_reply(body, file_geom)
+      if video is None:
+        return
+    try:
+      from videoprism_tpu import retrieval
+
+      frame_emb = np.asarray(
+          self.frames_service.embed(video, deadline_ms=deadline_ms),
+          np.float32)
+      text_emb = np.asarray(self.text_encode_fn(list(queries)))
+      t = len(frame_emb)
+      if windows is None:
+        windows = tuple(w for w in (1, 2, 4, 8) if w <= t) or (t,)
+      moments = retrieval.localize_moments(
+          frame_emb, text_emb, window_sizes=windows, top_k=k,
+          iou_threshold=iou)
+      self._reply_json(200, {
+          'frames': t,
+          'results': [{'query': query, 'segments': segments}
+                      for query, segments in zip(queries, moments)]})
+    except DeadlineExceeded as e:
+      self._reply_json(504, {'error': str(e)})
+    except ServiceOverloaded as e:
+      self._reply_overloaded(e)
+    except ValueError as e:  # bad window sizes etc. — client-visible
+      self._reply_json(400, {'error': str(e)})
+    except Exception as e:  # service-side failure
+      self._reply_json(500, {'error': str(e)})
+
   def _post_search_video(self) -> None:
     """/v1/search_video[?k=N]: video-to-video similarity — body is one
     clip in the /v1/embed wire formats; the clip embeds through the
@@ -1066,7 +1180,8 @@ class EmbeddingHTTPServer:
                port: int = 8000, quiet: bool = True,
                text_encode_fn=None, index=None,
                auth_token: str | None = None, text_service=None,
-               labels=None, model_name: str = 'default'):
+               labels=None, model_name: str = 'default',
+               frames_service=None):
     """``text_encode_fn`` (see ``retrieval.make_text_query_encoder``)
     enables ``/v1/embed_text``; adding ``index`` (a
     ``retrieval.VideoIndex``) enables ``/v1/search``; ``auth_token``
@@ -1085,7 +1200,8 @@ class EmbeddingHTTPServer:
     self._bindings: dict[str, _ModelBinding] = {
         model_name: _make_binding(service, text_encode_fn=text_encode_fn,
                                   index=index, labels=labels,
-                                  text_service=text_service)}
+                                  text_service=text_service,
+                                  frames_service=frames_service)}
     # The handler class shares this dict OBJECT, so add_model's inserts
     # are visible to in-flight handlers (dict assignment is atomic).
     handler = type('BoundHandler', (_Handler,),
@@ -1106,7 +1222,7 @@ class EmbeddingHTTPServer:
 
   def add_model(self, name: str, service: EmbeddingService, *,
                 text_encode_fn=None, index=None, labels=None,
-                text_service=None) -> None:
+                text_service=None, frames_service=None) -> None:
     """Registers another model on this server, reachable at
     ``/v1/models/<name>/<endpoint>`` — one process, one chip claim, one
     port hosting several models (a base tier for bulk + a large tier
@@ -1119,7 +1235,7 @@ class EmbeddingHTTPServer:
       raise ValueError(f'model {name!r} is already served')
     self._bindings[name] = _make_binding(
         service, text_encode_fn=text_encode_fn, index=index, labels=labels,
-        text_service=text_service)
+        text_service=text_service, frames_service=frames_service)
 
   def start(self) -> None:
     self._thread = threading.Thread(
