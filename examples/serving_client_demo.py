@@ -92,8 +92,15 @@ def main():
   service.start()
   text_fn = retrieval.make_text_query_encoder(
       model._unwrap(state), model.config, tokenizer)
+  # The frames service enables /v1/localize (text-to-time search); it
+  # shares the weight tree with the pooled service (one HBM copy).
+  frames_service = serving.EmbeddingService(
+      retrieval.make_frame_embeddings_model(model.config), state,
+      batch_buckets=(1,))
+  frames_service.start()
   httpd = serving_http.EmbeddingHTTPServer(
-      service, host='127.0.0.1', port=0, text_encode_fn=text_fn)
+      service, host='127.0.0.1', port=0, text_encode_fn=text_fn,
+      frames_service=frames_service)
   httpd.start()
   print(f'serving on 127.0.0.1:{httpd.port}')
 
@@ -128,12 +135,20 @@ def main():
                                                'surfing'], k=3, remote=True)
   print('zero_shot (remote, cached prototypes):', preds_remote)
 
+  # WHEN does it happen: per-frame CLIP embeddings swept against the
+  # query server-side; segments are frame ranges (divide by 'frames'
+  # for position fractions of the video).
+  loc = client.localize(args.video, ['a person drumming'], k=2,
+                        frames=frames, size=size)
+  print('localize:  ', loc['results'][0]['segments'])
+
   print('healthy:   ', client.healthy())
   stats = client.stats()
   print(f'stats:      {stats["requests_served"]} requests in '
         f'{stats["batches_run"]} batches')
 
   httpd.stop()
+  frames_service.stop()
   service.stop()
 
 

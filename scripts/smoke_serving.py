@@ -15,7 +15,10 @@ not):
    vs ``/v1/embed_file`` (server-side decode) — embeddings must agree,
    responses must be float32, ``/stats`` + ``/metrics`` must serve.
 2. lvt-base bf16: text tower over ``/v1/embed_text``, ``/v1/search``
-   against an index, and ``/v1/search_video`` with a ``video/*`` body.
+   against an index, ``/v1/search_video`` with a ``video/*`` body,
+   multi-view ``/v1/embed_file``, server-side zero-shot
+   (``/v1/zero_shot`` == the client-side protocol), and
+   ``/v1/localize`` over a frames service.
 3. classifier-base bf16: ``/v1/classify`` with a ``video/*`` body.
 4. AOT export: ``EmbeddingService(exported=...)`` must match direct
    apply bit-for-bit.
@@ -104,7 +107,7 @@ def main() -> int:
     httpd = serving_http.EmbeddingHTTPServer(
         svc, host='127.0.0.1', port=0,
         **{k: v for k, v in kw.items()
-           if k in ('text_encode_fn', 'index')})
+           if k in ('text_encode_fn', 'index', 'frames_service')})
     httpd.start()
     return svc, httpd, VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
 
@@ -142,8 +145,12 @@ def main() -> int:
     index = retrieval.VideoIndex(
         np.random.RandomState(0).randn(5, dim).astype(np.float32),
         [f'v{i}' for i in range(5)])
+    frames_svc = serving.EmbeddingService(
+        retrieval.make_frame_embeddings_model(lvt.config), lvt_state,
+        batch_buckets=(1,))
+    frames_svc.start()
     svc, httpd, c = serve(lvt, lvt_state, text_encode_fn=text_fn,
-                          index=index)
+                          index=index, frames_service=frames_svc)
     t = c.embed_text(['a person drumming', 'the ocean'])
     assert t.shape == (2, dim) and np.isfinite(t).all(), t.shape
     assert len(c.search(['drumming'], k=3)[0]) == 3
@@ -160,12 +167,20 @@ def main() -> int:
     assert [p['label'] for p in zs_local] == [
         p['label'] for p in zs_remote], (zs_local, zs_remote)
     assert abs(zs_local[0]['prob'] - zs_remote[0]['prob']) < 1e-3
+    # Moment localization over the frames service: the container ships,
+    # per-frame CLIP embeddings sweep server-side.
+    loc = c.localize(args.clip, ['a person drumming'], k=2,
+                     window_sizes=(2, 4))
+    assert loc['frames'] == 16, loc
+    segs = loc['results'][0]['segments']
+    assert segs and all(0 <= g['start'] < g['end'] <= 16 for g in segs)
     httpd.stop()
+    frames_svc.stop()
     svc.stop()
-    print(f'2. lvt text/search/search_video_file/multi-view/zero-shot: '
-          f'{t.shape}, |mv|={np.linalg.norm(mv):.4f}, '
-          f'zs={zs_remote[0]["label"]!r}@{zs_remote[0]["prob"]}  OK',
-          flush=True)
+    print(f'2. lvt text/search/search_video_file/multi-view/zero-shot/'
+          f'localize: {t.shape}, |mv|={np.linalg.norm(mv):.4f}, '
+          f'zs={zs_remote[0]["label"]!r}@{zs_remote[0]["prob"]}, '
+          f'loc={segs[0]}  OK', flush=True)
 
   if 3 in stages:
     import dataclasses
