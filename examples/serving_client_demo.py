@@ -58,7 +58,9 @@ def main():
 
   tiny = args.model is None
   if tiny:
-    jax.config.update('jax_platforms', 'cpu')
+    from videoprism_tpu.utils.compilation_cache import force_cpu
+
+    force_cpu(1)
     from videoprism_tpu.models import clip as vclip
     from videoprism_tpu.models import init as init_lib
 

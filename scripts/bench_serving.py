@@ -48,6 +48,10 @@ def main() -> int:
   parser.add_argument('--quantize', default=None, choices=[None, 'int8'])
   parser.add_argument('--buckets', default='1,4,8,16')
   parser.add_argument('--max-wait-ms', type=float, default=5.0)
+  parser.add_argument('--adaptive-wait', default='on', choices=['on', 'off'],
+                      help='A/B the adaptive coalescing timer '
+                           '(serving._CoalesceGovernor); off = always '
+                           'wait the full --max-wait-ms')
   parser.add_argument('--concurrency', type=int, default=8,
                       help='closed-loop client threads')
   parser.add_argument('--duration', type=float, default=20.0,
@@ -61,8 +65,11 @@ def main() -> int:
   args = parser.parse_args()
 
   if args.cpu_devices:
-    jax.config.update('jax_platforms', 'cpu')
-    jax.config.update('jax_num_cpu_devices', args.cpu_devices)
+    from videoprism_tpu.utils.compilation_cache import force_cpu
+
+    # CPU platform + host-feature-scoped compile cache (a foreign
+    # host's XLA:CPU AOT entries can SIGILL/segfault on load).
+    force_cpu(args.cpu_devices)
 
   import jax.numpy as jnp  # noqa: F401  (device selection must precede)
 
@@ -91,7 +98,8 @@ def main() -> int:
   service = EmbeddingService(
       model, state,
       batch_buckets=tuple(int(b) for b in args.buckets.split(',')),
-      max_wait_ms=args.max_wait_ms, quantize=args.quantize)
+      max_wait_ms=args.max_wait_ms, quantize=args.quantize,
+      adaptive_wait=args.adaptive_wait == 'on')
   service.start()
   dtype = np.uint8 if args.input == 'uint8' else np.float32
   service.warmup(clip_shape, dtype)

@@ -120,8 +120,11 @@ def main():
   args = parse_with_config(parser)
 
   if args.cpu_devices:
-    jax.config.update('jax_platforms', 'cpu')
-    jax.config.update('jax_num_cpu_devices', args.cpu_devices)
+    from videoprism_tpu.utils.compilation_cache import force_cpu
+
+    # CPU platform + host-feature-scoped compile cache (a foreign
+    # host's XLA:CPU AOT entries can SIGILL/segfault on load).
+    force_cpu(args.cpu_devices)
   if not args.tiny and not (args.synthetic or args.manifest):
     raise SystemExit('need --manifest (or --synthetic / --tiny for smokes)')
 

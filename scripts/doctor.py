@@ -220,9 +220,9 @@ def main() -> int:
   args = parser.parse_args()
 
   if args.cpu:
-    import jax
+    from videoprism_tpu.utils.compilation_cache import force_cpu
 
-    jax.config.update('jax_platforms', 'cpu')
+    force_cpu(1)
 
   checks = [
       ('versions', check_versions),

@@ -79,8 +79,11 @@ def main():
   args = parser.parse_args()
 
   if args.cpu_devices:
-    jax.config.update('jax_platforms', 'cpu')
-    jax.config.update('jax_num_cpu_devices', args.cpu_devices)
+    from videoprism_tpu.utils.compilation_cache import force_cpu
+
+    # CPU platform + host-feature-scoped compile cache (a foreign
+    # host's XLA:CPU AOT entries can SIGILL/segfault on load).
+    force_cpu(args.cpu_devices)
 
   if args.tiny:
     enc_cfg = fe.FactorizedEncoderConfig(**TINY_ENC)

@@ -72,8 +72,11 @@ def resolve_clip(args, need_tokenizer: bool = True):
   ``need_tokenizer=False`` (e.g. build_video_index, which never touches
   text) returns ``tokenizer=None`` instead of requiring one."""
   if args.cpu_devices:
-    jax.config.update('jax_platforms', 'cpu')
-    jax.config.update('jax_num_cpu_devices', args.cpu_devices)
+    from videoprism_tpu.utils.compilation_cache import force_cpu
+
+    # CPU platform + host-feature-scoped compile cache (a foreign
+    # host's XLA:CPU AOT entries can SIGILL/segfault on load).
+    force_cpu(args.cpu_devices)
 
   if args.tiny:
     cfg = vclip.VideoCLIPConfig(**TINY_CFG)

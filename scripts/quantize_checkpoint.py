@@ -36,6 +36,9 @@ def main() -> int:
   # when the chip is held elsewhere — and quantizing on TPU would buy
   # nothing here anyway.
   jax.config.update('jax_platforms', 'cpu')
+  from videoprism_tpu.utils.compilation_cache import cache_dir
+
+  jax.config.update('jax_compilation_cache_dir', cache_dir(cpu=True))
 
   import jax.numpy as jnp
 

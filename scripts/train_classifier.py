@@ -155,8 +155,11 @@ def main():
     parser.error('--export-merged requires --lora-rank')
 
   if args.cpu_devices:
-    jax.config.update('jax_platforms', 'cpu')
-    jax.config.update('jax_num_cpu_devices', args.cpu_devices)
+    from videoprism_tpu.utils.compilation_cache import force_cpu
+
+    # CPU platform + host-feature-scoped compile cache (a foreign
+    # host's XLA:CPU AOT entries can SIGILL/segfault on load).
+    force_cpu(args.cpu_devices)
 
   # --- model config + init ---
   pretrained = None

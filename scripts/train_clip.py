@@ -176,8 +176,11 @@ def main():
 
   if args.cpu_devices:
     # Before any device query (the axon plugin ignores JAX_PLATFORMS env).
-    jax.config.update('jax_platforms', 'cpu')
-    jax.config.update('jax_num_cpu_devices', args.cpu_devices)
+    from videoprism_tpu.utils.compilation_cache import force_cpu
+
+    # CPU platform + host-feature-scoped compile cache (a foreign
+    # host's XLA:CPU AOT entries can SIGILL/segfault on load).
+    force_cpu(args.cpu_devices)
 
   # --- model config ---
   if args.tiny:

@@ -58,6 +58,9 @@ sys.path.insert(0, _ROOT)
 import jax
 
 jax.config.update('jax_platforms', 'cpu')
+from videoprism_tpu.utils.compilation_cache import cache_dir  # noqa: E402
+
+jax.config.update('jax_compilation_cache_dir', cache_dir(cpu=True))
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -26,10 +26,20 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
 # Persistent compilation cache: this host is single-core, so XLA compiles
-# dominate suite wall time — warm re-runs skip them.  (CLI subprocess
-# tests inherit their scripts' own cache-dir setup.)
-jax.config.update('jax_compilation_cache_dir',
-                  os.path.expanduser('~/.cache/jax_comp_cache_tests'))
+# dominate suite wall time — warm re-runs skip them.  The dir is SCOPED
+# BY HOST CPU FEATURES (utils/compilation_cache.py): XLA:CPU cache
+# entries embed AOT machine code for the compiling host, and this
+# environment lands on a different VM session to session — loading a
+# foreign entry has segfaulted the whole suite (jax
+# compilation_cache.get_executable_and_time).  (CLI subprocess tests
+# inherit their scripts' own cache-dir setup.)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from videoprism_tpu.utils.compilation_cache import cache_dir  # noqa: E402
+
+jax.config.update(
+    'jax_compilation_cache_dir',
+    cache_dir(cpu=True,
+              base=os.path.expanduser('~/.cache/jax_comp_cache_tests')))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 _REFERENCE_PATH = '/root/reference'

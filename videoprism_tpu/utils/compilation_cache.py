@@ -1,0 +1,59 @@
+"""Persistent-compilation-cache configuration that survives host changes.
+
+XLA:CPU cache entries embed AOT machine code for the exact CPU feature
+set of the compiling host.  This environment lands on a different VM
+(different AVX/AMX feature mix) session to session while ``~/.cache``
+persists — loading a foreign entry is at best the ``cpu_aot_loader``
+"could lead to execution errors such as SIGILL" warning and at worst a
+hard crash (observed: a reproducible segfault in
+``jax compilation_cache.get_executable_and_time`` deserializing a
+previous session's CPU entry, killing the whole test suite).  TPU
+entries have no such problem: they target the same remote chip whatever
+the host looks like.
+
+Policy: TPU runs share the plain cache dir; CPU runs use a sibling dir
+suffixed with a hash of the host's CPU flags — full reuse on the same
+machine shape, a clean slate anywhere else.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def host_cpu_tag() -> str:
+  """8-hex fingerprint of the host's CPU feature flags."""
+  try:
+    with open('/proc/cpuinfo') as f:
+      for line in f:
+        if line.startswith('flags'):
+          flags = ' '.join(sorted(line.split(':', 1)[1].split()))
+          return hashlib.sha256(flags.encode()).hexdigest()[:8]
+  except OSError:
+    pass
+  import platform
+
+  return hashlib.sha256(
+      f'{platform.machine()}-{platform.processor()}'.encode()
+  ).hexdigest()[:8]
+
+
+def cache_dir(cpu: bool, base: str | None = None) -> str:
+  """The compilation-cache directory for this run's backend."""
+  base = base or os.environ.get(
+      'JAX_COMPILATION_CACHE_DIR',
+      os.path.expanduser('~/.cache/jax_comp_cache'))
+  return f'{base}-cpu-{host_cpu_tag()}' if cpu else base
+
+
+def force_cpu(num_devices: int, base: str | None = None) -> None:
+  """The one call behind every ``--cpu-devices`` flag: CPU platform, N
+  virtual devices, and a host-feature-scoped compilation cache.  Must
+  run BEFORE any device query (the axon plugin ignores the
+  ``JAX_PLATFORMS`` env var, so the config route is the only one)."""
+  import jax
+
+  jax.config.update('jax_platforms', 'cpu')
+  jax.config.update('jax_num_cpu_devices', int(num_devices))
+  jax.config.update('jax_compilation_cache_dir', cache_dir(True, base))
