@@ -49,11 +49,16 @@ def cache_dir(cpu: bool, base: str | None = None) -> str:
 
 def force_cpu(num_devices: int, base: str | None = None) -> None:
   """The one call behind every ``--cpu-devices`` flag: CPU platform, N
-  virtual devices, and a host-feature-scoped compilation cache.  Must
-  run BEFORE any device query (the axon plugin ignores the
-  ``JAX_PLATFORMS`` env var, so the config route is the only one)."""
+  virtual devices, a host-feature-scoped compilation cache, and an ISA
+  cap below AMX (XLA:CPU LLVM codegen has segfaulted on this
+  environment's AMX hosts under long sessions).  Must run BEFORE any
+  device query (the axon plugin ignores the ``JAX_PLATFORMS`` env var,
+  so the config route is the only one)."""
   import jax
 
+  if '--xla_cpu_max_isa' not in os.environ.get('XLA_FLAGS', ''):
+    os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                               + ' --xla_cpu_max_isa=AVX512')
   jax.config.update('jax_platforms', 'cpu')
   jax.config.update('jax_num_cpu_devices', int(num_devices))
   jax.config.update('jax_compilation_cache_dir', cache_dir(True, base))
