@@ -75,6 +75,18 @@ def main():
                            'size; scoring stays fp32, ranking unchanged; '
                            'with --append the existing index dtype wins)')
   parser.add_argument('--output', required=True, help='index npz path')
+  parser.add_argument('--ann', action='store_true',
+                      help='write an ANNVideoIndex (native HNSW graph): '
+                           'sub-ms approximate search on very large '
+                           'corpora; with --append the existing index '
+                           'kind wins')
+  parser.add_argument('--ann-m', type=int, default=16,
+                      help='HNSW links per node (graph density)')
+  parser.add_argument('--ann-ef-construction', type=int, default=200,
+                      help='HNSW build-time search width')
+  parser.add_argument('--ann-ef-search', type=int, default=64,
+                      help='default query-time search width saved with '
+                           'the index')
   parser.add_argument('--checkpoint-every', type=int, default=0,
                       help='save partial embeddings every N batches to '
                            '<output>.partial.npz; reruns resume from it '
@@ -128,7 +140,7 @@ def main():
     if ids is None:
       raise SystemExit('--append needs stable ids (--videos-glob/'
                        '--manifest/--tar-shards)')
-    existing = retrieval.VideoIndex.load(args.output)
+    existing = retrieval.load_index(args.output)
     done = set(existing.ids)
     fresh_pos = [i for i, p in enumerate(ids) if p not in done]
     print(f'append: {len(existing)} already indexed, '
@@ -161,11 +173,20 @@ def main():
     appended = len(index)
     existing.add(index._emb, index.ids)
     index = existing
+  elif args.ann:
+    # The embedding sweep builds the exact index; graph construction is
+    # a pure post-pass over its rows (storage dtype preserved).
+    index = retrieval.ANNVideoIndex(
+        index._emb, index.ids,
+        storage_dtype=np.float16 if args.fp16 else np.float32,
+        m=args.ann_m, ef_construction=args.ann_ef_construction,
+        ef_search=args.ann_ef_search)
   index.save(args.output)
   if partial and os.path.exists(partial):
     os.remove(partial)
   out = {'num_videos': len(index), 'dim': index.dim,
-         'output': args.output}
+         'output': args.output,
+         'kind': ('hnsw' if getattr(index, 'native', False) else 'exact')}
   if appended is not None:
     out['appended'] = appended
   print(json.dumps(out))

@@ -35,6 +35,10 @@ def main():
   add_clip_eval_args(parser)
   parser.add_argument('--index', required=True, help='index npz path')
   parser.add_argument('--k', type=int, default=5)
+  parser.add_argument('--ef-search', type=int, default=None,
+                      help='HNSW search width for ANN indexes (>= k; '
+                           'higher = better recall, slower); ignored for '
+                           'exact indexes')
   parser.add_argument('--query-videos', action='store_true',
                       help='queries are video FILE PATHS (video-to-video '
                            'similarity) instead of texts')
@@ -45,7 +49,10 @@ def main():
 
   cfg, params, tokenizer, frames, size = resolve_clip(
       args, need_tokenizer=not args.query_videos)
-  index = retrieval.VideoIndex.load(args.index)
+  index = retrieval.load_index(args.index)
+  if args.ef_search is not None and isinstance(
+      index, retrieval.ANNVideoIndex):
+    index.ef_search = args.ef_search
   if args.query_videos:
     from videoprism_tpu.train import data as data_lib
 

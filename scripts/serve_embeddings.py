@@ -310,8 +310,11 @@ def main():
     text_service.start()
     text_encode_fn = text_service.encode
     if args.index:
-      index = retrieval.VideoIndex.load(args.index)
-      print(f'search index: {len(index)} videos from {args.index}')
+      index = retrieval.load_index(args.index)
+      kind = ('hnsw' if getattr(index, 'native', False) else
+              'exact' if type(index) is retrieval.VideoIndex else
+              'ann-fallback-exact')
+      print(f'search index: {len(index)} videos from {args.index} ({kind})')
   elif args.index:
     raise SystemExit('--index needs an lvt (CLIP) model')
   elif args.from_export_text:

@@ -566,3 +566,163 @@ def test_build_cli_fp16(tmp_path):
   assert idx._emb.dtype == np.float16
   hits = idx.search(idx._emb[:1].astype(np.float32), k=1)
   assert hits[0][0][1] > 0.999  # self-match survives fp16 storage
+
+
+class TestANNVideoIndex:
+  """HNSW index (native/ann_index.cc via retrieval.ANNVideoIndex)."""
+
+  @staticmethod
+  def _clustered(n, d, n_queries, seed=0):
+    # Clustered data models real embedding corpora (pure gaussian is the
+    # known ANN worst case — no neighborhood structure to navigate).
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(40, d)).astype(np.float32)
+    emb = (centers[rng.integers(0, 40, n)]
+           + 0.3 * rng.normal(size=(n, d)).astype(np.float32))
+    q = (centers[rng.integers(0, 40, n_queries)]
+         + 0.3 * rng.normal(size=(n_queries, d)).astype(np.float32))
+    return emb.astype(np.float32), q.astype(np.float32)
+
+  def test_recall_vs_exact(self):
+    emb, q = self._clustered(2000, 32, 25)
+    ids = [f'v{i}' for i in range(len(emb))]
+    ann = retrieval.ANNVideoIndex(emb, ids, ef_search=64)
+    if not ann.native:
+      pytest.skip('native ANN library unavailable')
+    exact = retrieval.VideoIndex(emb, ids)
+    got = ann.search(q, k=10)
+    want = exact.search(q, k=10)
+    recall = np.mean([
+        len({i for i, _ in g} & {i for i, _ in w}) / 10
+        for g, w in zip(got, want)])
+    assert recall >= 0.95, recall
+    # Returned scores are the true cosines of the returned ids even when
+    # the neighbor set is approximate.
+    lookup = {i: r for r, i in enumerate(ids)}
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for qi, row in enumerate(got):
+      for vid, score in row:
+        np.testing.assert_allclose(score, qn[qi] @ en[lookup[vid]],
+                                   atol=1e-4)
+
+  def test_save_load_identical_and_dispatch(self, tmp_path):
+    emb, q = self._clustered(500, 16, 5)
+    ann = retrieval.ANNVideoIndex(emb, [f'v{i}' for i in range(len(emb))])
+    path = str(tmp_path / 'ann.npz')
+    ann.save(path)
+    loaded = retrieval.load_index(path)
+    assert isinstance(loaded, retrieval.ANNVideoIndex)
+    assert loaded.native == ann.native
+    assert loaded.search(q, k=7) == ann.search(q, k=7)
+    # Plain indexes still come back exact.
+    exact = retrieval.VideoIndex(emb)
+    exact.save(str(tmp_path / 'exact.npz'))
+    back = retrieval.load_index(str(tmp_path / 'exact.npz'))
+    assert type(back) is retrieval.VideoIndex
+
+  def test_add_after_load_and_k_clamp(self, tmp_path):
+    emb, _ = self._clustered(300, 16, 1)
+    ann = retrieval.ANNVideoIndex(emb)
+    path = str(tmp_path / 'ann.npz')
+    ann.save(path)
+    loaded = retrieval.ANNVideoIndex.load(path)
+    extra, _ = self._clustered(10, 16, 1, seed=9)
+    loaded.add(extra, [f'new{i}' for i in range(10)])
+    assert len(loaded) == 310
+    hit = loaded.search(extra[:1], k=1)[0][0]
+    assert hit[0] == 'new0' and hit[1] > 0.999
+    # k larger than the corpus clamps like the exact index.
+    tiny = retrieval.ANNVideoIndex(emb[:3], ['a', 'b', 'c'])
+    assert len(tiny.search(emb[:1], k=50)[0]) == 3
+
+  def test_exact_fallback_without_native(self, monkeypatch, tmp_path):
+    from videoprism_tpu import native
+
+    monkeypatch.setattr(native, 'load_ann_lib', lambda: None)
+    emb, q = self._clustered(200, 16, 4)
+    ids = [f'v{i}' for i in range(len(emb))]
+    ann = retrieval.ANNVideoIndex(emb, ids)
+    assert not ann.native
+    got = ann.search(q, k=5)
+    want = retrieval.VideoIndex(emb, ids).search(q, k=5)
+    # ANN add re-normalizes already-unit rows: scores differ in the last
+    # float32 ulp, ranking does not.
+    assert [[i for i, _ in row] for row in got] == [
+        [i for i, _ in row] for row in want]
+    np.testing.assert_allclose(
+        [[s for _, s in row] for row in got],
+        [[s for _, s in row] for row in want], atol=1e-6)
+    # A fallback save carries no graph blob; loading it on a toolchain
+    # host rebuilds the graph from the stored embeddings.
+    path = str(tmp_path / 'fallback.npz')
+    ann.save(path)
+    monkeypatch.undo()
+    rebuilt = retrieval.load_index(path)
+    assert isinstance(rebuilt, retrieval.ANNVideoIndex)
+    if rebuilt.native:
+      got = rebuilt.search(q, k=5)
+      want = retrieval.VideoIndex(emb, ids).search(q, k=5)
+      recall = np.mean([
+          len({i for i, _ in g} & {i for i, _ in w}) / 5
+          for g, w in zip(got, want)])
+      assert recall >= 0.95
+
+  def test_fp16_storage(self, tmp_path):
+    emb, q = self._clustered(200, 16, 4)
+    ann = retrieval.ANNVideoIndex(emb, storage_dtype=np.float16)
+    assert ann._emb.dtype == np.float16
+    path = str(tmp_path / 'fp16.npz')
+    ann.save(path)
+    loaded = retrieval.load_index(path)
+    assert loaded._emb.dtype == np.float16
+    hit = loaded.search(emb[:1], k=1)[0][0]
+    assert hit[1] > 0.999
+
+  def test_error_cases(self):
+    emb, _ = self._clustered(50, 16, 1)
+    ann = retrieval.ANNVideoIndex(emb)
+    with pytest.raises(ValueError, match='dim'):
+      ann.search(np.ones((1, 8), np.float32), k=3)
+    with pytest.raises(ValueError):
+      ann.add(np.ones((2, 8), np.float32), ['a', 'b'])
+    with pytest.raises(ValueError):
+      retrieval.ANNVideoIndex(m=1)
+    with pytest.raises(ValueError):
+      retrieval.ANNVideoIndex().search(np.ones((1, 4), np.float32))
+
+  def test_concurrent_search_with_inserts(self):
+    # Searches run GIL-free in native code; the readers-writer lock must
+    # keep them exclusive with graph inserts (a race is a segfault, not
+    # an exception).
+    import threading
+
+    emb, q = self._clustered(500, 16, 8)
+    ann = retrieval.ANNVideoIndex(emb)
+    if not ann.native:
+      pytest.skip('native ANN library unavailable')
+    errors = []
+
+    def searcher():
+      try:
+        for _ in range(50):
+          ann.search(q, k=5)
+      except Exception as e:  # pragma: no cover
+        errors.append(e)
+
+    def inserter():
+      try:
+        extra, _ = self._clustered(20, 16, 1, seed=3)
+        for i in range(20):
+          ann.add(extra[i:i + 1], [f'x{i}'])
+      except Exception as e:  # pragma: no cover
+        errors.append(e)
+
+    threads = [threading.Thread(target=searcher) for _ in range(4)]
+    threads.append(threading.Thread(target=inserter))
+    for t in threads:
+      t.start()
+    for t in threads:
+      t.join()
+    assert not errors
+    assert len(ann) == 520

@@ -7,6 +7,9 @@ colab does the same); this module makes it a product surface:
 * :class:`VideoIndex` — an in-memory corpus of l2-normalized video
   embeddings with string ids: ``add`` / ``search`` (chunked cosine
   top-k, O(chunk * N) memory) / ``save`` / ``load`` (one npz).
+* :class:`ANNVideoIndex` — same surface, approximate top-k over a native
+  HNSW graph (C++, ``native/ann_index.cc``) for very large corpora;
+  :func:`load_index` opens either kind.
 * :func:`build_video_index` — sweep any ``(clip, *)`` source through the
   lvt vision tower at one fixed compiled geometry.
 * :func:`make_text_query_encoder` — ``list[str] -> [N, D]`` through the
@@ -25,9 +28,17 @@ Pairs with :mod:`videoprism_tpu.serving_http`'s ``/v1/embed_text`` and
 
 from __future__ import annotations
 
+import contextlib
+import ctypes
+import tempfile
+import threading
+import warnings
 from typing import Any, Sequence
 
 import numpy as np
+
+_c_float_p = ctypes.POINTER(ctypes.c_float)
+_c_int_p = ctypes.POINTER(ctypes.c_int)
 
 from videoprism_tpu.models import clip as vclip
 from videoprism_tpu.models import registry
@@ -138,6 +149,206 @@ class VideoIndex:
     with np.load(path, allow_pickle=False) as data:
       return cls(data['embeddings'], [str(i) for i in data['ids']],
                  storage_dtype=data['embeddings'].dtype)
+
+
+class _RWLock:
+  """Readers-writer lock: concurrent searches, exclusive graph inserts.
+
+  The HNSW search runs outside the GIL (ctypes); a concurrent insert
+  mutating the graph would be a native crash, not an exception, so the
+  exclusion has to be explicit."""
+
+  def __init__(self):
+    self._cond = threading.Condition()
+    self._readers = 0
+    self._writing = False
+
+  @contextlib.contextmanager
+  def reading(self):
+    with self._cond:
+      while self._writing:
+        self._cond.wait()
+      self._readers += 1
+    try:
+      yield
+    finally:
+      with self._cond:
+        self._readers -= 1
+        if not self._readers:
+          self._cond.notify_all()
+
+  @contextlib.contextmanager
+  def writing(self):
+    with self._cond:
+      while self._writing or self._readers:
+        self._cond.wait()
+      self._writing = True
+    try:
+      yield
+    finally:
+      with self._cond:
+        self._writing = False
+        self._cond.notify_all()
+
+
+class ANNVideoIndex(VideoIndex):
+  """Approximate top-k over the native HNSW graph (native/ann_index.cc).
+
+  Same surface and wire format family as :class:`VideoIndex` (an npz;
+  :func:`load_index` dispatches).  The exact index sweeps the whole
+  corpus per query — O(N·D) at memory bandwidth, ~150 ms/query at one
+  million 768-d clips; the graph answers the same top-k in O(log N)
+  distance evaluations (sub-ms), which is what keeps ``/v1/search``
+  interactive on very large corpora.  Measured on clustered synthetic
+  embeddings: recall@10 ≥ 0.999 at ``ef_search=32``; worst-case
+  unstructured (pure gaussian) data needs ``ef_search≈256`` for 0.97.
+
+  Inserts are exclusive (readers-writer lock); searches run concurrently
+  and GIL-free.  When the native toolchain is unavailable the index
+  still works — ``search`` falls back to the exact sweep (recall 1.0,
+  slower) and ``save`` omits the graph blob (a later ``load`` on a
+  toolchain host rebuilds it).
+  """
+
+  def __init__(self, embeddings: np.ndarray | None = None,
+               ids: Sequence[str] | None = None, *,
+               storage_dtype=np.float32, m: int = 16,
+               ef_construction: int = 200, ef_search: int = 64,
+               seed: int = 0):
+    from videoprism_tpu import native
+
+    super().__init__(storage_dtype=storage_dtype)
+    if m < 2 or ef_construction < 1 or ef_search < 1:
+      raise ValueError('need m >= 2, ef_construction >= 1, ef_search >= 1')
+    self._m = int(m)
+    self._efc = int(ef_construction)
+    self.ef_search = int(ef_search)
+    self._seed = int(seed)
+    self._lib = native.load_ann_lib()
+    self._handle = None
+    self._rw = _RWLock()
+    if embeddings is not None:
+      if ids is None:
+        ids = [str(i) for i in range(len(embeddings))]
+      self.add(embeddings, ids)
+
+  @property
+  def native(self) -> bool:
+    """True when searches go through the HNSW graph (vs exact fallback)."""
+    return self._handle is not None
+
+  def _create_handle(self, dim: int):
+    handle = self._lib.vp_ann_create(dim, self._m, self._efc, self._seed)
+    if not handle:
+      raise RuntimeError('vp_ann_create failed (bad m/ef parameters?)')
+    return handle
+
+  def add(self, embeddings: np.ndarray, ids: Sequence[str]) -> None:
+    emb32 = np.ascontiguousarray(self._normalize(embeddings))
+    with self._rw.writing():
+      super().add(emb32, ids)  # validates ids/dim; idempotent re-normalize
+      if self._lib is None:
+        return
+      if self._handle is None:
+        self._handle = self._create_handle(emb32.shape[1])
+      rc = self._lib.vp_ann_add(
+          self._handle, emb32.ctypes.data_as(_c_float_p), len(emb32))
+      if rc != 0:
+        raise RuntimeError('vp_ann_add failed (index full?)')
+
+  def search(self, queries: np.ndarray, k: int = 5,
+             chunk_size: int = 65536, *,
+             ef_search: int | None = None) -> list[list[tuple[str, float]]]:
+    """Approximate top-k; ``ef_search`` (>= k, default the constructor's)
+    trades latency for recall per call."""
+    if self._handle is None:
+      return super().search(queries, k, chunk_size)
+    if not len(self._emb):
+      raise ValueError('search on an empty index')
+    q = self._normalize(np.atleast_2d(np.asarray(queries, np.float32)))
+    if q.shape[1] != self.dim:
+      raise ValueError(f'query dim {q.shape[1]} != index dim {self.dim}')
+    q = np.ascontiguousarray(q)
+    k = min(k, len(self._emb))
+    ef = max(int(ef_search if ef_search is not None else self.ef_search), k)
+    out_ids = np.empty((len(q), k), np.int32)
+    out_scores = np.empty((len(q), k), np.float32)
+    with self._rw.reading():
+      rc = self._lib.vp_ann_search(
+          self._handle, q.ctypes.data_as(_c_float_p), len(q), k, ef,
+          out_ids.ctypes.data_as(_c_int_p),
+          out_scores.ctypes.data_as(_c_float_p))
+    if rc != 0:
+      raise RuntimeError('vp_ann_search failed')
+    return [
+        [(self._ids[r], float(s)) for r, s in zip(rows, scores) if r >= 0]
+        for rows, scores in zip(out_ids, out_scores)
+    ]
+
+  def save(self, path: str) -> None:
+    arrays = {
+        'embeddings': self._emb,
+        'ids': np.asarray(self._ids, dtype=np.str_),
+        'ann_meta': np.asarray(
+            [self._m, self._efc, self.ef_search, self._seed], np.int64),
+    }
+    if self._handle is not None:
+      with tempfile.NamedTemporaryFile(suffix='.vpann') as tmp:
+        with self._rw.reading():
+          rc = self._lib.vp_ann_save(self._handle, tmp.name.encode())
+        if rc != 0:
+          raise RuntimeError(f'vp_ann_save to {tmp.name} failed')
+        graph = np.frombuffer(tmp.read(), np.uint8)
+      arrays['ann_graph'] = graph
+    np.savez(path, **arrays)
+
+  @classmethod
+  def load(cls, path: str) -> 'ANNVideoIndex':
+    with np.load(path, allow_pickle=False) as data:
+      emb = data['embeddings']
+      ids = [str(i) for i in data['ids']]
+      meta = data['ann_meta'] if 'ann_meta' in data else None
+      graph = data['ann_graph'] if 'ann_graph' in data else None
+    kwargs = {}
+    if meta is not None:
+      kwargs = dict(m=int(meta[0]), ef_construction=int(meta[1]),
+                    ef_search=int(meta[2]), seed=int(meta[3]))
+    index = cls.__new__(cls)
+    ANNVideoIndex.__init__(index, storage_dtype=emb.dtype, **kwargs)
+    if graph is not None and index._lib is not None:
+      # Restore the serialized graph instead of re-inserting (a rebuild
+      # is minutes at 10^6 clips); fall through to a rebuild when the
+      # blob fails to parse (e.g. truncated file).
+      with tempfile.NamedTemporaryFile(suffix='.vpann') as tmp:
+        tmp.write(graph.tobytes())
+        tmp.flush()
+        handle = index._lib.vp_ann_load(tmp.name.encode(), index._seed)
+      if handle and (index._lib.vp_ann_size(handle) == len(emb)
+                     and index._lib.vp_ann_dim(handle) == emb.shape[1]):
+        # Bypass add(): the graph already holds every row.
+        VideoIndex.add(index, emb, ids)
+        index._handle = handle
+        return index
+      if handle:
+        index._lib.vp_ann_destroy(handle)
+      warnings.warn(f'{path}: ann_graph blob did not match the stored '
+                    'embeddings; rebuilding the graph')
+    index.add(emb, ids)
+    return index
+
+  def __del__(self):
+    handle, self._handle = getattr(self, '_handle', None), None
+    if handle is not None and self._lib is not None:
+      self._lib.vp_ann_destroy(handle)
+
+
+def load_index(path: str) -> VideoIndex:
+  """Open an index npz as whichever class wrote it: files carrying HNSW
+  metadata come back as :class:`ANNVideoIndex`, plain ones as the exact
+  :class:`VideoIndex` (the CLI/serving entry point)."""
+  with np.load(path, allow_pickle=False) as data:
+    is_ann = 'ann_meta' in data
+  return (ANNVideoIndex if is_ann else VideoIndex).load(path)
 
 
 def build_video_index(
