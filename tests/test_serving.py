@@ -86,6 +86,61 @@ class TestEmbeddingService:
       service.stop()
 
 
+class TestLatencyHistogram:
+  """Per-request latency histogram (`serving._LatencyHistogram`):
+  bucket placement, quantile estimates, snapshot wire shape."""
+
+  def test_observe_buckets_and_sum(self):
+    h = serving._LatencyHistogram()
+    h.observe(0.003)   # (0.002, 0.005]
+    h.observe(0.003)
+    h.observe(0.07)    # (0.05, 0.1]
+    h.observe(42.0)    # +Inf overflow bucket
+    assert h.count == 4
+    assert h.sum == pytest.approx(0.003 + 0.003 + 0.07 + 42.0)
+    snap = h.snapshot()
+    assert snap['counts'][snap['bounds_s'].index(0.005)] == 2
+    assert snap['counts'][snap['bounds_s'].index(0.1)] == 1
+    assert snap['counts'][-1] == 1          # +Inf
+    assert len(snap['counts']) == len(snap['bounds_s']) + 1
+    assert sum(snap['counts']) == snap['count'] == 4
+
+  def test_boundary_value_lands_in_le_bucket(self):
+    """Prometheus histogram buckets are `le` (inclusive upper bound):
+    an observation exactly on a bound must count in that bucket."""
+    h = serving._LatencyHistogram()
+    h.observe(0.01)
+    assert h.counts[h.BOUNDS.index(0.01)] == 1
+
+  def test_quantile_estimates(self):
+    h = serving._LatencyHistogram()
+    assert h.quantile(0.5) is None          # empty
+    for _ in range(99):
+      h.observe(0.003)
+    h.observe(3.0)
+    assert h.quantile(0.5) == 0.005         # bucket upper bound
+    assert h.quantile(0.999) == 5.0
+    h2 = serving._LatencyHistogram()
+    h2.observe(99.0)
+    assert h2.quantile(0.5) == float('inf')  # overflow bucket
+
+  def test_service_records_request_latency(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,),
+                                       max_wait_ms=1.0)
+    service.start()
+    try:
+      clip = np.random.default_rng(3).random((2, 12, 12, 3), np.float32)
+      service.embed(clip)
+      service.embed(clip)
+      hist = service.stats()['request_latency']
+      assert hist['count'] == 2
+      assert hist['sum_s'] > 0.0
+      assert sum(hist['counts']) == 2
+    finally:
+      service.stop()
+
+
 class TestEmbeddingServiceOversized:
 
   def test_embed_batch_larger_than_max_bucket(self, model_and_state):

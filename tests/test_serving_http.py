@@ -84,6 +84,49 @@ class TestEndpoints:
     assert body.count('# TYPE videoprism_batch_latency_seconds') == 1
     assert 'quantile="0.5"' in body and 'quantile="0.99"' in body
 
+  def test_prometheus_request_latency_histogram(self):
+    """Native histogram exposition: cumulative le buckets, an explicit
+    +Inf bucket equal to _count, and _sum/_count series."""
+    hist = {'bounds_s': [0.01, 0.1, 1.0], 'counts': [2, 1, 0, 1],
+            'sum_s': 5.25, 'count': 4}
+    body = serving_http._prometheus_metrics(
+        {'default': {'request_latency': hist}})
+    m = 'videoprism_request_latency_seconds'
+    assert body.count(f'# TYPE {m} histogram') == 1
+    assert f'{m}_bucket{{le="0.01"}} 2' in body
+    assert f'{m}_bucket{{le="0.1"}} 3' in body
+    assert f'{m}_bucket{{le="1.0"}} 3' in body
+    assert f'{m}_bucket{{le="+Inf"}} 4' in body
+    assert f'{m}_sum 5.25' in body
+    assert f'{m}_count 4' in body
+
+  def test_prometheus_histogram_labels_multi_model(self):
+    """With several models the histogram series carry the model label
+    alongside le, and text-service histograms get their own family."""
+    hist = {'bounds_s': [0.01], 'counts': [1, 0], 'sum_s': 0.005,
+            'count': 1}
+    body = serving_http._prometheus_metrics({
+        'a': {'request_latency': hist},
+        'b': {'request_latency': hist, 'text_request_latency': hist},
+    })
+    assert ('videoprism_request_latency_seconds_bucket'
+            '{model="a",le="0.01"} 1') in body
+    assert ('videoprism_request_latency_seconds_bucket'
+            '{model="b",le="+Inf"} 1') in body
+    assert ('videoprism_text_request_latency_seconds_count'
+            '{model="b"} 1') in body
+
+  def test_metrics_endpoint_exports_request_latency(self, server):
+    """After at least one real request the /metrics page carries the
+    end-to-end request-latency histogram."""
+    httpd, _, _ = server
+    clip = np.random.default_rng(7).random(CLIP_SHAPE, np.float32)
+    _post_npy(httpd, clip)
+    with urllib.request.urlopen(_url(httpd, '/metrics'), timeout=30) as r:
+      body = r.read().decode()
+    assert '# TYPE videoprism_request_latency_seconds histogram' in body
+    assert 'videoprism_request_latency_seconds_bucket{le="+Inf"}' in body
+
   def test_npy_single_clip_matches_direct(self, server):
     httpd, model, state = server
     clip = np.random.default_rng(0).random(CLIP_SHAPE, np.float32)

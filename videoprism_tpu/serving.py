@@ -21,6 +21,7 @@ request shape.
 
 from __future__ import annotations
 
+import bisect
 import collections
 import dataclasses
 import queue
@@ -88,6 +89,56 @@ class _TextRequest:
   result: np.ndarray | None = None
   error: Exception | None = None
   deadline: float | None = None
+
+
+class _LatencyHistogram:
+  """Fixed-bucket request-latency histogram (seconds).
+
+  Per-request end-to-end latency (queue wait + batch execution — what a
+  client actually experiences) on log-spaced buckets: O(1) to record
+  under the stats lock, bounded memory regardless of traffic, and the
+  exact shape Prometheus's native histogram type wants (``/metrics``
+  renders ``_bucket``/``_sum``/``_count``; quantiles come from the
+  scrape side via ``histogram_quantile``).  The existing batch-latency
+  percentiles track chip time per DISPATCH; this tracks what the caller
+  waited, including coalescing and queueing under load.
+  """
+
+  # 2 ms .. 10 s, roughly x2.5 per step; +Inf is implicit.
+  BOUNDS = (0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.2, 0.5,
+            1.0, 2.0, 5.0, 10.0)
+
+  def __init__(self):
+    self.counts = [0] * (len(self.BOUNDS) + 1)
+    self.sum = 0.0
+    self.count = 0
+
+  def observe(self, seconds: float) -> None:
+    self.sum += seconds
+    self.count += 1
+    self.counts[bisect.bisect_left(self.BOUNDS, seconds)] += 1
+
+  def quantile(self, q: float) -> float | None:
+    """Bucket-resolution estimate (upper bound of the target bucket) —
+    a convenience for ``/stats`` readers; dashboards should compute
+    quantiles from the exported buckets instead."""
+    if not self.count:
+      return None
+    rank = q * self.count
+    seen = 0
+    for i, c in enumerate(self.counts):
+      seen += c
+      if seen >= rank:
+        return self.BOUNDS[i] if i < len(self.BOUNDS) else float('inf')
+    return float('inf')
+
+  def snapshot(self) -> dict[str, Any]:
+    return {
+        'bounds_s': list(self.BOUNDS),
+        'counts': list(self.counts),
+        'sum_s': round(self.sum, 6),
+        'count': self.count,
+    }
 
 
 class _CoalesceGovernor:
@@ -168,6 +219,7 @@ class TextEncodeService:
     self._batches_run = 0
     self._errors = 0
     self._generation = 0
+    self._latency = _LatencyHistogram()
 
   def start(self) -> None:
     self._running = True
@@ -210,6 +262,7 @@ class TextEncodeService:
           'text_errors': self._errors,
           'text_queue_depth': self._queue.qsize(),
           'text_coalesce_rate': round(self._governor.rate, 4),
+          'text_request_latency': self._latency.snapshot(),
       }
 
   def encode(self, texts, timeout: float = 300.0,
@@ -217,6 +270,7 @@ class TextEncodeService:
     """Blocking ``list[str] -> [N, D]``; coalesces with concurrent
     callers. Same overload/deadline semantics as
     :meth:`EmbeddingService.embed`."""
+    t_start = time.monotonic()
     texts = list(texts)
     if not texts:
       raise ValueError('encode: empty text list')
@@ -244,6 +298,8 @@ class TextEncodeService:
       raise TimeoutError('text encode request timed out')
     if req.error is not None:
       raise req.error
+    with self._stats_lock:
+      self._latency.observe(time.monotonic() - t_start)
     return req.result
 
   def _loop(self) -> None:
@@ -429,6 +485,7 @@ class EmbeddingService:
     self._unhealthy_after = unhealthy_after_errors
     self._consecutive_batch_errors = 0
     self._batch_latencies = collections.deque(maxlen=1024)  # seconds
+    self._latency = _LatencyHistogram()  # per-request, queue + batch
 
     def normalize(videos):
       if videos.dtype == jnp.uint8:
@@ -552,6 +609,9 @@ class EmbeddingService:
           # Adaptive-wait governor state: ~0 means singleton dispatches
           # are skipping the coalescing timer (low load).
           'coalesce_rate': round(self._governor.rate, 4),
+          # Per-REQUEST end-to-end latency (queue + batch), histogram
+          # form — /metrics exports it as a Prometheus histogram.
+          'request_latency': self._latency.snapshot(),
       }
 
   def healthy(self) -> bool:
@@ -621,6 +681,7 @@ class EmbeddingService:
     touching the chip and this call raises :class:`DeadlineExceeded`.
     (A request already stacked into a running batch completes normally.)
     """
+    t_start = time.monotonic()
     video = np.asarray(video)
     if video.ndim != 4:
       raise ValueError(
@@ -657,6 +718,8 @@ class EmbeddingService:
       raise TimeoutError('embedding request timed out')
     if req.error is not None:
       raise req.error
+    with self._stats_lock:
+      self._latency.observe(time.monotonic() - t_start)
     return req.result
 
   def embed_batch(self, videos: np.ndarray) -> np.ndarray:

@@ -301,6 +301,28 @@ def _prometheus_metrics(per_model: 'dict[str, dict]') -> str:
       quantile = 'quantile="%s"' % q
       lines.append(
           f'videoprism_batch_latency_seconds{labels(name, quantile)} {value}')
+  # Per-request end-to-end latency as native Prometheus histograms
+  # (cumulative _bucket series + _sum/_count; quantiles via
+  # histogram_quantile() on the scrape side).
+  for metric, key in (
+      ('videoprism_request_latency_seconds', 'request_latency'),
+      ('videoprism_text_request_latency_seconds', 'text_request_latency')):
+    rows = [(name, stats[key]) for name, stats in sorted(per_model.items())
+            if isinstance(stats.get(key), dict)]
+    if not rows:
+      continue
+    lines.append(f'# TYPE {metric} histogram')
+    for name, hist in rows:
+      cumulative = 0
+      for bound, count in zip(hist['bounds_s'], hist['counts']):
+        cumulative += count
+        le = f'le="{bound}"'
+        lines.append(f'{metric}_bucket{labels(name, le)} {cumulative}')
+      cumulative += hist['counts'][-1]
+      inf_label = labels(name, 'le="+Inf"')
+      lines.append(f'{metric}_bucket{inf_label} {cumulative}')
+      lines.append(f'{metric}_sum{labels(name)} {hist["sum_s"]}')
+      lines.append(f'{metric}_count{labels(name)} {hist["count"]}')
   return '\n'.join(lines) + '\n'
 
 
