@@ -101,6 +101,10 @@ def main():
                       choices=['cosine', 'linear', 'constant'],
                       help='post-warmup LR decay (constant suits '
                            'open-ended elastic runs)')
+  parser.add_argument('--objective', default='infonce',
+                      choices=['infonce', 'siglip'],
+                      help='contrastive loss: symmetric InfoNCE (CLIP) or '
+                           'pairwise sigmoid with learnable bias (SigLIP)')
   parser.add_argument('--model-parallelism', type=int, default=1)
   parser.add_argument('--tp-impl', default='gspmd',
                       choices=['gspmd', 'manual'],
@@ -269,11 +273,13 @@ def main():
         pretrained if pretrained is not None
         else init_lib.init_video_clip(jax.random.PRNGKey(args.seed), cfg))
     state = create_lora_train_state(
-        jax.random.PRNGKey(args.seed + 2), optimizer, frozen, lora_cfg)
+        jax.random.PRNGKey(args.seed + 2), optimizer, frozen, lora_cfg,
+        objective=args.objective)
     print(f'LoRA: {lora_num_params(state.params):,} adapter params '
           f'(targets {lora_cfg.targets})')
     lora_step = jax.jit(make_lora_train_step(
-        cfg, optimizer, lora_cfg, accum_steps=accum))
+        cfg, optimizer, lora_cfg, accum_steps=accum,
+        objective=args.objective))
     step_fn = lambda s, b, r: lora_step(s, frozen, b, r)
     shard = ((lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis))
              if jax.device_count() > 1 else None)
@@ -286,7 +292,7 @@ def main():
     return
   state = create_train_state(
       jax.random.PRNGKey(args.seed), cfg, optimizer,
-      pretrained_params=pretrained)
+      pretrained_params=pretrained, objective=args.objective)
   if args.fsdp and (args.tp_impl == 'manual' or args.pp_microbatches
                     or jax.device_count() == 1):
     parser.error('--fsdp requires the gspmd tp-impl and more than one '
@@ -299,7 +305,7 @@ def main():
 
     step_fn, state = make_pp_train_step(
         cfg, optimizer, mesh, state, n_microbatches=args.pp_microbatches,
-        accum_steps=accum)
+        accum_steps=accum, objective=args.objective)
     shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
   elif args.tp_impl == 'manual' and (
       jax.device_count() > 1 or args.model_parallelism > 1):
@@ -309,14 +315,17 @@ def main():
     # off-TPU the dispatch degrades to the composed path per layer).
     flash_cfg = dataclasses.replace(cfg, attention_impl='flash')
     step_fn, state = make_tp_train_step(
-        flash_cfg, optimizer, mesh, state, accum_steps=accum)
+        flash_cfg, optimizer, mesh, state, accum_steps=accum,
+        objective=args.objective)
     shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
   elif jax.device_count() > 1 or args.model_parallelism > 1:
     step_fn, state = make_sharded_train_step(
-        cfg, optimizer, mesh, state, accum_steps=accum, fsdp=args.fsdp)
+        cfg, optimizer, mesh, state, accum_steps=accum, fsdp=args.fsdp,
+        objective=args.objective)
     shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
   else:
-    step_fn = jax.jit(make_train_step(cfg, optimizer, accum_steps=accum))
+    step_fn = jax.jit(make_train_step(
+        cfg, optimizer, accum_steps=accum, objective=args.objective))
     shard = None
 
   eval_fn = _make_eval_fn(args, cfg, mesh, shard, eval_source, tokenizer)

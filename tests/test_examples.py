@@ -52,6 +52,22 @@ def test_train_cli_manual_tp_smoke():
 
 
 @pytest.mark.slow
+def test_train_cli_siglip_smoke():
+  """--objective siglip trains with the sigmoid loss end-to-end (the
+  [log_temperature, bias] leaf flows through the loop, checkpoints, and
+  metric logging)."""
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(_ROOT) + os.pathsep + env.get('PYTHONPATH', '')
+  res = subprocess.run(
+      [sys.executable, str(_ROOT / 'scripts' / 'train_clip.py'),
+       '--synthetic', '--tiny', '--batch-size', '4', '--cpu-devices', '1',
+       '--steps', '2', '--objective', 'siglip'],
+      capture_output=True, text=True, timeout=500, env=env)
+  assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+  assert 'done: 2 steps' in res.stdout
+
+
+@pytest.mark.slow
 def test_train_cli_resume_smoke(tmp_path):
   """--resume restores the latest checkpoint and continues: run 2 steps
   with checkpointing, then resume to 4 (exact-equality semantics are

@@ -203,12 +203,15 @@ def create_lora_train_state(
     frozen_params: Params,
     lora_cfg: LoraConfig,
     *,
-    init_log_temperature: float = float(np.log(1 / 0.07)),
+    init_log_temperature: float | None = None,
+    objective: str = 'infonce',
 ) -> TrainState:
   """CLIP LoRA state: ``params`` holds ONLY the adapter tree (the frozen
-  tree stays outside and is passed to each step call)."""
+  tree stays outside and is passed to each step call).  ``objective``
+  shapes the temperature leaf like :func:`create_train_state` does."""
   lora = init_lora(rng, frozen_params, lora_cfg)
-  log_temperature = jnp.asarray(init_log_temperature, jnp.float32)
+  log_temperature = objectives.init_temperature_state(
+      objective, init_log_temperature)
   return TrainState(
       step=jnp.zeros((), jnp.int32),
       params=lora,
@@ -223,6 +226,7 @@ def make_lora_train_step(
     lora_cfg: LoraConfig,
     *,
     accum_steps: int = 1,
+    objective: str = 'infonce',
 ):
   """Returns ``step(state, frozen_params, batch, rng) -> (state, metrics)``
   — the contrastive CLIP objective with gradients through the adapters
@@ -235,8 +239,8 @@ def make_lora_train_step(
     video_emb, text_emb, _ = vclip.apply(
         merged, batch['video'], batch['text_token_ids'],
         batch['text_paddings'], cfg, train=True, rng=rng)
-    return objectives.clip_contrastive_loss(
-        video_emb, text_emb, log_temperature)
+    return objectives.contrastive_loss(
+        objective, video_emb, text_emb, log_temperature)
 
   def step(state: TrainState, frozen_params: Params, batch, rng):
     trainable = (state.params, state.log_temperature)

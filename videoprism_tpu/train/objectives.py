@@ -59,6 +59,104 @@ def clip_contrastive_loss(
   }
 
 
+def siglip_loss(
+    video_embeddings: Array,
+    text_embeddings: Array,
+    temperature_state: Array,
+) -> tuple[Array, dict[str, Array]]:
+  """Pairwise sigmoid contrastive loss (SigLIP, Zhai et al. 2023).
+
+  Every (video, text) pair is an independent binary classification —
+  matched pairs (the diagonal) positive, all others negative:
+
+    L = -(1/B) * sum_ij log_sigmoid(z_ij * (t * v_i.x_j + b)),
+    z_ij = +1 if i == j else -1,  t = exp(log_temperature).
+
+  Unlike InfoNCE there is no softmax over the batch, so the loss
+  decomposes per logit: microbatch gradient accumulation loses nothing
+  (InfoNCE under accumulation restricts negatives to the microbatch),
+  and under a data-parallel mesh the only cross-device term is the
+  embedding all-gather both objectives already share.  The learnable
+  bias ``b`` keeps early training stable despite the B-1 : 1 negative
+  imbalance (paper inits: t' = log 10, b = -10 — the first-step loss
+  then starts near the balanced point instead of being dominated by
+  negatives).
+
+  ``temperature_state`` is a shape-``[2]`` array ``[log_temperature,
+  bias]`` — it rides the ``TrainState.log_temperature`` slot so every
+  downstream system (optimizer masks, FSDP/TP shardings, EMA, orbax
+  checkpoints) composes with no schema change.
+  """
+  if temperature_state.shape != (2,):
+    raise ValueError(
+        'siglip_loss wants temperature_state=[log_temperature, bias] '
+        f'(shape [2]), got shape {temperature_state.shape}')
+  b = video_embeddings.shape[0]
+  logit_scale = jnp.exp(temperature_state[0])
+  logit_bias = temperature_state[1]
+  logits = (
+      video_embeddings.astype(jnp.float32)
+      @ text_embeddings.astype(jnp.float32).T
+  ) * logit_scale + logit_bias
+  signs = 2.0 * jnp.eye(b, dtype=jnp.float32) - 1.0
+  loss = -jnp.sum(jax.nn.log_sigmoid(signs * logits)) / b
+
+  labels = jnp.arange(b)
+  acc_v2t = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+  acc_t2v = jnp.mean(jnp.argmax(logits, axis=0) == labels)
+  return loss, {
+      'loss': loss,
+      'accuracy_v2t': acc_v2t,
+      'accuracy_t2v': acc_t2v,
+      'logit_scale': logit_scale,
+      'logit_bias': logit_bias,
+  }
+
+
+# Contrastive objective registry: name -> (loss fn, init leaf for the
+# TrainState.log_temperature slot).  InfoNCE keeps the CLIP scalar
+# log(1/0.07); SigLIP packs its two learnables into one [2] leaf.
+CONTRASTIVE_OBJECTIVES = {
+    'infonce': clip_contrastive_loss,
+    'siglip': siglip_loss,
+}
+
+
+def contrastive_loss(objective: str, video_embeddings: Array,
+                     text_embeddings: Array,
+                     temperature_state: Array) -> tuple[Array, dict]:
+  """Dispatch by objective name ('infonce' | 'siglip')."""
+  try:
+    fn = CONTRASTIVE_OBJECTIVES[objective]
+  except KeyError:
+    raise ValueError(
+        f'unknown contrastive objective {objective!r} (expected one of '
+        f'{sorted(CONTRASTIVE_OBJECTIVES)})') from None
+  return fn(video_embeddings, text_embeddings, temperature_state)
+
+
+def init_temperature_state(objective: str,
+                           init_log_temperature: float | None = None,
+                           init_bias: float = -10.0) -> jnp.ndarray:
+  """The init value for the ``TrainState.log_temperature`` slot.
+
+  Defaults follow the respective papers: CLIP's 1/0.07 temperature for
+  InfoNCE; t'=log 10, b=-10 for SigLIP.
+  """
+  import numpy as np
+  if objective == 'infonce':
+    t = (float(np.log(1 / 0.07)) if init_log_temperature is None
+         else init_log_temperature)
+    return jnp.asarray(t, jnp.float32)
+  if objective == 'siglip':
+    t = (float(np.log(10.0)) if init_log_temperature is None
+         else init_log_temperature)
+    return jnp.asarray([t, init_bias], jnp.float32)
+  raise ValueError(
+      f'unknown contrastive objective {objective!r} (expected one of '
+      f'{sorted(CONTRASTIVE_OBJECTIVES)})')
+
+
 def softmax_cross_entropy_loss(
     logits: Array, labels: Array
 ) -> tuple[Array, dict[str, Array]]:

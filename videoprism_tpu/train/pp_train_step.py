@@ -66,6 +66,7 @@ def make_pp_train_step(
     n_microbatches: int,
     kernel_interpret: bool = False,
     accum_steps: int = 1,
+    objective: str = 'infonce',
 ):
   """Returns ``(jitted_step, sharded_state)`` for pipeline-parallel CLIP
   training over ``mesh``'s ``model`` axis (stages) x ``data`` axis (DP).
@@ -118,7 +119,8 @@ def make_pp_train_step(
     # Global-batch negatives: gather every data shard's embeddings.
     v_emb = jax.lax.all_gather(v_emb, data, axis=0, tiled=True)
     t_emb = jax.lax.all_gather(t_emb, data, axis=0, tiled=True)
-    return objectives.clip_contrastive_loss(v_emb, t_emb, log_temperature)
+    return objectives.contrastive_loss(
+        objective, v_emb, t_emb, log_temperature)
 
   sharded_loss = mesh_lib.shard_map_compat(
       global_loss, mesh,

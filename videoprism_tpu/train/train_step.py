@@ -156,13 +156,21 @@ def create_train_state(
     cfg: vclip.VideoCLIPConfig,
     optimizer: optax.GradientTransformation,
     *,
-    init_log_temperature: float = float(np.log(1 / 0.07)),
+    init_log_temperature: float | None = None,
+    init_bias: float = -10.0,
+    objective: str = 'infonce',
     pretrained_params: Params | None = None,
 ) -> TrainState:
+  """``objective`` picks the contrastive loss family and with it the
+  shape of the ``log_temperature`` leaf: a scalar (InfoNCE, init CLIP's
+  log(1/0.07)) or ``[log_temperature, bias]`` (SigLIP, init log(10) and
+  -10 per the paper).  ``init_log_temperature=None`` means the
+  objective's default; ``init_bias`` applies to SigLIP only."""
   params = (
       pretrained_params if pretrained_params is not None
       else init_lib.init_video_clip(rng, cfg))
-  log_temperature = jnp.asarray(init_log_temperature, jnp.float32)
+  log_temperature = objectives.init_temperature_state(
+      objective, init_log_temperature, init_bias)
   trainable = (params, log_temperature)
   opt_state = optimizer.init(trainable)
   return TrainState(
@@ -178,6 +186,7 @@ def clip_loss_fn(
     batch: dict[str, jax.Array],
     cfg: vclip.VideoCLIPConfig,
     rng: jax.Array,
+    objective: str = 'infonce',
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
   params, log_temperature = trainable
   video_emb, text_emb, _ = vclip.apply(
@@ -189,8 +198,8 @@ def clip_loss_fn(
       train=True,
       rng=rng,
   )
-  return objectives.clip_contrastive_loss(
-      video_emb, text_emb, log_temperature)
+  return objectives.contrastive_loss(
+      objective, video_emb, text_emb, log_temperature)
 
 
 def accumulate_gradients(value_and_grad_fn, trainable, batch, rngs):
@@ -223,25 +232,33 @@ def accumulate_gradients(value_and_grad_fn, trainable, batch, rngs):
 
 def make_train_step(cfg: vclip.VideoCLIPConfig,
                     optimizer: optax.GradientTransformation,
-                    *, accum_steps: int = 1):
+                    *, accum_steps: int = 1, objective: str = 'infonce'):
   """Returns ``step(state, batch, rng) -> (state, metrics)`` (pure, jittable).
 
   With ``accum_steps > 1`` the batch leaves must carry a leading
   ``[accum_steps, ...]`` microbatch axis (``data.batched_loader(...,
   accum_steps=N)`` emits this layout) and the step averages gradients over
-  the microbatches before the single optimizer update.
+  the microbatches before the single optimizer update.  ``objective``
+  ('infonce' | 'siglip') must match the ``log_temperature`` leaf the state
+  was created with (``create_train_state(objective=...)``).  Under
+  accumulation both objectives scope negatives to the microbatch (see
+  :func:`accumulate_gradients`).
   """
+  if objective not in objectives.CONTRASTIVE_OBJECTIVES:
+    raise ValueError(
+        f'unknown contrastive objective {objective!r} (expected one of '
+        f'{sorted(objectives.CONTRASTIVE_OBJECTIVES)})')
 
   def train_step(state: TrainState, batch, rng):
     trainable = (state.params, state.log_temperature)
     if accum_steps > 1:
       vg = jax.value_and_grad(clip_loss_fn, has_aux=True)
       grads, metrics = accumulate_gradients(
-          lambda tr, mb, r: vg(tr, mb, cfg, r), trainable, batch,
+          lambda tr, mb, r: vg(tr, mb, cfg, r, objective), trainable, batch,
           jax.random.split(rng, accum_steps))
     else:
       (_, metrics), grads = jax.value_and_grad(
-          clip_loss_fn, has_aux=True)(trainable, batch, cfg, rng)
+          clip_loss_fn, has_aux=True)(trainable, batch, cfg, rng, objective)
     updates, new_opt_state = optimizer.update(
         grads, state.opt_state, trainable)
     new_params, new_log_temp = optax.apply_updates(trainable, updates)
@@ -266,6 +283,7 @@ def make_sharded_train_step(
     accum_steps: int = 1,
     fsdp: bool = False,
     fsdp_min_size: int | None = None,
+    objective: str = 'infonce',
 ):
   """jits the train step with explicit in/out shardings over ``mesh``.
 
@@ -304,7 +322,8 @@ def make_sharded_train_step(
 
   sharded_state = jax.device_put(state, state_sh)
   step = jax.jit(
-      make_train_step(cfg, optimizer, accum_steps=accum_steps),
+      make_train_step(cfg, optimizer, accum_steps=accum_steps,
+                      objective=objective),
       in_shardings=(state_sh, batch_sh, repl),
       out_shardings=(state_sh, repl),
       donate_argnums=(0,),
