@@ -71,6 +71,23 @@ class TestRoundTrips:
                          train=False)
     np.testing.assert_allclose(emb, np.asarray(ref)[0], atol=1e-4)
 
+  def test_response_dtype_client(self, server):
+    """response_dtype='float16' asks the server for half-width
+    embeddings (the egress twin of compress=True)."""
+    httpd, model, state = server
+    c = client_lib.VideoPrismClient(f'http://127.0.0.1:{httpd.port}',
+                                    response_dtype='float16')
+    clip = np.random.RandomState(4).rand(*CLIP_SHAPE).astype(np.float32)
+    emb = c.embed(clip)
+    assert emb.dtype == np.float16
+    ref, _ = model.apply(state, clip[None], train=False)
+    np.testing.assert_allclose(emb.astype(np.float32),
+                               np.asarray(ref)[0], atol=2e-3)
+    batch = c.embed_batch(clip[None])
+    assert batch.dtype == np.float16
+    with pytest.raises(ValueError, match='response_dtype'):
+      client_lib.VideoPrismClient('http://x', response_dtype='int8')
+
   def test_embed_file_matches_local_decode(self, server):
     from videoprism_tpu import assets
     from videoprism_tpu.io import video as video_io

@@ -134,6 +134,51 @@ class TestEndpoints:
     ref, _ = model.apply(state, clip[None], train=False)
     np.testing.assert_allclose(emb, np.asarray(ref)[0], atol=1e-6)
 
+  def test_response_dtype_float16(self, server):
+    """?dtype=float16 halves the response: same embedding at half
+    width (the egress knob for wire-bound links)."""
+    httpd, model, state = server
+    clip = np.random.default_rng(5).random(CLIP_SHAPE, np.float32)
+    buf = io.BytesIO()
+    np.save(buf, clip)
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed?dtype=float16'), buf.getvalue(),
+        {'Content-Type': 'application/x-npy'})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      emb16 = np.load(io.BytesIO(resp.read()))
+    assert emb16.dtype == np.float16
+    ref, _ = model.apply(state, clip[None], train=False)
+    np.testing.assert_allclose(emb16.astype(np.float32),
+                               np.asarray(ref)[0], atol=2e-3)
+
+  def test_response_dtype_json_wire(self, server):
+    """?dtype= composes with the JSON wire format."""
+    httpd, _, _ = server
+    clip = np.random.default_rng(6).random(CLIP_SHAPE, np.float32)
+    payload = json.dumps({
+        'shape': list(clip.shape), 'dtype': 'float32',
+        'data_b64': __import__('base64').b64encode(
+            clip.tobytes()).decode(),
+    }).encode()
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed?dtype=float16'), payload,
+        {'Content-Type': 'application/json'})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      out = json.loads(resp.read())
+    assert out['dtype'] == 'float16'
+
+  def test_response_dtype_rejects_unknown(self, server):
+    httpd, _, _ = server
+    clip = np.random.default_rng(7).random(CLIP_SHAPE, np.float32)
+    buf = io.BytesIO()
+    np.save(buf, clip)
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed?dtype=int8'), buf.getvalue(),
+        {'Content-Type': 'application/x-npy'})
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+      urllib.request.urlopen(req, timeout=30)
+    assert exc_info.value.code == 400
+
   def test_json_roundtrip(self, server):
     httpd, model, state = server
     clip = np.random.default_rng(1).random(CLIP_SHAPE, np.float32)

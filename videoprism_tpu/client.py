@@ -108,16 +108,26 @@ class VideoPrismClient:
   def __init__(self, base_url: str, *, auth_token: str | None = None,
                timeout_s: float = 300.0, max_retries: int = 4,
                backoff_s: float = 0.25, max_backoff_s: float = 30.0,
-               compress: bool = False, model: str | None = None):
+               compress: bool = False, model: str | None = None,
+               response_dtype: str | None = None):
     """``compress=True`` gzips clip payloads (``Content-Encoding: gzip``,
     level 1 — fast, and real video bytes still shrink ~1.5-3x).  Worth it
     when the network link to the server is the bottleneck; pure CPU
     overhead on a fast local link, and useless on incompressible
     (e.g. random/synthetic) pixels.
 
+    ``response_dtype='float16'`` asks the server to ship embeddings at
+    half width (``?dtype=`` on the embed endpoints) — the egress-side
+    twin of ``compress``: token-level encoder outputs are megabytes per
+    clip, and cosine moves only ~1e-3.  Embeddings come back as the
+    numpy dtype the server sent (upcast with ``.astype`` if needed).
+
     ``model`` addresses one model on a multi-model server (the
     ``/v1/models/<name>/...`` routes); None uses the server's default
     model.  :meth:`models` lists what a server hosts."""
+    if response_dtype not in (None, 'float16', 'float32'):
+      raise ValueError("response_dtype must be None, 'float16' or "
+                       f"'float32', got {response_dtype!r}")
     if max_retries < 0:
       raise ValueError(f'max_retries must be >= 0, got {max_retries}')
     self._base = base_url.rstrip('/')
@@ -133,6 +143,7 @@ class VideoPrismClient:
     self._backoff = backoff_s
     self._max_backoff = max_backoff_s
     self._compress = compress
+    self._response_dtype = response_dtype
     self._model = model
     self._local = threading.local()
     self._class_sets: dict[Any, str] = {}  # registered zero-shot sets
@@ -271,7 +282,8 @@ class VideoPrismClient:
     if deadline_ms is not None:
       headers['X-Deadline-Ms'] = str(deadline_ms)
     body = self._npy_payload(clip, headers)
-    out = self._request('POST', self._api('embed'), body, headers)
+    out = self._request('POST', self._api('embed') + self._dtype_query(),
+                        body, headers)
     return np.load(io.BytesIO(out), allow_pickle=False)
 
   def embed_batch(self, videos: np.ndarray) -> np.ndarray:
@@ -283,7 +295,8 @@ class VideoPrismClient:
                        f'got {videos.shape}')
     headers = {'Content-Type': 'application/x-npy'}
     body = self._npy_payload(videos, headers)
-    out = self._request('POST', self._api('embed'), body, headers)
+    out = self._request('POST', self._api('embed') + self._dtype_query(),
+                        body, headers)
     return np.load(io.BytesIO(out), allow_pickle=False)
 
   def embed_file(self, video: 'str | bytes',
@@ -302,6 +315,7 @@ class VideoPrismClient:
     """
     path = self._api('embed_file') + self._file_query(
         frames, size, temporal_views, spatial_views)
+    path += self._dtype_query(joiner='&' if '?' in path else '?')
     headers = {'Content-Type': 'video/mp4'}
     if deadline_ms is not None:
       headers['X-Deadline-Ms'] = str(deadline_ms)
@@ -338,6 +352,11 @@ class VideoPrismClient:
                         {'Content-Type': 'video/mp4'})
     results = json.loads(out.decode('utf-8'))['results']
     return [(hit['id'], hit['score']) for hit in results[0]]
+
+  def _dtype_query(self, joiner: str = '?') -> str:
+    if self._response_dtype is None:
+      return ''
+    return f'{joiner}dtype={self._response_dtype}'
 
   @staticmethod
   def _file_bytes(video: 'str | bytes') -> bytes:

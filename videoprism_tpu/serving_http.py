@@ -23,9 +23,12 @@ like the wire size, so gzip bombs are rejected with 400.
 
 Endpoints:
 
-* ``POST /v1/embed`` — one clip ``[T, H, W, 3]`` (micro-batched across
-  concurrent callers) or a batch ``[B, T, H, W, 3]`` (direct pipelined
-  path).  Response carries the embeddings in the request's format.
+* ``POST /v1/embed[?dtype=float16]`` — one clip ``[T, H, W, 3]``
+  (micro-batched across concurrent callers) or a batch
+  ``[B, T, H, W, 3]`` (direct pipelined path).  Response carries the
+  embeddings in the request's format; ``?dtype=float16`` halves the
+  response bytes (token-level encoder outputs are megabytes per clip —
+  on wire-bound links the egress, not the chip, is the ceiling).
 * ``POST /v1/embed_text`` — JSON ``{"texts": [...]}`` through the lvt
   text tower (requires ``text_encode_fn``, see
   :func:`videoprism_tpu.retrieval.make_text_query_encoder`).  Response:
@@ -47,6 +50,7 @@ Endpoints:
   ``?temporal_views=N&spatial_views=M`` runs the ViViT NxM multi-view
   protocol server-side (one decode, all views in one batch, eval-loop
   aggregation) for higher-fidelity embeddings/predictions.
+  ``?dtype=float16`` halves the response like on ``/v1/embed``.
 * ``POST /v1/zero_shot/classes`` + ``POST /v1/zero_shot?set=<id>`` —
   zero-shot classification on lvt servers: register a label set once
   (the class-name prompts run through the text tower and the ensembled
@@ -230,12 +234,30 @@ def _decode_body(content_type: str, body: bytes) -> np.ndarray:
   return np.load(io.BytesIO(body), allow_pickle=False)
 
 
-def _encode_body(content_type: str, array: np.ndarray) -> tuple[str, bytes]:
+def _response_dtype(q: dict) -> 'np.dtype | None':
+  """Parses ``?dtype=`` on array-returning endpoints.  ``float16``
+  halves response bytes (embeddings keep cosine to ~1e-3 — far below
+  retrieval score gaps), which matters because the wire, not the chip,
+  bounds network-attached serving.  Unknown values raise (→ 400)."""
+  if 'dtype' not in q:
+    return None
+  value = q['dtype'][0]
+  if value not in ('float16', 'float32'):
+    raise ValueError(
+        f"?dtype= must be 'float16' or 'float32', got {value!r}")
+  return np.dtype(value)
+
+
+def _encode_body(content_type: str, array: np.ndarray,
+                 response_dtype: 'np.dtype | None' = None
+                 ) -> tuple[str, bytes]:
   # bf16-serving models produce ml_dtypes.bfloat16 embeddings, which
   # numpy serializes as opaque void16 — a plain-numpy client cannot read
   # them back.  Ship anything outside the interchange dtypes as float32.
   if array.dtype.kind not in 'fiub':
     array = array.astype(np.float32)
+  if response_dtype is not None and array.dtype.kind == 'f':
+    array = array.astype(response_dtype)
   if content_type.startswith('application/json'):
     payload = {
         'shape': list(array.shape),
@@ -575,10 +597,13 @@ class _Handler(BaseHTTPRequestHandler):
     if self.path.startswith('/v1/classify'):
       self._post_classify()
       return
-    if self.path != '/v1/embed':
+    from urllib.parse import parse_qs, urlparse
+
+    if urlparse(self.path).path != '/v1/embed':
       self._reject_json(404, {'error': f'unknown path {self.path}'})
       return
     try:
+      response_dtype = _response_dtype(parse_qs(urlparse(self.path).query))
       content_type = self.headers.get('Content-Type', 'application/x-npy')
       video = _decode_body(content_type, self._read_body())
       if video.ndim not in (4, 5):
@@ -612,7 +637,8 @@ class _Handler(BaseHTTPRequestHandler):
     except Exception as e:  # service-side failure
       self._reply_json(500, {'error': str(e)})
       return
-    ctype, body = _encode_body(content_type, np.asarray(emb))
+    ctype, body = _encode_body(content_type, np.asarray(emb),
+                               response_dtype)
     self._reply(200, ctype, body)
 
   class _ClientFileError(ValueError):
@@ -743,6 +769,7 @@ class _Handler(BaseHTTPRequestHandler):
     try:
       q = parse_qs(urlparse(self.path).query)
       geom = self._file_geometry(q)
+      response_dtype = _response_dtype(q)
       deadline_ms = self._deadline_ms()
       body = self._read_body()
     except Exception as e:  # malformed request — client's fault
@@ -765,7 +792,8 @@ class _Handler(BaseHTTPRequestHandler):
     except Exception as e:
       self._reply_json(500, {'error': str(e)})
       return
-    ctype, out = _encode_body('application/x-npy', np.asarray(emb))
+    ctype, out = _encode_body('application/x-npy', np.asarray(emb),
+                              response_dtype)
     self._reply(200, ctype, out)
 
   def _post_classify(self) -> None:
