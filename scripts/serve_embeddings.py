@@ -168,7 +168,14 @@ def main():
   parser.add_argument('--index', default=None,
                       help='retrieval.VideoIndex npz (from '
                            'scripts/build_video_index.py): enables '
-                           'POST /v1/search (lvt models only)')
+                           'POST /v1/search + /v1/index/add (lvt models '
+                           'only). "new" / "new-ann" starts an EMPTY '
+                           'mutable corpus (exact / HNSW) to be filled '
+                           'over the wire — a vector database.')
+  parser.add_argument('--index-save-path', default=None,
+                      help='enables POST /v1/index/save: persist the '
+                           '(mutated) index atomically to this npz path '
+                           '(may equal --index to update it in place)')
   parser.add_argument('--tokenizer-model', default=None,
                       help='SentencePiece model for /v1/embed_text '
                            '(lvt models; default: bundled fixture or '
@@ -309,7 +316,12 @@ def main():
         max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)
     text_service.start()
     text_encode_fn = text_service.encode
-    if args.index:
+    if args.index in ('new', 'new-ann'):
+      index = (retrieval.ANNVideoIndex() if args.index == 'new-ann'
+               else retrieval.VideoIndex())
+      print(f'search index: empty mutable corpus ({args.index}); '
+            'fill via POST /v1/index/add')
+    elif args.index:
       index = retrieval.load_index(args.index)
       kind = ('hnsw' if getattr(index, 'native', False) else
               'exact' if type(index) is retrieval.VideoIndex else
@@ -317,6 +329,8 @@ def main():
       print(f'search index: {len(index)} videos from {args.index} ({kind})')
   elif args.index:
     raise SystemExit('--index needs an lvt (CLIP) model')
+  if args.index_save_path and index is None:
+    raise SystemExit('--index-save-path needs --index')
   elif args.from_export_text:
     raise SystemExit('--from-export-text needs an lvt (CLIP) model')
 
@@ -350,7 +364,8 @@ def main():
                                text_encode_fn=text_encode_fn, index=index,
                                auth_token=auth_token,
                                text_service=text_service, labels=labels,
-                               frames_service=frames_service)
+                               frames_service=frames_service,
+                               index_save_path=args.index_save_path)
   if auth_token:
     print('auth: bearer token required on POST endpoints')
 
@@ -371,7 +386,10 @@ def main():
   if text_encode_fn is not None:
     endpoints += ', POST /v1/embed_text'
   if index is not None:
-    endpoints += ', POST /v1/search, POST /v1/search_video'
+    endpoints += (', POST /v1/search, POST /v1/search_video, '
+                  'POST /v1/index/add')
+  if args.index_save_path:
+    endpoints += ', POST /v1/index/save'
   if args.num_classes:
     endpoints += ', POST /v1/classify'
   if frames_service is not None:
@@ -406,6 +424,27 @@ def main():
           {'Content-Type': 'application/json'})
       out = json.loads(urllib.request.urlopen(req).read())
       print(f'smoke search -> {out["results"][0]}')
+      # Online mutation: add one clip, find it, persist if configured.
+      buf = io.BytesIO()
+      np.save(buf, np.zeros(clip_shape, np.uint8))
+      req = urllib.request.Request(
+          f'http://127.0.0.1:{server.port}/v1/index/add?id=smoke',
+          buf.getvalue(), {'Content-Type': 'application/x-npy'})
+      out = json.loads(urllib.request.urlopen(req).read())
+      print(f'smoke index add -> {out}')
+      buf = io.BytesIO()
+      np.save(buf, np.zeros(clip_shape, np.uint8))
+      req = urllib.request.Request(
+          f'http://127.0.0.1:{server.port}/v1/search_video?k=1',
+          buf.getvalue(), {'Content-Type': 'application/x-npy'})
+      out = json.loads(urllib.request.urlopen(req).read())
+      print(f'smoke search_video -> {out["results"][0]}')
+      if args.index_save_path:
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{server.port}/v1/index/save', b'',
+            {'Content-Type': 'application/json'})
+        out = json.loads(urllib.request.urlopen(req).read())
+        print(f'smoke index save -> {out}')
     for spec in args.extra_model or []:
       name = spec.partition('=')[0]
       buf = io.BytesIO()

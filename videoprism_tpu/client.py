@@ -353,6 +353,45 @@ class VideoPrismClient:
     results = json.loads(out.decode('utf-8'))['results']
     return [(hit['id'], hit['score']) for hit in results[0]]
 
+  def index_add(self, clip: np.ndarray, id: str | None = None) -> str:
+    """Adds one clip ``[T, H, W, 3]`` to the server's search corpus:
+    it embeds server-side (same tower the index rides) and becomes
+    findable by :meth:`search` / :meth:`search_video` immediately.
+    Returns the id it was stored under (default: content hash)."""
+    clip = np.asarray(clip)
+    if clip.ndim != 4:
+      raise ValueError(f'index_add expects [T, H, W, 3], got {clip.shape}')
+    headers = {'Content-Type': 'application/x-npy'}
+    body = self._npy_payload(clip, headers)
+    path = self._api('index/add') + self._id_query(id)
+    out = self._request('POST', path, body, headers)
+    return json.loads(out.decode('utf-8'))['id']
+
+  def index_add_file(self, video: 'str | bytes', id: str | None = None,
+                     frames: int | None = None,
+                     size: int | None = None) -> str:
+    """Adds a video FILE (path or container bytes) to the server's
+    corpus — server-side decode as in :meth:`embed_file`."""
+    path = self._api('index/add') + self._file_query(frames, size)
+    path += self._id_query(id, joiner='&' if '?' in path else '?')
+    out = self._request('POST', path, self._file_bytes(video),
+                        {'Content-Type': 'video/mp4'})
+    return json.loads(out.decode('utf-8'))['id']
+
+  def index_save(self) -> dict[str, Any]:
+    """Persists the server's (mutated) index to its configured save
+    path (``serve_embeddings --index-save-path``); returns
+    ``{'path', 'size'}``."""
+    out = self._request('POST', self._api('index/save'), b'',
+                        {'Content-Type': 'application/json'})
+    return json.loads(out.decode('utf-8'))
+
+  @staticmethod
+  def _id_query(id: 'str | None', joiner: str = '?') -> str:
+    if id is None:
+      return ''
+    return joiner + 'id=' + urllib.parse.quote(id, safe='')
+
   def _dtype_query(self, joiner: str = '?') -> str:
     if self._response_dtype is None:
       return ''

@@ -66,6 +66,7 @@ class VideoIndex:
     if self._dtype not in (np.float32, np.float16):
       raise ValueError(f'storage_dtype must be float32 or float16, '
                        f'got {self._dtype}')
+    self._add_lock = threading.Lock()  # serializes concurrent adds
     self._emb = (np.zeros((0, 0), self._dtype) if embeddings is None
                  else self._normalize(embeddings).astype(self._dtype))
     self._ids = list(ids) if ids is not None else [
@@ -94,15 +95,21 @@ class VideoIndex:
     return list(self._ids)
 
   def add(self, embeddings: np.ndarray, ids: Sequence[str]) -> None:
+    """Append rows.  Safe under concurrent :meth:`search` (the served
+    ``/v1/index/add`` path): adds serialize on a lock, and readers see
+    fresh immutable objects — the NEW ids list is published before the
+    new embedding matrix, so a search that snapshots either sees rows
+    only at positions its ids list also covers."""
     emb = self._normalize(embeddings).astype(self._dtype)
     if len(ids) != len(emb):
       raise ValueError(f'{len(ids)} ids for {len(emb)} embeddings')
-    if len(self._emb) and emb.shape[1] != self.dim:
-      raise ValueError(
-          f'dim mismatch: index has {self.dim}, adding {emb.shape[1]}')
-    self._emb = emb if not len(self._emb) else np.concatenate(
-        [self._emb, emb], axis=0)
-    self._ids.extend(str(i) for i in ids)
+    with self._add_lock:
+      if len(self._emb) and emb.shape[1] != self.dim:
+        raise ValueError(
+            f'dim mismatch: index has {self.dim}, adding {emb.shape[1]}')
+      self._ids = self._ids + [str(i) for i in ids]
+      self._emb = emb if not len(self._emb) else np.concatenate(
+          [self._emb, emb], axis=0)
 
   def search(self, queries: np.ndarray, k: int = 5,
              chunk_size: int = 65536) -> list[list[tuple[str, float]]]:
@@ -141,8 +148,9 @@ class VideoIndex:
 
   def save(self, path: str) -> None:
     # Fixed-width unicode (not object dtype): loads with pickle disabled.
-    np.savez(path, embeddings=self._emb,
-             ids=np.asarray(self._ids, dtype=np.str_))
+    with self._add_lock:  # a concurrent add must not tear emb vs ids
+      emb, ids = self._emb, self._ids
+    np.savez(path, embeddings=emb, ids=np.asarray(ids, dtype=np.str_))
 
   @classmethod
   def load(cls, path: str) -> 'VideoIndex':
@@ -286,20 +294,23 @@ class ANNVideoIndex(VideoIndex):
     ]
 
   def save(self, path: str) -> None:
-    arrays = {
-        'embeddings': self._emb,
-        'ids': np.asarray(self._ids, dtype=np.str_),
-        'ann_meta': np.asarray(
-            [self._m, self._efc, self.ef_search, self._seed], np.int64),
-    }
-    if self._handle is not None:
-      with tempfile.NamedTemporaryFile(suffix='.vpann') as tmp:
-        with self._rw.reading():
+    # The whole snapshot (embeddings + ids + graph blob) happens under
+    # the read lock: writers (add) are excluded, so the graph cannot
+    # hold more rows than the arrays — a torn file would force a
+    # silent full rebuild on load.
+    with self._rw.reading():
+      arrays = {
+          'embeddings': self._emb,
+          'ids': np.asarray(self._ids, dtype=np.str_),
+          'ann_meta': np.asarray(
+              [self._m, self._efc, self.ef_search, self._seed], np.int64),
+      }
+      if self._handle is not None:
+        with tempfile.NamedTemporaryFile(suffix='.vpann') as tmp:
           rc = self._lib.vp_ann_save(self._handle, tmp.name.encode())
-        if rc != 0:
-          raise RuntimeError(f'vp_ann_save to {tmp.name} failed')
-        graph = np.frombuffer(tmp.read(), np.uint8)
-      arrays['ann_graph'] = graph
+          if rc != 0:
+            raise RuntimeError(f'vp_ann_save to {tmp.name} failed')
+          arrays['ann_graph'] = np.frombuffer(tmp.read(), np.uint8)
     np.savez(path, **arrays)
 
   @classmethod

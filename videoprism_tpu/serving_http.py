@@ -65,6 +65,13 @@ Endpoints:
   pooled CLIP embeddings are swept by sliding windows against each
   query (``retrieval.localize_moments``) and the top temporal segments
   come back per query.
+* ``POST /v1/index/add[?id=<id>]`` + ``POST /v1/index/save`` — online
+  index mutation: the body (clip array or ``video/*`` container) embeds
+  through the same tower the search index rides and is appended under
+  ``id`` (default: the body's content hash) — concurrent searches keep
+  running; ``save`` persists atomically to the server's configured path.
+  With ``--index new[-ann]`` the server starts an empty mutable corpus:
+  a self-contained vector database over the wire.
 * ``POST /v1/classify[?k=N]`` — classifier servers: one clip in, softmax
   top-k ``{"class", "prob"[, "label"]}`` out (label map optional).
   ``/v1/classify`` and ``/v1/search_video`` also accept a ``video/*``
@@ -173,6 +180,7 @@ class _ModelBinding:
   text_encode_fn: 'object | None' = None   # list[str] -> [N, D]
   text_service: 'object | None' = None     # stats merge into /stats
   index: 'object | None' = None            # retrieval.VideoIndex
+  index_save_path: 'str | None' = None     # enables POST /v1/index/save
   classify_enabled: bool = False
   labels: 'list | None' = None
   clip_geometry: tuple = (16, 288)
@@ -186,7 +194,8 @@ class _ModelBinding:
 
 def _make_binding(service: EmbeddingService, *, text_encode_fn=None,
                   index=None, labels=None, text_service=None,
-                  frames_service=None) -> _ModelBinding:
+                  frames_service=None,
+                  index_save_path=None) -> _ModelBinding:
   """Derives the per-model serving surfaces from the service's config:
   classifier models enable ``/v1/classify``; the encoder's
   ``pos_emb_shape`` sets the ``/v1/embed_file`` decode geometry."""
@@ -214,8 +223,11 @@ def _make_binding(service: EmbeddingService, *, text_encode_fn=None,
   if frames_service is not None and text_encode_fn is None:
     raise ValueError('frames_service (localization) needs text_encode_fn '
                      '(an lvt text tower) on the same model')
+  if index_save_path is not None and index is None:
+    raise ValueError('index_save_path= needs an index on the same model')
   return _ModelBinding(service=service, text_encode_fn=text_encode_fn,
                        text_service=text_service, index=index,
+                       index_save_path=index_save_path,
                        classify_enabled=classify_enabled, labels=labels,
                        clip_geometry=clip_geometry,
                        frames_service=frames_service)
@@ -278,6 +290,7 @@ _METRIC_FAMILIES = (
     ('videoprism_requests_shed_total', 'requests_shed', 'counter'),
     ('videoprism_requests_expired_total', 'requests_expired', 'counter'),
     ('videoprism_queue_depth', 'queue_depth', 'gauge'),
+    ('videoprism_index_size', 'index_size', 'gauge'),
     ('videoprism_text_requests_served_total', 'text_requests_served',
      'counter'),
     ('videoprism_text_batches_run_total', 'text_batches_run', 'counter'),
@@ -363,6 +376,7 @@ class _Handler(BaseHTTPRequestHandler):
   text_encode_fn = None   # list[str] -> [N, D] np.ndarray
   text_service = None     # TextEncodeService (its stats merge into /stats)
   index = None            # retrieval.VideoIndex
+  index_save_path = None  # persistence target for POST /v1/index/save
   classify_enabled: bool = False  # service wraps a classifier model
   labels: list | None = None      # class-index -> name (optional)
   # (frames, size) defaults for /v1/embed_file, from the model config.
@@ -476,6 +490,7 @@ class _Handler(BaseHTTPRequestHandler):
     self.text_encode_fn = binding.text_encode_fn
     self.text_service = binding.text_service
     self.index = binding.index
+    self.index_save_path = binding.index_save_path
     self.classify_enabled = binding.classify_enabled
     self.labels = binding.labels
     self.clip_geometry = binding.clip_geometry
@@ -488,6 +503,8 @@ class _Handler(BaseHTTPRequestHandler):
     stats = binding.service.stats()
     if binding.text_service is not None:
       stats.update(binding.text_service.stats())
+    if binding.index is not None:
+      stats['index_size'] = len(binding.index)
     return stats
 
   def _per_model_stats(self) -> 'dict[str, dict]':
@@ -590,6 +607,9 @@ class _Handler(BaseHTTPRequestHandler):
       return
     if self.path.startswith('/v1/search_video'):
       self._post_search_video()
+      return
+    if self.path.startswith('/v1/index/'):
+      self._post_index()
       return
     if self.path.startswith('/v1/embed_file'):
       self._post_embed_file()
@@ -1137,6 +1157,108 @@ class _Handler(BaseHTTPRequestHandler):
     except Exception as e:  # service-side failure
       self._reply_json(500, {'error': str(e)})
 
+  def _post_index(self) -> None:
+    """Online index mutation — the served corpus is a living collection,
+    not a build-time artifact:
+
+    * ``POST /v1/index/add[?id=<id>]`` — body is one clip (the
+      ``/v1/embed`` wire formats) or a ``video/*`` container
+      (server-side decode, ``?frames=&size=&*_views=`` as on
+      ``/v1/embed_file``); it embeds through the SAME tower the index
+      was built with and is appended under ``id`` (default: the
+      content hash of the body).  Searches run concurrently — adds
+      serialize behind the index's own locks.
+    * ``POST /v1/index/save`` — persists the index atomically to the
+      server's configured ``index_save_path`` (404 when the server was
+      started without one); a crash mid-save never tears the file.
+    """
+    from urllib.parse import parse_qs, urlparse
+
+    if self.index is None:
+      self._reject_json(404, {'error': '/v1/index needs a video index '
+                                       '(serve with --index)'})
+      return
+    path = urlparse(self.path).path
+    if path == '/v1/index/save':
+      # Drain any body so keep-alive stays usable (empty is the norm —
+      # _read_body rejects Content-Length 0 by design for data routes).
+      if int(self.headers.get('Content-Length', 0) or 0) > 0:
+        self._read_body()
+      if self.index_save_path is None:
+        self._reply_json(404, {
+            'error': 'index persistence is not configured '
+                     '(serve with --index-save-path)'})
+        return
+      try:
+        import os as os_mod
+        import tempfile
+
+        target = self.index_save_path
+        directory = os_mod.path.dirname(os_mod.path.abspath(target))
+        fd, tmp = tempfile.mkstemp(suffix='.npz', dir=directory)
+        os_mod.close(fd)
+        try:
+          self.index.save(tmp)
+          os_mod.replace(tmp, target)  # atomic: never a torn index file
+        except BaseException:
+          os_mod.unlink(tmp)
+          raise
+      except Exception as e:
+        self._reply_json(500, {'error': str(e)})
+        return
+      self._reply_json(200, {'path': target, 'size': len(self.index)})
+      return
+    if path != '/v1/index/add':
+      self._reject_json(404, {'error': f'unknown path {path}'})
+      return
+    try:
+      q = parse_qs(urlparse(self.path).query)
+      video_id = q['id'][0] if 'id' in q else None
+      if video_id is not None and not 0 < len(video_id) <= 512:
+        raise ValueError('?id= must be 1-512 characters')
+      deadline_ms = self._deadline_ms()
+      content_type = self.headers.get('Content-Type', 'application/x-npy')
+      body = self._read_body()
+      if content_type.startswith('video/'):
+        video, file_geom = None, self._file_geometry(q)
+      else:
+        video = _decode_body(content_type, body)
+        if video.ndim != 4:
+          raise ValueError(
+              f'expected one clip [T,H,W,3], got shape {video.shape}')
+    except Exception as e:  # malformed request — client's fault
+      self._reject_json(400, {'error': str(e)})
+      return
+    if video_id is None:
+      import hashlib
+
+      video_id = hashlib.sha256(body).hexdigest()[:16]
+    if video is None:  # video/* body: decode the container server-side
+      video = self._decode_file_or_reply(body, file_geom)
+      if video is None:
+        return
+    try:
+      emb = self._run_clip_or_views(video, deadline_ms)
+      if np.asarray(emb).ndim != 1:
+        raise ValueError(
+            'indexing needs a model with one embedding vector per clip '
+            '(the lvt vision tower); this server returns shape '
+            f'{np.asarray(emb).shape} per clip')
+      self.index.add(np.asarray(emb)[None], [video_id])
+    except DeadlineExceeded as e:
+      self._reply_json(504, {'error': str(e)})
+      return
+    except ServiceOverloaded as e:
+      self._reply_overloaded(e)
+      return
+    except ValueError as e:  # non-vector model / dim mismatch
+      self._reply_json(400, {'error': str(e)})
+      return
+    except Exception as e:  # service-side failure
+      self._reply_json(500, {'error': str(e)})
+      return
+    self._reply_json(200, {'id': video_id, 'size': len(self.index)})
+
   def _post_search_video(self) -> None:
     """/v1/search_video[?k=N]: video-to-video similarity — body is one
     clip in the /v1/embed wire formats; the clip embeds through the
@@ -1172,7 +1294,10 @@ class _Handler(BaseHTTPRequestHandler):
         return
     try:
       emb = self._run_clip_or_views(video, deadline_ms)
-      results = self.index.search(np.asarray(emb), k=k)
+      # An empty mutable corpus (--index new before any /v1/index/add)
+      # has no matches, not a client error.
+      results = ([[]] if not len(self.index)
+                 else self.index.search(np.asarray(emb), k=k))
       self._reply_json(200, {'results': [
           [{'id': i, 'score': round(s, 6)} for i, s in row]
           for row in results]})
@@ -1212,7 +1337,9 @@ class _Handler(BaseHTTPRequestHandler):
       if self.path == '/v1/embed_text':
         self._reply_json(200, {'embeddings': emb.tolist()})
         return
-      results = self.index.search(emb, k=k)
+      # An empty mutable corpus has no matches, not a server error.
+      results = ([[] for _ in texts] if not len(self.index)
+                 else self.index.search(emb, k=k))
       self._reply_json(200, {'results': [
           [{'id': i, 'score': round(s, 6)} for i, s in row]
           for row in results]})
@@ -1231,10 +1358,12 @@ class EmbeddingHTTPServer:
                text_encode_fn=None, index=None,
                auth_token: str | None = None, text_service=None,
                labels=None, model_name: str = 'default',
-               frames_service=None):
+               frames_service=None, index_save_path=None):
     """``text_encode_fn`` (see ``retrieval.make_text_query_encoder``)
     enables ``/v1/embed_text``; adding ``index`` (a
-    ``retrieval.VideoIndex``) enables ``/v1/search``; ``auth_token``
+    ``retrieval.VideoIndex``) enables ``/v1/search`` plus online
+    ``/v1/index/add``; ``index_save_path`` enables ``POST
+    /v1/index/save`` persistence to that path; ``auth_token``
     requires ``Authorization: Bearer <token>`` on the POST endpoints.
 
     When ``service`` wraps a classifier model, ``/v1/classify`` is
@@ -1251,7 +1380,8 @@ class EmbeddingHTTPServer:
         model_name: _make_binding(service, text_encode_fn=text_encode_fn,
                                   index=index, labels=labels,
                                   text_service=text_service,
-                                  frames_service=frames_service)}
+                                  frames_service=frames_service,
+                                  index_save_path=index_save_path)}
     # The handler class shares this dict OBJECT, so add_model's inserts
     # are visible to in-flight handlers (dict assignment is atomic).
     handler = type('BoundHandler', (_Handler,),
@@ -1272,7 +1402,8 @@ class EmbeddingHTTPServer:
 
   def add_model(self, name: str, service: EmbeddingService, *,
                 text_encode_fn=None, index=None, labels=None,
-                text_service=None, frames_service=None) -> None:
+                text_service=None, frames_service=None,
+                index_save_path=None) -> None:
     """Registers another model on this server, reachable at
     ``/v1/models/<name>/<endpoint>`` — one process, one chip claim, one
     port hosting several models (a base tier for bulk + a large tier
@@ -1285,7 +1416,8 @@ class EmbeddingHTTPServer:
       raise ValueError(f'model {name!r} is already served')
     self._bindings[name] = _make_binding(
         service, text_encode_fn=text_encode_fn, index=index, labels=labels,
-        text_service=text_service, frames_service=frames_service)
+        text_service=text_service, frames_service=frames_service,
+        index_save_path=index_save_path)
 
   def start(self) -> None:
     self._thread = threading.Thread(
