@@ -951,6 +951,10 @@ class TestMalformedRequests:
       ('/v1/search_video', b'junk', 'application/x-npy'),
       ('/v1/classify', b'junk', 'application/x-npy'),
       ('/debug/trace?ms=banana', b'', 'application/x-npy'),
+      ('/v1/embed?dtype=complex64', b'junk', 'application/x-npy'),
+      ('/v1/index/add', b'junk', 'application/x-npy'),   # 404: no index
+      ('/v1/index/save', b'', 'application/json'),       # 404: no index
+      ('/v1/index/add?id=', b'junk', 'application/x-npy'),
   ]
 
   def test_garbage_yields_json_4xx_and_server_survives(self, server):
