@@ -196,6 +196,11 @@ def main():
                            'on W8A8 serving for that model. Buckets/wait/'
                            'shedding knobs are shared; SIGHUP hot reload '
                            'applies to the default model only.')
+  parser.add_argument('--pad-frames', action='store_true',
+                      help='accept clips SHORTER than the warmup frame '
+                           'count on /v1/embed: they pad + mask '
+                           '(frame_paddings) into the one compiled '
+                           'geometry instead of compiling per length')
   parser.add_argument('--tiny', action='store_true',
                       help='tiny random model (wire-format smoke testing)')
   parser.add_argument('--tiny-clip', action='store_true',
@@ -280,11 +285,19 @@ def main():
 
   if args.from_export:
     print(f'video forward: AOT artifact {args.from_export} (no re-trace)')
+  pad_frames_to = clip_shape[0] if args.pad_frames else None
+  if args.pad_frames and args.from_export:
+    raise SystemExit('--pad-frames builds the forward from model code; '
+                     'it does not compose with --from-export')
+  if args.pad_frames:
+    print(f'pad-frames: clips shorter than {pad_frames_to} frames pad + '
+          'mask into the one compiled geometry')
   service = EmbeddingService(
       model, state,
       batch_buckets=tuple(int(b) for b in args.buckets.split(',')),
       max_wait_ms=args.max_wait_ms, quantize=args.quantize,
-      max_pending=args.max_pending, exported=args.from_export)
+      max_pending=args.max_pending, exported=args.from_export,
+      pad_frames_to=pad_frames_to)
   service.start()
   if args.warmup_frames or args.tiny or args.tiny_clip:
     print(f'warming up buckets at clip shape {clip_shape} ...')

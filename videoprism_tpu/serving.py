@@ -80,6 +80,9 @@ class _Request:
   result: np.ndarray | None = None
   error: Exception | None = None
   deadline: float | None = None  # absolute time.monotonic()
+  # pad_frames_to services: how many leading frames are real (the rest
+  # were zero-padded on and are masked via frame_paddings).
+  valid_frames: int | None = None
 
 
 @dataclasses.dataclass
@@ -385,6 +388,7 @@ class EmbeddingService:
       exported=None,
       unhealthy_after_errors: int = 16,
       adaptive_wait: bool = True,
+      pad_frames_to: int | None = None,
   ):
     """``tensor_parallel=True`` (requires ``mesh``) serves a video encoder
     with the shard_map TP path (:mod:`videoprism_tpu.parallel.tp`): params
@@ -422,13 +426,31 @@ class EmbeddingService:
     model loaded with ``quantize='int8'``).  Export a symbolic batch
     (the default) so one artifact covers every bucket.  Incompatible
     with ``mesh``/``tensor_parallel``, whose forwards are built from
-    model code."""
+    model code.
+
+    ``pad_frames_to=T`` accepts clips SHORTER than T frames: they pad to
+    T and a ``frame_paddings`` mask rides the forward, so every length
+    shares ONE compiled executable (without it, each distinct T compiles
+    its own — minutes apiece over a tunneled chip) and the padded frames
+    are masked out of attention/pooling exactly like the reference's
+    ``frame_paddings`` semantics (not attended as if they were black
+    frames).  Short clips then coalesce into the same micro-batches as
+    full-length ones.  Single-program path only (no mesh/TP/exported)."""
     if quantize not in (None, 'int8'):
       raise ValueError(f'unknown quantize mode {quantize!r}')
     if exported is not None and (tensor_parallel or mesh is not None):
       raise ValueError(
           'exported artifacts serve the replicated single-program path; '
           'mesh/tensor_parallel forwards are built from model code')
+    if pad_frames_to is not None:
+      if pad_frames_to <= 0:
+        raise ValueError(f'pad_frames_to must be positive, '
+                         f'got {pad_frames_to}')
+      if exported is not None or tensor_parallel or mesh is not None:
+        raise ValueError(
+            'pad_frames_to rides frame_paddings through model.apply — '
+            'the single-program jit path only (no mesh/tensor_parallel/'
+            'exported)')
     if quantize == 'int8':
       from videoprism_tpu import quantization
 
@@ -439,6 +461,7 @@ class EmbeddingService:
     self._model = model
     self._quantize = quantize
     self._tensor_parallel = tensor_parallel
+    self._pad_frames_to = pad_frames_to
     # tensor_parallel: keep the tree on host — make_tp_encoder_forward
     # device_puts each leaf straight into its sharded layout below;
     # an eager device_put here would materialize a full replica on one
@@ -502,6 +525,12 @@ class EmbeddingService:
       emb = out[0] if isinstance(out, tuple) else out
       return emb
 
+    def forward_padded(params, videos, frame_paddings):
+      out = self._model.apply(params, normalize(videos), train=False,
+                              frame_paddings=frame_paddings)
+      emb = out[0] if isinstance(out, tuple) else out
+      return emb
+
     if tensor_parallel:
       if mesh is None:
         raise ValueError('tensor_parallel=True requires a mesh')
@@ -560,6 +589,12 @@ class EmbeddingService:
       self._forward = exported_forward
     elif mesh is not None:
       self._forward = data_parallel_forward(forward, mesh)
+    elif pad_frames_to is not None:
+      # One executable for every clip length: the mask, not the shape,
+      # carries the length.  Full-length clips ride zero paddings.
+      self._forward_padded = jax.jit(forward_padded)
+      self._forward = lambda params, videos: self._forward_padded(
+          params, videos, jnp.zeros(videos.shape[:2], jnp.float32))
     else:
       self._forward = jax.jit(forward)
 
@@ -626,7 +661,11 @@ class EmbeddingService:
   def warmup(self, clip_shape: tuple[int, int, int, int],
              dtype=np.float32) -> None:
     """Pre-compiles every bucket for the given [T, H, W, 3] clip shape
-    (pass ``np.uint8`` when clients will ship raw bytes)."""
+    (pass ``np.uint8`` when clients will ship raw bytes).  On a
+    ``pad_frames_to`` service the frame axis warms at the pad length —
+    the one executable every request length shares."""
+    if self._pad_frames_to is not None:
+      clip_shape = (self._pad_frames_to,) + tuple(clip_shape[1:])
     for b in self._buckets:
       video = np.zeros((b,) + clip_shape, dtype)
       np.asarray(jnp.sum(self._forward(self._state, jnp.asarray(video))))
@@ -695,10 +734,23 @@ class EmbeddingService:
       # `not >` (rather than `<=`) also catches NaN, whose comparisons
       # are all False and would silently disable expiry.
       raise ValueError(f'deadline_ms must be positive, got {deadline_ms}')
+    valid_frames = None
+    if self._pad_frames_to is not None:
+      t = video.shape[0]
+      if t > self._pad_frames_to:
+        raise ValueError(
+            f'clip has {t} frames but the service pads to '
+            f'{self._pad_frames_to}; resample longer clips client-side')
+      if t < self._pad_frames_to:
+        valid_frames = t
+        video = np.concatenate(
+            [video, np.zeros((self._pad_frames_to - t,) + video.shape[1:],
+                             video.dtype)], axis=0)
     req = _Request(
         video=video, event=threading.Event(),
         deadline=(time.monotonic() + deadline_ms / 1e3
-                  if deadline_ms is not None else None))
+                  if deadline_ms is not None else None),
+        valid_frames=valid_frames)
     try:
       self._queue.put_nowait(req)
     except queue.Full:
@@ -722,7 +774,8 @@ class EmbeddingService:
       self._latency.observe(time.monotonic() - t_start)
     return req.result
 
-  def embed_batch(self, videos: np.ndarray) -> np.ndarray:
+  def embed_batch(self, videos: np.ndarray,
+                  frame_paddings: np.ndarray | None = None) -> np.ndarray:
     """Direct batched path (no queueing); splits batches larger than the
     largest bucket into bucket-sized chunks.
 
@@ -731,7 +784,14 @@ class EmbeddingService:
     compute and device->host fetch (the fetch is the only blocking call).
     Depth 2 bounds device memory to two in-flight input/output pairs —
     classic double buffering.
+
+    ``frame_paddings`` ([B, T], 1.0 = padded frame) requires a
+    ``pad_frames_to`` service; rows for batch-padding fill are zeros
+    (their outputs are sliced off anyway).
     """
+    if frame_paddings is not None and self._pad_frames_to is None:
+      raise ValueError('frame_paddings needs an EmbeddingService built '
+                       'with pad_frames_to=')
     max_bucket = self._buckets[-1]
     outs = []
     inflight: collections.deque = collections.deque()
@@ -747,7 +807,14 @@ class EmbeddingService:
       chunk = videos[start:start + max_bucket]
       bucket = self._bucket_for(chunk.shape[0])
       padded = self._pad(chunk, bucket)
-      out = self._forward(state, jnp.asarray(padded))
+      if frame_paddings is not None:
+        pads = self._pad(
+            np.asarray(frame_paddings[start:start + max_bucket],
+                       np.float32), bucket)
+        out = self._forward_padded(state, jnp.asarray(padded),
+                                   jnp.asarray(pads))
+      else:
+        out = self._forward(state, jnp.asarray(padded))
       inflight.append((out, chunk.shape[0]))
       if len(inflight) >= 2:
         drain()
@@ -823,9 +890,16 @@ class EmbeddingService:
         groups.setdefault((r.video.shape, r.video.dtype.str), []).append(r)
       for group in groups.values():
         videos = np.stack([r.video for r in group], axis=0)
+        pads = None
+        if self._pad_frames_to is not None and any(
+            r.valid_frames is not None for r in group):
+          pads = np.zeros(videos.shape[:2], np.float32)
+          for i, r in enumerate(group):
+            if r.valid_frames is not None:
+              pads[i, r.valid_frames:] = 1.0
         t0 = time.monotonic()
         try:
-          results = self.embed_batch(videos)
+          results = self.embed_batch(videos, frame_paddings=pads)
           for r, emb in zip(group, results):
             r.result = emb
           with self._stats_lock:
