@@ -737,6 +737,8 @@ class EmbeddingService:
     valid_frames = None
     if self._pad_frames_to is not None:
       t = video.shape[0]
+      if t == 0:
+        raise ValueError('clip has no frames')
       if t > self._pad_frames_to:
         raise ValueError(
             f'clip has {t} frames but the service pads to '
