@@ -13,12 +13,16 @@ not):
 
 1. base bf16+flash, int8-quantized, over HTTP: raw-frame ``/v1/embed``
    vs ``/v1/embed_file`` (server-side decode) — embeddings must agree,
-   responses must be float32, ``/stats`` + ``/metrics`` must serve.
-2. lvt-base bf16: text tower over ``/v1/embed_text``, ``/v1/search``
-   against an index, ``/v1/search_video`` with a ``video/*`` body,
-   multi-view ``/v1/embed_file``, server-side zero-shot
-   (``/v1/zero_shot`` == the client-side protocol), and
-   ``/v1/localize`` over a frames service.
+   responses must be float32, fp16 egress (``?dtype=float16``) must
+   track them, ``/stats`` + ``/metrics`` (incl. request-latency
+   histograms) must serve.
+2. lvt-base bf16 (``pad_frames_to=16``): text tower over
+   ``/v1/embed_text``, ``/v1/search`` against an index,
+   ``/v1/search_video`` with a ``video/*`` body, multi-view
+   ``/v1/embed_file``, server-side zero-shot (``/v1/zero_shot`` == the
+   client-side protocol), ``/v1/localize`` over a frames service,
+   online index mutation (``/v1/index/add`` + ``save`` + reload), and a
+   short (8-frame) clip through the padded 16-frame geometry.
 3. classifier-base bf16: ``/v1/classify`` with a ``video/*`` body.
 4. AOT export: ``EmbeddingService(exported=...)`` must match direct
    apply bit-for-bit.
@@ -100,14 +104,16 @@ def main() -> int:
   clip = vio.load_video(args.clip, 16, 288, as_uint8=True)
 
   def serve(model, state, **kw):
-    svc = serving.EmbeddingService(model, state, batch_buckets=(1,),
-                                   **{k: v for k, v in kw.items()
-                                      if k in ('quantize', 'exported')})
+    svc = serving.EmbeddingService(
+        model, state, batch_buckets=(1,),
+        **{k: v for k, v in kw.items()
+           if k in ('quantize', 'exported', 'pad_frames_to')})
     svc.start()
     httpd = serving_http.EmbeddingHTTPServer(
         svc, host='127.0.0.1', port=0,
         **{k: v for k, v in kw.items()
-           if k in ('text_encode_fn', 'index', 'frames_service')})
+           if k in ('text_encode_fn', 'index', 'frames_service',
+                    'index_save_path')})
     httpd.start()
     return svc, httpd, VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
 
@@ -123,14 +129,22 @@ def main() -> int:
         e1.dtype, e2.dtype)
     cos = _cos(e1, e2)
     assert cos > 0.9999, cos
-    assert c.stats()['requests_served'] >= 2
+    # Half-width egress: ?dtype=float16 (the wire, not the chip, bounds
+    # network-attached serving).
+    c16 = VideoPrismClient(f'http://127.0.0.1:{httpd.port}',
+                           response_dtype='float16')
+    e16 = c16.embed(clip)
+    assert e16.dtype == np.float16 and _cos(e16, e1) > 0.999, e16.dtype
+    assert c.stats()['requests_served'] >= 3
     with urllib.request.urlopen(f'http://127.0.0.1:{httpd.port}/metrics',
                                 timeout=30) as r:
-      assert b'videoprism_requests_served_total' in r.read()
+      body = r.read()
+    assert b'videoprism_requests_served_total' in body
+    assert b'videoprism_request_latency_seconds_bucket' in body
     httpd.stop()
     svc.stop()
-    print(f'1. int8 HTTP: embed==embed_file cosine {cos:.6f}  OK',
-          flush=True)
+    print(f'1. int8 HTTP: embed==embed_file cosine {cos:.6f}, '
+          f'fp16 egress cosine {_cos(e16, e1):.6f}  OK', flush=True)
 
   if 2 in stages:
     from videoprism_tpu import assets
@@ -149,8 +163,10 @@ def main() -> int:
         retrieval.make_frame_embeddings_model(lvt.config), lvt_state,
         batch_buckets=(1,))
     frames_svc.start()
+    index_save = args.clip + '.index.npz'
     svc, httpd, c = serve(lvt, lvt_state, text_encode_fn=text_fn,
-                          index=index, frames_service=frames_svc)
+                          index=index, frames_service=frames_svc,
+                          index_save_path=index_save, pad_frames_to=16)
     t = c.embed_text(['a person drumming', 'the ocean'])
     assert t.shape == (2, dim) and np.isfinite(t).all(), t.shape
     assert len(c.search(['drumming'], k=3)[0]) == 3
@@ -174,13 +190,34 @@ def main() -> int:
     assert loc['frames'] == 16, loc
     segs = loc['results'][0]['segments']
     assert segs and all(0 <= g['start'] < g['end'] <= 16 for g in segs)
+    # Online index mutation on the real chip: add the clip (file body,
+    # server-side decode), find it top-1, persist + reload.
+    assert c.index_add_file(args.clip, id='smoke-add') == 'smoke-add'
+    top = c.search_video_file(args.clip, k=1)[0]
+    assert top[0] == 'smoke-add' and top[1] > 0.999, top
+    saved = c.index_save()
+    assert saved['size'] == 6, saved  # 5 synthetic + the add
+    assert len(retrieval.load_index(index_save)) == 6
+    os.unlink(index_save)
+    # Variable-length serving (pad_frames_to=16): an 8-frame clip rides
+    # the SAME compiled geometry with a frame_paddings mask, and must
+    # differ from attending the pad as black frames.
+    short = clip[:8]
+    e_short = c.embed(short)
+    black = np.concatenate([short, np.zeros_like(short)], axis=0)
+    e_black = c.embed(black)
+    assert np.isfinite(e_short).all()
+    assert abs(np.linalg.norm(e_short) - 1.0) < 1e-2
+    assert _cos(e_short, e_black) < 0.9999, _cos(e_short, e_black)
     httpd.stop()
     frames_svc.stop()
     svc.stop()
     print(f'2. lvt text/search/search_video_file/multi-view/zero-shot/'
-          f'localize: {t.shape}, |mv|={np.linalg.norm(mv):.4f}, '
+          f'localize/index-add+save/pad-frames: {t.shape}, '
+          f'|mv|={np.linalg.norm(mv):.4f}, '
           f'zs={zs_remote[0]["label"]!r}@{zs_remote[0]["prob"]}, '
-          f'loc={segs[0]}  OK', flush=True)
+          f'loc={segs[0]}, short-vs-black cos='
+          f'{_cos(e_short, e_black):.4f}  OK', flush=True)
 
   if 3 in stages:
     import dataclasses
