@@ -118,6 +118,13 @@ def main():
                            'fine-tune memory relief; no-op when frozen)')
   parser.add_argument('--fprop-dtype', default='float32',
                       choices=['float32', 'bfloat16'])
+  parser.add_argument('--mixup-alpha', type=float, default=0.0,
+                      help='MixUp: blend clips + targets with per-example '
+                           'Beta(alpha, alpha) weights inside the train '
+                           'step (0 = off; 0.2 is the common recipe)')
+  parser.add_argument('--label-smoothing', type=float, default=0.0,
+                      help='spread this much target mass uniformly over '
+                           'classes (composes with --mixup-alpha)')
   parser.add_argument('--augment', action='store_true',
                       help='device-side random resized crop + flip + '
                            'color jitter on the training clips')
@@ -221,6 +228,9 @@ def main():
     if args.freeze_backbone:
       parser.error('--lora-rank and --freeze-backbone are alternatives '
                    '(LoRA already freezes the backbone)')
+    if args.mixup_alpha or args.label_smoothing:
+      parser.error('--mixup-alpha/--label-smoothing are not wired into '
+                   'the LoRA classifier step yet')
     from videoprism_tpu.models import init as init_lib
     from videoprism_tpu.train import (
         create_lora_classifier_train_state,
@@ -252,12 +262,14 @@ def main():
     if jax.device_count() > 1 or args.model_parallelism > 1:
       step_fn, state = make_sharded_classifier_train_step(
           cfg, optimizer, mesh, state, freeze_backbone=args.freeze_backbone,
-          accum_steps=accum)
+          accum_steps=accum, mixup_alpha=args.mixup_alpha,
+          label_smoothing=args.label_smoothing)
       shard = lambda ndim: data_sharding(mesh, ndim, batch_axis=batch_axis)
     else:
       step_fn = jax.jit(make_classifier_train_step(
           cfg, optimizer, freeze_backbone=args.freeze_backbone,
-          accum_steps=accum))
+          accum_steps=accum, mixup_alpha=args.mixup_alpha,
+          label_smoothing=args.label_smoothing))
       shard = None
 
   ckpt = (TrainCheckpointer(args.checkpoint_dir)

@@ -169,3 +169,37 @@ def augment_config_from_flags(augment: bool, *, crop_scale_min: float = 0.3,
   return AugmentConfig(
       crop_scale=(crop_scale_min, 1.0), brightness=strength,
       contrast=strength, saturation=strength)
+
+
+def mixup(key: Array, videos: Array, labels: Array, num_classes: int,
+          alpha: float = 0.2,
+          label_smoothing: float = 0.0) -> tuple[Array, Array]:
+  """MixUp (Zhang et al. 2018) on a clip batch, device-side.
+
+  Each example blends with a random OTHER example of the same batch:
+  ``mix = lam * x_i + (1 - lam) * x_perm[i]`` with per-example
+  ``lam ~ Beta(alpha, alpha)``, and the (optionally smoothed) one-hot
+  targets blend with the same weights — so the head learns calibrated
+  probabilities between classes instead of over-confident spikes.  Runs
+  inside the jitted train step (static shapes; one fused elementwise
+  pass over the batch).
+
+  Returns ``(mixed_videos, label_probs [B, C])`` — feed the targets to
+  :func:`objectives.soft_cross_entropy_loss`.
+  """
+  if videos.shape[0] != labels.shape[0]:
+    raise ValueError(f'{videos.shape[0]} videos vs {labels.shape[0]} labels')
+  b = videos.shape[0]
+  k_lam, k_perm = jax.random.split(key)
+  lam = jax.random.beta(k_lam, alpha, alpha, (b,)).astype(jnp.float32)
+  perm = jax.random.permutation(k_perm, b)
+  lam_v = lam.reshape((b,) + (1,) * (videos.ndim - 1))
+  videos = videos.astype(jnp.float32)
+  mixed = lam_v * videos + (1.0 - lam_v) * jnp.take(videos, perm, axis=0)
+  onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+  if label_smoothing:
+    onehot = ((1.0 - label_smoothing) * onehot
+              + label_smoothing / num_classes)
+  probs = (lam[:, None] * onehot
+           + (1.0 - lam[:, None]) * jnp.take(onehot, perm, axis=0))
+  return mixed, probs

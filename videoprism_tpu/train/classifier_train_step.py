@@ -116,9 +116,21 @@ def _head_forward(head: Params, features, cfg: vc.VideoClassifierConfig,
 
 
 def classifier_loss_fn(params: Params, batch, cfg: vc.VideoClassifierConfig,
-                       rng: jax.Array):
-  logits, _ = vc.apply(params, batch['video'], cfg, train=True, rng=rng)
-  return objectives.softmax_cross_entropy_loss(logits, batch['label'])
+                       rng: jax.Array, mixup_alpha: float = 0.0,
+                       label_smoothing: float = 0.0):
+  video, label = batch['video'], batch['label']
+  if mixup_alpha > 0.0:
+    from videoprism_tpu.train import augment as augment_lib
+
+    rng, mix_rng = jax.random.split(rng)
+    video, label_probs = augment_lib.mixup(
+        mix_rng, video, label, cfg.num_classes, mixup_alpha,
+        label_smoothing)
+    logits, _ = vc.apply(params, video, cfg, train=True, rng=rng)
+    return objectives.soft_cross_entropy_loss(logits, label_probs)
+  logits, _ = vc.apply(params, video, cfg, train=True, rng=rng)
+  return objectives.softmax_cross_entropy_loss(
+      logits, label, label_smoothing=label_smoothing)
 
 
 def make_classifier_train_step(
@@ -127,20 +139,33 @@ def make_classifier_train_step(
     *,
     freeze_backbone: bool = False,
     accum_steps: int = 1,
+    mixup_alpha: float = 0.0,
+    label_smoothing: float = 0.0,
 ):
   """Returns ``step(state, batch, rng) -> (state, metrics)`` (pure,
   jittable).  Batch: ``{'video': [B,T,H,W,3], 'label': int32 [B]}``
-  (``[accum_steps, B, ...]`` when accumulating)."""
+  (``[accum_steps, B, ...]`` when accumulating).
+
+  ``mixup_alpha > 0`` blends clips AND targets inside the step
+  (:func:`videoprism_tpu.train.augment.mixup`, Beta(alpha, alpha) per
+  example); ``label_smoothing`` spreads target mass over classes.  Both
+  compose (smoothing applies to the one-hots before mixing) and both
+  affect training only — eval always scores hard labels.
+  """
+
+  def full_loss(params, batch, rng):
+    return classifier_loss_fn(params, batch, cfg, rng,
+                              mixup_alpha=mixup_alpha,
+                              label_smoothing=label_smoothing)
 
   def full_step(state: ClassifierTrainState, batch, rng):
     if accum_steps > 1:
-      vg = jax.value_and_grad(classifier_loss_fn, has_aux=True)
+      vg = jax.value_and_grad(full_loss, has_aux=True)
       grads, metrics = accumulate_gradients(
-          lambda tr, mb, r: vg(tr, mb, cfg, r), state.params, batch,
-          jax.random.split(rng, accum_steps))
+          vg, state.params, batch, jax.random.split(rng, accum_steps))
     else:
       (_, metrics), grads = jax.value_and_grad(
-          classifier_loss_fn, has_aux=True)(state.params, batch, cfg, rng)
+          full_loss, has_aux=True)(state.params, batch, rng)
     updates, new_opt_state = optimizer.update(
         grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
@@ -150,7 +175,10 @@ def make_classifier_train_step(
 
   def frozen_loss(head, features, labels, rng):
     logits = _head_forward(head, features, cfg, train=True, rng=rng)
-    return objectives.softmax_cross_entropy_loss(logits, labels)
+    if mixup_alpha > 0.0:  # labels arrive pre-mixed as [B, C] probs
+      return objectives.soft_cross_entropy_loss(logits, labels)
+    return objectives.softmax_cross_entropy_loss(
+        logits, labels, label_smoothing=label_smoothing)
 
   def frozen_step(state: ClassifierTrainState, batch, rng):
     head, encoder = _split_head(state.params)
@@ -161,18 +189,38 @@ def make_classifier_train_step(
       features, _ = fe.apply(encoder, video, cfg.encoder, train=False)
       return features
 
+    def prepare(mb, r):
+      # Mixing happens in PIXEL space before the frozen encoder (mixing
+      # features instead would change the protocol), then the targets
+      # ride as [B, C] probabilities.
+      if mixup_alpha > 0.0:
+        from videoprism_tpu.train import augment as augment_lib
+
+        video, probs = augment_lib.mixup(
+            r, mb['video'], mb['label'], cfg.num_classes, mixup_alpha,
+            label_smoothing)
+        return video, probs
+      return mb['video'], mb['label']
+
     if accum_steps > 1:
       vg = jax.value_and_grad(frozen_loss, has_aux=True)
+
+      def micro(tr, mb, r):
+        r_mix, r_loss = jax.random.split(r)
+        video, labels = prepare(mb, r_mix)
+        return vg(tr, encode(video), labels, r_loss)
+
       # encode() runs inside the accumulation scan, one microbatch's
       # features live at a time (it closes over the frozen encoder, so no
       # gradient flows through it).
       grads, metrics = accumulate_gradients(
-          lambda tr, mb, r: vg(tr, encode(mb['video']), mb['label'], r),
-          head, batch, jax.random.split(rng, accum_steps))
+          micro, head, batch, jax.random.split(rng, accum_steps))
     else:
-      features = encode(batch['video'])
+      rng_mix, rng_loss = jax.random.split(rng)
+      video, labels = prepare(batch, rng_mix)
+      features = encode(video)
       (_, metrics), grads = jax.value_and_grad(frozen_loss, has_aux=True)(
-          head, features, batch['label'], rng)
+          head, features, labels, rng_loss)
     updates, new_opt_state = optimizer.update(grads, state.opt_state, head)
     new_head = optax.apply_updates(head, updates)
     new_params = dict(state.params, **new_head)
@@ -191,6 +239,8 @@ def make_sharded_classifier_train_step(
     *,
     freeze_backbone: bool = False,
     accum_steps: int = 1,
+    mixup_alpha: float = 0.0,
+    label_smoothing: float = 0.0,
 ):
   """jits the classifier step with explicit shardings over ``mesh``:
   params tensor-parallel per the GSPMD name rules (head subtree
@@ -214,7 +264,9 @@ def make_sharded_classifier_train_step(
   step = jax.jit(
       make_classifier_train_step(cfg, optimizer,
                                  freeze_backbone=freeze_backbone,
-                                 accum_steps=accum_steps),
+                                 accum_steps=accum_steps,
+                                 mixup_alpha=mixup_alpha,
+                                 label_smoothing=label_smoothing),
       in_shardings=(state_sh, batch_sh, repl),
       out_shardings=(state_sh, repl),
       donate_argnums=(0,),

@@ -158,10 +158,33 @@ def init_temperature_state(objective: str,
 
 
 def softmax_cross_entropy_loss(
-    logits: Array, labels: Array
+    logits: Array, labels: Array, label_smoothing: float = 0.0
 ) -> tuple[Array, dict[str, Array]]:
-  """Mean softmax cross-entropy for integer labels [B]."""
+  """Mean softmax cross-entropy for integer labels [B].
+
+  ``label_smoothing`` ε spreads ε of the target mass uniformly over the
+  classes (target = (1-ε)·onehot + ε/C) — the standard fine-tuning
+  regularizer against over-confident heads.  Accuracy always scores
+  against the hard label.
+  """
   log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
   nll = -jnp.mean(jnp.take_along_axis(log_probs, labels[:, None], axis=-1))
+  if label_smoothing:
+    uniform_nll = -jnp.mean(log_probs)  # mean over batch AND classes
+    nll = (1.0 - label_smoothing) * nll + label_smoothing * uniform_nll
   acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+  return nll, {'loss': nll, 'accuracy': acc}
+
+
+def soft_cross_entropy_loss(
+    logits: Array, label_probs: Array
+) -> tuple[Array, dict[str, Array]]:
+  """Mean cross-entropy against a target DISTRIBUTION [B, C] (rows sum
+  to 1) — what MixUp-style label mixing produces.  Accuracy scores the
+  prediction against the distribution's argmax (the dominant label)."""
+  log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+  nll = -jnp.mean(jnp.sum(label_probs.astype(jnp.float32) * log_probs,
+                          axis=-1))
+  acc = jnp.mean(
+      jnp.argmax(logits, axis=-1) == jnp.argmax(label_probs, axis=-1))
   return nll, {'loss': nll, 'accuracy': acc}
