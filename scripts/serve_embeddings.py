@@ -58,7 +58,7 @@ from videoprism_tpu.serving_http import EmbeddingHTTPServer  # noqa: E402
 
 def _build_extra_model(spec: str, args):
   """``NAME=MODEL[:int8]`` → (name, started EmbeddingService,
-  text_encode_fn, text_service, warmup clip shape).
+  text_encode_fn, text_service, warmup clip shape, reload_fn).
 
   MODEL is a registry name (bf16 + flash, weights auto-resolved — lvt
   models get a text tower) or the ``tiny``/``tiny_clip`` smoke fixtures
@@ -121,7 +121,24 @@ def _build_extra_model(spec: str, args):
         max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)
     text_service.start()
     text_encode_fn = text_service.encode
-  return name, service, text_encode_fn, text_service, clip_shape
+
+  def reload_fn():
+    """SIGHUP leg for this model: re-resolve the registry weights and
+    swap them in (and rebuild the text closure — it holds its own copy
+    of the tree, or /v1/search would mix embedding spaces)."""
+    if model_name in ('tiny', 'tiny_clip'):
+      print(f'reload[{name}]: tiny fixture serves random init; skipped')
+      return
+    new_state = vp.load_pretrained_weights(model_name)
+    service.reload_state(new_state)
+    if text_service is not None:
+      from videoprism_tpu import retrieval
+
+      text_service.reload(retrieval.make_text_query_encoder(
+          model._unwrap(new_state), model.config, tokenizer))
+    print(f'reload[{name}]: serving new weights', flush=True)
+
+  return name, service, text_encode_fn, text_service, clip_shape, reload_fn
 
 
 def main():
@@ -194,8 +211,8 @@ def main():
                            'models get their text tower too) or "tiny"/'
                            '"tiny_clip" for smoke fixtures. ":int8" turns '
                            'on W8A8 serving for that model. Buckets/wait/'
-                           'shedding knobs are shared; SIGHUP hot reload '
-                           'applies to the default model only.')
+                           'shedding knobs are shared; one SIGHUP '
+                           'hot-reloads every model on the pod.')
   parser.add_argument('--pad-frames', action='store_true',
                       help='accept clips SHORTER than the warmup frame '
                            'count on /v1/embed: they pad + mask '
@@ -384,16 +401,65 @@ def main():
 
   # Additional models on the same process/port (/v1/models/<name>/...).
   extra_services = []
+  extra_reloads = []
   for spec in args.extra_model or []:
-    name, svc2, text_fn2, text_svc2, shape2 = _build_extra_model(spec, args)
+    (name, svc2, text_fn2, text_svc2, shape2,
+     reload2) = _build_extra_model(spec, args)
     server.add_model(name, svc2, text_encode_fn=text_fn2,
                      text_service=text_svc2)
     extra_services.append((svc2, text_svc2))
+    extra_reloads.append((name, reload2))
     if args.warmup_frames or spec.split('=', 1)[1].startswith('tiny'):
       print(f'warming up model {name!r} at clip shape {shape2} ...')
       svc2.warmup(shape2, np.uint8)
     print(f'extra model {name!r}: /v1/models/{name}/embed'
           + (', .../embed_text' if text_fn2 is not None else ''))
+
+  # Preemption/eviction sends SIGTERM: route it through the same graceful
+  # path as ctrl-C so in-flight requests drain instead of dropping.
+  def _sigterm(signum, frame):
+    del signum, frame
+    raise KeyboardInterrupt
+  signal.signal(signal.SIGTERM, _sigterm)
+
+  # SIGHUP = hot weight reload (the classic daemon convention): re-read
+  # the checkpoint and swap it in with zero downtime. Runs in a thread so
+  # a multi-GB load never stalls the accept loop.
+  def _reload():
+    try:
+      if args.tiny or args.tiny_clip:
+        print('reload: --tiny serves random init; nothing to re-read')
+      else:
+        src = args.checkpoint or args.model
+        print(f'reload: re-reading weights from {src} ...', flush=True)
+        if args.checkpoint:
+          new_state = vp.load_pretrained_weights(
+              None, checkpoint_path=args.checkpoint)
+        else:
+          new_state = vp.load_pretrained_weights(args.model)
+        service.reload_state(new_state)
+        if text_service is not None:
+          # lvt models serve BOTH towers: the text encoder closure holds
+          # its own copy of the weights, so it must be rebuilt too or
+          # /v1/search would score across mismatched embedding spaces.
+          text_service.reload(retrieval.make_text_query_encoder(
+              model._unwrap(new_state), model.config, tokenizer,
+              exported=args.from_export_text))
+        print(f'reload: serving new weights '
+              f'(reload #{service.stats()["reloads"]})', flush=True)
+    except Exception as e:
+      print(f'reload FAILED (still serving old weights): {e}', flush=True)
+    # One SIGHUP reloads EVERY model on the pod; a failing extra leaves
+    # the others (and itself, on old weights) serving.
+    for extra_name, reload2 in extra_reloads:
+      try:
+        reload2()
+      except Exception as e:
+        print(f'reload[{extra_name}] FAILED (still serving old '
+              f'weights): {e}', flush=True)
+
+  signal.signal(signal.SIGHUP, lambda *_: threading.Thread(
+      target=_reload, daemon=True).start())
 
   endpoints = 'POST /v1/embed, GET /healthz, GET /stats'
   if text_encode_fn is not None:
@@ -478,43 +544,6 @@ def main():
       if text_svc2 is not None:
         text_svc2.stop()
     return
-  # Preemption/eviction sends SIGTERM: route it through the same graceful
-  # path as ctrl-C so in-flight requests drain instead of dropping.
-  def _sigterm(signum, frame):
-    del signum, frame
-    raise KeyboardInterrupt
-  signal.signal(signal.SIGTERM, _sigterm)
-
-  # SIGHUP = hot weight reload (the classic daemon convention): re-read
-  # the checkpoint and swap it in with zero downtime. Runs in a thread so
-  # a multi-GB load never stalls the accept loop.
-  def _reload():
-    try:
-      if args.tiny or args.tiny_clip:
-        print('reload: --tiny serves random init; nothing to re-read')
-        return
-      src = args.checkpoint or args.model
-      print(f'reload: re-reading weights from {src} ...', flush=True)
-      if args.checkpoint:
-        new_state = vp.load_pretrained_weights(
-            None, checkpoint_path=args.checkpoint)
-      else:
-        new_state = vp.load_pretrained_weights(args.model)
-      service.reload_state(new_state)
-      if text_service is not None:
-        # lvt models serve BOTH towers: the text encoder closure holds
-        # its own copy of the weights, so it must be rebuilt too or
-        # /v1/search would score across mismatched embedding spaces.
-        text_service.reload(retrieval.make_text_query_encoder(
-            model._unwrap(new_state), model.config, tokenizer,
-            exported=args.from_export_text))
-      print(f'reload: serving new weights '
-            f'(reload #{service.stats()["reloads"]})', flush=True)
-    except Exception as e:
-      print(f'reload FAILED (still serving old weights): {e}', flush=True)
-
-  signal.signal(signal.SIGHUP, lambda *_: threading.Thread(
-      target=_reload, daemon=True).start())
   try:
     server.serve_forever()
   except KeyboardInterrupt:

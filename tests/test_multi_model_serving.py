@@ -331,3 +331,51 @@ class TestClientSDK:
     with pytest.raises(RequestError) as exc:
       client.embed(np.zeros(CLIP_SHAPE, np.float32))
     assert exc.value.status == 404
+
+
+@pytest.mark.slow
+def test_sighup_reloads_every_model():
+  """One SIGHUP fans the hot reload out to the default model AND every
+  --extra-model (the CLI used to reload the default only)."""
+  import os
+  import pathlib
+  import signal
+  import subprocess
+  import sys
+  import time
+
+  root = pathlib.Path(__file__).resolve().parent.parent
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(root) + os.pathsep + env.get('PYTHONPATH', '')
+  proc = subprocess.Popen(
+      [sys.executable, '-u', str(root / 'scripts' / 'serve_embeddings.py'),
+       '--tiny', '--cpu-devices', '1', '--port', '0',
+       '--extra-model', 'second=tiny_clip'],
+      stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+  try:
+    seen = []
+    deadline = time.time() + 300
+    while time.time() < deadline:
+      line = proc.stdout.readline()
+      if not line:
+        break
+      seen.append(line)
+      if line.startswith('serving on http://'):
+        break
+    assert any(l.startswith('serving on') for l in seen), ''.join(seen)
+    proc.send_signal(signal.SIGHUP)
+    got_default = got_extra = False
+    deadline = time.time() + 120
+    while time.time() < deadline and not (got_default and got_extra):
+      line = proc.stdout.readline()
+      if not line:
+        break
+      seen.append(line)
+      if line.startswith('reload: --tiny serves random init'):
+        got_default = True
+      if line.startswith('reload[second]: tiny fixture'):
+        got_extra = True
+    assert got_default and got_extra, ''.join(seen[-20:])
+  finally:
+    proc.terminate()
+    proc.wait(timeout=60)
