@@ -56,6 +56,22 @@ def _post_npy(httpd, array, timeout=120):
 
 class TestEndpoints:
 
+  def test_console_page(self, server):
+    """GET / serves the built-in demo console (static HTML driving the
+    public API via fetch)."""
+    httpd, _, _ = server
+    with urllib.request.urlopen(_url(httpd, '/'), timeout=30) as r:
+      assert r.headers['Content-Type'].startswith('text/html')
+      body = r.read().decode()
+    assert 'VideoPrism TPU' in body and '/v1/embed_file' in body
+    # Same page at /index.html; other GETs still 404.
+    with urllib.request.urlopen(_url(httpd, '/index.html'),
+                                timeout=30) as r:
+      assert r.status == 200
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(_url(httpd, '/console'), timeout=30)
+    assert ei.value.code == 404
+
   def test_healthz_and_stats(self, server):
     httpd, _, _ = server
     with urllib.request.urlopen(_url(httpd, '/healthz'), timeout=30) as r:

@@ -511,6 +511,14 @@ class _Handler(BaseHTTPRequestHandler):
     return {name: self._stats_of(b) for name, b in self.models.items()}
 
   def do_GET(self):  # noqa: N802
+    if self.path in ('/', '/index.html'):
+      # Built-in demo console: a static page driving the public API via
+      # fetch (videoprism_tpu/serving_console.py).  Read-only text; the
+      # POSTs it issues are auth-gated like any client's.
+      from videoprism_tpu.serving_console import CONSOLE_HTML
+
+      self._reply(200, 'text/html; charset=utf-8', CONSOLE_HTML.encode())
+      return
     if self.path == '/healthz':
       # Liveness tracks each service's consecutive-batch-error streak: a
       # pod whose chip is gone (claim revoked, runtime wedged) serves
