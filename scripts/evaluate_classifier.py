@@ -63,6 +63,8 @@ def main():
                       help='classifier weights file (load_classifier path); '
                            'ignored when --checkpoint-dir is set')
   parser.add_argument('--batch-size', type=int, default=8)
+  parser.add_argument('--bootstrap', type=int, default=0,
+                      help='percentile-bootstrap CIs over queries: N resamples -> <metric>_ci_low/_ci_high keys (0 = off)')
   parser.add_argument('--num-frames', type=int, default=0,
                       help='default: 16 for base, 8 otherwise')
   parser.add_argument('--temporal-views', type=int, default=1,
@@ -143,7 +145,8 @@ def main():
 
   metrics = evaluate_classifier(params, cfg, source,
                                 batch_size=args.batch_size,
-                                view_aggregate=args.view_aggregate)
+                                view_aggregate=args.view_aggregate,
+                                bootstrap=args.bootstrap)
   print(json.dumps({k: round(v, 6) for k, v in metrics.items()}))
 
 

@@ -53,6 +53,8 @@ def add_clip_eval_args(parser):
                            'random init with --tiny)')
   parser.add_argument('--tokenizer-model', default=None)
   parser.add_argument('--batch-size', type=int, default=8)
+  parser.add_argument('--bootstrap', type=int, default=0,
+                      help='percentile-bootstrap CIs over queries: N resamples -> <metric>_ci_low/_ci_high keys (0 = off)')
   parser.add_argument('--text-batch-size', type=int, default=0,
                       help='default: max(--batch-size, 32)')
   parser.add_argument('--num-frames', type=int, default=0,
@@ -155,7 +157,7 @@ def main():
 
   metrics = evaluate_retrieval(
       params, cfg, source, tokenizer, batch_size=args.batch_size,
-      text_batch_size=args.text_batch_size)
+      text_batch_size=args.text_batch_size, bootstrap=args.bootstrap)
   print(json.dumps({k: round(v, 6) for k, v in metrics.items()}))
 
 

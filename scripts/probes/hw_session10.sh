@@ -1,0 +1,31 @@
+#!/bin/bash
+# One-shot hardware validation for the session-10 serving features —
+# run when the TPU claim becomes available.  Cheapest signal first.
+#
+# What this session changed that CPU tests cannot fully validate:
+#   * per-request latency histograms + /metrics (serving_http)
+#   * ?dtype=float16 egress on /v1/embed[_file]
+#   * online index mutation (/v1/index/add + save) over the real tower
+#   * pad_frames_to serving (frame_paddings through bf16+flash on TPU)
+#   * multi-model SIGHUP reload; demo console at GET /
+# smoke_serving.py stages were extended to cover all of the above.
+set -x
+cd /root/repo
+
+# 0. Claim probe (exit 75 = still unavailable; retry later).
+timeout 240 python -c "
+import sys; sys.path.insert(0, 'scripts')
+import smoke_configs; smoke_configs.ensure_tpu_executes()
+print('claim OK')" || exit 75
+
+# 1. Serving hardware smoke (now incl. fp16 egress, index add/save,
+#    pad-frames short clip through the padded bf16+flash geometry).
+timeout 900 python scripts/smoke_serving.py || exit 1
+
+# 2. Headline bench regression (expect ~163 clips/s base bf16 b64,
+#    b1 p50 ~6.7 ms; chip drifts ~10% process-to-process).
+timeout 900 python bench.py --batch-sizes 1,64 --runs 2
+
+# 3. Driver entries still green.
+timeout 900 python __graft_entry__.py
+timeout 900 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"

@@ -49,6 +49,10 @@ def main():
   parser.add_argument('--tar-shards', default=None,
                       help='glob of uncompressed .tar shards '
                            '(<key>.mp4 + <key>.cls pairs)')
+  parser.add_argument('--bootstrap', type=int, default=0,
+                      help='percentile-bootstrap CIs over examples: N '
+                           'resamples -> <metric>_ci_low/_ci_high keys '
+                           '(0 = off)')
   args = parser.parse_args()
 
   cfg, params, tokenizer, frames, size = resolve_clip(args)
@@ -77,7 +81,7 @@ def main():
 
   metrics = evaluate_zero_shot(
       params, cfg, source, tokenizer, names, batch_size=args.batch_size,
-      text_batch_size=args.text_batch_size)
+      text_batch_size=args.text_batch_size, bootstrap=args.bootstrap)
   print(json.dumps({k: round(v, 6) for k, v in metrics.items()}))
 
 

@@ -103,3 +103,63 @@ class TestZeroShotClassifier:
     m = evaluation.classification_accuracy(scores, labels, ks=(1, 2, 3))
     assert m['top1_accuracy'] == 2 / 3
     assert m['top3_accuracy'] == 1.0
+
+
+class TestBootstrapCI:
+  """Percentile-bootstrap confidence intervals on retrieval /
+  classification metrics (resampled over queries, ranks computed once)."""
+
+  @staticmethod
+  def _paired(n=64, d=16, noise=1.5, seed=0):
+    # noise=1.5 puts recall@1 mid-range (~0.5) so intervals have width.
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    t = v + noise * rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    t /= np.linalg.norm(t, axis=-1, keepdims=True)
+    return v, t
+
+  def test_interval_brackets_point_estimate(self):
+    v, t = self._paired()
+    m = evaluation.retrieval_metrics(v, t, ks=(1, 5), bootstrap=200)
+    for key in ('t2v_recall@1', 'v2t_recall@5', 't2v_median_rank'):
+      lo, hi = m[f'{key}_ci_low'], m[f'{key}_ci_high']
+      assert lo <= m[key] <= hi, (key, lo, m[key], hi)
+      assert hi - lo > 0 or m[key] in (0.0, 1.0)
+
+  def test_deterministic_under_seed(self):
+    v, t = self._paired()
+    a = evaluation.retrieval_metrics(v, t, ks=(1,), bootstrap=50, seed=3)
+    b = evaluation.retrieval_metrics(v, t, ks=(1,), bootstrap=50, seed=3)
+    assert a == b
+    c = evaluation.retrieval_metrics(v, t, ks=(1,), bootstrap=50, seed=4)
+    assert a != c
+
+  def test_more_data_narrows_interval(self):
+    widths = []
+    for n in (32, 512):
+      v, t = self._paired(n=n, seed=1)
+      m = evaluation.retrieval_metrics(v, t, ks=(1,), bootstrap=200)
+      widths.append(m['t2v_recall@1_ci_high'] - m['t2v_recall@1_ci_low'])
+    assert widths[1] < widths[0]
+
+  def test_perfect_retrieval_collapses_at_one(self):
+    v, _ = self._paired(noise=0.0)
+    m = evaluation.retrieval_metrics(v, v, ks=(1,), bootstrap=50)
+    assert m['t2v_recall@1_ci_low'] == m['t2v_recall@1_ci_high'] == 1.0
+
+  def test_classification_ci(self):
+    rng = np.random.default_rng(2)
+    labels = rng.integers(0, 5, 128)
+    scores = rng.standard_normal((128, 5)).astype(np.float32)
+    scores[np.arange(96), labels[:96]] += 2.0  # 75%-ish top-1
+    m = evaluation.classification_accuracy(scores, labels, ks=(1,),
+                                           bootstrap=200)
+    lo, hi = m['top1_accuracy_ci_low'], m['top1_accuracy_ci_high']
+    assert lo <= m['top1_accuracy'] <= hi
+    assert 0.0 < lo < hi < 1.0
+
+  def test_off_by_default(self):
+    v, t = self._paired(n=16)
+    m = evaluation.retrieval_metrics(v, t, ks=(1,))
+    assert not any(k.endswith('_ci_low') for k in m)

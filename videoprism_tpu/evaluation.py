@@ -66,19 +66,43 @@ def _paired_ranks(queries: np.ndarray, candidates: np.ndarray,
   return ranks
 
 
+def _bootstrap_ci(values: np.ndarray, stat, n_bootstrap: int,
+                  confidence: float, rng) -> tuple[float, float]:
+  """Percentile-bootstrap CI for ``stat`` over resampled ``values``."""
+  n = len(values)
+  draws = np.empty(n_bootstrap, np.float64)
+  for i in range(n_bootstrap):
+    draws[i] = stat(values[rng.integers(0, n, n)])
+  alpha = (1.0 - confidence) / 2.0
+  return (float(np.quantile(draws, alpha)),
+          float(np.quantile(draws, 1.0 - alpha)))
+
+
 def retrieval_metrics(
     video_embeddings: np.ndarray,   # [N, D], l2-normalized
     text_embeddings: np.ndarray,    # [N, D], aligned pairs
     ks: Sequence[int] = (1, 5, 10),
     chunk_size: int = 2048,
+    bootstrap: int = 0,
+    confidence: float = 0.95,
+    seed: int = 0,
 ) -> dict[str, float]:
   """Paired text<->video retrieval metrics (the MSRVTT-1K protocol).
 
   Scales to large corpora: similarities are computed in query chunks, so a
   100k-clip sweep never builds the full N x N matrix.
+
+  ``bootstrap=N`` adds percentile-bootstrap confidence intervals
+  (``<metric>_ci_low`` / ``_ci_high`` at ``confidence``) by resampling
+  QUERIES over the fixed candidate pool — each metric is a statistic of
+  the per-query rank vector, so the ranks compute once and the N
+  resamples are O(N·queries) numpy, not N retrieval sweeps.  At the
+  1k-query MSRVTT scale R@1 moves ±2-3 points between seeds; report the
+  interval, not just the point, when comparing models.
   """
   v = np.ascontiguousarray(video_embeddings, np.float32)
   t = np.ascontiguousarray(text_embeddings, np.float32)
+  rng = np.random.default_rng(seed)
 
   out: dict[str, float] = {}
   for name, q, c in (('v2t', v, t), ('t2v', t, v)):
@@ -86,6 +110,14 @@ def retrieval_metrics(
     for k in ks:
       out[f'{name}_recall@{k}'] = float(np.mean(ranks < k))
     out[f'{name}_median_rank'] = float(np.median(ranks) + 1)
+    if bootstrap > 0:
+      stats = {f'{name}_recall@{k}':
+               (lambda r, kk=k: float(np.mean(r < kk))) for k in ks}
+      stats[f'{name}_median_rank'] = lambda r: float(np.median(r) + 1)
+      for key, stat in stats.items():
+        lo, hi = _bootstrap_ci(ranks, stat, bootstrap, confidence, rng)
+        out[f'{key}_ci_low'] = lo
+        out[f'{key}_ci_high'] = hi
   return out
 
 
@@ -115,12 +147,25 @@ def classification_accuracy(
     scores: np.ndarray,   # [N, num_classes] logits or similarities
     labels: np.ndarray,   # [N] int
     ks: Sequence[int] = (1, 5),
+    bootstrap: int = 0,
+    confidence: float = 0.95,
+    seed: int = 0,
 ) -> dict[str, float]:
+  """Top-k accuracy; ``bootstrap=N`` adds percentile-bootstrap CIs
+  (``_ci_low``/``_ci_high``) by resampling examples — accuracy is a mean
+  of per-example indicators, so the hit vector computes once."""
   scores = np.asarray(scores)
   labels = np.asarray(labels)
   order = np.argsort(-scores, axis=1)
+  rng = np.random.default_rng(seed)
   out = {}
   for k in ks:
-    out[f'top{k}_accuracy'] = float(
-        np.mean((order[:, :k] == labels[:, None]).any(axis=1)))
+    hits = (order[:, :k] == labels[:, None]).any(axis=1)
+    out[f'top{k}_accuracy'] = float(np.mean(hits))
+    if bootstrap > 0:
+      lo, hi = _bootstrap_ci(hits.astype(np.float64),
+                             lambda h: float(np.mean(h)),
+                             bootstrap, confidence, rng)
+      out[f'top{k}_accuracy_ci_low'] = lo
+      out[f'top{k}_accuracy_ci_high'] = hi
   return out

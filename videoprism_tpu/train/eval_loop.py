@@ -85,6 +85,7 @@ def evaluate_classifier(
     eval_step=None,
     ks=(1, 5),
     view_aggregate: str = 'logits',
+    bootstrap: int = 0,
 ) -> dict[str, float]:
   """Sweep a ``(clip, label)`` source (``VideoLabelSource`` /
   ``SyntheticLabeledSource``) and return
@@ -147,7 +148,8 @@ def evaluate_classifier(
 
   scores = np.concatenate(all_scores, axis=0)
   labels = np.concatenate(all_labels, axis=0)
-  metrics = evaluation.classification_accuracy(scores, labels, ks=ks)
+  metrics = evaluation.classification_accuracy(scores, labels, ks=ks,
+                                               bootstrap=bootstrap)
   metrics['loss'] = total_nll / n
   metrics['num_examples'] = float(n)
   metrics['num_views'] = float(views)
@@ -271,6 +273,7 @@ def evaluate_retrieval(
     num_workers: int = 4,
     sharding=None,
     ks: Sequence[int] = (1, 5, 10),
+    bootstrap: int = 0,
 ) -> dict[str, float]:
   """Paired text<->video retrieval over a ``(clip, caption)`` source
   (``VideoTextSource`` / ``SyntheticSource``) — the MSRVTT-1K protocol
@@ -295,7 +298,8 @@ def evaluate_retrieval(
       make_clip_text_eval_step(cfg), params, captions, tokenizer,
       batch_size=text_batch_size or batch_size, max_text_len=max_text_len,
       sharding=sharding)
-  metrics = evaluation.retrieval_metrics(video_emb, text_emb, ks=ks)
+  metrics = evaluation.retrieval_metrics(video_emb, text_emb, ks=ks,
+                                         bootstrap=bootstrap)
   metrics['num_pairs'] = float(n)
   return metrics
 
@@ -314,6 +318,7 @@ def evaluate_zero_shot(
     num_workers: int = 4,
     sharding=None,
     ks: Sequence[int] = (1, 5),
+    bootstrap: int = 0,
 ) -> dict[str, float]:
   """Zero-shot classification over a ``(clip, int label)`` source via
   prompt-ensembled class text embeddings (the K400 zero-shot protocol,
@@ -341,7 +346,8 @@ def evaluate_zero_shot(
     labels = [source.get(i)[1] for i in range(n)]
   labels = np.asarray(list(labels), np.int64)
   scores = video_emb @ class_weights.T
-  metrics = evaluation.classification_accuracy(scores, labels, ks=ks)
+  metrics = evaluation.classification_accuracy(scores, labels, ks=ks,
+                                               bootstrap=bootstrap)
   metrics['num_examples'] = float(n)
   metrics['num_classes'] = float(len(class_names))
   return metrics
