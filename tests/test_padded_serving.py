@@ -159,6 +159,37 @@ class TestPaddedEmbedParity:
       service.stop()
 
 
+class TestPaddedComposition:
+
+  def test_int8_composes_with_pad_frames(self, lvt):
+    """quantize='int8' + pad_frames_to: the quantized forward threads the
+    same frame_paddings mask (quality contract vs the fp32 masked
+    apply)."""
+    cfg, model, state = lvt
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(1,), max_wait_ms=1.0,
+        pad_frames_to=T, quantize='int8')
+    service.start()
+    try:
+      clip = np.random.default_rng(7).random((1, HW, HW, 3), np.float32)
+      got = np.asarray(service.embed(clip), np.float32).ravel()
+      padded, paddings = _pad_clip(clip, T)
+      ref, _, _ = vclip.apply(
+          model._unwrap(state), jnp.asarray(padded[None]), None, None,
+          cfg, train=False, frame_paddings=jnp.asarray(paddings))
+      ref = np.asarray(ref, np.float32).ravel()
+      cos = float(np.dot(got, ref)
+                  / (np.linalg.norm(got) * np.linalg.norm(ref)))
+      assert cos > 0.995, cos
+      # And the mask genuinely engages on the int8 path too.
+      black, _, _ = vclip.apply(
+          model._unwrap(state), jnp.asarray(padded[None]), None, None,
+          cfg, train=False)
+      assert np.abs(got - np.asarray(black).ravel()).max() > 1e-3
+    finally:
+      service.stop()
+
+
 class TestPaddedValidation:
 
   def test_too_long_clip_rejected(self, lvt):
