@@ -90,6 +90,17 @@ class TestLocalizeEndpoint:
           [s['score'] for s in got_row['segments']],
           [s['score'] for s in want_row], atol=1e-4)
 
+  def test_frames_service_stats_surface(self, stack):
+    """Localization traffic (the frames service's own queue) shows up in
+    /stats under frames_* keys — it must not be invisible load."""
+    httpd, _, _, _ = stack
+    video = np.random.default_rng(3).random(CLIP_SHAPE, np.float32)
+    _post_json_localize(httpd, video, QUERIES[:1], k=1, window_sizes=[1])
+    with urllib.request.urlopen(_url(httpd, '/stats'), timeout=30) as r:
+      stats = json.loads(r.read())
+    assert stats['frames_requests_served'] >= 1
+    assert 'frames_batches_run' in stats
+
   def test_file_form_with_q_params(self, stack):
     httpd, _, _, _ = stack
     body = open(assets.demo_video_path(), 'rb').read()

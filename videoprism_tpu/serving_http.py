@@ -503,6 +503,11 @@ class _Handler(BaseHTTPRequestHandler):
     stats = binding.service.stats()
     if binding.text_service is not None:
       stats.update(binding.text_service.stats())
+    if binding.frames_service is not None:
+      # /v1/localize rides its own EmbeddingService; surface its load
+      # under a prefix so localization traffic is not invisible.
+      stats.update({f'frames_{k}': v for k, v in
+                    binding.frames_service.stats().items()})
     if binding.index is not None:
       stats['index_size'] = len(binding.index)
     return stats
