@@ -915,6 +915,64 @@ class TestClassifyEndpoint:
     got = sorted(preds, key=lambda p: p['class'])
     np.testing.assert_allclose([p['prob'] for p in got], want, atol=1e-5)
 
+  def test_classify_long_matches_library(self, clf_server):
+    """/v1/classify_long == streaming.classify_long_video on the same
+    container (exact streaming-pooler logits, served)."""
+    from videoprism_tpu import assets, streaming
+    from videoprism_tpu.client import VideoPrismClient
+
+    httpd, model, state = clf_server
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    path = assets.demo_video_path()
+    preds = c.classify_long_file(path, k=4, window=2, size=12,
+                                 timeout_s=600)
+    assert len(preds) == 4
+    assert abs(sum(p['prob'] for p in preds) - 1.0) < 1e-5
+    logits = streaming.classify_long_video(
+        model._unwrap(state), model.config, path, window=2,
+        target_size=12)
+    want = np.argsort(-np.asarray(logits))
+    assert [p['class'] for p in preds] == [int(i) for i in want]
+    probs = np.exp(logits - logits.max())
+    probs /= probs.sum()
+    np.testing.assert_allclose(
+        [p['prob'] for p in preds], probs[want], atol=1e-4)
+
+  def test_classify_long_overlapping_windows(self, clf_server):
+    from videoprism_tpu import assets
+    from videoprism_tpu.client import VideoPrismClient
+
+    httpd, _, _ = clf_server
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    preds = c.classify_long_file(assets.demo_video_path(), k=1, window=2,
+                                 stride=1, size=12, timeout_s=600)
+    assert preds and 0.0 < preds[0]['prob'] <= 1.0
+
+  def test_classify_long_validation(self, clf_server, server):
+    httpd, _, _ = clf_server
+    # Non-video body -> 400.
+    req = urllib.request.Request(
+        _url(httpd, '/v1/classify_long'), b'{}',
+        {'Content-Type': 'application/json'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+    # stride > window -> 400.
+    req = urllib.request.Request(
+        _url(httpd, '/v1/classify_long?window=2&stride=3'), b'x',
+        {'Content-Type': 'video/mp4'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+    # Embedding server -> 404.
+    emb_httpd, _, _ = server
+    req = urllib.request.Request(
+        _url(emb_httpd, '/v1/classify_long'), b'x',
+        {'Content-Type': 'video/mp4'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 404
+
   def test_classify_garbage_file_is_400(self, clf_server):
     httpd, _, _ = clf_server
     req = urllib.request.Request(

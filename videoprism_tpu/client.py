@@ -176,16 +176,21 @@ class VideoPrismClient:
       self._local.conn = None
 
   def _roundtrip(self, method: str, path: str, body: bytes | None,
-                 headers: dict[str, str]):
+                 headers: dict[str, str], timeout_s: float | None = None):
     """One HTTP exchange over this thread's persistent connection.
 
     Returns ``(status, response, body_bytes)``.  A connection that went
     stale between requests (server restart, keep-alive timeout,
     half-closed socket) fails on the FIRST byte — re-dial once and
     resend; a failure on a fresh connection propagates to the caller's
-    retry budget."""
+    retry budget.  ``timeout_s`` overrides the client timeout for THIS
+    exchange only (long-video sweeps outlive the default)."""
     for fresh in (False, True):
       conn = self._connection()
+      if timeout_s is not None:
+        conn.timeout = timeout_s
+        if conn.sock is not None:
+          conn.sock.settimeout(timeout_s)
       try:
         conn.request(method, self._base_path + path, body=body,
                      headers=headers)
@@ -208,20 +213,28 @@ class VideoPrismClient:
       except Exception:
         self._drop_connection()  # unknown state: never reuse
         raise
+      finally:
+        # A one-off long timeout must not linger on the cached conn.
+        if timeout_s is not None:
+          conn.timeout = self._timeout
+          if conn.sock is not None:
+            conn.sock.settimeout(self._timeout)
       if resp.will_close:
         self._drop_connection()  # server asked to close (e.g. error reply)
       return resp.status, resp, data
     raise AssertionError('unreachable')
 
   def _request(self, method: str, path: str, body: bytes | None = None,
-               headers: dict[str, str] | None = None) -> bytes:
+               headers: dict[str, str] | None = None,
+               timeout_s: float | None = None) -> bytes:
     hdrs = dict(headers or {})
     if self._auth:
       hdrs['Authorization'] = f'Bearer {self._auth}'
     last_error: Exception | None = None
     for attempt in range(self._max_retries + 1):
       try:
-        status, resp, data = self._roundtrip(method, path, body, hdrs)
+        status, resp, data = self._roundtrip(method, path, body, hdrs,
+                                             timeout_s)
         if status < 400:
           return data
         detail = self._error_detail(status, data)
@@ -335,6 +348,30 @@ class VideoPrismClient:
         frames, size, temporal_views, spatial_views, joiner='&')
     out = self._request('POST', path, self._file_bytes(video),
                         {'Content-Type': 'video/mp4'})
+    return json.loads(out.decode('utf-8'))['predictions']
+
+  def classify_long_file(self, video: 'str | bytes', k: int = 5,
+                         window: int | None = None,
+                         stride: int | None = None,
+                         frame_stride: int | None = None,
+                         size: int | None = None,
+                         timeout_s: float | None = None
+                         ) -> list[dict[str, Any]]:
+    """Classifier servers: a video FILE of ANY length → softmax top-k
+    via the server's exact streaming pooler (``/v1/classify_long``) —
+    windowed encoding at constant memory, pooling equal to the one-shot
+    result.  A long video is a long request: pass ``timeout_s`` to
+    extend this call beyond the client default."""
+    query = [f'k={k}']
+    for key, value in (('window', window), ('stride', stride),
+                       ('frame_stride', frame_stride), ('size', size)):
+      if value is not None:
+        query.append(f'{key}={value}')
+    out = self._request('POST', self._api('classify_long?' +
+                                          '&'.join(query)),
+                        self._file_bytes(video),
+                        {'Content-Type': 'video/mp4'},
+                        timeout_s=timeout_s)
     return json.loads(out.decode('utf-8'))['predictions']
 
   def search_video_file(self, video: 'str | bytes', k: int = 5,

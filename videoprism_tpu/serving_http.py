@@ -74,6 +74,11 @@ Endpoints:
   a self-contained vector database over the wire.
 * ``POST /v1/classify[?k=N]`` — classifier servers: one clip in, softmax
   top-k ``{"class", "prob"[, "label"]}`` out (label map optional).
+* ``POST /v1/classify_long[?k=&window=&stride=&frame_stride=]`` —
+  classifier servers: a video container of ANY length; incremental
+  server-side decode + the EXACT streaming pooler
+  (``streaming.classify_long_video``) at constant memory — the logits
+  equal one-shot pooling of the whole token stream.
   ``/v1/classify`` and ``/v1/search_video`` also accept a ``video/*``
   body — the uploaded container decodes server-side exactly like
   ``/v1/embed_file`` (same ``?frames=&size=`` overrides).
@@ -627,6 +632,9 @@ class _Handler(BaseHTTPRequestHandler):
     if self.path.startswith('/v1/embed_file'):
       self._post_embed_file()
       return
+    if self.path.startswith('/v1/classify_long'):
+      self._post_classify_long()
+      return
     if self.path.startswith('/v1/classify'):
       self._post_classify()
       return
@@ -873,6 +881,78 @@ class _Handler(BaseHTTPRequestHandler):
       self._reply_overloaded(e)
     except Exception as e:  # service-side failure
       self._reply_json(500, {'error': str(e)})
+
+  def _post_classify_long(self) -> None:
+    """``POST /v1/classify_long[?k=&window=&stride=&frame_stride=&
+    size=]`` — classifier servers: the body is a video container of ANY
+    length.  The server decodes it incrementally (constant host memory)
+    and classifies with the EXACT streaming pooler
+    (:func:`videoprism_tpu.streaming.classify_long_video`): the encoder
+    runs window-by-window at ONE compiled shape and the online-softmax
+    pooler folds every window's tokens, so the logits equal one-shot
+    pooling of the whole token stream — not a mean of window votes.
+    Runs synchronously in the request thread (a minutes-long sweep is
+    not a micro-batchable clip); budget client timeouts accordingly."""
+    if not self.classify_enabled:
+      self._reject_json(404, {'error': '/v1/classify_long needs a '
+                                       'classifier model'})
+      return
+    cfg = getattr(getattr(self.service, '_model', None), 'config', None)
+    if cfg is None:
+      self._reject_json(404, {'error': '/v1/classify_long needs model '
+                                       'code (not an AOT-only service)'})
+      return
+    try:
+      from urllib.parse import parse_qs, urlparse
+
+      q = parse_qs(urlparse(self.path).query)
+      k = int(q['k'][0]) if 'k' in q else 5
+      frames, size = self.clip_geometry
+      window = int(q['window'][0]) if 'window' in q else frames
+      stride = int(q['stride'][0]) if 'stride' in q else None
+      frame_stride = (int(q['frame_stride'][0])
+                      if 'frame_stride' in q else 1)
+      if 'size' in q:
+        size = int(q['size'][0])
+      if (k <= 0 or window <= 0 or frame_stride <= 0 or size <= 0
+          or (stride is not None and not 0 < stride <= window)):
+        raise ValueError(
+            f'bad parameters: k={k} window={window} stride={stride} '
+            f'frame_stride={frame_stride} size={size}')
+      content_type = self.headers.get('Content-Type', '')
+      if not content_type.startswith('video/'):
+        raise ValueError('/v1/classify_long takes a video/* container '
+                         'body (arbitrary length, decoded server-side)')
+      body = self._read_body()
+    except Exception as e:  # malformed request — client's fault
+      self._reject_json(400, {'error': str(e)})
+      return
+    import os as os_mod
+    import tempfile
+
+    from videoprism_tpu import streaming
+
+    fd, path = tempfile.mkstemp(suffix='.mp4', prefix='videoprism_long_')
+    try:
+      with os_mod.fdopen(fd, 'wb') as f:
+        f.write(body)
+      # Snapshot once: a hot reload mid-sweep must not mix weights.
+      params = self.service._model._unwrap(self.service._state)
+      logits = streaming.classify_long_video(
+          params, cfg, path, window=window, stride=stride,
+          frame_stride=frame_stride, target_size=size)
+    except ValueError as e:  # undecodable/empty upload
+      self._reply_json(400, {'error': str(e)})
+      return
+    except Exception as e:
+      msg = str(e)
+      status = 400 if 'decod' in msg.lower() else 500
+      self._reply_json(status, {'error': msg})
+      return
+    finally:
+      os_mod.unlink(path)
+    preds = self._topk_predictions(logits, k, self.labels)
+    self._reply_json(200, {'predictions': preds})
 
   @staticmethod
   def _topk_predictions(logits, k: int, labels=None) -> list:
