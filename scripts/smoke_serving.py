@@ -230,10 +230,16 @@ def main() -> int:
     preds = c.classify_file(args.clip, k=3)
     assert len(preds) == 3
     assert abs(sum(p['prob'] for p in preds)) <= 1 + 1e-6
+    # Long-video path: the same container through the exact streaming
+    # pooler (8-frame windows, stride 4 -> overlapping sweep on chip).
+    long_preds = c.classify_long_file(args.clip, k=3, window=8, stride=4,
+                                      timeout_s=580)
+    assert len(long_preds) == 3
+    assert abs(sum(p['prob'] for p in long_preds) - 1.0) <= 1e-5
     httpd.stop()
     svc.stop()
-    print(f'3. bf16 classifier classify_file: top1={preds[0]}  OK',
-          flush=True)
+    print(f'3. bf16 classifier classify_file: top1={preds[0]}, '
+          f'classify_long top1={long_preds[0]}  OK', flush=True)
 
   if 4 in stages:
     from videoprism_tpu import export as export_lib
