@@ -1008,6 +1008,86 @@ class TestClassifyEndpoint:
       service.stop()
 
 
+class TestEmbedLong:
+  """POST /v1/embed_long: arbitrary-length containers through windowed
+  forwards on the service's batch path."""
+
+  @pytest.fixture(scope='class')
+  def lvt_server(self):
+    from videoprism_tpu.models import clip as vclip
+
+    cfg = vclip.VideoCLIPConfig(
+        **TINY, num_auxiliary_layers=1, enable_causal_atten=True,
+        num_unimodal_layers=2, norm_policy='pre', vocabulary_size=1000)
+    model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+    state = model.init(jax.random.PRNGKey(0))
+    service = serving.EmbeddingService(model, state, batch_buckets=(1, 2))
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(service, host='127.0.0.1',
+                                             port=0)
+    httpd.start()
+    yield httpd, model, state
+    httpd.stop()
+    service.stop()
+
+  def test_matches_library_embed_video_file(self, lvt_server):
+    from videoprism_tpu import assets, streaming
+    from videoprism_tpu.client import VideoPrismClient
+
+    httpd, model, state = lvt_server
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    path = assets.demo_video_path()
+    pooled = c.embed_long_file(path, window=2, size=12, timeout_s=600)
+    windows = c.embed_long_file(path, window=2, size=12, per_window=True,
+                                timeout_s=600)
+    assert pooled.ndim == 1 and windows.ndim == 2
+    assert abs(np.linalg.norm(pooled) - 1.0) < 1e-3
+
+    def embed_fn(batch):
+      out, _, _ = model.apply(state, batch.astype(np.float32) / 255.0,
+                              None, None, train=False)
+      return np.asarray(out)
+
+    want_pooled, want_windows = streaming.embed_video_file(
+        embed_fn, path, window=2, target_size=12, batch_windows=2)
+    np.testing.assert_allclose(pooled, want_pooled, atol=1e-4)
+    np.testing.assert_allclose(windows, want_windows, atol=1e-4)
+
+  def test_overlap_and_dtype(self, lvt_server):
+    from videoprism_tpu import assets
+    from videoprism_tpu.client import VideoPrismClient
+
+    httpd, _, _ = lvt_server
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}',
+                         response_dtype='float16')
+    emb = c.embed_long_file(assets.demo_video_path(), window=2, stride=1,
+                            size=12, timeout_s=600)
+    assert emb.dtype == np.float16 and np.isfinite(
+        emb.astype(np.float32)).all()
+
+  def test_token_level_model_is_400(self, server):
+    httpd, _, _ = server
+    from videoprism_tpu import assets
+
+    body = open(assets.demo_video_path(), 'rb').read()
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed_long?window=2&size=12'), body,
+        {'Content-Type': 'video/mp4'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=120)
+    assert ei.value.code == 400
+    assert b'one embedding vector' in ei.value.read()
+
+  def test_non_video_body_is_400(self, lvt_server):
+    httpd, _, _ = lvt_server
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed_long'), b'{}',
+        {'Content-Type': 'application/json'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+
+
 class TestMalformedRequests:
   """Fuzz-ish robustness: arbitrary garbage on every endpoint must come
   back as a clean JSON 4xx and never wedge the server."""

@@ -350,6 +350,32 @@ class VideoPrismClient:
                         {'Content-Type': 'video/mp4'})
     return json.loads(out.decode('utf-8'))['predictions']
 
+  def embed_long_file(self, video: 'str | bytes',
+                      window: int | None = None,
+                      stride: int | None = None,
+                      frame_stride: int | None = None,
+                      size: int | None = None,
+                      per_window: bool = False,
+                      timeout_s: float | None = None) -> np.ndarray:
+    """Embedding servers: a video FILE of ANY length → one ``[D]``
+    embedding (l2-normalized mean of windowed embeddings, constant
+    server memory; ``per_window=True`` returns the ``[N, D]`` window
+    embeddings instead).  Pass ``timeout_s`` for very long sweeps."""
+    query = []
+    for key, value in (('window', window), ('stride', stride),
+                       ('frame_stride', frame_stride), ('size', size)):
+      if value is not None:
+        query.append(f'{key}={value}')
+    if per_window:
+      query.append('per_window=1')
+    path = self._api('embed_long') + ('?' + '&'.join(query) if query
+                                      else '')
+    path += self._dtype_query(joiner='&' if '?' in path else '?')
+    out = self._request('POST', path, self._file_bytes(video),
+                        {'Content-Type': 'video/mp4'},
+                        timeout_s=timeout_s)
+    return np.load(io.BytesIO(out), allow_pickle=False)
+
   def classify_long_file(self, video: 'str | bytes', k: int = 5,
                          window: int | None = None,
                          stride: int | None = None,

@@ -74,6 +74,11 @@ Endpoints:
   a self-contained vector database over the wire.
 * ``POST /v1/classify[?k=N]`` — classifier servers: one clip in, softmax
   top-k ``{"class", "prob"[, "label"]}`` out (label map optional).
+* ``POST /v1/embed_long[?window=&stride=&frame_stride=&per_window=1]``
+  — embedding servers: a container of ANY length embeds at constant
+  memory (incremental decode → windowed forwards on the service's batch
+  path → l2-normalized mean of window embeddings; ``per_window=1``
+  returns the raw ``[N, D]`` window embeddings).
 * ``POST /v1/classify_long[?k=&window=&stride=&frame_stride=]`` —
   classifier servers: a video container of ANY length; incremental
   server-side decode + the EXACT streaming pooler
@@ -629,6 +634,9 @@ class _Handler(BaseHTTPRequestHandler):
     if self.path.startswith('/v1/index/'):
       self._post_index()
       return
+    if self.path.startswith('/v1/embed_long'):
+      self._post_embed_long()
+      return
     if self.path.startswith('/v1/embed_file'):
       self._post_embed_file()
       return
@@ -836,6 +844,85 @@ class _Handler(BaseHTTPRequestHandler):
     ctype, out = _encode_body('application/x-npy', np.asarray(emb),
                               response_dtype)
     self._reply(200, ctype, out)
+
+  def _post_embed_long(self) -> None:
+    """``POST /v1/embed_long[?window=&stride=&frame_stride=&size=&
+    per_window=1&dtype=float16]`` — embedding servers: a video container
+    of ANY length embeds at constant memory.  Frames decode
+    incrementally server-side and stream through windowed forwards on
+    THIS service's batch path (so int8/bf16/bucketing apply), then the
+    l2-normalized mean of the per-window embeddings comes back as npy
+    ``[D]`` (``?per_window=1``: the raw ``[N, D]`` window embeddings
+    instead).  Needs a model with one embedding vector per clip (the
+    lvt vision tower); classifier servers use ``/v1/classify_long``.
+    Runs synchronously in the request thread — budget client timeouts
+    for the sweep."""
+    if self.classify_enabled:
+      self._reject_json(404, {'error': 'classifier servers classify '
+                                       'long videos at /v1/classify_long'})
+      return
+    try:
+      from urllib.parse import parse_qs, urlparse
+
+      q = parse_qs(urlparse(self.path).query)
+      response_dtype = _response_dtype(q)
+      frames, size = self.clip_geometry
+      window = int(q['window'][0]) if 'window' in q else frames
+      stride = int(q['stride'][0]) if 'stride' in q else None
+      frame_stride = (int(q['frame_stride'][0])
+                      if 'frame_stride' in q else 1)
+      per_window = q.get('per_window', ['0'])[0] not in ('0', 'false', '')
+      if 'size' in q:
+        size = int(q['size'][0])
+      if (window <= 0 or frame_stride <= 0 or size <= 0
+          or (stride is not None and not 0 < stride <= window)):
+        raise ValueError(
+            f'bad parameters: window={window} stride={stride} '
+            f'frame_stride={frame_stride} size={size}')
+      content_type = self.headers.get('Content-Type', '')
+      if not content_type.startswith('video/'):
+        raise ValueError('/v1/embed_long takes a video/* container body '
+                         '(arbitrary length, decoded server-side)')
+      body = self._read_body()
+    except Exception as e:  # malformed request — client's fault
+      self._reject_json(400, {'error': str(e)})
+      return
+    import os as os_mod
+    import tempfile
+
+    from videoprism_tpu import streaming
+
+    def embed_fn(batch):
+      out = np.asarray(self.service.embed_batch(batch))
+      if out.ndim != 2:
+        raise ValueError(
+            'long-video embedding needs a model with one embedding '
+            f'vector per clip; this server returns shape {out.shape[1:]} '
+            'per clip')
+      return out
+
+    fd, path = tempfile.mkstemp(suffix='.mp4', prefix='videoprism_long_')
+    try:
+      with os_mod.fdopen(fd, 'wb') as f:
+        f.write(body)
+      pooled, windows = streaming.embed_video_file(
+          embed_fn, path, window=window, stride=stride,
+          frame_stride=frame_stride,
+          batch_windows=self.service._buckets[-1], target_size=size)
+    except ValueError as e:  # undecodable upload / token-level model
+      self._reply_json(400, {'error': str(e)})
+      return
+    except Exception as e:
+      msg = str(e)
+      self._reply_json(400 if 'decod' in msg.lower() else 500,
+                       {'error': msg})
+      return
+    finally:
+      os_mod.unlink(path)
+    out = windows if per_window else pooled
+    ctype, payload = _encode_body('application/x-npy', np.asarray(out),
+                                  response_dtype)
+    self._reply(200, ctype, payload)
 
   def _post_classify(self) -> None:
     """``POST /v1/classify[?k=N]`` — one clip through the classifier
