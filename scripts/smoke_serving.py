@@ -199,6 +199,11 @@ def main() -> int:
     assert saved['size'] == 6, saved  # 5 synthetic + the add
     assert len(retrieval.load_index(index_save)) == 6
     os.unlink(index_save)
+    # Long-video embedding at the native window (16 frames — the
+    # already-compiled geometry; a different window would pay a fresh
+    # tunnel compile): one window for this clip, pooled row unit-norm.
+    e_long = c.embed_long_file(args.clip, timeout_s=580)
+    assert abs(np.linalg.norm(e_long) - 1.0) < 1e-2, np.linalg.norm(e_long)
     # Variable-length serving (pad_frames_to=16): an 8-frame clip rides
     # the SAME compiled geometry with a frame_paddings mask, and must
     # differ from attending the pad as black frames.

@@ -70,6 +70,10 @@ CONSOLE_HTML = """<!DOCTYPE html>
       <option value="localize">Localize moments (/v1/localize)</option>
       <option value="index_add">Add to search corpus (/v1/index/add)
       </option>
+      <option value="embed_long">Embed long video (/v1/embed_long)
+      </option>
+      <option value="classify_long">Classify long video
+        (/v1/classify_long)</option>
     </select>
   </label>
   <label id="classes-row" style="display:none">Class names /
@@ -178,6 +182,17 @@ $('run').addEventListener('click', async () => {
     } else if (a === 'index_add') {
       out(await jfetch(modelPath('index/add?id=' +
           encodeURIComponent(f.name)),
+          {method: 'POST', headers: headers('video/mp4'), body}));
+    } else if (a === 'embed_long') {
+      const r = await fetch(modelPath('embed_long?dtype=float16'),
+          {method: 'POST', headers: headers('video/mp4'), body});
+      if (!r.ok) throw new Error('HTTP ' + r.status + ': ' +
+          await r.text());
+      const buf = new Uint8Array(await r.arrayBuffer());
+      out(`long-video embedding: ${buf.length} npy bytes (float16) — ` +
+          'every frame swept in windows, not subsampled');
+    } else if (a === 'classify_long') {
+      out(await jfetch(modelPath('classify_long?k=5'),
           {method: 'POST', headers: headers('video/mp4'), body}));
     }
   } catch (e) { out(String(e)); }
