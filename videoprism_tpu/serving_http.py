@@ -534,6 +534,11 @@ class _Handler(BaseHTTPRequestHandler):
 
       self._reply(200, 'text/html; charset=utf-8', CONSOLE_HTML.encode())
       return
+    if self.path == '/openapi.json':
+      from videoprism_tpu.serving_openapi import openapi_spec
+
+      self._reply_json(200, openapi_spec())
+      return
     if self.path == '/healthz':
       # Liveness tracks each service's consecutive-batch-error streak: a
       # pod whose chip is gone (claim revoked, runtime wedged) serves
