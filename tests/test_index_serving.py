@@ -130,6 +130,29 @@ class TestIndexServing:
     assert len(reloaded) == len(index)
     assert set(reloaded.ids) == set(index.ids)
 
+  def test_6_remove_deletes_and_search_forgets(self, server):
+    httpd, _, index, _ = server
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    clip = _clip(11)
+    c.index_add(clip, id='to-delete')
+    hits = _post_npy(httpd, '/v1/search_video?k=1', clip)['results'][0]
+    assert hits[0]['id'] == 'to-delete'
+    before = len(index)
+    assert c.index_remove(['to-delete', 'never-existed']) == 1
+    assert len(index) == before - 1
+    hits = _post_npy(httpd, '/v1/search_video?k=5', clip)['results'][0]
+    assert 'to-delete' not in {h['id'] for h in hits}
+
+  def test_7_remove_validation(self, server):
+    httpd, _, _, _ = server
+    req = urllib.request.Request(
+        _url(httpd, '/v1/index/remove'),
+        json.dumps({'ids': []}).encode(),
+        {'Content-Type': 'application/json'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
   def test_bad_id_rejected(self, server):
     httpd, _, _, _ = server
     _post_npy(httpd, '/v1/index/add?id=' + 'x' * 513, _clip(9), expect=400)

@@ -3,6 +3,7 @@ chunked-sweep equivalence, persistence, the index-build + text-query
 loops over the lvt towers, and the HTTP search endpoints."""
 
 import json
+import threading
 import urllib.error
 import urllib.request
 
@@ -726,3 +727,109 @@ class TestANNVideoIndex:
       t.join()
     assert not errors
     assert len(ann) == 520
+
+
+class TestIndexRemove:
+  """remove(): the delete half of the mutable-corpus CRUD."""
+
+  def test_exact_remove_and_search(self):
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((20, 8)).astype(np.float32)
+    ids = [f'v{i}' for i in range(20)]
+    index = retrieval.VideoIndex(emb, ids)
+    assert index.remove(['v3', 'v7', 'nope']) == 2
+    assert len(index) == 18 and 'v3' not in index.ids
+    hits = index.search(emb[3], k=20)[0]
+    assert 'v3' not in {i for i, _ in hits}
+    assert index.remove(['v3']) == 0  # idempotent
+
+  def test_exact_remove_duplicate_ids_removes_all(self):
+    emb = np.eye(4, dtype=np.float32)
+    index = retrieval.VideoIndex(emb, ['a', 'b', 'a', 'c'])
+    assert index.remove(['a']) == 2
+    assert index.ids == ['b', 'c']
+
+  def test_remove_everything_then_empty_search_raises(self):
+    emb = np.eye(3, dtype=np.float32)
+    index = retrieval.VideoIndex(emb, ['a', 'b', 'c'])
+    assert index.remove(['a', 'b', 'c']) == 3
+    assert len(index) == 0
+    with pytest.raises(ValueError, match='empty'):
+      index.search(emb[0], k=1)
+
+  def test_ann_tombstone_remove(self):
+    emb, q = TestANNVideoIndex._clustered(500, 16, 5)
+    ids = [f'v{i}' for i in range(len(emb))]
+    ann = retrieval.ANNVideoIndex(emb, ids, ef_search=64)
+    if not ann.native:
+      pytest.skip('native ANN library unavailable')
+    # Remove the guaranteed top-1 of a self-query: it must vanish from
+    # results while the rest keep ranking.
+    top1 = ann.search(emb[7], k=1)[0][0][0]
+    assert top1 == 'v7'
+    assert ann.remove(['v7', 'v100']) == 2
+    assert len(ann) == 498 and 'v7' not in ann.ids
+    hits = ann.search(emb[7], k=10)[0]
+    assert len(hits) == 10
+    assert {'v7', 'v100'}.isdisjoint({i for i, _ in hits})
+    assert ann.remove(['v7']) == 0  # already tombstoned
+
+  def test_ann_save_compacts_and_reloads(self, tmp_path):
+    emb, q = TestANNVideoIndex._clustered(300, 16, 3)
+    ids = [f'v{i}' for i in range(len(emb))]
+    ann = retrieval.ANNVideoIndex(emb, ids, ef_search=64)
+    if not ann.native:
+      pytest.skip('native ANN library unavailable')
+    ann.remove([f'v{i}' for i in range(0, 300, 3)])  # a third gone
+    path = str(tmp_path / 'compact.npz')
+    ann.save(path)
+    with np.load(path, allow_pickle=False) as data:
+      assert len(data['embeddings']) == 200   # live rows only
+      assert 'ann_graph' not in data          # graph dropped: rebuild
+    reloaded = retrieval.load_index(path)
+    assert isinstance(reloaded, retrieval.ANNVideoIndex)
+    assert len(reloaded) == 200
+    assert set(reloaded.ids) == set(ids) - {f'v{i}'
+                                            for i in range(0, 300, 3)}
+    hits = reloaded.search(q, k=5)
+    assert all(len(row) == 5 for row in hits)
+
+  def test_ann_fallback_remove_rebuilds_arrays(self, monkeypatch):
+    from videoprism_tpu import native as native_mod
+
+    monkeypatch.setattr(native_mod, 'load_ann_lib', lambda: None)
+    emb = np.eye(6, dtype=np.float32)
+    ann = retrieval.ANNVideoIndex(emb, [f'v{i}' for i in range(6)])
+    assert not ann.native
+    assert ann.remove(['v2']) == 1
+    assert len(ann) == 5 and not ann._dead  # array rebuild, no tombstone
+    hits = ann.search(emb[2], k=5)[0]
+    assert 'v2' not in {i for i, _ in hits}
+
+  def test_concurrent_remove_and_search_never_misalign(self):
+    rng = np.random.default_rng(1)
+    rows = rng.standard_normal((200, 8)).astype(np.float32)
+    index = retrieval.VideoIndex(rows, [f'v{i}' for i in range(200)])
+    stop = threading.Event()
+    errors = []
+
+    def searcher():
+      # v0..v49 are never removed: their self-queries must stay exact.
+      while not stop.is_set():
+        try:
+          for i, got in enumerate(index.search(rows[:50], k=1)):
+            assert got[0][0] == f'v{i}' and got[0][1] > 0.999
+        except Exception as e:  # pragma: no cover
+          errors.append(e)
+          return
+
+    threads = [threading.Thread(target=searcher) for _ in range(2)]
+    for t in threads:
+      t.start()
+    for i in range(199, 49, -1):
+      index.remove([f'v{i}'])
+    stop.set()
+    for t in threads:
+      t.join(timeout=60)
+    assert not errors, errors
+    assert len(index) == 50

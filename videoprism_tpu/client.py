@@ -441,6 +441,15 @@ class VideoPrismClient:
                         {'Content-Type': 'video/mp4'})
     return json.loads(out.decode('utf-8'))['id']
 
+  def index_remove(self, ids: Sequence[str]) -> int:
+    """Removes clips from the server's search corpus by id; returns how
+    many rows were deleted (HNSW corpora tombstone and compact on
+    save)."""
+    out = self._request('POST', self._api('index/remove'),
+                        json.dumps({'ids': list(ids)}).encode(),
+                        {'Content-Type': 'application/json'})
+    return json.loads(out.decode('utf-8'))['removed']
+
   def index_save(self) -> dict[str, Any]:
     """Persists the server's (mutated) index to its configured save
     path (``serve_embeddings --index-save-path``); returns

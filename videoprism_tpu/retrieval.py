@@ -66,14 +66,18 @@ class VideoIndex:
     if self._dtype not in (np.float32, np.float16):
       raise ValueError(f'storage_dtype must be float32 or float16, '
                        f'got {self._dtype}')
-    self._add_lock = threading.Lock()  # serializes concurrent adds
-    self._emb = (np.zeros((0, 0), self._dtype) if embeddings is None
-                 else self._normalize(embeddings).astype(self._dtype))
-    self._ids = list(ids) if ids is not None else [
-        str(i) for i in range(len(self._emb))]
-    if len(self._ids) != len(self._emb):
+    self._add_lock = threading.Lock()  # serializes mutations
+    emb = (np.zeros((0, 0), self._dtype) if embeddings is None
+           else self._normalize(embeddings).astype(self._dtype))
+    id_list = list(ids) if ids is not None else [
+        str(i) for i in range(len(emb))]
+    if len(id_list) != len(emb):
       raise ValueError(
-          f'{len(self._ids)} ids for {len(self._emb)} embeddings')
+          f'{len(id_list)} ids for {len(emb)} embeddings')
+    # (embeddings, ids) publish as ONE tuple: a reader that snapshots
+    # self._data can never see rows and labels from different versions,
+    # which is what makes concurrent remove (shrinking!) safe.
+    self._data: tuple = (emb, id_list)
 
   @staticmethod
   def _normalize(embeddings: np.ndarray) -> np.ndarray:
@@ -83,51 +87,65 @@ class VideoIndex:
     norm = np.linalg.norm(emb, axis=-1, keepdims=True)
     return emb / np.maximum(norm, 1e-12)
 
+  # Internal read-only views; MUTATIONS go through self._data so the
+  # pair stays atomic for readers.
+  @property
+  def _emb(self) -> np.ndarray:
+    return self._data[0]
+
+  @property
+  def _ids(self) -> list:
+    return self._data[1]
+
   def __len__(self) -> int:
-    return len(self._emb)
+    return len(self._data[0])
 
   @property
   def dim(self) -> int:
-    return self._emb.shape[1]
+    return self._data[0].shape[1]
 
   @property
   def ids(self) -> list[str]:
-    return list(self._ids)
+    return list(self._data[1])
 
   def add(self, embeddings: np.ndarray, ids: Sequence[str]) -> None:
     """Append rows.  Safe under concurrent :meth:`search` (the served
-    ``/v1/index/add`` path): adds serialize on a lock, and readers see
-    fresh immutable objects — the NEW ids list is published before the
-    new embedding matrix, so a search that snapshots either sees rows
-    only at positions its ids list also covers."""
+    ``/v1/index/add`` path): mutations serialize on a lock and publish a
+    fresh ``(embeddings, ids)`` tuple, which readers snapshot whole."""
     emb = self._normalize(embeddings).astype(self._dtype)
     if len(ids) != len(emb):
       raise ValueError(f'{len(ids)} ids for {len(emb)} embeddings')
     with self._add_lock:
-      if len(self._emb) and emb.shape[1] != self.dim:
+      cur_emb, cur_ids = self._data
+      if len(cur_emb) and emb.shape[1] != self.dim:
         raise ValueError(
             f'dim mismatch: index has {self.dim}, adding {emb.shape[1]}')
-      self._ids = self._ids + [str(i) for i in ids]
-      self._emb = emb if not len(self._emb) else np.concatenate(
-          [self._emb, emb], axis=0)
+      self._data = (
+          emb if not len(cur_emb) else np.concatenate([cur_emb, emb],
+                                                      axis=0),
+          cur_ids + [str(i) for i in ids])
 
   def search(self, queries: np.ndarray, k: int = 5,
              chunk_size: int = 65536) -> list[list[tuple[str, float]]]:
     """Top-k by cosine similarity.  ``queries`` is [Q, D] (or [D]);
     returns per query a score-descending ``[(id, score), ...]``."""
-    if not len(self._emb):
+    # ONE snapshot: concurrent add/remove swap self._data wholesale, so
+    # rows and labels below always come from the same version.
+    index_emb, index_ids = self._data
+    if not len(index_emb):
       raise ValueError('search on an empty index')
     q = self._normalize(np.atleast_2d(np.asarray(queries, np.float32)))
-    if q.shape[1] != self.dim:
-      raise ValueError(f'query dim {q.shape[1]} != index dim {self.dim}')
-    k = min(k, len(self._emb))
+    if q.shape[1] != index_emb.shape[1]:
+      raise ValueError(
+          f'query dim {q.shape[1]} != index dim {index_emb.shape[1]}')
+    k = min(k, len(index_emb))
 
     # Running top-k across index chunks: scores stay O(Q * chunk).
     best_scores = np.full((len(q), 0), -np.inf, np.float32)
     best_rows = np.zeros((len(q), 0), np.int64)
-    for start in range(0, len(self._emb), chunk_size):
+    for start in range(0, len(index_emb), chunk_size):
       # fp16 storage upcasts per chunk: fp32 scores, O(chunk) temp.
-      chunk = self._emb[start:start + chunk_size].astype(np.float32,
+      chunk = index_emb[start:start + chunk_size].astype(np.float32,
                                                          copy=False)
       scores = q @ chunk.T
       rows = np.arange(start, start + scores.shape[1])
@@ -142,14 +160,28 @@ class VideoIndex:
     best_scores = np.take_along_axis(best_scores, order, axis=1)
     best_rows = np.take_along_axis(best_rows, order, axis=1)
     return [
-        [(self._ids[r], float(s)) for r, s in zip(rows, scores)]
+        [(index_ids[r], float(s)) for r, s in zip(rows, scores)]
         for rows, scores in zip(best_rows, best_scores)
     ]
 
+  def remove(self, ids) -> int:
+    """Removes every row whose id is in ``ids``; returns the count.
+    Safe under concurrent searches (they snapshot the (rows, labels)
+    pair atomically) — a search in flight scores the OLD corpus, the
+    next one sees the shrunken one."""
+    targets = {str(i) for i in ids}
+    with self._add_lock:
+      emb, cur = self._data
+      keep = [i for i, x in enumerate(cur) if x not in targets]
+      removed = len(cur) - len(keep)
+      if removed:
+        self._data = (emb[keep] if keep else np.zeros((0, 0), self._dtype),
+                      [cur[i] for i in keep])
+    return removed
+
   def save(self, path: str) -> None:
     # Fixed-width unicode (not object dtype): loads with pickle disabled.
-    with self._add_lock:  # a concurrent add must not tear emb vs ids
-      emb, ids = self._emb, self._ids
+    emb, ids = self._data  # one atomic snapshot: never torn
     np.savez(path, embeddings=emb, ids=np.asarray(ids, dtype=np.str_))
 
   @classmethod
@@ -235,6 +267,10 @@ class ANNVideoIndex(VideoIndex):
     self._lib = native.load_ann_lib()
     self._handle = None
     self._rw = _RWLock()
+    # HNSW graphs cannot cheaply delete nodes: removals tombstone the
+    # row index instead (filtered at search), and save() compacts —
+    # live rows only, graph dropped for a rebuild on load.
+    self._dead: set[int] = set()
     if embeddings is not None:
       if ids is None:
         ids = [str(i) for i in range(len(embeddings))]
@@ -244,6 +280,28 @@ class ANNVideoIndex(VideoIndex):
   def native(self) -> bool:
     """True when searches go through the HNSW graph (vs exact fallback)."""
     return self._handle is not None
+
+  def __len__(self) -> int:
+    return len(self._data[0]) - len(self._dead)
+
+  @property
+  def ids(self) -> list[str]:
+    dead = self._dead
+    return [x for i, x in enumerate(self._data[1]) if i not in dead]
+
+  def remove(self, ids) -> int:
+    """Tombstones matching rows (the graph keeps them but searches
+    filter them out); :meth:`save` compacts.  Exact-fallback mode (no
+    native lib) rebuilds the arrays like the base class."""
+    targets = {str(i) for i in ids}
+    with self._rw.writing():
+      if self._handle is None:
+        return super().remove(ids)
+      _, cur = self._data
+      hits = {i for i, x in enumerate(cur)
+              if x in targets and i not in self._dead}
+      self._dead |= hits
+      return len(hits)
 
   def _create_handle(self, dim: int):
     handle = self._lib.vp_ann_create(dim, self._m, self._efc, self._seed)
@@ -271,25 +329,34 @@ class ANNVideoIndex(VideoIndex):
     trades latency for recall per call."""
     if self._handle is None:
       return super().search(queries, k, chunk_size)
-    if not len(self._emb):
-      raise ValueError('search on an empty index')
     q = self._normalize(np.atleast_2d(np.asarray(queries, np.float32)))
-    if q.shape[1] != self.dim:
-      raise ValueError(f'query dim {q.shape[1]} != index dim {self.dim}')
     q = np.ascontiguousarray(q)
-    k = min(k, len(self._emb))
-    ef = max(int(ef_search if ef_search is not None else self.ef_search), k)
-    out_ids = np.empty((len(q), k), np.int32)
-    out_scores = np.empty((len(q), k), np.float32)
-    with self._rw.reading():
+    with self._rw.reading():  # excludes add/remove: a stable snapshot
+      index_ids = self._data[1]
+      total = len(index_ids)
+      dead = set(self._dead)
+      live = total - len(dead)
+      if not live:
+        raise ValueError('search on an empty index')
+      if q.shape[1] != self.dim:
+        raise ValueError(
+            f'query dim {q.shape[1]} != index dim {self.dim}')
+      # Tombstoned rows still live in the graph: over-fetch by their
+      # count so k LIVE results survive the filter.
+      k_req = min(k + len(dead), total)
+      ef = max(int(ef_search if ef_search is not None
+                   else self.ef_search), k_req)
+      out_ids = np.empty((len(q), k_req), np.int32)
+      out_scores = np.empty((len(q), k_req), np.float32)
       rc = self._lib.vp_ann_search(
-          self._handle, q.ctypes.data_as(_c_float_p), len(q), k, ef,
+          self._handle, q.ctypes.data_as(_c_float_p), len(q), k_req, ef,
           out_ids.ctypes.data_as(_c_int_p),
           out_scores.ctypes.data_as(_c_float_p))
     if rc != 0:
       raise RuntimeError('vp_ann_search failed')
     return [
-        [(self._ids[r], float(s)) for r, s in zip(rows, scores) if r >= 0]
+        [(index_ids[r], float(s)) for r, s in zip(rows, scores)
+         if r >= 0 and r not in dead][:k]
         for rows, scores in zip(out_ids, out_scores)
     ]
 
@@ -299,13 +366,21 @@ class ANNVideoIndex(VideoIndex):
     # hold more rows than the arrays — a torn file would force a
     # silent full rebuild on load.
     with self._rw.reading():
+      emb, ids = self._data
+      dead = set(self._dead)
+      if dead:
+        # Compaction: persist live rows only and DROP the graph (it
+        # still holds the tombstoned nodes) — load rebuilds it clean.
+        keep = [i for i in range(len(ids)) if i not in dead]
+        emb = emb[keep]
+        ids = [ids[i] for i in keep]
       arrays = {
-          'embeddings': self._emb,
-          'ids': np.asarray(self._ids, dtype=np.str_),
+          'embeddings': emb,
+          'ids': np.asarray(ids, dtype=np.str_),
           'ann_meta': np.asarray(
               [self._m, self._efc, self.ef_search, self._seed], np.int64),
       }
-      if self._handle is not None:
+      if self._handle is not None and not dead:
         with tempfile.NamedTemporaryFile(suffix='.vpann') as tmp:
           rc = self._lib.vp_ann_save(self._handle, tmp.name.encode())
           if rc != 0:

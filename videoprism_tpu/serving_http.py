@@ -65,11 +65,13 @@ Endpoints:
   pooled CLIP embeddings are swept by sliding windows against each
   query (``retrieval.localize_moments``) and the top temporal segments
   come back per query.
-* ``POST /v1/index/add[?id=<id>]`` + ``POST /v1/index/save`` — online
-  index mutation: the body (clip array or ``video/*`` container) embeds
-  through the same tower the search index rides and is appended under
-  ``id`` (default: the body's content hash) — concurrent searches keep
-  running; ``save`` persists atomically to the server's configured path.
+* ``POST /v1/index/add[?id=<id>]`` + ``/v1/index/remove`` +
+  ``/v1/index/save`` — online index mutation: the body (clip array or
+  ``video/*`` container) embeds through the same tower the search index
+  rides and is appended under ``id`` (default: the body's content
+  hash); ``remove`` deletes by id (HNSW indexes tombstone + compact on
+  save) — concurrent searches keep running;
+  ``save`` persists atomically to the server's configured path.
   With ``--index new[-ann]`` the server starts an empty mutable corpus:
   a self-contained vector database over the wire.
 * ``POST /v1/classify[?k=N]`` — classifier servers: one clip in, softmax
@@ -1392,6 +1394,23 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply_json(500, {'error': str(e)})
         return
       self._reply_json(200, {'path': target, 'size': len(self.index)})
+      return
+    if path == '/v1/index/remove':
+      try:
+        spec = json.loads(self._read_body())
+        ids = spec['ids']
+        if (not isinstance(ids, list) or not ids
+            or not all(isinstance(i, str) for i in ids)):
+          raise ValueError('"ids" must be a non-empty list of strings')
+      except Exception as e:
+        self._reject_json(400, {'error': str(e)})
+        return
+      try:
+        removed = self.index.remove(ids)
+      except Exception as e:
+        self._reply_json(500, {'error': str(e)})
+        return
+      self._reply_json(200, {'removed': removed, 'size': len(self.index)})
       return
     if path != '/v1/index/add':
       self._reject_json(404, {'error': f'unknown path {path}'})

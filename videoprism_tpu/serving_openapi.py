@@ -147,6 +147,12 @@ def openapi_spec() -> dict:
           '(default: content hash); searchable immediately',
           params=[_q('id', 'string')] + _FILE_GEOM,
           request={**_CLIP_BODY, **_VIDEO_BODY})},
+      '/v1/index/remove': {'post': _op(
+          'Remove clips from the search index by id: {"ids": [...]} -> '
+          '{"removed": n, "size": m} (HNSW corpora tombstone the rows '
+          'and compact on save)',
+          request={_JSON: {'schema': {'type': 'object', 'properties': {
+              'ids': {'type': 'array', 'items': {'type': 'string'}}}}}})},
       '/v1/index/save': {'post': _op(
           'Persist the (mutated) index atomically to the server-'
           'configured path (404 without --index-save-path)',
