@@ -276,3 +276,49 @@ class TestClassifyLongVideo:
     with pytest.raises(ValueError):
       streaming.classify_long_video(
           params, cfg, np.zeros((0, 12, 12, 3), np.float32), window=4)
+
+
+def _classifier_cfg():
+  from videoprism_tpu.models import classifier as vc
+
+  enc_cfg = fe.FactorizedEncoderConfig(
+      patch_size=6, pos_emb_shape=(2, 2, 2), model_dim=16,
+      num_spatial_layers=1, num_temporal_layers=1, num_heads=2,
+      mlp_dim=32, atten_logit_cap=50.0, scan=True)
+  return vc.VideoClassifierConfig(encoder=enc_cfg, num_classes=5)
+
+
+class TestWeightsAreArgumentsNotConstants:
+  """Regression for a hardware-smoke failure: jits that CLOSE OVER the
+  weight tree bake it into the serialized HLO as constants — the axon
+  tunnel's remote-compile endpoint rejects the upload at base scale
+  (HTTP 413) and every call retraces.  Weights must be jit ARGUMENTS."""
+
+  def test_encode_windows_takes_params_as_arguments(self):
+    cfg = _classifier_cfg()
+    params = init_lib.init_video_classifier(jax.random.PRNGKey(0), cfg)
+    videos = jnp.zeros((1, 2, 12, 12, 3), jnp.float32)
+    lowered = streaming._encode_windows.lower(
+        params['encoder'], videos, cfg.encoder)
+    n_leaves = len(jax.tree.leaves(params['encoder']))
+    arg_leaves = len(jax.tree.leaves(lowered.args_info))
+    assert arg_leaves == n_leaves + 1, (arg_leaves, n_leaves)
+    # And no weight-sized constants in the program text.
+    text = lowered.as_text()
+    weight_floats = sum(x.size for x in jax.tree.leaves(params['encoder']))
+    assert len(text) < 40 * weight_floats  # baked fp32 literals would blow this
+
+  def test_pooler_update_takes_params_as_arguments(self):
+    cfg = _classifier_cfg()
+    params = init_lib.init_video_classifier(jax.random.PRNGKey(0), cfg)
+    pooler = streaming.StreamingPooler(
+        params['atten_pooler'], num_heads=cfg.encoder.num_heads,
+        hidden_dim=cfg.encoder.model_dim)
+    tokens = jnp.zeros((1, 8, cfg.encoder.model_dim), jnp.float32)
+    pooler.update(tokens)
+    state = pooler._state
+    lowered = pooler._update_nopad.lower(params['atten_pooler'], state,
+                                         tokens)
+    n_pool = len(jax.tree.leaves(params['atten_pooler']))
+    n_state = len(jax.tree.leaves(state))
+    assert len(jax.tree.leaves(lowered.args_info)) == n_pool + n_state + 1

@@ -23,6 +23,7 @@ fill the chip instead of running frame-starved forwards.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator, Sequence
 
 import jax
@@ -303,10 +304,15 @@ class StreamingPooler:
                              use_bias=use_bias, dtype=dtype)
     self._num_heads = num_heads
     self._state = None
+    # Params are jit ARGUMENTS, never closure constants: a closed-over
+    # tree gets baked into the serialized HLO — harmless for this
+    # pooler's KBs, but the same mistake on an encoder ships the whole
+    # checkpoint to the compiler (the tunnel's remote-compile endpoint
+    # rejects the upload outright).
     self._update = jax.jit(
-        lambda s, t, p: pooler_update(self._params, s, t, p, **self._kw))
+        lambda w, s, t, p: pooler_update(w, s, t, p, **self._kw))
     self._update_nopad = jax.jit(
-        lambda s, t: pooler_update(self._params, s, t, None, **self._kw))
+        lambda w, s, t: pooler_update(w, s, t, None, **self._kw))
 
   def update(self, tokens: Array, paddings: Array | None = None) -> None:
     if self._state is None:
@@ -314,14 +320,30 @@ class StreamingPooler:
       self._state = pooler_init(
           tokens.shape[0], num_heads=self._num_heads, hidden_dim=hidden,
           num_queries=self._num_queries)
-    self._state = (self._update(self._state, tokens, paddings)
-                   if paddings is not None
-                   else self._update_nopad(self._state, tokens))
+    self._state = (
+        self._update(self._params, self._state, tokens, paddings)
+        if paddings is not None
+        else self._update_nopad(self._params, self._state, tokens))
 
   def finalize(self) -> Array:
     if self._state is None:
       raise ValueError('StreamingPooler.finalize before any update()')
     return pooler_finalize(self._params, self._state, **self._finalize_kw)
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _encode_windows(enc_params, videos, enc_cfg):
+  """Windowed encoder forward with the weights as jit ARGUMENTS.
+
+  Closing over the tree instead would bake every weight into the
+  serialized HLO as constants — the axon tunnel's remote-compile
+  endpoint rejects such uploads (HTTP 413 at base scale, found by the
+  hardware smoke) — and would retrace per call; as a module-level jit
+  keyed on (shapes, enc_cfg) repeat serving requests reuse ONE compiled
+  program."""
+  from videoprism_tpu.models import factorized_encoder as fe_lib
+
+  return fe_lib.apply(enc_params, videos, enc_cfg, train=False)[0]
 
 
 def classify_long_video(
@@ -352,12 +374,9 @@ def classify_long_video(
   [T, H, W, 3] array or a video file path (incremental decode, constant
   host memory).  Returns logits [num_classes].
   """
-  from videoprism_tpu.models import factorized_encoder as fe_lib
   from videoprism_tpu.ops import basic as basic_lib
 
-  tokens_fn = jax.jit(
-      lambda v: fe_lib.apply(params['encoder'], v, cfg.encoder,
-                             train=False)[0])
+  enc_params = jax.device_put(params['encoder'])  # no-op if resident
 
   if isinstance(frames_or_path, str):
     from videoprism_tpu.io import video as video_io
@@ -376,7 +395,8 @@ def classify_long_video(
   for batch, n in _iter_window_batches(
       frames_iter, window=window, stride=stride,
       batch_windows=batch_windows):
-    tokens = tokens_fn(jnp.asarray(batch))   # [B, T*N, D], stays on device
+    # [B, T*N, D], stays on device.
+    tokens = _encode_windows(enc_params, jnp.asarray(batch), cfg.encoder)
     for i in range(n):                       # fold per window, batch dim 1
       pooler.update(tokens[i:i + 1])
     n_windows += n
