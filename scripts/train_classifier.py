@@ -108,6 +108,13 @@ def main():
                       help='post-warmup LR decay (constant suits '
                            'open-ended elastic runs)')
   parser.add_argument('--weight-decay', type=float, default=1e-4)
+  parser.add_argument('--layer-decay', type=float, default=0.0,
+                      help='layer-wise LR decay (BEiT/ViT fine-tuning '
+                           'recipe): layer at depth d from the head '
+                           'trains at lr * decay^d; one broadcasted '
+                           'multiply over the scan-stacked leaves. '
+                           '0 = off; 0.65-0.85 typical. Full fine-tune '
+                           'only.')
   parser.add_argument('--skip-nonfinite', type=int, default=0,
                       help='skip optimizer updates whose gradients contain '
                            'NaN/inf (bf16 overflow protection), tolerating '
@@ -220,6 +227,21 @@ def main():
       total_steps=args.steps, weight_decay=args.weight_decay,
       skip_nonfinite=args.skip_nonfinite or None,
       schedule=args.schedule)
+  if args.layer_decay:
+    if args.freeze_backbone or args.lora_rank:
+      parser.error('--layer-decay applies to the full fine-tune (the '
+                   'frozen/LoRA paths train the head at one rate)')
+    import optax
+
+    from videoprism_tpu.models import init as init_lib
+    from videoprism_tpu.train import llrd
+
+    # Factor tree from shapes only — no duplicate init of real weights.
+    shapes = jax.eval_shape(
+        lambda: init_lib.init_video_classifier(jax.random.PRNGKey(0), cfg))
+    optimizer = optax.chain(
+        optimizer, llrd.scale_by_layer_decay(shapes, cfg,
+                                             args.layer_decay))
 
   accum = args.accum_steps
   batch_axis = 1 if accum > 1 else 0
