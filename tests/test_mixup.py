@@ -143,6 +143,24 @@ class TestTrainStepIntegration:
     # Smoothed loss is bounded below by the smoothing entropy floor.
     assert float(metrics['loss']) > 0.1 * np.log(C) * 0.5
 
+  def test_mixup_sharded_step(self, cfg):
+    """MixUp inside the GSPMD step: the batch permutation crosses data
+    shards (XLA inserts the collective), one step runs finite."""
+    from videoprism_tpu.parallel import mesh as mesh_lib
+    from videoprism_tpu.train.classifier_train_step import (
+        make_sharded_classifier_train_step,
+    )
+
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                               total_steps=50)
+    state = create_classifier_train_state(jax.random.PRNGKey(0), cfg,
+                                          optimizer)
+    mesh = mesh_lib.make_mesh(model_parallelism=1)
+    step, state = make_sharded_classifier_train_step(
+        cfg, optimizer, mesh, state, mixup_alpha=0.2, label_smoothing=0.1)
+    _, metrics = step(state, self._batch(8), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['loss']))
+
   def test_mixup_with_accumulation(self, cfg):
     optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1,
                                total_steps=50)
