@@ -240,7 +240,8 @@ def main() -> int:
     long_preds = c.classify_long_file(args.clip, k=3, window=8, stride=4,
                                       timeout_s=580)
     assert len(long_preds) == 3
-    assert abs(sum(p['prob'] for p in long_preds) - 1.0) <= 1e-5
+    total = sum(p['prob'] for p in long_preds)
+    assert 0.0 < total <= 1.0 + 1e-6, total  # top-3 of a 7-way softmax
     httpd.stop()
     svc.stop()
     print(f'3. bf16 classifier classify_file: top1={preds[0]}, '

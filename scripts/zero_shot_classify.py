@@ -49,10 +49,6 @@ def main():
   parser.add_argument('--tar-shards', default=None,
                       help='glob of uncompressed .tar shards '
                            '(<key>.mp4 + <key>.cls pairs)')
-  parser.add_argument('--bootstrap', type=int, default=0,
-                      help='percentile-bootstrap CIs over examples: N '
-                           'resamples -> <metric>_ci_low/_ci_high keys '
-                           '(0 = off)')
   args = parser.parse_args()
 
   cfg, params, tokenizer, frames, size = resolve_clip(args)
