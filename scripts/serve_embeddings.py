@@ -550,6 +550,24 @@ def main():
     pass
   finally:
     server.stop()
+    # A mutable corpus autosaves on drain (SIGTERM/ctrl-C): in-memory
+    # /v1/index/add work must not depend on a manual /v1/index/save
+    # having happened before the pod went away.  Same atomic
+    # tmp+rename as the endpoint.
+    if args.index_save_path and index is not None and len(index):
+      import tempfile
+
+      directory = os.path.dirname(os.path.abspath(args.index_save_path))
+      fd, tmp = tempfile.mkstemp(suffix='.npz', dir=directory)
+      os.close(fd)
+      try:
+        index.save(tmp)
+        os.replace(tmp, args.index_save_path)
+        print(f'index autosave: {len(index)} videos -> '
+              f'{args.index_save_path}', flush=True)
+      except Exception as e:
+        os.unlink(tmp)
+        print(f'index autosave FAILED: {e}', flush=True)
     service.stop()
     if text_service is not None:
       text_service.stop()

@@ -190,6 +190,54 @@ class TestIndexServing:
 
 
 @pytest.mark.slow
+def test_cli_autosaves_index_on_sigterm(tmp_path):
+  """A drained pod must not lose in-memory index mutations: SIGTERM
+  autosaves the corpus to --index-save-path."""
+  import io as io_mod
+  import os
+  import pathlib
+  import signal
+  import subprocess
+  import sys
+  import time
+
+  root = pathlib.Path(__file__).resolve().parent.parent
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(root) + os.pathsep + env.get('PYTHONPATH', '')
+  save = str(tmp_path / 'corpus.npz')
+  proc = subprocess.Popen(
+      [sys.executable, '-u', str(root / 'scripts' / 'serve_embeddings.py'),
+       '--tiny-clip', '--cpu-devices', '1', '--port', '0',
+       '--index', 'new', '--index-save-path', save],
+      stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+  try:
+    port = None
+    deadline = time.time() + 300
+    while time.time() < deadline:
+      line = proc.stdout.readline()
+      if not line:
+        break
+      if line.startswith('serving on'):
+        port = int(line.split(':')[2].split(' ')[0].split('(')[0]
+                   .strip('/ '))
+        break
+    assert port
+    buf = io_mod.BytesIO()
+    np.save(buf, _clip(42))
+    req = urllib.request.Request(
+        f'http://127.0.0.1:{port}/v1/index/add?id=precious',
+        buf.getvalue(), {'Content-Type': 'application/x-npy'})
+    urllib.request.urlopen(req, timeout=120).read()
+    proc.send_signal(signal.SIGTERM)
+    assert proc.wait(timeout=120) == 0
+    assert retrieval.load_index(save).ids == ['precious']
+  finally:
+    if proc.poll() is None:
+      proc.terminate()
+      proc.wait(timeout=60)
+
+
+@pytest.mark.slow
 def test_cli_vector_database_smoke(tmp_path):
   """serve_embeddings --index new --index-save-path: the CLI starts an
   empty mutable corpus, the --smoke self-requests add/search/save, and
