@@ -359,10 +359,10 @@ def main():
       print(f'search index: {len(index)} videos from {args.index} ({kind})')
   elif args.index:
     raise SystemExit('--index needs an lvt (CLIP) model')
-  if args.index_save_path and index is None:
-    raise SystemExit('--index-save-path needs --index')
   elif args.from_export_text:
     raise SystemExit('--from-export-text needs an lvt (CLIP) model')
+  if args.index_save_path and index is None:
+    raise SystemExit('--index-save-path needs --index')
 
   frames_service = None
   if args.enable_localize:
@@ -552,21 +552,17 @@ def main():
     server.stop()
     # A mutable corpus autosaves on drain (SIGTERM/ctrl-C): in-memory
     # /v1/index/add work must not depend on a manual /v1/index/save
-    # having happened before the pod went away.  Same atomic
-    # tmp+rename as the endpoint.
-    if args.index_save_path and index is not None and len(index):
-      import tempfile
-
-      directory = os.path.dirname(os.path.abspath(args.index_save_path))
-      fd, tmp = tempfile.mkstemp(suffix='.npz', dir=directory)
-      os.close(fd)
+    # having happened before the pod went away.  Unconditional (even
+    # when empty): a corpus intentionally emptied via /v1/index/remove
+    # must not resurrect from a stale file on restart.
+    if args.index_save_path and index is not None:
       try:
-        index.save(tmp)
-        os.replace(tmp, args.index_save_path)
+        from videoprism_tpu.retrieval import save_index_atomic
+
+        save_index_atomic(index, args.index_save_path)
         print(f'index autosave: {len(index)} videos -> '
               f'{args.index_save_path}', flush=True)
       except Exception as e:
-        os.unlink(tmp)
         print(f'index autosave FAILED: {e}', flush=True)
     service.stop()
     if text_service is not None:

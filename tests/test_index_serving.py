@@ -84,21 +84,22 @@ class TestIndexServing:
   def test_1_add_then_search_finds_it(self, server):
     httpd, _, index, _ = server
     out = _post_npy(httpd, '/v1/index/add?id=first', _clip(1))
-    assert out == {'id': 'first', 'size': 1}
+    assert out == {'id': 'first', 'size': 1, 'replaced': False}
     assert len(index) == 1
     hits = _post_npy(httpd, '/v1/search_video?k=3', _clip(1))['results'][0]
     assert hits[0]['id'] == 'first'
     assert hits[0]['score'] > 0.999  # same clip, same tower
 
-  def test_2_client_sdk_add_default_id_is_content_hash(self, server):
+  def test_2_client_sdk_add_default_id_upserts(self, server):
     httpd, _, index, _ = server
     c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
     clip = _clip(2)
     vid = c.index_add(clip)
     assert len(vid) == 16 and len(index) == 2
-    # Same bytes -> same default id (documented: duplicates append).
+    # Same bytes -> same default id -> UPSERT (a retry of the same
+    # upload must not accumulate duplicate rows).
     assert c.index_add(clip) == vid
-    assert len(index) == 3
+    assert len(index) == 2
 
   def test_3_add_file_via_client(self, server):
     from videoprism_tpu import assets
@@ -257,7 +258,8 @@ def test_cli_vector_database_smoke(tmp_path):
        '--index', 'new', '--index-save-path', save, '--smoke'],
       capture_output=True, text=True, env=env, timeout=600)
   assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
-  assert "smoke index add -> {'id': 'smoke', 'size': 1}" in r.stdout
+  assert ("smoke index add -> {'id': 'smoke', 'size': 1, "
+          "'replaced': False}" in r.stdout)
   assert "'id': 'smoke'" in r.stdout.split('smoke search_video')[1]
   reloaded = retrieval.load_index(save)
   assert len(reloaded) == 1 and reloaded.ids == ['smoke']

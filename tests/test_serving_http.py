@@ -752,6 +752,40 @@ def test_text_service_stats_merge_into_endpoints():
 
 
 @pytest.mark.slow
+def test_cli_lvt_from_export_text_starts(tmp_path):
+  """Regression: a misplaced --index-save-path validation detached the
+  lvt elif chain, making --from-export-text exit at startup on the very
+  servers it exists for."""
+  import pathlib
+  import subprocess
+  import sys
+
+  root = pathlib.Path(__file__).resolve().parent.parent
+  sys.path.insert(0, str(root / 'scripts'))
+  from smoke_configs import TINY_CLIP as SMOKE_TINY_CLIP
+
+  from videoprism_tpu import export as export_lib
+  from videoprism_tpu.models import clip as vclip_mod
+
+  cfg = vclip_mod.VideoCLIPConfig(**SMOKE_TINY_CLIP)
+  model = vp.Model(cfg, vclip_mod.apply, init_lib.init_video_clip)
+  params = model.init(jax.random.PRNGKey(0))
+  artifact = str(tmp_path / 'tiny_text.jaxexport')
+  export_lib.export_forward(model, params, tower='text',
+                            text_len=12).save(artifact)
+
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(root) + os.pathsep + env.get('PYTHONPATH', '')
+  r = subprocess.run(
+      [sys.executable, str(root / 'scripts' / 'serve_embeddings.py'),
+       '--tiny-clip', '--cpu-devices', '1', '--port', '0',
+       '--from-export-text', artifact, '--smoke'],
+      capture_output=True, text=True, env=env, timeout=600)
+  assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+  assert 'smoke embed_text' in r.stdout
+
+
+@pytest.mark.slow
 def test_cli_serves_from_export_artifact(tmp_path):
   """End-to-end CLI path: export_model.py --tiny writes an AOT artifact,
   serve_embeddings.py --from-export serves from it (no re-trace), and the
@@ -1086,6 +1120,19 @@ class TestEmbedLong:
     with pytest.raises(urllib.error.HTTPError) as ei:
       urllib.request.urlopen(req, timeout=60)
     assert ei.value.code == 400
+
+  def test_absurd_window_is_400_not_oom(self, lvt_server):
+    """The decode-buffer cap (the same hole _file_geometry closes):
+    query params must not be able to command terabyte allocations."""
+    httpd, _, _ = lvt_server
+    for path in ('/v1/embed_long?window=100000000&size=4096',
+                 '/v1/embed_long?window=2&size=10000000'):
+      req = urllib.request.Request(
+          _url(httpd, path), b'x', {'Content-Type': 'video/mp4'})
+      with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+      assert ei.value.code == 400
+      assert b'decode buffer' in ei.value.read()
 
 
 class TestMalformedRequests:

@@ -317,8 +317,24 @@ class TestWeightsAreArgumentsNotConstants:
     tokens = jnp.zeros((1, 8, cfg.encoder.model_dim), jnp.float32)
     pooler.update(tokens)
     state = pooler._state
-    lowered = pooler._update_nopad.lower(params['atten_pooler'], state,
-                                         tokens)
+    # The MODULE-LEVEL jit (shared across pooler instances, so repeat
+    # serving requests never recompile) takes the tree as arguments.
+    lowered = streaming._pooler_update_jit.lower(
+        params['atten_pooler'], state, tokens, None, **pooler._kw)
     n_pool = len(jax.tree.leaves(params['atten_pooler']))
     n_state = len(jax.tree.leaves(state))
     assert len(jax.tree.leaves(lowered.args_info)) == n_pool + n_state + 1
+
+  def test_pooler_instances_share_one_compiled_program(self):
+    cfg = _classifier_cfg()
+    params = init_lib.init_video_classifier(jax.random.PRNGKey(0), cfg)
+    kw = dict(num_heads=cfg.encoder.num_heads,
+              hidden_dim=cfg.encoder.model_dim)
+    tokens = jnp.zeros((1, 8, cfg.encoder.model_dim), jnp.float32)
+    before = streaming._pooler_update_jit._cache_size()
+    for _ in range(3):  # three "requests", three pooler instances
+      p = streaming.StreamingPooler(params['atten_pooler'], **kw)
+      p.update(tokens)
+      p.finalize()
+    grown = streaming._pooler_update_jit._cache_size() - before
+    assert grown <= 1, grown  # one shared entry, not one per instance

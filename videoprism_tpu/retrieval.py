@@ -428,6 +428,24 @@ class ANNVideoIndex(VideoIndex):
       self._lib.vp_ann_destroy(handle)
 
 
+def save_index_atomic(index: VideoIndex, path: str) -> None:
+  """Persist ``index`` to ``path`` via tmp+rename in the same directory
+  — a crash mid-save never tears the file (used by ``/v1/index/save``
+  and the server's drain autosave)."""
+  import os
+  import tempfile as tempfile_mod
+
+  directory = os.path.dirname(os.path.abspath(path))
+  fd, tmp = tempfile_mod.mkstemp(suffix='.npz', dir=directory)
+  os.close(fd)
+  try:
+    index.save(tmp)
+    os.replace(tmp, path)
+  except BaseException:
+    os.unlink(tmp)
+    raise
+
+
 def load_index(path: str) -> VideoIndex:
   """Open an index npz as whichever class wrote it: files carrying HNSW
   metadata come back as :class:`ANNVideoIndex`, plain ones as the exact

@@ -852,6 +852,54 @@ class _Handler(BaseHTTPRequestHandler):
                               response_dtype)
     self._reply(200, ctype, out)
 
+  def _window_geometry(self, q, batch_windows: int) -> tuple:
+    """(window, stride, frame_stride, size) for the long-video
+    endpoints, validated like :meth:`_file_geometry`: the resident
+    decode buffer (``window * batch_windows`` frames at ``size``²) is
+    capped against the body limit, closing the same
+    allocate-petabytes-from-query-params hole."""
+    frames, size = self.clip_geometry
+    window = int(q['window'][0]) if 'window' in q else frames
+    stride = int(q['stride'][0]) if 'stride' in q else None
+    frame_stride = int(q['frame_stride'][0]) if 'frame_stride' in q else 1
+    if 'size' in q:
+      size = int(q['size'][0])
+    if (window <= 0 or frame_stride <= 0 or size <= 0
+        or (stride is not None and not 0 < stride <= window)):
+      raise ValueError(
+          f'bad parameters: window={window} stride={stride} '
+          f'frame_stride={frame_stride} size={size}')
+    resident = window * batch_windows * size * size * 3
+    if resident > _MAX_BODY_BYTES:
+      raise ValueError(
+          f'decode buffer [{window * batch_windows}, {size}, {size}, 3] '
+          f'would be {resident} bytes (limit {_MAX_BODY_BYTES}); lower '
+          f'?window=/?size=')
+    return window, stride, frame_stride, size
+
+  def _with_upload(self, body: bytes, fn):
+    """Writes the uploaded container to a temp file, runs ``fn(path)``,
+    and maps failures (400 for the client's undecodable upload /
+    ValueError, 500 otherwise).  Returns ``fn``'s result or None after
+    replying."""
+    import os as os_mod
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix='.mp4', prefix='videoprism_long_')
+    try:
+      with os_mod.fdopen(fd, 'wb') as f:
+        f.write(body)
+      return fn(path)
+    except ValueError as e:  # undecodable/empty upload, bad model shape
+      self._reply_json(400, {'error': str(e)})
+    except Exception as e:
+      msg = str(e)
+      self._reply_json(400 if 'decod' in msg.lower() else 500,
+                       {'error': msg})
+    finally:
+      os_mod.unlink(path)
+    return None
+
   def _post_embed_long(self) -> None:
     """``POST /v1/embed_long[?window=&stride=&frame_stride=&size=&
     per_window=1&dtype=float16]`` — embedding servers: a video container
@@ -873,19 +921,10 @@ class _Handler(BaseHTTPRequestHandler):
 
       q = parse_qs(urlparse(self.path).query)
       response_dtype = _response_dtype(q)
-      frames, size = self.clip_geometry
-      window = int(q['window'][0]) if 'window' in q else frames
-      stride = int(q['stride'][0]) if 'stride' in q else None
-      frame_stride = (int(q['frame_stride'][0])
-                      if 'frame_stride' in q else 1)
+      batch_windows = self.service._buckets[-1]
+      window, stride, frame_stride, size = self._window_geometry(
+          q, batch_windows)
       per_window = q.get('per_window', ['0'])[0] not in ('0', 'false', '')
-      if 'size' in q:
-        size = int(q['size'][0])
-      if (window <= 0 or frame_stride <= 0 or size <= 0
-          or (stride is not None and not 0 < stride <= window)):
-        raise ValueError(
-            f'bad parameters: window={window} stride={stride} '
-            f'frame_stride={frame_stride} size={size}')
       content_type = self.headers.get('Content-Type', '')
       if not content_type.startswith('video/'):
         raise ValueError('/v1/embed_long takes a video/* container body '
@@ -894,9 +933,6 @@ class _Handler(BaseHTTPRequestHandler):
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
       return
-    import os as os_mod
-    import tempfile
-
     from videoprism_tpu import streaming
 
     def embed_fn(batch):
@@ -908,24 +944,13 @@ class _Handler(BaseHTTPRequestHandler):
             'per clip')
       return out
 
-    fd, path = tempfile.mkstemp(suffix='.mp4', prefix='videoprism_long_')
-    try:
-      with os_mod.fdopen(fd, 'wb') as f:
-        f.write(body)
-      pooled, windows = streaming.embed_video_file(
-          embed_fn, path, window=window, stride=stride,
-          frame_stride=frame_stride,
-          batch_windows=self.service._buckets[-1], target_size=size)
-    except ValueError as e:  # undecodable upload / token-level model
-      self._reply_json(400, {'error': str(e)})
+    result = self._with_upload(body, lambda path: streaming.embed_video_file(
+        embed_fn, path, window=window, stride=stride,
+        frame_stride=frame_stride, batch_windows=batch_windows,
+        target_size=size))
+    if result is None:
       return
-    except Exception as e:
-      msg = str(e)
-      self._reply_json(400 if 'decod' in msg.lower() else 500,
-                       {'error': msg})
-      return
-    finally:
-      os_mod.unlink(path)
+    pooled, windows = result
     out = windows if per_window else pooled
     ctype, payload = _encode_body('application/x-npy', np.asarray(out),
                                   response_dtype)
@@ -1001,18 +1026,10 @@ class _Handler(BaseHTTPRequestHandler):
 
       q = parse_qs(urlparse(self.path).query)
       k = int(q['k'][0]) if 'k' in q else 5
-      frames, size = self.clip_geometry
-      window = int(q['window'][0]) if 'window' in q else frames
-      stride = int(q['stride'][0]) if 'stride' in q else None
-      frame_stride = (int(q['frame_stride'][0])
-                      if 'frame_stride' in q else 1)
-      if 'size' in q:
-        size = int(q['size'][0])
-      if (k <= 0 or window <= 0 or frame_stride <= 0 or size <= 0
-          or (stride is not None and not 0 < stride <= window)):
-        raise ValueError(
-            f'bad parameters: k={k} window={window} stride={stride} '
-            f'frame_stride={frame_stride} size={size}')
+      if k <= 0:
+        raise ValueError(f'"k" must be positive, got {k}')
+      window, stride, frame_stride, size = self._window_geometry(
+          q, batch_windows=8)  # classify_long_video's default
       content_type = self.headers.get('Content-Type', '')
       if not content_type.startswith('video/'):
         raise ValueError('/v1/classify_long takes a video/* container '
@@ -1021,30 +1038,16 @@ class _Handler(BaseHTTPRequestHandler):
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
       return
-    import os as os_mod
-    import tempfile
-
     from videoprism_tpu import streaming
 
-    fd, path = tempfile.mkstemp(suffix='.mp4', prefix='videoprism_long_')
-    try:
-      with os_mod.fdopen(fd, 'wb') as f:
-        f.write(body)
-      # Snapshot once: a hot reload mid-sweep must not mix weights.
-      params = self.service._model._unwrap(self.service._state)
-      logits = streaming.classify_long_video(
-          params, cfg, path, window=window, stride=stride,
-          frame_stride=frame_stride, target_size=size)
-    except ValueError as e:  # undecodable/empty upload
-      self._reply_json(400, {'error': str(e)})
+    # Snapshot once: a hot reload mid-sweep must not mix weights.
+    params = self.service._model._unwrap(self.service._state)
+    logits = self._with_upload(
+        body, lambda path: streaming.classify_long_video(
+            params, cfg, path, window=window, stride=stride,
+            frame_stride=frame_stride, target_size=size))
+    if logits is None:
       return
-    except Exception as e:
-      msg = str(e)
-      status = 400 if 'decod' in msg.lower() else 500
-      self._reply_json(status, {'error': msg})
-      return
-    finally:
-      os_mod.unlink(path)
     preds = self._topk_predictions(logits, k, self.labels)
     self._reply_json(200, {'predictions': preds})
 
@@ -1377,23 +1380,14 @@ class _Handler(BaseHTTPRequestHandler):
                      '(serve with --index-save-path)'})
         return
       try:
-        import os as os_mod
-        import tempfile
+        from videoprism_tpu.retrieval import save_index_atomic
 
-        target = self.index_save_path
-        directory = os_mod.path.dirname(os_mod.path.abspath(target))
-        fd, tmp = tempfile.mkstemp(suffix='.npz', dir=directory)
-        os_mod.close(fd)
-        try:
-          self.index.save(tmp)
-          os_mod.replace(tmp, target)  # atomic: never a torn index file
-        except BaseException:
-          os_mod.unlink(tmp)
-          raise
+        save_index_atomic(self.index, self.index_save_path)
       except Exception as e:
         self._reply_json(500, {'error': str(e)})
         return
-      self._reply_json(200, {'path': target, 'size': len(self.index)})
+      self._reply_json(200, {'path': self.index_save_path,
+                             'size': len(self.index)})
       return
     if path == '/v1/index/remove':
       try:
@@ -1448,6 +1442,10 @@ class _Handler(BaseHTTPRequestHandler):
             'indexing needs a model with one embedding vector per clip '
             '(the lvt vision tower); this server returns shape '
             f'{np.asarray(emb).shape} per clip')
+      # Upsert: re-adding an id (e.g. a client retry of the same file,
+      # whose content-hash default id repeats) replaces the row instead
+      # of accumulating duplicates that crowd top-k results.
+      replaced = self.index.remove([video_id]) > 0
       self.index.add(np.asarray(emb)[None], [video_id])
     except DeadlineExceeded as e:
       self._reply_json(504, {'error': str(e)})
@@ -1461,7 +1459,8 @@ class _Handler(BaseHTTPRequestHandler):
     except Exception as e:  # service-side failure
       self._reply_json(500, {'error': str(e)})
       return
-    self._reply_json(200, {'id': video_id, 'size': len(self.index)})
+    self._reply_json(200, {'id': video_id, 'size': len(self.index),
+                           'replaced': replaced})
 
   def _post_search_video(self) -> None:
     """/v1/search_video[?k=N]: video-to-video similarity — body is one

@@ -278,6 +278,23 @@ def pooler_finalize(
   return outputs
 
 
+@functools.partial(jax.jit, static_argnames=(
+    'num_heads', 'hidden_dim', 'enable_per_dim_scale', 'use_bias',
+    'dtype'))
+def _pooler_update_jit(pool_params, state, tokens, paddings, *,
+                       num_heads, hidden_dim, enable_per_dim_scale,
+                       use_bias, dtype):
+  """One MODULE-LEVEL jit for every StreamingPooler instance (params as
+  arguments, config static): repeat /v1/classify_long requests each
+  build a fresh pooler, and per-instance lambdas would recompile it per
+  request (slow over the tunnel's remote compiler).  ``paddings=None``
+  keys a second cache entry via the pytree structure."""
+  return pooler_update(pool_params, state, tokens, paddings,
+                       num_heads=num_heads, hidden_dim=hidden_dim,
+                       enable_per_dim_scale=enable_per_dim_scale,
+                       use_bias=use_bias, dtype=dtype)
+
+
 class StreamingPooler:
   """Exact attentional pooling over an unbounded token stream.
 
@@ -304,26 +321,14 @@ class StreamingPooler:
                              use_bias=use_bias, dtype=dtype)
     self._num_heads = num_heads
     self._state = None
-    # Params are jit ARGUMENTS, never closure constants: a closed-over
-    # tree gets baked into the serialized HLO — harmless for this
-    # pooler's KBs, but the same mistake on an encoder ships the whole
-    # checkpoint to the compiler (the tunnel's remote-compile endpoint
-    # rejects the upload outright).
-    self._update = jax.jit(
-        lambda w, s, t, p: pooler_update(w, s, t, p, **self._kw))
-    self._update_nopad = jax.jit(
-        lambda w, s, t: pooler_update(w, s, t, None, **self._kw))
-
   def update(self, tokens: Array, paddings: Array | None = None) -> None:
     if self._state is None:
       hidden = self._kw['hidden_dim'] or 4 * tokens.shape[-1]
       self._state = pooler_init(
           tokens.shape[0], num_heads=self._num_heads, hidden_dim=hidden,
           num_queries=self._num_queries)
-    self._state = (
-        self._update(self._params, self._state, tokens, paddings)
-        if paddings is not None
-        else self._update_nopad(self._params, self._state, tokens))
+    self._state = _pooler_update_jit(self._params, self._state, tokens,
+                                     paddings, **self._kw)
 
   def finalize(self) -> Array:
     if self._state is None:
