@@ -4,11 +4,14 @@
 #
 # What this session changed that CPU tests cannot fully validate:
 #   * per-request latency histograms + /metrics (serving_http)
-#   * ?dtype=float16 egress on /v1/embed[_file]
-#   * online index mutation (/v1/index/add + save) over the real tower
-#   * pad_frames_to serving (frame_paddings through bf16+flash on TPU)
-#   * multi-model SIGHUP reload; demo console at GET /
-# smoke_serving.py stages were extended to cover all of the above.
+#   * ?dtype=float16 egress on /v1/embed[_file]   [VALIDATED in-session]
+#   * online index mutation (add/remove/save)     [add+save VALIDATED]
+#   * pad_frames_to serving                        [VALIDATED in-session]
+#   * /v1/classify_long + /v1/embed_long — PENDING on hardware: the
+#     first run found+fixed the weights-baked-into-HLO 413 (commit
+#     2c30352); the re-run with the fixed smoke assertion has NOT yet
+#     caught a claim window.  Stage 3 is the leg to watch.
+# smoke_serving.py stages cover all of the above.
 set -x
 cd /root/repo
 
