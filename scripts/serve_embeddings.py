@@ -189,6 +189,13 @@ def main():
                            'only). "new" / "new-ann" starts an EMPTY '
                            'mutable corpus (exact / HNSW) to be filled '
                            'over the wire — a vector database.')
+  parser.add_argument('--index-backend', choices=('host', 'device'),
+                      default='host',
+                      help='where /v1/search sweeps the corpus: host '
+                           '(numpy exact / HNSW, the default) or device '
+                           '(DeviceAcceleratedIndex: exact search over '
+                           'the HBM-sharded snapshot; mutations still '
+                           'apply host-side and refresh it)')
   parser.add_argument('--index-save-path', default=None,
                       help='enables POST /v1/index/save: persist the '
                            '(mutated) index atomically to this npz path '
@@ -357,12 +364,19 @@ def main():
               'exact' if type(index) is retrieval.VideoIndex else
               'ann-fallback-exact')
       print(f'search index: {len(index)} videos from {args.index} ({kind})')
+    if index is not None and args.index_backend == 'device':
+      from videoprism_tpu.device_index import DeviceAcceleratedIndex
+      index = DeviceAcceleratedIndex(index)
+      print('search backend: device (HBM-sharded exact sweep; host tier '
+            'keeps CRUD, snapshot refreshes on mutation)')
   elif args.index:
     raise SystemExit('--index needs an lvt (CLIP) model')
   elif args.from_export_text:
     raise SystemExit('--from-export-text needs an lvt (CLIP) model')
   if args.index_save_path and index is None:
     raise SystemExit('--index-save-path needs --index')
+  if args.index_backend == 'device' and index is None:
+    raise SystemExit('--index-backend device needs --index')
 
   frames_service = None
   if args.enable_localize:

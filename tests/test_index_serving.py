@@ -32,8 +32,8 @@ TINY_CLIP = dict(
 CLIP_SHAPE = (2, 12, 12, 3)
 
 
-@pytest.fixture(scope='module')
-def server(tmp_path_factory):
+@pytest.fixture(scope='module', params=['host', 'device'])
+def server(request, tmp_path_factory):
   cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
   model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
   state = model.init(jax.random.PRNGKey(0))
@@ -42,6 +42,11 @@ def server(tmp_path_factory):
   service.start()
   save_path = str(tmp_path_factory.mktemp('index') / 'corpus.npz')
   index = retrieval.VideoIndex()  # empty mutable corpus
+  if request.param == 'device':
+    # The whole ordered CRUD story must also hold when searches ride the
+    # HBM-sharded snapshot (serve_embeddings --index-backend device).
+    from videoprism_tpu.device_index import DeviceAcceleratedIndex
+    index = DeviceAcceleratedIndex(index)
   httpd = serving_http.EmbeddingHTTPServer(
       service, host='127.0.0.1', port=0, index=index,
       index_save_path=save_path)

@@ -1,0 +1,296 @@
+"""TPU-resident exact-search video index.
+
+The host tiers in :mod:`videoprism_tpu.retrieval` (brute-force numpy
+``VideoIndex``, C++ HNSW ``ANNVideoIndex``) sweep the corpus at host
+DRAM bandwidth.  This module keeps the corpus **in HBM, sharded across
+the device mesh**, and runs the search itself as one jitted program:
+
+  per-shard  scores = q @ corpus_shardᵀ      (MXU, bf16 × bf16 → fp32)
+  per-shard  top-k over chunk-scanned scores  (bounded VMEM/HBM)
+  merge      all_gather the (score, global-row) candidates, final top-k
+
+Exact search becomes a memory-bandwidth problem the TPU is built for: a
+million 768-d clips in bf16 is 1.5 GB of HBM per chip — swept at chip
+bandwidth instead of host DRAM, and the sweep *scales with the mesh*
+(each device scores only its shard; the merge moves ``devices × k``
+candidates, not scores).  Recall is 1.0 by construction — this is the
+tier to pick over HNSW when the corpus fits HBM and query latency
+matters.
+
+The reference computes ``video_emb @ text_emb.T`` by hand on one host
+(reference README.md:130-151); this is that dot product, made a
+distributed product surface.
+
+Design notes
+  * The device corpus is an immutable **snapshot** — mutation stays on
+    the host tiers; call :meth:`DeviceVideoIndex.refresh` to re-upload
+    after host-side CRUD.  (A served index mutates rarely and searches
+    constantly; re-uploading N·D bytes on mutation is the right trade.)
+  * Scores are computed in bf16 on the MXU by default (storage_dtype
+    bfloat16): cosine scores move by ~1e-3, irrelevant at retrieval's
+    score gaps.  ``storage_dtype=float32`` stores fp32 and scores with
+    ``Precision.HIGHEST`` for exact parity with the host index.
+  * Queries are padded to a small set of bucket sizes so the jit cache
+    stays bounded; one program per (query-bucket, k, corpus-version).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from videoprism_tpu.parallel import mesh as mesh_lib
+from videoprism_tpu import retrieval
+
+_SHARD_AXIS = 'shard'
+
+
+def _next_bucket(n: int, buckets: Sequence[int]) -> int:
+  for b in buckets:
+    if n <= b:
+      return b
+  return n  # beyond the largest bucket: compile for the exact size
+
+
+class DeviceVideoIndex:
+  """Exact top-k over an HBM-resident corpus sharded across devices.
+
+  Same ``search`` surface as :class:`videoprism_tpu.retrieval.VideoIndex`
+  (``[Q, D] -> [(id, score), ...]`` per query, score-descending), so the
+  serving layer can route to it interchangeably.
+  """
+
+  #: Query-count buckets: a search with Q queries compiles (once) at the
+  #: smallest bucket >= Q and masks the padding rows out host-side.
+  QUERY_BUCKETS = (1, 8, 64)
+
+  def __init__(self, embeddings: np.ndarray, ids: Sequence[str], *,
+               devices=None, storage_dtype=jnp.bfloat16,
+               chunk_size: int = 65536):
+    devices = list(devices if devices is not None else jax.devices())
+    if not devices:
+      raise ValueError('no devices')
+    emb = retrieval.VideoIndex._normalize(np.asarray(embeddings))
+    if not len(emb):
+      raise ValueError('DeviceVideoIndex needs a non-empty corpus')
+    if len(ids) != len(emb):
+      raise ValueError(f'{len(ids)} ids for {len(emb)} embeddings')
+    self._ids = [str(i) for i in ids]
+    self._n = len(emb)
+    self._dim = emb.shape[1]
+    self._dtype = jnp.dtype(storage_dtype)
+    if self._dtype not in (jnp.bfloat16, jnp.float32):
+      raise ValueError(f'storage_dtype must be bfloat16 or float32, '
+                       f'got {self._dtype}')
+    self._mesh = Mesh(np.asarray(devices), (_SHARD_AXIS,))
+    n_dev = len(devices)
+
+    # Shard rows over devices, then chunk within the shard: both pads
+    # land at the tail and are masked by global row id >= n.
+    per_shard = -(-self._n // n_dev)
+    self._chunk = int(min(chunk_size, per_shard))
+    per_shard = -(-per_shard // self._chunk) * self._chunk
+    padded = np.zeros((per_shard * n_dev, self._dim), np.float32)
+    padded[:self._n] = emb
+    sharding = NamedSharding(self._mesh, P(_SHARD_AXIS, None))
+    self._corpus = jax.device_put(
+        padded.astype(self._dtype), sharding)
+    self._per_shard = per_shard
+    # One compiled program per (q_bucket, k); invalidated with the
+    # corpus snapshot on refresh().
+    self._programs: dict = {}
+
+  def __len__(self) -> int:
+    return self._n
+
+  @property
+  def dim(self) -> int:
+    return self._dim
+
+  @property
+  def ids(self) -> list[str]:
+    return list(self._ids)
+
+  # -- the jitted search program -------------------------------------
+
+  def _build(self, q_pad: int, k: int):
+    chunk, per_shard, n = self._chunk, self._per_shard, self._n
+    n_chunks = per_shard // chunk
+    exact = self._dtype == jnp.float32
+    precision = lax.Precision.HIGHEST if exact else lax.Precision.DEFAULT
+
+    def shard_search(q, corpus):
+      # q: [q_pad, D] replicated; corpus: [per_shard, D] this shard.
+      base = lax.axis_index(_SHARD_AXIS) * per_shard
+      chunks = corpus.reshape(n_chunks, chunk, corpus.shape[-1])
+      qc = q.astype(corpus.dtype)
+
+      def body(carry, xs):
+        best_s, best_i = carry
+        chunk_emb, chunk_idx = xs
+        gid = base + chunk_idx * chunk + jnp.arange(chunk)
+        s = jnp.dot(qc, chunk_emb.T,
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+        s = jnp.where(gid[None, :] < n, s, -jnp.inf)
+        cand_s = jnp.concatenate([best_s, s], axis=1)
+        cand_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(gid[None, :], s.shape)], axis=1)
+        top_s, pos = lax.top_k(cand_s, k)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (top_s, top_i), None
+
+      init = (jnp.full((q_pad, k), -jnp.inf, jnp.float32),
+              jnp.zeros((q_pad, k), jnp.int32))
+      (best_s, best_i), _ = lax.scan(
+          body, init, (chunks, jnp.arange(n_chunks)))
+      # Merge: devices × k candidates per query — tiny vs the corpus.
+      all_s = lax.all_gather(best_s, _SHARD_AXIS, axis=1, tiled=True)
+      all_i = lax.all_gather(best_i, _SHARD_AXIS, axis=1, tiled=True)
+      out_s, pos = lax.top_k(all_s, k)
+      out_i = jnp.take_along_axis(all_i, pos, axis=1)
+      return out_s, out_i
+
+    fn = mesh_lib.shard_map_compat(
+        shard_search, self._mesh,
+        in_specs=(P(), P(_SHARD_AXIS, None)),
+        out_specs=(P(), P()))
+    return jax.jit(fn)
+
+  # -- public surface --------------------------------------------------
+
+  def search_arrays(self, queries: np.ndarray, k: int = 5):
+    """Raw form: l2-normalizes ``queries`` [Q, D] and returns
+    ``(scores [Q, k] fp32, rows [Q, k] int32)`` as numpy, rows indexing
+    the corpus order given at construction."""
+    q = retrieval.VideoIndex._normalize(
+        np.atleast_2d(np.asarray(queries, np.float32)))
+    if q.shape[1] != self._dim:
+      raise ValueError(f'query dim {q.shape[1]} != index dim {self._dim}')
+    k = min(int(k), self._n)
+    if k < 1:
+      raise ValueError('k must be >= 1')
+    q_pad = _next_bucket(len(q), self.QUERY_BUCKETS)
+    key = (q_pad, k)
+    if key not in self._programs:
+      self._programs[key] = self._build(q_pad, k)
+    padded = np.zeros((q_pad, self._dim), np.float32)
+    padded[:len(q)] = q
+    scores, rows = self._programs[key](jnp.asarray(padded), self._corpus)
+    return (np.asarray(scores[:len(q)]), np.asarray(rows[:len(q)]))
+
+  def search(self, queries: np.ndarray, k: int = 5
+             ) -> list[list[tuple[str, float]]]:
+    """Host-index-compatible form: per query a score-descending
+    ``[(id, score), ...]``."""
+    scores, rows = self.search_arrays(queries, k)
+    return [
+        [(self._ids[r], float(s)) for r, s in zip(rrow, srow)]
+        for rrow, srow in zip(rows, scores)
+    ]
+
+  def refresh(self, embeddings: np.ndarray, ids: Sequence[str]) -> None:
+    """Replaces the device snapshot (after host-side CRUD).  Reuses the
+    compiled programs when the padded geometry is unchanged."""
+    new = DeviceVideoIndex.__new__(DeviceVideoIndex)
+    new.__init__(embeddings, ids, devices=list(self._mesh.devices.flat),
+                 storage_dtype=self._dtype, chunk_size=self._chunk)
+    keep = (new._per_shard == self._per_shard and
+            new._chunk == self._chunk and new._dim == self._dim and
+            new._n == self._n)
+    programs = self._programs if keep else new._programs
+    self.__dict__.update(new.__dict__)
+    self._programs = programs
+
+  @classmethod
+  def from_index(cls, index: retrieval.VideoIndex, **kw) -> (
+      'DeviceVideoIndex'):
+    """Snapshot a host index (exact or ANN) onto the devices."""
+    emb, ids = index._data  # atomic (rows, labels) snapshot
+    return cls(np.asarray(emb, np.float32), ids, **kw)
+
+
+class DeviceAcceleratedIndex:
+  """A mutable host index whose searches run on the device snapshot.
+
+  Composes the two tiers: CRUD (``add`` / ``remove`` / ``save``) goes to
+  the wrapped host :class:`retrieval.VideoIndex`; ``search`` goes to a
+  :class:`DeviceVideoIndex` snapshot that refreshes lazily whenever the
+  host corpus has mutated since the last upload.  Staleness detection is
+  free: the host index publishes every mutation as a fresh
+  ``(embeddings, ids)`` tuple, so ``snapshot is stale == the tuple
+  identity changed``.  Drop-in for the serving layer's index slot
+  (``serve_embeddings --index-backend device``).
+
+  Searches serialize on one lock (refresh must not race a search, and
+  the jit-program cache is not thread-safe to build concurrently); the
+  device sweep is fast enough that this is not the serving bottleneck.
+  """
+
+  def __init__(self, host: retrieval.VideoIndex, *, devices=None,
+               storage_dtype=jnp.bfloat16, chunk_size: int = 65536):
+    self._host = host
+    self._devices = devices
+    self._storage_dtype = storage_dtype
+    self._chunk_size = chunk_size
+    self._snapshot: DeviceVideoIndex | None = None
+    self._snapshot_data = None  # host._data tuple the snapshot was built from
+    self._lock = threading.Lock()
+
+  # -- CRUD: straight to the host tier --------------------------------
+
+  def add(self, embeddings, ids) -> None:
+    self._host.add(embeddings, ids)
+
+  def remove(self, ids) -> int:
+    return self._host.remove(ids)
+
+  def save(self, path: str) -> None:
+    self._host.save(path)
+
+  def __len__(self) -> int:
+    return len(self._host)
+
+  @property
+  def dim(self) -> int:
+    return self._host.dim
+
+  @property
+  def ids(self) -> list[str]:
+    return self._host.ids
+
+  @property
+  def host(self) -> retrieval.VideoIndex:
+    return self._host
+
+  # -- search: device snapshot, refreshed on mutation ------------------
+
+  def _current(self) -> DeviceVideoIndex:
+    data = self._host._data  # atomic (rows, labels) pair
+    if not len(data[0]):
+      raise ValueError('search on an empty index')
+    if data is not self._snapshot_data:
+      emb = np.asarray(data[0], np.float32)
+      if self._snapshot is None:
+        self._snapshot = DeviceVideoIndex(
+            emb, data[1], devices=self._devices,
+            storage_dtype=self._storage_dtype,
+            chunk_size=self._chunk_size)
+      else:
+        self._snapshot.refresh(emb, data[1])
+      self._snapshot_data = data
+    return self._snapshot
+
+  def search(self, queries, k: int = 5) -> list[list[tuple[str, float]]]:
+    with self._lock:
+      return self._current().search(queries, k)
+
+  def search_arrays(self, queries, k: int = 5):
+    with self._lock:
+      return self._current().search_arrays(queries, k)
