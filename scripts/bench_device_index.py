@@ -53,14 +53,14 @@ def _chained_program(dev, q_pad: int, k: int, iters: int):
   previous scores, so the loop cannot be collapsed or overlapped."""
   program = dev._build(q_pad, k)
 
-  def chained(q, corpus):
+  def chained(q, values, scales):
     def body(_, carry):
       q = carry
-      s, _ = program(q, corpus)
+      s, _ = program(q, values, scales)
       return q + 0.0 * s[0, 0]
 
     q = jax.lax.fori_loop(0, iters, body, q)
-    s, i = program(q, corpus)
+    s, i = program(q, values, scales)
     return jnp.sum(s), i
 
   return jax.jit(chained)
@@ -76,6 +76,9 @@ def main() -> None:
   p.add_argument('--iters', type=int, default=16,
                  help='chained searches per dispatch')
   p.add_argument('--host-runs', type=int, default=3)
+  p.add_argument('--storage', choices=('bf16', 'fp32', 'int8'),
+                 default='bf16', help='HBM corpus dtype (int8 halves '
+                 'the sweep bytes vs bf16)')
   p.add_argument('--cpu-devices', type=int, default=0,
                  help='debug: run on N virtual CPU devices instead of TPU')
   args = p.parse_args()
@@ -90,7 +93,9 @@ def main() -> None:
   emb = _corpus(args.n, args.d)
   ids = [str(i) for i in range(args.n)]
   host = retrieval.VideoIndex(emb, ids)
-  dev = DeviceVideoIndex(emb, ids)  # bf16 HBM snapshot
+  storage = {'bf16': jnp.bfloat16, 'fp32': jnp.float32,
+             'int8': jnp.int8}[args.storage]
+  dev = DeviceVideoIndex(emb, ids, storage_dtype=storage)
   rng = np.random.default_rng(1)
   results = []
 
@@ -119,17 +124,17 @@ def main() -> None:
     q_pad = _next_bucket(q_n, DeviceVideoIndex.QUERY_BUCKETS)
     qj = jnp.asarray(np.pad(q, ((0, q_pad - q_n), (0, 0))))
     chained = _chained_program(dev, q_pad, args.k, args.iters)
-    np.asarray(chained(qj, dev._corpus)[0])  # compile + warm
+    np.asarray(chained(qj, *dev._corpus)[0])  # compile + warm
     per_call = []
     for _ in range(args.runs):
       t0 = time.perf_counter()
-      np.asarray(chained(qj, dev._corpus)[0])  # 4-byte fetch forces it
+      np.asarray(chained(qj, *dev._corpus)[0])  # 4-byte fetch forces it
       per_call.append((time.perf_counter() - t0) * 1e3 / (args.iters + 1))
     chained_ms = statistics.median(per_call)
 
     row = {
         'metric': 'index_search_ms', 'q': q_n, 'k': args.k,
-        'n': args.n, 'd': args.d,
+        'n': args.n, 'd': args.d, 'storage': args.storage,
         'device_strict_ms': round(strict_ms, 3),
         'device_chained_ms': round(chained_ms, 3),
         'host_ms': round(host_ms, 3),
@@ -139,7 +144,8 @@ def main() -> None:
     results.append(row)
     print(json.dumps(row))
 
-  bytes_per_sweep = args.n * args.d * 2  # bf16 corpus
+  bytes_per_sweep = args.n * args.d * {
+      'bf16': 2, 'fp32': 4, 'int8': 1}[args.storage]
   best = min(results, key=lambda r: r['device_chained_ms'])
   print(json.dumps({
       'metric': 'index_sweep_gbps',

@@ -189,13 +189,16 @@ def main():
                            'only). "new" / "new-ann" starts an EMPTY '
                            'mutable corpus (exact / HNSW) to be filled '
                            'over the wire — a vector database.')
-  parser.add_argument('--index-backend', choices=('host', 'device'),
+  parser.add_argument('--index-backend',
+                      choices=('host', 'device', 'device-int8'),
                       default='host',
                       help='where /v1/search sweeps the corpus: host '
                            '(numpy exact / HNSW, the default) or device '
                            '(DeviceAcceleratedIndex: exact search over '
                            'the HBM-sharded snapshot; mutations still '
-                           'apply host-side and refresh it)')
+                           'apply host-side and refresh it). device-int8 '
+                           'stores the HBM corpus as per-row-scaled int8 '
+                           '— half the sweep bytes, ranking-tier scores')
   parser.add_argument('--index-save-path', default=None,
                       help='enables POST /v1/index/save: persist the '
                            '(mutated) index atomically to this npz path '
@@ -364,19 +367,22 @@ def main():
               'exact' if type(index) is retrieval.VideoIndex else
               'ann-fallback-exact')
       print(f'search index: {len(index)} videos from {args.index} ({kind})')
-    if index is not None and args.index_backend == 'device':
+    if index is not None and args.index_backend.startswith('device'):
+      import jax.numpy as jnp
       from videoprism_tpu.device_index import DeviceAcceleratedIndex
-      index = DeviceAcceleratedIndex(index)
-      print('search backend: device (HBM-sharded exact sweep; host tier '
-            'keeps CRUD, snapshot refreshes on mutation)')
+      storage = (jnp.int8 if args.index_backend == 'device-int8'
+                 else jnp.bfloat16)
+      index = DeviceAcceleratedIndex(index, storage_dtype=storage)
+      print(f'search backend: {args.index_backend} (HBM-sharded exact '
+            'sweep; host tier keeps CRUD, snapshot refreshes on mutation)')
   elif args.index:
     raise SystemExit('--index needs an lvt (CLIP) model')
   elif args.from_export_text:
     raise SystemExit('--from-export-text needs an lvt (CLIP) model')
   if args.index_save_path and index is None:
     raise SystemExit('--index-save-path needs --index')
-  if args.index_backend == 'device' and index is None:
-    raise SystemExit('--index-backend device needs --index')
+  if args.index_backend != 'host' and index is None:
+    raise SystemExit(f'--index-backend {args.index_backend} needs --index')
 
   frames_service = None
   if args.enable_localize:

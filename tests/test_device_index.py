@@ -48,6 +48,36 @@ def test_bf16_storage_planted_matches():
                                atol=2e-2)
 
 
+def test_int8_storage_ranking():
+  # int8 rows carry per-row absmax scales: scores land within ~1e-2 of
+  # exact and planted top-1 matches survive the quantization.
+  emb, ids = _corpus(300, 256, seed=20)
+  host = retrieval.VideoIndex(emb, ids)
+  dev = DeviceVideoIndex(emb, ids, storage_dtype=np.int8)
+  rows = [0, 123, 299]
+  q = emb[rows] + 0.01 * np.random.default_rng(21).normal(
+      size=(len(rows), 256)).astype(np.float32)
+  got = dev.search(q, k=4)
+  want = host.search(q, k=4)
+  for r, g, w in zip(rows, got, want):
+    assert g[0][0] == f'clip{r:05d}'
+    np.testing.assert_allclose([s for _, s in g], [s for _, s in w],
+                               atol=2e-2)
+
+
+def test_int8_recall_at_10():
+  # Ranking-tier contract on random unit vectors: recall@10 vs exact.
+  emb, ids = _corpus(2000, 128, seed=22)
+  host = retrieval.VideoIndex(emb, ids)
+  dev = DeviceVideoIndex(emb, ids, storage_dtype=np.int8, chunk_size=512)
+  q = np.random.default_rng(23).normal(size=(16, 128)).astype(np.float32)
+  got = dev.search(q, k=10)
+  want = host.search(q, k=10)
+  hits = sum(len({i for i, _ in g} & {i for i, _ in w})
+             for g, w in zip(got, want))
+  assert hits / (16 * 10) > 0.9
+
+
 def test_chunked_scan_parity():
   # chunk_size smaller than the shard forces a multi-step scan with
   # running top-k merge; results must not change.

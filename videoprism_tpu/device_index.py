@@ -30,6 +30,12 @@ Design notes
     bfloat16): cosine scores move by ~1e-3, irrelevant at retrieval's
     score gaps.  ``storage_dtype=float32`` stores fp32 and scores with
     ``Precision.HIGHEST`` for exact parity with the host index.
+    ``storage_dtype=int8`` stores per-row absmax-scaled int8: half the
+    HBM bytes of bf16 — on a bandwidth-bound sweep that is ~2× the
+    corpus per chip AND ~2× the sweep rate — at ~3e-3 cosine error on
+    unit vectors (the per-element quantization noise averages down over
+    D); ranking-tier accuracy, validate with a recall probe if score
+    gaps are unusually tight.
   * Queries are padded to a small set of bucket sizes so the jit cache
     stays bounded; one program per (query-bucket, k, corpus-version).
 """
@@ -85,9 +91,9 @@ class DeviceVideoIndex:
     self._n = len(emb)
     self._dim = emb.shape[1]
     self._dtype = jnp.dtype(storage_dtype)
-    if self._dtype not in (jnp.bfloat16, jnp.float32):
-      raise ValueError(f'storage_dtype must be bfloat16 or float32, '
-                       f'got {self._dtype}')
+    if self._dtype not in (jnp.bfloat16, jnp.float32, jnp.int8):
+      raise ValueError(f'storage_dtype must be bfloat16, float32 or '
+                       f'int8, got {self._dtype}')
     self._mesh = Mesh(np.asarray(devices), (_SHARD_AXIS,))
     n_dev = len(devices)
 
@@ -98,9 +104,21 @@ class DeviceVideoIndex:
     per_shard = -(-per_shard // self._chunk) * self._chunk
     padded = np.zeros((per_shard * n_dev, self._dim), np.float32)
     padded[:self._n] = emb
+    if self._dtype == jnp.int8:
+      # Per-row absmax scales: rows dequantize as values * scale inside
+      # the score epilogue (padding rows get scale 0 — harmless, they
+      # are masked by row id anyway).
+      scales = np.abs(padded).max(axis=1) / 127.0
+      values = np.round(
+          padded / np.maximum(scales, 1e-12)[:, None]).astype(np.int8)
+    else:
+      scales = np.ones(len(padded), np.float32)
+      values = padded.astype(self._dtype)
     sharding = NamedSharding(self._mesh, P(_SHARD_AXIS, None))
-    self._corpus = jax.device_put(
-        padded.astype(self._dtype), sharding)
+    self._corpus = (
+        jax.device_put(values, sharding),
+        jax.device_put(scales.astype(np.float32),
+                       NamedSharding(self._mesh, P(_SHARD_AXIS))))
     self._per_shard = per_shard
     # One compiled program per (q_bucket, k); invalidated with the
     # corpus snapshot on refresh().
@@ -125,19 +143,26 @@ class DeviceVideoIndex:
     exact = self._dtype == jnp.float32
     precision = lax.Precision.HIGHEST if exact else lax.Precision.DEFAULT
 
-    def shard_search(q, corpus):
-      # q: [q_pad, D] replicated; corpus: [per_shard, D] this shard.
+    def shard_search(q, corpus, scales):
+      # q: [q_pad, D] replicated; corpus: [per_shard, D] this shard,
+      # scales: [per_shard] per-row dequant factors (1.0 for float
+      # storage — an exact multiply).
       base = lax.axis_index(_SHARD_AXIS) * per_shard
       chunks = corpus.reshape(n_chunks, chunk, corpus.shape[-1])
-      qc = q.astype(corpus.dtype)
+      scale_chunks = scales.reshape(n_chunks, chunk)
+      # int8 rows matmul in bf16 (the convert fuses into the HBM read,
+      # which stays 1 byte/elem); float storage keeps its own dtype.
+      mm_dtype = jnp.bfloat16 if corpus.dtype == jnp.int8 else corpus.dtype
+      qc = q.astype(mm_dtype)
 
       def body(carry, xs):
         best_s, best_i = carry
-        chunk_emb, chunk_idx = xs
+        chunk_emb, chunk_scale, chunk_idx = xs
         gid = base + chunk_idx * chunk + jnp.arange(chunk)
-        s = jnp.dot(qc, chunk_emb.T,
+        s = jnp.dot(qc, chunk_emb.T.astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                     precision=precision)
+        s = s * chunk_scale[None, :]
         s = jnp.where(gid[None, :] < n, s, -jnp.inf)
         cand_s = jnp.concatenate([best_s, s], axis=1)
         cand_i = jnp.concatenate(
@@ -149,7 +174,7 @@ class DeviceVideoIndex:
       init = (jnp.full((q_pad, k), -jnp.inf, jnp.float32),
               jnp.zeros((q_pad, k), jnp.int32))
       (best_s, best_i), _ = lax.scan(
-          body, init, (chunks, jnp.arange(n_chunks)))
+          body, init, (chunks, scale_chunks, jnp.arange(n_chunks)))
       # Merge: devices × k candidates per query — tiny vs the corpus.
       all_s = lax.all_gather(best_s, _SHARD_AXIS, axis=1, tiled=True)
       all_i = lax.all_gather(best_i, _SHARD_AXIS, axis=1, tiled=True)
@@ -159,7 +184,7 @@ class DeviceVideoIndex:
 
     fn = mesh_lib.shard_map_compat(
         shard_search, self._mesh,
-        in_specs=(P(), P(_SHARD_AXIS, None)),
+        in_specs=(P(), P(_SHARD_AXIS, None), P(_SHARD_AXIS)),
         out_specs=(P(), P()))
     return jax.jit(fn)
 
@@ -182,7 +207,7 @@ class DeviceVideoIndex:
       self._programs[key] = self._build(q_pad, k)
     padded = np.zeros((q_pad, self._dim), np.float32)
     padded[:len(q)] = q
-    scores, rows = self._programs[key](jnp.asarray(padded), self._corpus)
+    scores, rows = self._programs[key](jnp.asarray(padded), *self._corpus)
     return (np.asarray(scores[:len(q)]), np.asarray(rows[:len(q)]))
 
   def search(self, queries: np.ndarray, k: int = 5
