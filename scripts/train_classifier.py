@@ -103,6 +103,12 @@ def main():
   parser.add_argument('--early-stop-metric', default='top1_accuracy',
                       help='eval metric to watch (mode inferred: '
                            'loss/nll/rank minimize, else maximize)')
+  parser.add_argument('--optimizer', default='adamw',
+                      choices=['adamw', 'adafactor', 'lion', 'sgd'],
+                      help='update rule: adamw (default), adafactor '
+                           '(factored second moments — O(rows+cols) '
+                           'state), lion (one bf16-safe moment; use a '
+                           'smaller LR), sgd (Nesterov momentum)')
   parser.add_argument('--schedule', default='cosine',
                       choices=['cosine', 'linear', 'constant'],
                       help='post-warmup LR decay (constant suits '
@@ -226,7 +232,7 @@ def main():
       learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
       total_steps=args.steps, weight_decay=args.weight_decay,
       skip_nonfinite=args.skip_nonfinite or None,
-      schedule=args.schedule)
+      schedule=args.schedule, optimizer=args.optimizer)
   if args.layer_decay:
     if args.freeze_backbone or args.lora_rank:
       parser.error('--layer-decay applies to the full fine-tune (the '

@@ -97,6 +97,12 @@ def main():
   parser.add_argument('--early-stop-metric', default='t2v_recall@1',
                       help='eval metric to watch (mode inferred: '
                            'loss/nll/rank minimize, else maximize)')
+  parser.add_argument('--optimizer', default='adamw',
+                      choices=['adamw', 'adafactor', 'lion', 'sgd'],
+                      help='update rule: adamw (default), adafactor '
+                           '(factored second moments — O(rows+cols) '
+                           'state), lion (one bf16-safe moment; use a '
+                           'smaller LR), sgd (Nesterov momentum)')
   parser.add_argument('--schedule', default='cosine',
                       choices=['cosine', 'linear', 'constant'],
                       help='post-warmup LR decay (constant suits '
@@ -245,7 +251,7 @@ def main():
       total_steps=args.steps,
       mu_dtype=jnp.bfloat16 if args.bf16_moments else None,
       skip_nonfinite=args.skip_nonfinite or None,
-      schedule=args.schedule)
+      schedule=args.schedule, optimizer=args.optimizer)
   pretrained = None
   if args.init_checkpoint:
     state0 = vp.load_pretrained_weights(

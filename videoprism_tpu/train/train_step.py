@@ -90,8 +90,26 @@ def make_optimizer(
     mu_dtype=None,
     skip_nonfinite: int | None = None,
     schedule: str = 'cosine',
+    optimizer: str = 'adamw',
 ) -> optax.GradientTransformation:
-  """AdamW + warmup schedule + global-norm clipping.
+  """Optimizer + warmup schedule + global-norm clipping.
+
+  ``optimizer`` picks the update rule:
+
+  * ``'adamw'`` (default) — the recipe every other knob below documents.
+  * ``'adafactor'`` — factored second moments: O(rows+cols) state per
+    matrix instead of O(rows·cols), the classic TPU choice when the
+    optimizer state dominates HBM (giant towers, no FSDP).  Runs with
+    momentum off (the memory-saving configuration); ``b2`` is the decay
+    exponent's base rate and ``weight_decay`` applies decoupled, masked
+    like AdamW.  ``mu_dtype`` is ignored (there is no mu).
+  * ``'lion'`` — sign-momentum: one bf16-safe moment (a third of AdamW
+    state), typically wants ~3-10× smaller ``learning_rate`` and ~3-10×
+    larger ``weight_decay`` than AdamW.  ``b1``/``b2`` map to Lion's
+    interpolation/decay pair (0.9/0.99 defaults apply if left at the
+    AdamW defaults).
+  * ``'sgd'`` — Nesterov momentum (``b1``), no adaptive state at all;
+    ``weight_decay`` applies decoupled (masked).
 
   ``schedule`` picks the post-warmup decay: ``'cosine'`` (to 0 at
   ``total_steps``), ``'linear'`` (to 0), or ``'constant'`` (hold the
@@ -135,10 +153,33 @@ def make_optimizer(
   else:
     raise ValueError(f"unknown schedule {schedule!r} "
                      "(expected 'cosine', 'linear', or 'constant')")
+  if optimizer == 'adamw':
+    rule = optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay,
+                       mu_dtype=mu_dtype, mask=_weight_decay_mask)
+  elif optimizer == 'adafactor':
+    # factored=True + momentum=None is the memory configuration; decay
+    # uses adafactor's own multiplicative rule, masked like AdamW's.
+    rule = optax.adafactor(
+        lr, decay_rate=b2, momentum=None, factored=True,
+        weight_decay_rate=weight_decay or None,
+        weight_decay_mask=_weight_decay_mask if weight_decay else None)
+  elif optimizer == 'lion':
+    # b1=0.9 is both optimizers' default; an untouched AdamW b2 (0.95)
+    # becomes Lion's 0.99.
+    rule = optax.lion(lr, b1=b1, b2=0.99 if b2 == 0.95 else b2,
+                      weight_decay=weight_decay, mu_dtype=mu_dtype,
+                      mask=_weight_decay_mask)
+  elif optimizer == 'sgd':
+    rule = optax.chain(
+        optax.add_decayed_weights(weight_decay, _weight_decay_mask),
+        optax.sgd(lr, momentum=b1, nesterov=True),
+    )
+  else:
+    raise ValueError(f"unknown optimizer {optimizer!r} (expected 'adamw', "
+                     "'adafactor', 'lion', or 'sgd')")
   opt = optax.chain(
       optax.clip_by_global_norm(clip_norm),
-      optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay,
-                  mu_dtype=mu_dtype, mask=_weight_decay_mask),
+      rule,
   )
   if skip_nonfinite is not None:
     if skip_nonfinite <= 0:
@@ -344,15 +385,40 @@ def _opt_state_shardings(opt_state, param_sh, repl, trainable_sh=None):
   def assign(leaf):
     return repl
 
+  def compatible(leaf, sh):
+    """Keep the param sharding only where the state leaf can actually
+    wear it.  Adam moments mirror param shapes exactly; adafactor's
+    factored vectors (``v_row``/``v_col``/placeholder ``v``) share the
+    params' *structure* but not their shapes — those replicate (they
+    are O(rows+cols), replication is free)."""
+    shape = getattr(leaf, 'shape', None)
+    spec = getattr(sh, 'spec', None)
+    if shape is None or spec is None:
+      return sh
+    if len(spec) > len(shape):
+      return repl
+    axis_sizes = dict(sh.mesh.shape)
+    for dim, axes in zip(shape, spec):
+      if axes is None:
+        continue
+      axes = axes if isinstance(axes, tuple) else (axes,)
+      size = 1
+      for a in axes:
+        size *= axis_sizes[a]
+      if dim % size:
+        return repl
+    return sh
+
   # optax states are pytrees whose array leaves either mirror the params
   # (moments) or are scalars.  Match by structure: where a subtree's
-  # structure equals the trainable structure, reuse the param shardings.
+  # structure equals the trainable structure, reuse the param shardings
+  # leaf-wise (shape-checked).
   target_structure = jax.tree.structure(trainable_sh)
 
   def recurse(node):
     try:
       if jax.tree.structure(node) == target_structure:
-        return trainable_sh
+        return jax.tree.map(compatible, node, trainable_sh)
     except Exception:
       pass
     if hasattr(node, '_fields'):  # namedtuple (check before tuple!)
