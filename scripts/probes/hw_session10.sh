@@ -7,10 +7,13 @@
 #   * ?dtype=float16 egress on /v1/embed[_file]   [VALIDATED in-session]
 #   * online index mutation (add/remove/save)     [add+save VALIDATED]
 #   * pad_frames_to serving                        [VALIDATED in-session]
-#   * /v1/classify_long + /v1/embed_long — PENDING on hardware: the
+#   * /v1/classify_long + /v1/embed_long — VALIDATED (session 11): the
 #     first run found+fixed the weights-baked-into-HLO 413 (commit
-#     2c30352); the re-run with the fixed smoke assertion has NOT yet
-#     caught a claim window.  Stage 3 is the leg to watch.
+#     2c30352); the re-run caught a claim window and stage 3 passed
+#     (classify_long top1 agrees with one-shot classify on the demo
+#     clip).  Full script re-ran green: smoke_serving 4/4, bench
+#     163.3 b64 / 149.7 b1 / p50 6.68 ms / mfu 0.743, entry() +
+#     dryrun_multichip(8) all legs.
 # smoke_serving.py stages cover all of the above.
 set -x
 cd /root/repo
