@@ -101,7 +101,7 @@ def _build_extra_model(spec: str, args):
       model, state,
       batch_buckets=tuple(int(b) for b in args.buckets.split(',')),
       max_wait_ms=args.max_wait_ms, quantize=quantize,
-      max_pending=args.max_pending)
+      max_pending=args.max_pending, cache_entries=args.cache)
   service.start()
   text_encode_fn = text_service = None
   from videoprism_tpu.models.clip import VideoCLIPConfig
@@ -118,7 +118,8 @@ def _build_extra_model(spec: str, args):
     text_service = serving.TextEncodeService(
         retrieval.make_text_query_encoder(
             model._unwrap(state), model.config, tokenizer),
-        max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)
+        max_wait_ms=args.max_wait_ms, max_pending=args.max_pending,
+        cache_entries=args.cache)
     text_service.start()
     text_encode_fn = text_service.encode
 
@@ -154,6 +155,12 @@ def main():
   parser.add_argument('--max-pending', type=int, default=None,
                       help='bound the request queue; full -> HTTP 503 '
                            '(load shedding). Default: unbounded.')
+  parser.add_argument('--cache', type=int, default=0, metavar='N',
+                      help='content-addressed LRU over embed results: a '
+                           'clip (or text) whose exact bytes were served '
+                           'before skips the chip. N entries per service '
+                           '(video result budget 1 GiB); cleared on hot '
+                           'reload. Default: off.')
   parser.add_argument('--auth-token', default=None,
                       help='require "Authorization: Bearer <token>" on the '
                            'POST endpoints; defaults to $VIDEOPRISM_AUTH_TOKEN '
@@ -324,7 +331,7 @@ def main():
       batch_buckets=tuple(int(b) for b in args.buckets.split(',')),
       max_wait_ms=args.max_wait_ms, quantize=args.quantize,
       max_pending=args.max_pending, exported=args.from_export,
-      pad_frames_to=pad_frames_to)
+      pad_frames_to=pad_frames_to, cache_entries=args.cache)
   service.start()
   if args.warmup_frames or args.tiny or args.tiny_clip:
     print(f'warming up buckets at clip shape {clip_shape} ...')
@@ -353,7 +360,8 @@ def main():
         retrieval.make_text_query_encoder(
             model._unwrap(state), model.config, tokenizer,
             exported=args.from_export_text),
-        max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)
+        max_wait_ms=args.max_wait_ms, max_pending=args.max_pending,
+        cache_entries=args.cache)
     text_service.start()
     text_encode_fn = text_service.encode
     if args.index in ('new', 'new-ann'):

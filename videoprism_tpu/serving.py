@@ -24,6 +24,7 @@ from __future__ import annotations
 import bisect
 import collections
 import dataclasses
+import hashlib
 import queue
 import time
 import threading
@@ -181,6 +182,83 @@ class _CoalesceGovernor:
                    + (1.0 - self.DECAY) * float(coalesced))
 
 
+class _EmbeddingCache:
+  """Content-addressed LRU for serving results.
+
+  Retried uploads, load-test loops, and popular clips re-enter a serving
+  pod verbatim; re-running the tower on identical bytes buys nothing.
+  Entries are keyed by a digest of the exact input (plus shape/dtype —
+  content that decodes equal but arrives different stays distinct) and
+  bounded two ways: ``max_entries`` and ``max_bytes`` (token-level
+  encoder outputs are ~12.6 MB/clip fp32, so an entry cap alone could
+  still pin GBs).  Eviction is LRU on read and write.  A hot weight
+  reload :meth:`clear`\\ s it — embeddings from the old tree are wrong
+  answers under the new one.
+  """
+
+  def __init__(self, max_entries: int, max_bytes: int = 1 << 30):
+    if max_entries <= 0:
+      raise ValueError(f'max_entries must be positive, got {max_entries}')
+    self._max_entries = max_entries
+    self._max_bytes = max_bytes
+    self._entries: collections.OrderedDict[bytes, np.ndarray] = (
+        collections.OrderedDict())
+    self._bytes = 0
+    self._lock = threading.Lock()
+    self.hits = 0
+    self.misses = 0
+
+  @staticmethod
+  def digest(payload: bytes | memoryview, *context) -> bytes:
+    """blake2b over the raw payload plus any context (shape, dtype,
+    valid-frame count, ...) that changes the answer for equal bytes."""
+    h = hashlib.blake2b(digest_size=16)
+    h.update(payload)
+    for c in context:
+      h.update(repr(c).encode())
+      h.update(b'\x00')
+    return h.digest()
+
+  def get(self, key: bytes) -> np.ndarray | None:
+    with self._lock:
+      value = self._entries.get(key)
+      if value is None:
+        self.misses += 1
+        return None
+      self._entries.move_to_end(key)
+      self.hits += 1
+      return value
+
+  def put(self, key: bytes, value: np.ndarray) -> None:
+    value = np.asarray(value)
+    if value.nbytes > self._max_bytes:
+      return
+    with self._lock:
+      old = self._entries.pop(key, None)
+      if old is not None:
+        self._bytes -= old.nbytes
+      self._entries[key] = value
+      self._bytes += value.nbytes
+      while (len(self._entries) > self._max_entries
+             or self._bytes > self._max_bytes):
+        _, evicted = self._entries.popitem(last=False)
+        self._bytes -= evicted.nbytes
+
+  def clear(self) -> None:
+    with self._lock:
+      self._entries.clear()
+      self._bytes = 0
+
+  def stats(self) -> dict[str, Any]:
+    with self._lock:
+      return {
+          'cache_hits': self.hits,
+          'cache_misses': self.misses,
+          'cache_entries': len(self._entries),
+          'cache_bytes': self._bytes,
+      }
+
+
 class TextEncodeService:
   """Cross-request micro-batching for the text tower.
 
@@ -200,7 +278,13 @@ class TextEncodeService:
 
   def __init__(self, encode_fn, *, max_wait_ms: float = 5.0,
                max_texts: int = 64, max_pending: int | None = None,
-               adaptive_wait: bool = True):
+               adaptive_wait: bool = True, cache_entries: int = 0,
+               cache_bytes: int = 1 << 28):
+    """``cache_entries=N`` (default 0 = off) memoizes per-STRING: a
+    request whose texts were all seen before returns without queueing,
+    and a partial hit only sends the misses to the chip.  Text
+    embeddings are a few KB each, so the default byte budget is ample.
+    :meth:`reload` clears it (new weights, new embedding space)."""
     if max_texts <= 0:
       raise ValueError(f'max_texts must be positive, got {max_texts}')
     if max_pending is not None and max_pending <= 0:
@@ -223,6 +307,8 @@ class TextEncodeService:
     self._errors = 0
     self._generation = 0
     self._latency = _LatencyHistogram()
+    self._cache = (_EmbeddingCache(cache_entries, cache_bytes)
+                   if cache_entries else None)
 
   def start(self) -> None:
     self._running = True
@@ -247,6 +333,8 @@ class TextEncodeService:
   def reload(self, encode_fn) -> None:
     """Swaps the underlying encoder between batches (hot reload)."""
     self._encode_fn = encode_fn
+    if self._cache is not None:
+      self._cache.clear()
     self._generation += 1
 
   @property
@@ -266,6 +354,8 @@ class TextEncodeService:
           'text_queue_depth': self._queue.qsize(),
           'text_coalesce_rate': round(self._governor.rate, 4),
           'text_request_latency': self._latency.snapshot(),
+          **({f'text_{k}': v for k, v in self._cache.stats().items()}
+             if self._cache is not None else {}),
       }
 
   def encode(self, texts, timeout: float = 300.0,
@@ -281,6 +371,21 @@ class TextEncodeService:
       raise RuntimeError('TextEncodeService was stopped')
     if deadline_ms is not None and not deadline_ms > 0:
       raise ValueError(f'deadline_ms must be positive, got {deadline_ms}')
+    cached_rows: dict[int, np.ndarray] = {}
+    keys = None
+    if self._cache is not None:
+      keys = [_EmbeddingCache.digest(str(t).encode('utf-8'))
+              for t in texts]
+      for i, key in enumerate(keys):
+        row = self._cache.get(key)
+        if row is not None:
+          cached_rows[i] = row
+      if len(cached_rows) == len(texts):
+        with self._stats_lock:
+          self._latency.observe(time.monotonic() - t_start)
+        return np.stack([cached_rows[i] for i in range(len(texts))])
+      # Only the misses ride the chip; hits splice back in below.
+      texts = [t for i, t in enumerate(texts) if i not in cached_rows]
     req = _TextRequest(
         texts=texts, event=threading.Event(),
         deadline=(time.monotonic() + deadline_ms / 1e3
@@ -303,7 +408,18 @@ class TextEncodeService:
       raise req.error
     with self._stats_lock:
       self._latency.observe(time.monotonic() - t_start)
-    return req.result
+    if keys is None:
+      return req.result
+    total = len(keys)
+    fresh = iter(np.asarray(req.result))
+    rows = []
+    for i in range(total):
+      row = cached_rows.get(i)
+      if row is None:
+        row = np.array(next(fresh))  # copy: don't pin the batch array
+        self._cache.put(keys[i], row)
+      rows.append(row)
+    return np.stack(rows)
 
   def _loop(self) -> None:
     while self._running:
@@ -389,6 +505,8 @@ class EmbeddingService:
       unhealthy_after_errors: int = 16,
       adaptive_wait: bool = True,
       pad_frames_to: int | None = None,
+      cache_entries: int = 0,
+      cache_bytes: int = 1 << 30,
   ):
     """``tensor_parallel=True`` (requires ``mesh``) serves a video encoder
     with the shard_map TP path (:mod:`videoprism_tpu.parallel.tp`): params
@@ -435,7 +553,16 @@ class EmbeddingService:
     are masked out of attention/pooling exactly like the reference's
     ``frame_paddings`` semantics (not attended as if they were black
     frames).  Short clips then coalesce into the same micro-batches as
-    full-length ones.  Single-program path only (no mesh/TP/exported)."""
+    full-length ones.  Single-program path only (no mesh/TP/exported).
+
+    ``cache_entries=N`` (default 0 = off) memoizes :meth:`embed` results
+    in a content-addressed LRU: a clip whose exact bytes were embedded
+    before returns without touching the queue or the chip.  Retried
+    uploads and popular content hit for free; ``cache_bytes`` bounds the
+    resident size (token-level encoder outputs are large).  A
+    :meth:`reload_state` clears it.  Digesting costs ~1 ms/MB host-side
+    — a clear win for uint8 and file ingestion, measurable but small
+    next to the fp32 wire cost it sits behind."""
     if quantize not in (None, 'int8'):
       raise ValueError(f'unknown quantize mode {quantize!r}')
     if exported is not None and (tensor_parallel or mesh is not None):
@@ -507,6 +634,8 @@ class EmbeddingService:
                        f'got {unhealthy_after_errors}')
     self._unhealthy_after = unhealthy_after_errors
     self._consecutive_batch_errors = 0
+    self._cache = (_EmbeddingCache(cache_entries, cache_bytes)
+                   if cache_entries else None)
     self._batch_latencies = collections.deque(maxlen=1024)  # seconds
     self._latency = _LatencyHistogram()  # per-request, queue + batch
 
@@ -647,6 +776,7 @@ class EmbeddingService:
           # Per-REQUEST end-to-end latency (queue + batch), histogram
           # form — /metrics exports it as a Prometheus histogram.
           'request_latency': self._latency.snapshot(),
+          **(self._cache.stats() if self._cache is not None else {}),
       }
 
   def healthy(self) -> bool:
@@ -706,6 +836,9 @@ class EmbeddingService:
             f'reload_state: leaf mismatch {n.shape}/{n.dtype} vs served '
             f'{o.shape}/{o.dtype} (same architecture required)')
     self._state = state
+    if self._cache is not None:
+      # Old-tree embeddings are wrong answers under the new weights.
+      self._cache.clear()
     with self._stats_lock:
       self._reloads += 1
 
@@ -734,6 +867,18 @@ class EmbeddingService:
       # `not >` (rather than `<=`) also catches NaN, whose comparisons
       # are all False and would silently disable expiry.
       raise ValueError(f'deadline_ms must be positive, got {deadline_ms}')
+    cache_key = None
+    if self._cache is not None:
+      video = np.ascontiguousarray(video)
+      # Digest BEFORE any frame padding: the pad length is configuration,
+      # the clip bytes are the content.
+      cache_key = _EmbeddingCache.digest(
+          video.data, video.shape, video.dtype.str)
+      cached = self._cache.get(cache_key)
+      if cached is not None:
+        with self._stats_lock:
+          self._latency.observe(time.monotonic() - t_start)
+        return cached
     valid_frames = None
     if self._pad_frames_to is not None:
       t = video.shape[0]
@@ -774,6 +919,10 @@ class EmbeddingService:
       raise req.error
     with self._stats_lock:
       self._latency.observe(time.monotonic() - t_start)
+    if cache_key is not None:
+      # Copy: the result row is a view into the whole batch's output —
+      # caching the view would pin the full batch array in memory.
+      self._cache.put(cache_key, np.array(req.result))
     return req.result
 
   def embed_batch(self, videos: np.ndarray,

@@ -308,6 +308,13 @@ _METRIC_FAMILIES = (
     ('videoprism_text_batches_run_total', 'text_batches_run', 'counter'),
     ('videoprism_text_errors_total', 'text_errors', 'counter'),
     ('videoprism_text_queue_depth', 'text_queue_depth', 'gauge'),
+    ('videoprism_cache_hits_total', 'cache_hits', 'counter'),
+    ('videoprism_cache_misses_total', 'cache_misses', 'counter'),
+    ('videoprism_cache_entries', 'cache_entries', 'gauge'),
+    ('videoprism_cache_bytes', 'cache_bytes', 'gauge'),
+    ('videoprism_text_cache_hits_total', 'text_cache_hits', 'counter'),
+    ('videoprism_text_cache_misses_total', 'text_cache_misses', 'counter'),
+    ('videoprism_text_cache_entries', 'text_cache_entries', 'gauge'),
 )
 
 
