@@ -1099,6 +1099,66 @@ class TestEmbedLong:
     assert emb.dtype == np.float16 and np.isfinite(
         emb.astype(np.float32)).all()
 
+  def test_overlap_takes_spatial_reuse_path(self, lvt_server):
+    """stride < window routes through embed_long_video_cached (per-frame
+    spatial reuse) — same windows/values as the naive batch path."""
+    from videoprism_tpu import assets, streaming
+    from videoprism_tpu.client import VideoPrismClient
+
+    httpd, model, state = lvt_server
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    path = assets.demo_video_path()
+    windows = c.embed_long_file(path, window=2, stride=1, size=12,
+                                per_window=True, timeout_s=600)
+
+    def embed_fn(batch):  # the pre-reuse service path, as the oracle
+      out, _, _ = model.apply(state, batch.astype(np.float32) / 255.0,
+                              None, None, train=False)
+      return np.asarray(out)
+
+    _, want = streaming.embed_video_file(
+        embed_fn, path, window=2, stride=1, target_size=12,
+        batch_windows=2)
+    assert windows.shape == want.shape
+    np.testing.assert_allclose(windows, want, atol=1e-4)
+
+  def test_int8_overlap_uses_quantized_tree(self):
+    """The spatial-reuse path unwraps the service state — on an int8
+    service that IS the quantized tree, so cached == the int8 batch
+    path, not a silent fp fallback."""
+    from videoprism_tpu import assets, streaming
+    from videoprism_tpu.client import VideoPrismClient
+    from videoprism_tpu.models import clip as vclip
+
+    cfg = vclip.VideoCLIPConfig(
+        **TINY, num_auxiliary_layers=1, enable_causal_atten=True,
+        num_unimodal_layers=2, norm_policy='pre', vocabulary_size=1000)
+    model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+    state = model.init(jax.random.PRNGKey(0))
+    service = serving.EmbeddingService(model, state, batch_buckets=(1, 2),
+                                       quantize='int8')
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(service, host='127.0.0.1',
+                                             port=0)
+    httpd.start()
+    try:
+      c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+      path = assets.demo_video_path()
+      windows = c.embed_long_file(path, window=2, stride=1, size=12,
+                                  per_window=True, timeout_s=600)
+
+      def embed_fn(batch):  # the int8 batch path, as the oracle
+        return np.asarray(service.embed_batch(batch))
+
+      _, want = streaming.embed_video_file(
+          embed_fn, path, window=2, stride=1, target_size=12,
+          batch_windows=2)
+      assert windows.shape == want.shape
+      np.testing.assert_allclose(windows, want, atol=1e-3)
+    finally:
+      httpd.stop()
+      service.stop()
+
   def test_token_level_model_is_400(self, server):
     httpd, _, _ = server
     from videoprism_tpu import assets

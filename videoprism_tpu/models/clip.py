@@ -163,6 +163,42 @@ def encode_vision(
   return video_embeddings, outputs
 
 
+def pool_vision_tokens(
+    params: Params,
+    vision_features: Array,
+    cfg: VideoCLIPConfig,
+    *,
+    normalize: bool = True,
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> Array:
+  """Encoder tokens [B, T*N, D] -> contrastive embeddings [B, D].
+
+  The tail of :func:`encode_vision` (auxiliary ViT + attention pooler +
+  l2-normalize, reference videoprism/encoders.py:860-880), split out so
+  long-video paths can pool CACHED encoder tokens — e.g.
+  :func:`videoprism_tpu.streaming.embed_long_video_cached`, where
+  overlapping windows share per-frame spatial encodings and only the
+  temporal stack + this tail re-run per window.  Keep the op sequence in
+  lockstep with encode_vision (parity-tested in
+  tests/test_spatial_reuse.py).
+  """
+  if cfg.num_auxiliary_layers > 0:
+    aux_cfg = cfg.vision_config().vit_layer_config(cfg.num_auxiliary_layers)
+    vision_features = fe.vision_transformer(
+        params['auxiliary_encoder'], vision_features, aux_cfg,
+        train=train, rng=rng)
+  pooled = atten_token_pooling(
+      params['contrastive_vision_pooler'], vision_features, None,
+      num_heads=cfg.num_heads, hidden_dim=cfg.model_dim * 4,
+      num_queries=1, train=train, dtype=cfg.dtype,
+      tp_axis=cfg.tp_axis, interpret=cfg.kernel_interpret)
+  video_embeddings = jnp.squeeze(pooled, axis=-2)
+  if normalize:
+    video_embeddings = basic.l2_normalize(video_embeddings, axis=-1)
+  return video_embeddings
+
+
 def encode_text(
     params: Params,
     text_token_ids: Array,

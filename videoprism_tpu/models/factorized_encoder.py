@@ -115,6 +115,50 @@ def vision_transformer(
       train=train, rng=rng)
 
 
+def _embed_patches(
+    params: Params,
+    inputs: Array,
+    cfg: FactorizedEncoderConfig,
+) -> tuple[Array, bool]:
+  """Video [B, T, H, W, 3] -> patch tokens [B*T, N, ...].
+
+  Returns ``(patches, projected)``: ``projected=True`` means the patch
+  projection already ran (the conv fast path below) and ``patches`` is
+  [B*T, N, D]; ``False`` means raw patch pixels [B*T, N, P^2*C] that
+  still need the ``patch_projection`` dense layer.
+
+  Perf mode (flash): patch extraction + projection as one strided conv —
+  the MXU's implicit-GEMM conv skips the explicit [B*T, N, P^2*C] patch
+  transpose entirely (measured 4.8 vs 6.0 ms at b32).  The weight is the
+  same checkpoint tensor reshaped to [P, P, C, D] (row-major (p1, p2, c)
+  matches image_to_patch's flattening order), so outputs agree to bf16
+  rounding.  'xla' keeps the reference-exact rearrange+matmul path.
+  """
+  b, t, h, w, c = inputs.shape
+  # Cast before patch extraction: the patching is a pure permutation, so
+  # bf16-first is value-identical but halves the transpose's HBM traffic.
+  inputs = inputs.astype(cfg.dtype)
+  reshaped_inputs = inputs.reshape(b * t, h, w, c)
+
+  if cfg.attention_impl == 'flash':
+    pw = basic.cast_floating(
+        params['patch_projection']['linear']['kernel'], cfg.dtype)
+    pb = basic.cast_floating(
+        params['patch_projection']['linear']['bias'], cfg.dtype)
+    p = cfg.patch_size
+    # No preferred_element_type: the MXU accumulates fp32 internally and
+    # rounds to the operand dtype, matching the dense path's rounding —
+    # and conv's gradient transpose rule rejects mixed operand/cotangent
+    # dtypes that a fp32 preferred output would create under training.
+    out = jax.lax.conv_general_dilated(
+        reshaped_inputs, pw.reshape(p, p, c, pw.shape[-1]),
+        window_strides=(p, p), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    num_patches = out.shape[1] * out.shape[2]
+    return (out + pb).reshape(b * t, num_patches, pw.shape[-1]), True
+  return emb_lib.image_to_patch(reshaped_inputs, cfg.patch_size), False
+
+
 def apply(
     params: Params,
     inputs: Array,
@@ -140,37 +184,7 @@ def apply(
   """
   b, t, h, w, c = inputs.shape
   assert h == w
-  # Cast before patch extraction: the patching is a pure permutation, so
-  # bf16-first is value-identical but halves the transpose's HBM traffic.
-  inputs = inputs.astype(cfg.dtype)
-  reshaped_inputs = inputs.reshape(b * t, h, w, c)
-
-  # Perf mode (flash): patch extraction + projection as one strided conv —
-  # the MXU's implicit-GEMM conv skips the explicit [B*T, N, P^2*C] patch
-  # transpose entirely (measured 4.8 vs 6.0 ms at b32).  The weight is the
-  # same checkpoint tensor reshaped to [P, P, C, D] (row-major (p1, p2, c)
-  # matches image_to_patch's flattening order), so outputs agree to bf16
-  # rounding.  'xla' keeps the reference-exact rearrange+matmul path.
-  projected = None
-  if cfg.attention_impl == 'flash':
-    pw = basic.cast_floating(
-        params['patch_projection']['linear']['kernel'], cfg.dtype)
-    pb = basic.cast_floating(
-        params['patch_projection']['linear']['bias'], cfg.dtype)
-    p = cfg.patch_size
-    # No preferred_element_type: the MXU accumulates fp32 internally and
-    # rounds to the operand dtype, matching the dense path's rounding —
-    # and conv's gradient transpose rule rejects mixed operand/cotangent
-    # dtypes that a fp32 preferred output would create under training.
-    out = jax.lax.conv_general_dilated(
-        reshaped_inputs, pw.reshape(p, p, c, pw.shape[-1]),
-        window_strides=(p, p), padding='VALID',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    num_patches = out.shape[1] * out.shape[2]
-    projected = (out + pb).reshape(b * t, num_patches, pw.shape[-1])
-    patches = projected
-  else:
-    patches = emb_lib.image_to_patch(reshaped_inputs, cfg.patch_size)
+  patches, projected = _embed_patches(params, inputs, cfg)
 
   patches_paddings = None
   if frame_paddings is not None:
@@ -189,7 +203,7 @@ def apply(
       return_intermediate=return_intermediate,
       patches_paddings=patches_paddings,
       rng=rng,
-      _projected=projected is not None,
+      _projected=projected,
       stack_override=stack_override,
   )
 
@@ -335,3 +349,114 @@ def encode_with_patches(
         spatial_features.reshape(b, t, n, d).reshape(b, t * n, d)
     )
   return features, outputs
+
+
+def encode_spatial(
+    params: Params,
+    inputs: Array,
+    cfg: FactorizedEncoderConfig,
+    *,
+    frame_paddings: Array | None = None,
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> Array:
+  """Spatial half only: video [B, T, H, W, 3] -> per-frame features
+  [B, T, N, D] (post ``spatial_ln``, pre temporal pos-emb).
+
+  The factorized architecture (reference videoprism/encoders.py:458-529)
+  runs everything up to the spatial LayerNorm independently per frame —
+  no cross-frame mixing happens until the temporal pos-emb add.  That
+  makes per-frame spatial features CACHEABLE: overlapping temporal
+  windows of a long video (``stride < window`` in
+  :mod:`videoprism_tpu.streaming`) can encode each frame's spatial tokens
+  once and re-run only the (much smaller) temporal stack per window.
+
+  ``encode_temporal(params, encode_spatial(params, x, cfg), cfg)``
+  equals ``apply(params, x, cfg)[0]`` exactly on the ``'xla'`` path; the
+  ``'flash'`` path differs only in the fused boundary kernel's rounding
+  (the split crosses the spatial_ln+regroup+pos-emb fusion seam, so the
+  split path applies them as separate ops).
+  """
+  dtype = cfg.dtype
+  b, t, h, w, c = inputs.shape
+  assert h == w
+  patches, projected = _embed_patches(params, inputs, cfg)
+  patches = patches.astype(dtype)
+  if not projected:
+    patches = basic.feed_forward(
+        params['patch_projection'], patches,
+        activation='identity', dtype=dtype)  # (B*T, N, D)
+
+  patches_paddings = None
+  if frame_paddings is not None:
+    assert frame_paddings.shape == (b, t)
+    patches_paddings = jnp.repeat(
+        frame_paddings.reshape(b * t)[:, jnp.newaxis],
+        patches.shape[1], axis=-1)
+
+  spatial_pos_emb_shape = cfg.pos_emb_shape[-2:]
+  spatial_seq_length = int(np.prod(spatial_pos_emb_shape))
+  spatial_pos_emb = emb_lib.trainable_positional_embedding(
+      params['spatial_pos_emb'], spatial_seq_length, dtype=dtype)
+  num_row_patches = h // cfg.patch_size
+  num_col_patches = w // cfg.patch_size
+  if spatial_pos_emb_shape != (num_row_patches, num_col_patches):
+    spatial_pos_emb = emb_lib.interpolate_emb_2d(
+        spatial_pos_emb, spatial_pos_emb_shape,
+        (num_row_patches, num_col_patches))
+  patches = patches + spatial_pos_emb
+
+  features = vision_transformer(
+      params['spatial_encoder'], patches,
+      cfg.vit_layer_config(cfg.num_spatial_layers),
+      paddings=patches_paddings, train=train, rng=rng)
+  features = basic.layer_norm(params['spatial_ln'], features, dtype=dtype)
+  n, d = features.shape[1], features.shape[2]
+  return features.reshape(b, t, n, d)
+
+
+def encode_temporal(
+    params: Params,
+    spatial_features: Array,
+    cfg: FactorizedEncoderConfig,
+    *,
+    frame_paddings: Array | None = None,
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> Array:
+  """Temporal half only: per-frame spatial features [B, T, N, D] (from
+  :func:`encode_spatial`) -> embeddings [B, T*N, D].
+
+  Applies temporal pos-emb (1-D resized for arbitrary T), the temporal
+  transformer stack, ``temporal_ln``, and the output regroup — the exact
+  tail of :func:`encode_with_patches` (reference
+  videoprism/encoders.py:530-580).
+  """
+  dtype = cfg.dtype
+  b, t, n, d = spatial_features.shape
+  features = spatial_features.astype(dtype)
+  # Regroup to per-token temporal sequences: b t n d -> (b n) t d.
+  features = features.transpose(0, 2, 1, 3).reshape(b * n, t, d)
+
+  temporal_seq_length = cfg.pos_emb_shape[0]
+  temporal_pos_emb = emb_lib.trainable_positional_embedding(
+      params['temporal_pos_emb'], temporal_seq_length, dtype=dtype)
+  if temporal_seq_length != t:
+    temporal_pos_emb = emb_lib.interpolate_emb_1d(temporal_pos_emb, t)
+  features = features + temporal_pos_emb
+
+  temporal_paddings = None
+  if frame_paddings is not None:
+    assert frame_paddings.shape == (b, t)
+    temporal_paddings = jnp.repeat(
+        frame_paddings[:, jnp.newaxis, :], n, axis=1).reshape(b * n, t)
+
+  features = vision_transformer(
+      params['temporal_encoder'], features,
+      cfg.vit_layer_config(cfg.num_temporal_layers),
+      paddings=temporal_paddings, train=train, rng=rng)
+  features = basic.layer_norm(
+      params['temporal_ln'], features, dtype=dtype)
+  # (b n) t d -> b (t n) d.
+  features = features.reshape(b, n, t, d).transpose(0, 2, 1, 3)
+  return features.reshape(b, t * n, d)

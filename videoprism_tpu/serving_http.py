@@ -942,19 +942,39 @@ class _Handler(BaseHTTPRequestHandler):
       return
     from videoprism_tpu import streaming
 
-    def embed_fn(batch):
-      out = np.asarray(self.service.embed_batch(batch))
-      if out.ndim != 2:
-        raise ValueError(
-            'long-video embedding needs a model with one embedding '
-            f'vector per clip; this server returns shape {out.shape[1:]} '
-            'per clip')
-      return out
+    cfg = getattr(getattr(self.service, '_model', None), 'config', None)
+    use_cached = False
+    if cfg is not None and stride is not None and 0 < stride < window:
+      from videoprism_tpu.models.clip import VideoCLIPConfig
 
-    result = self._with_upload(body, lambda path: streaming.embed_video_file(
-        embed_fn, path, window=window, stride=stride,
-        frame_stride=frame_stride, batch_windows=batch_windows,
-        target_size=size))
+      use_cached = isinstance(cfg, VideoCLIPConfig)
+    if use_cached:
+      # Overlapping windows + CLIP model code on board: per-frame
+      # spatial reuse (streaming.embed_long_video_cached) encodes each
+      # frame's spatial tokens once instead of re-running the full
+      # tower per window.  AOT-only services (no model code) and
+      # non-overlapping sweeps keep the batch-path fallback below.
+      params = self.service._model._unwrap(self.service._state)
+      result = self._with_upload(
+          body, lambda path: streaming.embed_long_video_cached(
+              params, cfg, path, window=window, stride=stride,
+              frame_stride=frame_stride, batch_windows=batch_windows,
+              target_size=size))
+    else:
+      def embed_fn(batch):
+        out = np.asarray(self.service.embed_batch(batch))
+        if out.ndim != 2:
+          raise ValueError(
+              'long-video embedding needs a model with one embedding '
+              f'vector per clip; this server returns shape {out.shape[1:]} '
+              'per clip')
+        return out
+
+      result = self._with_upload(
+          body, lambda path: streaming.embed_video_file(
+              embed_fn, path, window=window, stride=stride,
+              frame_stride=frame_stride, batch_windows=batch_windows,
+              target_size=size))
     if result is None:
       return
     pooled, windows = result

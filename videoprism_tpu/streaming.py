@@ -336,6 +336,207 @@ class StreamingPooler:
     return pooler_finalize(self._params, self._state, **self._finalize_kw)
 
 
+def _normalize_ingest(videos, dtype):
+  """uint8 ingestion: raw bytes ship over the wire/PCIe and normalize
+  to [0, 1] ON DEVICE (fuses into the first matmul), matching
+  ``EmbeddingService.embed_batch``'s contract — ``frame_reader`` yields
+  uint8, and feeding 0..255 floats into the encoder silently mismatches
+  the one-shot serving path (a real bug this guard fixed).  Float
+  inputs pass through (caller already normalized)."""
+  if videos.dtype == jnp.uint8:
+    return videos.astype(dtype) / 255.0
+  return videos
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _encode_spatial_chunk(enc_params, frames, enc_cfg):
+  """Frames [F, H, W, 3] -> per-frame spatial features [F, N, D].
+
+  Module-level jit with the weights as ARGUMENTS (the tunnel's
+  remote-compile endpoint 413s on baked-in weight constants — see
+  :func:`_encode_windows`)."""
+  from videoprism_tpu.models import factorized_encoder as fe_lib
+
+  frames = _normalize_ingest(frames, enc_cfg.dtype)
+  return fe_lib.encode_spatial(enc_params, frames[None], enc_cfg)[0]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _temporal_window_batch(enc_params, feats, enc_cfg, window, stride,
+                           num_windows):
+  """Spatial features [F, N, D] -> tokens for ``num_windows`` windows.
+
+  Window ``i`` reads rows ``[i*stride, i*stride + window)`` of ``feats``
+  (static slices — one compiled program per geometry); returns
+  [num_windows, window*N, D]."""
+  from videoprism_tpu.models import factorized_encoder as fe_lib
+
+  wins = jnp.stack(
+      [feats[i * stride:i * stride + window] for i in range(num_windows)])
+  return fe_lib.encode_temporal(enc_params, wins, enc_cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _tail_window_tokens(enc_params, feats2, offset, enc_cfg, window):
+  """One window at a TRACED row offset of ``feats2`` [F2, N, D] ->
+  tokens [window*N, D] — the tail window's feature rows land at an
+  arbitrary offset of the chunk pair, so the slice must be dynamic to
+  keep one compiled program across videos of different lengths."""
+  from videoprism_tpu.models import factorized_encoder as fe_lib
+
+  win = jax.lax.dynamic_slice_in_dim(feats2, offset, window, axis=0)
+  return fe_lib.encode_temporal(enc_params, win[None], enc_cfg)[0]
+
+
+def stream_window_token_batches(
+    enc_params,
+    enc_cfg,
+    frames_iter: Iterator[np.ndarray] | np.ndarray,
+    *,
+    window: int = 16,
+    stride: int = 8,
+    batch_windows: int = 8,
+) -> Iterator[tuple[Array, int]]:
+  """Windowed encoder tokens with each frame spatially encoded ONCE.
+
+  The factorized encoder's spatial half is per-frame independent
+  (:func:`videoprism_tpu.models.factorized_encoder.encode_spatial`), so
+  overlapping windows (``stride < window``) share spatial work: this
+  streamer encodes every frame's spatial tokens exactly once and re-runs
+  only the temporal stack per window.  At base geometry the spatial
+  stack is 12 layers over 256 tokens vs 4 temporal layers over
+  ``window`` tokens, so ``stride = window/2`` cuts encoder FLOPs ~45%
+  vs re-encoding each window from pixels.
+
+  Yields ``(tokens [K, window*N, D], n_valid)`` batches whose first
+  ``n_valid`` rows are real windows; the window sequence (starts at
+  ``0, stride, ...``; repeat-padded tail at the next stride-aligned
+  start; repeat-pad for sub-window videos) matches :func:`_iter_window_batches` + a full encoder forward
+  exactly (bit-exact on the ``'xla'`` path — the ``'flash'`` path skips
+  the fused boundary kernel across the cache seam).
+
+  Three fixed compiled shapes total (spatial chunk, window batch, tail),
+  independent of video length.
+  """
+  if not 0 < stride < window:
+    raise ValueError(
+        f'spatial reuse needs overlapping windows: 0 < stride={stride} '
+        f'< window={window}')
+  # f_s >= window keeps every chunk's windows within (chunk, successor)
+  # and the tail within two adjacent chunks.
+  bw = max(batch_windows, -(-window // stride))
+  f_s = stride * bw
+  if isinstance(frames_iter, np.ndarray):
+    frames_iter = iter([frames_iter])
+
+  chunks: list[Array] = []   # feats of the last (<= 2) encoded chunks
+  made = 0                   # chunks encoded so far; chunks[-1] has index
+                             # made-1, chunks[-2] (when present) made-2
+  raw: np.ndarray | None = None
+  total = 0
+
+  def n_valid_windows(k: int, t: int) -> int:
+    """Full windows of chunk ``k`` that end within ``t`` real frames."""
+    last = (t - window - k * f_s) // stride  # floor; may be negative
+    return max(0, min(bw, last + 1))
+
+  def encode(frames_np: np.ndarray) -> None:
+    nonlocal made
+    chunks.append(
+        _encode_spatial_chunk(enc_params, jnp.asarray(frames_np), enc_cfg))
+    made += 1
+    if len(chunks) > 2:
+      chunks.pop(0)
+
+  def emit(feats_k: Array, feats_next: Array, n: int):
+    carry = feats_next[:window - stride]
+    allf = jnp.concatenate([feats_k, carry], axis=0)
+    return _temporal_window_batch(
+        enc_params, allf, enc_cfg, window, stride, bw), n
+
+  for chunk_frames in frames_iter:
+    arr = np.asarray(chunk_frames)
+    if arr.shape[0] == 0:
+      continue
+    total += arr.shape[0]
+    raw = arr if raw is None else np.concatenate([raw, arr], axis=0)
+    while raw.shape[0] >= f_s:
+      encode(raw[:f_s])
+      raw = raw[f_s:]
+      if len(chunks) >= 2:
+        # chunks[-2] gained a fully-real successor: all bw windows end
+        # within real frames (f_s >= window - stride into the successor).
+        yield emit(chunks[-2], chunks[-1], bw)
+
+  if total == 0:
+    return
+
+  if raw is not None and raw.shape[0] > 0:
+    # Final partial chunk: repeat-pad frames (the spatial half is
+    # per-frame, so padded rows equal the naive path's repeated frames;
+    # windows never read past ``total`` anyway — see below).
+    pad = np.repeat(raw[-1:], f_s - raw.shape[0], axis=0)
+    encode(np.concatenate([raw, pad], axis=0))
+    if len(chunks) >= 2:
+      n = n_valid_windows(made - 2, total)
+      if n > 0:
+        yield emit(chunks[-2], chunks[-1], n)
+
+  # Last chunk: valid windows end <= total <= this chunk's end, so the
+  # successor carry is never read — but the fixed-shape program still
+  # needs the operand.
+  zeros = jnp.zeros_like(chunks[-1])
+  n = n_valid_windows(made - 1, total)
+  if n > 0:
+    yield emit(chunks[-1], zeros, n)
+
+  # Tail window — exactly _iter_window_batches' emission rule: the
+  # leftover frames at the next stride-aligned start (NOT right-aligned
+  # like window_frames — live-feed semantics), repeat-padded to a full
+  # window.  In feature space the repeat pad is the last real frame's
+  # feature row (the spatial half is per-frame), so the successor
+  # operand broadcasts that row instead of zeros.
+  if total >= window:
+    num_full = (total - window) // stride + 1
+    covered = (num_full - 1) * stride + window
+  else:
+    num_full, covered = 0, 0
+  if total > covered or num_full == 0:
+    offset = num_full * stride        # < total; pads past total - offset
+    last_row = chunks[-1][(total - 1) - (made - 1) * f_s]
+    repeats = jnp.broadcast_to(last_row, chunks[-1].shape)
+    c = offset // f_s  # chunk holding the tail start: made-1 or made-2
+    if c == made - 2:
+      # Rows past ``total`` inside the final chunk are already
+      # repeat-padded (the partial-chunk encode above), and the slice
+      # cannot reach past it: offset < (made-1)*f_s and window <= f_s.
+      first, second = chunks[-2], chunks[-1]
+    else:
+      first, second = chunks[-1], repeats
+    feats2 = jnp.concatenate([first, second], axis=0)
+    tokens = _tail_window_tokens(
+        enc_params, feats2, jnp.int32(offset - c * f_s), enc_cfg, window)
+    yield tokens[None], 1
+
+
+def stream_window_tokens_cached(
+    enc_params,
+    enc_cfg,
+    frames_iter: Iterator[np.ndarray] | np.ndarray,
+    *,
+    window: int = 16,
+    stride: int = 8,
+    batch_windows: int = 8,
+) -> Iterator[Array]:
+  """Row-per-window wrapper of :func:`stream_window_token_batches`:
+  yields encoder tokens [window*N, D] per window, in window order."""
+  for tokens, n in stream_window_token_batches(
+      enc_params, enc_cfg, frames_iter, window=window, stride=stride,
+      batch_windows=batch_windows):
+    for i in range(n):
+      yield tokens[i]
+
+
 @functools.partial(jax.jit, static_argnums=2)
 def _encode_windows(enc_params, videos, enc_cfg):
   """Windowed encoder forward with the weights as jit ARGUMENTS.
@@ -348,6 +549,7 @@ def _encode_windows(enc_params, videos, enc_cfg):
   program."""
   from videoprism_tpu.models import factorized_encoder as fe_lib
 
+  videos = _normalize_ingest(videos, enc_cfg.dtype)
   return fe_lib.apply(enc_params, videos, enc_cfg, train=False)[0]
 
 
@@ -363,6 +565,7 @@ def classify_long_video(
     target_size: int = 288,
     resize_mode: str = 'center_crop',
     backend: str = 'auto',
+    reuse_spatial: bool | str = 'auto',
 ) -> np.ndarray:
   """Long-video classification with EXACT pooling over all windows.
 
@@ -374,10 +577,19 @@ def classify_long_video(
   mean-of-window aggregation.  (Temporal attention still runs
   per-window, as in every windowed scheme.)
 
+  ``reuse_spatial`` (``'auto'``/bool): with overlapping windows
+  (``stride < window``) the factorized encoder's per-frame spatial half
+  runs ONCE per frame and only the temporal stack re-runs per window
+  (:func:`stream_window_token_batches`) — same tokens, ~2x less compute
+  at ``stride = window/2``.  ``'auto'`` engages it exactly when windows
+  overlap; ``True`` raises if they don't.
+
   ``params``/``cfg`` are a classifier tree + VideoClassifierConfig
   (e.g. from ``load_classifier(...)``); ``frames_or_path`` is a
   [T, H, W, 3] array or a video file path (incremental decode, constant
-  host memory).  Returns logits [num_classes].
+  host memory).  uint8 frames (files decode to uint8) normalize to
+  [0, 1] on device — float inputs are taken as already normalized.
+  Returns logits [num_classes].
   """
   from videoprism_tpu.ops import basic as basic_lib
 
@@ -393,15 +605,29 @@ def classify_long_video(
   else:
     frames_iter = np.asarray(frames_or_path)
 
+  overlapping = stride is not None and 0 < stride < window
+  if reuse_spatial == 'auto':
+    reuse_spatial = overlapping
+  elif reuse_spatial and not overlapping:
+    raise ValueError(
+        f'reuse_spatial=True needs overlapping windows '
+        f'(stride={stride} < window={window})')
+
   pooler = StreamingPooler(
       params['atten_pooler'], num_heads=cfg.encoder.num_heads,
       hidden_dim=cfg.encoder.model_dim, dtype=cfg.dtype)
   n_windows = 0
-  for batch, n in _iter_window_batches(
-      frames_iter, window=window, stride=stride,
-      batch_windows=batch_windows):
-    # [B, T*N, D], stays on device.
-    tokens = _encode_windows(enc_params, jnp.asarray(batch), cfg.encoder)
+  if reuse_spatial:
+    token_batches = stream_window_token_batches(
+        enc_params, cfg.encoder, frames_iter, window=window,
+        stride=stride, batch_windows=batch_windows)
+  else:
+    token_batches = (
+        (_encode_windows(enc_params, jnp.asarray(batch), cfg.encoder), n)
+        for batch, n in _iter_window_batches(
+            frames_iter, window=window, stride=stride,
+            batch_windows=batch_windows))
+  for tokens, n in token_batches:            # [B, T*N, D], stays on device
     for i in range(n):                       # fold per window, batch dim 1
       pooler.update(tokens[i:i + 1])
     n_windows += n
@@ -448,5 +674,72 @@ def embed_video_file(
       batch_windows=batch_windows))
   if not per_window:
     raise ValueError(f'{video_path}: no frames decoded')
+  stacked = np.stack(per_window, axis=0)
+  return aggregate(stacked, normalize=normalize), stacked
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _pool_vision_tokens_jit(params, tokens, clip_cfg):
+  """CLIP tokens->embedding with weights as jit ARGUMENTS (see
+  :func:`_encode_windows` for why closing over them is forbidden)."""
+  from videoprism_tpu.models import clip as clip_lib
+
+  return clip_lib.pool_vision_tokens(params, tokens, clip_cfg)
+
+
+def embed_long_video_cached(
+    params,
+    cfg,
+    frames_or_path: np.ndarray | str,
+    *,
+    window: int = 16,
+    stride: int = 8,
+    batch_windows: int = 8,
+    frame_stride: int = 1,
+    target_size: int = 288,
+    resize_mode: str = 'center_crop',
+    backend: str = 'auto',
+    normalize: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+  """Long-video CLIP embedding with per-frame spatial reuse.
+
+  Same contract as :func:`embed_video_file` / :func:`embed_long_video`
+  (returns ``(video_embedding [D], window_embeddings [K, D])``, windows
+  at ``stride`` plus the repeat-padded tail) but for OVERLAPPING windows
+  (``stride < window``) on a CLIP vision tower: each frame's spatial
+  tokens are encoded once (:func:`stream_window_token_batches`) and only
+  the temporal stack + aux/pooler tail
+  (:func:`videoprism_tpu.models.clip.pool_vision_tokens`) re-run per
+  window.  ``params``/``cfg`` are a full CLIP tree + VideoCLIPConfig —
+  the pixel-level ``embed_fn`` indirection can't expose the split, so
+  this path needs model code (not an AOT artifact).
+  """
+  enc_params = jax.device_put(params['vision_encoder'])
+
+  if isinstance(frames_or_path, str):
+    from videoprism_tpu.io import video as video_io
+
+    frames_iter = video_io.frame_reader(
+        frames_or_path, target_size=target_size, resize_mode=resize_mode,
+        frame_stride=frame_stride, chunk_frames=window * batch_windows,
+        backend=backend)
+  else:
+    frames_iter = np.asarray(frames_or_path)
+
+  # Only the tail's weights ride the jit signature — passing the whole
+  # CLIP tree would ship the (unused) text tower into every dispatch.
+  pool_params = {
+      k: params[k]
+      for k in ('auxiliary_encoder', 'contrastive_vision_pooler')
+      if k in params
+  }
+  per_window: list[np.ndarray] = []
+  for tokens, n in stream_window_token_batches(
+      enc_params, cfg.vision_config(), frames_iter, window=window,
+      stride=stride, batch_windows=batch_windows):
+    emb = _pool_vision_tokens_jit(pool_params, tokens, cfg)
+    per_window.extend(np.asarray(emb[:n], np.float32))
+  if not per_window:
+    raise ValueError('embed_long_video_cached: no frames to embed')
   stacked = np.stack(per_window, axis=0)
   return aggregate(stacked, normalize=normalize), stacked
