@@ -628,8 +628,17 @@ def classify_long_video(
             frames_iter, window=window, stride=stride,
             batch_windows=batch_windows))
   for tokens, n in token_batches:            # [B, T*N, D], stays on device
-    for i in range(n):                       # fold per window, batch dim 1
-      pooler.update(tokens[i:i + 1])
+    # The online-softmax pooler is associative over the token axis, so a
+    # whole window batch folds in ONE update: flatten [B, S, D] ->
+    # [1, B*S, D] and mask the padded rows (invalid windows) — one
+    # compiled shape per batch geometry instead of a dispatch per window.
+    b, s, d = tokens.shape
+    flat = tokens.reshape(1, b * s, d)
+    paddings = None
+    if n < b:
+      paddings = jnp.repeat(
+          (jnp.arange(b) >= n).astype(flat.dtype), s)[jnp.newaxis]
+    pooler.update(flat, paddings)
     n_windows += n
   if not n_windows:
     raise ValueError('classify_long_video: no frames to classify')
