@@ -196,3 +196,81 @@ class TestClientLocalize:
     c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
     with pytest.raises(ValueError, match='localize expects'):
       c.localize(np.zeros((12, 12, 3), np.float32), ['x'])
+
+
+class TestLocalizeLong:
+  """POST /v1/localize_long: moment localization over containers of any
+  length via windowed per-frame embeddings (constant memory)."""
+
+  def test_matches_library_sweep(self, stack):
+    from videoprism_tpu import streaming
+
+    httpd, cfg, params, encode = stack
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    out = c.localize_long_file(
+        assets.demo_video_path(), ['drumming'], k=2, window=2, size=12,
+        timeout_s=600)
+    assert out['frames'] > 2  # whole container, not one clip's worth
+    assert out['results'][0]['query'] == 'drumming'
+    segments = out['results'][0]['segments']
+    assert segments and all(
+        0 <= s['start'] < s['end'] <= out['frames'] for s in segments)
+
+    frame_emb = streaming.frame_embeddings_long(
+        params, cfg, assets.demo_video_path(), window=2, target_size=12)
+    want = retrieval.localize_moments(
+        frame_emb, np.asarray(encode(['drumming'])),
+        window_sizes=tuple(w for w in (1, 2, 4, 8) if w <= len(frame_emb)),
+        top_k=2)
+    assert out['frames'] == len(frame_emb)
+    got = [(s['start'], s['end']) for s in segments]
+    assert got == [(s['start'], s['end']) for s in want[0]]
+
+  def test_overlap_engages_spatial_reuse(self, stack, monkeypatch):
+    from videoprism_tpu import streaming
+
+    httpd, _, _, _ = stack
+    calls = []
+    real = streaming.stream_window_token_batches
+
+    def spy(*a, **k):
+      calls.append(1)
+      return real(*a, **k)
+
+    monkeypatch.setattr(streaming, 'stream_window_token_batches', spy)
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    out = c.localize_long_file(assets.demo_video_path(), ['drumming'],
+                               window=2, stride=1, size=12, timeout_s=600)
+    assert calls and out['results']
+
+  def test_needs_queries_400(self, stack):
+    httpd, _, _, _ = stack
+    req = urllib.request.Request(
+        _url(httpd, '/v1/localize_long?window=2&size=12'),
+        open(assets.demo_video_path(), 'rb').read(),
+        {'Content-Type': 'video/mp4'})
+    with pytest.raises(urllib.error.HTTPError) as exc:
+      urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400
+    assert b'q=' in exc.value.read()
+
+  def test_needs_text_tower_404(self):
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    params = init_lib.init_video_clip(jax.random.PRNGKey(1), cfg)
+    model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+    service = serving.EmbeddingService(model, params, batch_buckets=(1,),
+                                       max_wait_ms=5.0)
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(service, host='127.0.0.1',
+                                             port=0)
+    httpd.start()
+    try:
+      req = urllib.request.Request(
+          _url(httpd, '/v1/localize_long?q=x&window=2&size=12'), b'x',
+          {'Content-Type': 'video/mp4'})
+      with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+      assert exc.value.code == 404
+    finally:
+      httpd.stop()
+      service.stop()

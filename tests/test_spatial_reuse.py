@@ -248,3 +248,67 @@ class TestEmbedLongCached:
       streaming.embed_long_video_cached(
           params, cfg, np.zeros((0, 12, 12, 3), np.float32),
           window=4, stride=2)
+
+
+class TestFrameEmbeddingsLong:
+  """Windowed per-frame embeddings for long-video moment localization."""
+
+  def _setup(self):
+    cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+    params = init_lib.init_video_clip(jax.random.PRNGKey(2), cfg)
+    return params, cfg
+
+  def test_single_window_matches_one_shot(self):
+    from videoprism_tpu import retrieval
+
+    params, cfg = self._setup()
+    frames = _frames(4)
+    got = streaming.frame_embeddings_long(
+        params, cfg, frames, window=4, batch_windows=2)
+    want = np.asarray(retrieval.make_frame_embeddings_fn(params, cfg)(
+        frames))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+  def test_tail_overlap_averages(self):
+    """T=6, window=4: windows [0:4] and the tail [4:6]+pad — frames 4,5
+    take the tail window's rows; every row stays unit-norm."""
+    from videoprism_tpu import retrieval
+
+    params, cfg = self._setup()
+    frames = _frames(6)
+    got = streaming.frame_embeddings_long(
+        params, cfg, frames, window=4, batch_windows=2)
+    assert got.shape[0] == 6
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0,
+                               atol=1e-5)
+    one_shot = retrieval.make_frame_embeddings_fn(params, cfg)
+    np.testing.assert_allclose(got[:4], np.asarray(one_shot(frames[:4])),
+                               atol=1e-5, rtol=1e-5)
+
+  def test_overlap_reuse_matches_naive(self):
+    params, cfg = self._setup()
+    frames = _frames(12)
+    kw = dict(window=4, stride=2, batch_windows=2)
+    got = streaming.frame_embeddings_long(
+        params, cfg, frames, reuse_spatial=True, **kw)
+    want = streaming.frame_embeddings_long(
+        params, cfg, frames, reuse_spatial=False, **kw)
+    assert got.shape == want.shape == (12, cfg.model_dim)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+  def test_uint8_normalizes(self):
+    params, cfg = self._setup()
+    u8 = np.random.default_rng(3).integers(
+        0, 256, (8, 12, 12, 3)).astype(np.uint8)
+    got = streaming.frame_embeddings_long(
+        params, cfg, u8, window=4, stride=2, batch_windows=2)
+    want = streaming.frame_embeddings_long(
+        params, cfg, u8.astype(np.float32) / 255.0, window=4, stride=2,
+        batch_windows=2)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+  def test_gap_stride_raises(self):
+    params, cfg = self._setup()
+    with pytest.raises(ValueError, match='uncovered'):
+      streaming.frame_embeddings_long(
+          params, cfg, _frames(12), window=4, stride=5)

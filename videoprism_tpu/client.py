@@ -400,6 +400,40 @@ class VideoPrismClient:
                         timeout_s=timeout_s)
     return json.loads(out.decode('utf-8'))['predictions']
 
+  def localize_long_file(self, video: 'str | bytes',
+                         queries: Sequence[str], k: int = 3,
+                         window_sizes: Sequence[int] | None = None,
+                         iou_threshold: float | None = None,
+                         window: int | None = None,
+                         stride: int | None = None,
+                         frame_stride: int | None = None,
+                         size: int | None = None,
+                         timeout_s: float | None = None) -> dict[str, Any]:
+    """Moment localization over a video FILE of ANY length
+    (``/v1/localize_long``, lvt servers with model code): per-frame
+    embeddings stream through fixed windows at constant memory —
+    ``stride < window`` overlap-averages them (and engages the server's
+    per-frame spatial reuse).  Segment units are SAMPLED frame indices;
+    multiply by ``frame_stride`` for source frames.  Same response shape
+    as :meth:`localize`.  A long video is a long request: pass
+    ``timeout_s``."""
+    params = [f'k={k}']
+    if iou_threshold is not None:
+      params.append(f'iou_threshold={iou_threshold}')
+    if window_sizes is not None:
+      params.append('window_sizes=' + ','.join(str(w) for w in window_sizes))
+    for key, value in (('window', window), ('stride', stride),
+                       ('frame_stride', frame_stride), ('size', size)):
+      if value is not None:
+        params.append(f'{key}={value}')
+    params += ['q=' + urllib.parse.quote(t) for t in queries]
+    out = self._request('POST',
+                        self._api('localize_long?' + '&'.join(params)),
+                        self._file_bytes(video),
+                        {'Content-Type': 'video/mp4'},
+                        timeout_s=timeout_s)
+    return json.loads(out.decode('utf-8'))
+
   def search_video_file(self, video: 'str | bytes', k: int = 5,
                         frames: int | None = None,
                         size: int | None = None,

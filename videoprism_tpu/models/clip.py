@@ -199,6 +199,47 @@ def pool_vision_tokens(
   return video_embeddings
 
 
+def frame_embeddings_from_tokens(
+    params: Params,
+    vision_features: Array,
+    cfg: VideoCLIPConfig,
+    *,
+    num_frames: int,
+    normalize: bool = True,
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> Array:
+  """Encoder tokens [B, T*N, D] -> per-frame embeddings [B, T, D].
+
+  The ``frame_embeddings`` tail of :func:`encode_vision` (reference
+  encoders.py:874-885): auxiliary ViT over the full token sequence, then
+  the contrastive pooler applied per FRAME group — rows live in the text
+  tower's space, the input :func:`videoprism_tpu.retrieval.localize_moments`
+  consumes.  Split out so long-video localization
+  (:func:`videoprism_tpu.streaming.frame_embeddings_long`) can feed
+  cached windowed encoder tokens.
+  """
+  if cfg.num_auxiliary_layers > 0:
+    aux_cfg = cfg.vision_config().vit_layer_config(cfg.num_auxiliary_layers)
+    vision_features = fe.vision_transformer(
+        params['auxiliary_encoder'], vision_features, aux_cfg,
+        train=train, rng=rng)
+  b = vision_features.shape[0]
+  d = vision_features.shape[-1]
+  # b (t n) d -> (b t) n d.
+  frame_features = vision_features.reshape(b * num_frames, -1, d)
+  pooled = atten_token_pooling(
+      params['contrastive_vision_pooler'], frame_features, None,
+      num_heads=cfg.num_heads, hidden_dim=cfg.model_dim * 4,
+      num_queries=1, train=train, dtype=cfg.dtype,
+      tp_axis=cfg.tp_axis, interpret=cfg.kernel_interpret)
+  frame_embeddings = jnp.squeeze(pooled, axis=-2).reshape(
+      b, num_frames, d)
+  if normalize:
+    frame_embeddings = basic.l2_normalize(frame_embeddings, axis=-1)
+  return frame_embeddings
+
+
 def encode_text(
     params: Params,
     text_token_ids: Array,

@@ -639,6 +639,9 @@ class _Handler(BaseHTTPRequestHandler):
     if self.path.startswith('/v1/zero_shot'):
       self._post_zero_shot()
       return
+    if self.path.startswith('/v1/localize_long'):
+      self._post_localize_long()
+      return
     if self.path.startswith('/v1/localize'):
       self._post_localize()
       return
@@ -1367,6 +1370,82 @@ class _Handler(BaseHTTPRequestHandler):
                       for query, segments in zip(queries, moments)]})
     except DeadlineExceeded as e:
       self._reply_json(504, {'error': str(e)})
+    except ServiceOverloaded as e:
+      self._reply_overloaded(e)
+    except ValueError as e:  # bad window sizes etc. — client-visible
+      self._reply_json(400, {'error': str(e)})
+    except Exception as e:  # service-side failure
+      self._reply_json(500, {'error': str(e)})
+
+  def _post_localize_long(self) -> None:
+    """``POST /v1/localize_long?q=<query>[&q=...][&k=&window_sizes=&
+    iou_threshold=&window=&stride=&frame_stride=&size=]`` — text-to-time
+    localization over a video container of ANY length: frames decode
+    incrementally and stream through fixed-shape windowed forwards into
+    per-frame CLIP embeddings
+    (:func:`videoprism_tpu.streaming.frame_embeddings_long`; frames in
+    several windows average their embeddings — ``stride < window``
+    smooths and engages per-frame spatial reuse), then each query sweeps
+    them via :func:`videoprism_tpu.retrieval.localize_moments`.  Segment
+    units are SAMPLED frame indices — multiply by ``frame_stride`` for
+    source-frame positions.  Needs an lvt server with model code and a
+    text tower; runs synchronously in the request thread."""
+    cfg = getattr(getattr(self.service, '_model', None), 'config', None)
+    from videoprism_tpu.models.clip import VideoCLIPConfig
+
+    if (not isinstance(cfg, VideoCLIPConfig)
+        or self.text_encode_fn is None):
+      self._reject_json(404, {
+          'error': '/v1/localize_long needs an lvt server with model '
+                   'code and a text tower'})
+      return
+    try:
+      from urllib.parse import parse_qs, urlparse
+
+      q = parse_qs(urlparse(self.path).query)
+      queries = q.get('q')
+      if (not queries
+          or not all(isinstance(t, str) and t for t in queries)):
+        raise ValueError('localize_long needs at least one non-empty '
+                         '?q=<query> parameter')
+      k = int(q['k'][0]) if 'k' in q else 3
+      iou = (float(q['iou_threshold'][0])
+             if 'iou_threshold' in q else 0.5)
+      moment_windows = (
+          tuple(int(w) for w in q['window_sizes'][0].split(','))
+          if 'window_sizes' in q else None)
+      window, stride, frame_stride, size = self._window_geometry(
+          q, batch_windows=8)
+      content_type = self.headers.get('Content-Type', '')
+      if not content_type.startswith('video/'):
+        raise ValueError('/v1/localize_long takes a video/* container '
+                         'body (arbitrary length, decoded server-side)')
+      body = self._read_body()
+    except Exception as e:  # malformed request — client's fault
+      self._reject_json(400, {'error': str(e)})
+      return
+    from videoprism_tpu import retrieval, streaming
+
+    # Snapshot once: a hot reload mid-sweep must not mix weights.
+    params = self.service._model._unwrap(self.service._state)
+    frame_emb = self._with_upload(
+        body, lambda path: streaming.frame_embeddings_long(
+            params, cfg, path, window=window, stride=stride,
+            frame_stride=frame_stride, target_size=size))
+    if frame_emb is None:
+      return
+    try:
+      text_emb = np.asarray(self.text_encode_fn(list(queries)))
+      t = len(frame_emb)
+      if moment_windows is None:
+        moment_windows = tuple(w for w in (1, 2, 4, 8) if w <= t) or (t,)
+      moments = retrieval.localize_moments(
+          frame_emb, text_emb, window_sizes=moment_windows, top_k=k,
+          iou_threshold=iou)
+      self._reply_json(200, {
+          'frames': t,
+          'results': [{'query': query, 'segments': segments}
+                      for query, segments in zip(queries, moments)]})
     except ServiceOverloaded as e:
       self._reply_overloaded(e)
     except ValueError as e:  # bad window sizes etc. — client-visible

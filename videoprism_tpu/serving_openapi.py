@@ -190,6 +190,14 @@ def openapi_spec() -> dict:
                      'localization query (repeatable; video/* bodies)'),
                   _q('k'), _q('window_sizes', 'string')] + _FILE_GEOM,
           request={**_CLIP_BODY, **_VIDEO_BODY})},
+      '/v1/localize_long': {'post': _op(
+          'Moment localization over a container of ANY length (lvt '
+          'servers with model code): windowed per-frame embeddings at '
+          'constant memory, overlap-averaged when stride < window',
+          params=[_q('q', 'string', 'localization query (repeatable)'),
+                  _q('k'), _q('window_sizes', 'string'),
+                  _q('iou_threshold', 'number')] + _WINDOW_PARAMS,
+          request=_VIDEO_BODY)},
       '/debug/trace': {'post': _op(
           'Capture a jax.profiler trace of the live process for ?ms= '
           'milliseconds (auth-gated; 409 when one is already running)',

@@ -696,6 +696,135 @@ def _pool_vision_tokens_jit(params, tokens, clip_cfg):
   return clip_lib.pool_vision_tokens(params, tokens, clip_cfg)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _frame_embeddings_jit(params, tokens, clip_cfg, num_frames):
+  """CLIP tokens [B, T*N, D] -> per-frame embeddings [B, T, D]
+  (weights as jit ARGUMENTS, like every streaming entry point)."""
+  from videoprism_tpu.models import clip as clip_lib
+
+  return clip_lib.frame_embeddings_from_tokens(
+      params, tokens, clip_cfg, num_frames=num_frames)
+
+
+def frame_embeddings_long(
+    params,
+    cfg,
+    frames_or_path: np.ndarray | str,
+    *,
+    window: int = 16,
+    stride: int | None = None,
+    batch_windows: int = 8,
+    frame_stride: int = 1,
+    target_size: int = 288,
+    resize_mode: str = 'center_crop',
+    backend: str = 'auto',
+    reuse_spatial: bool | str = 'auto',
+) -> np.ndarray:
+  """Per-frame CLIP embeddings [T, D] for a video of ANY length.
+
+  The single-clip frame-embedding path
+  (:func:`videoprism_tpu.retrieval.make_frame_embeddings_fn`) runs the
+  whole clip as one forward — a new XLA compile per frame count and an
+  unbounded activation footprint.  This streams the video through
+  fixed-shape windows instead: each window's encoder tokens become
+  per-frame embeddings
+  (:func:`videoprism_tpu.models.clip.frame_embeddings_from_tokens`), and
+  frames covered by several windows (overlap smoothing with
+  ``stride < window``, or the repeat-padded tail) average their
+  l2-normalized rows and re-normalize — the multi-view aggregation rule.
+  Feeds :func:`videoprism_tpu.retrieval.localize_moments` for
+  text-to-time localization over long videos at constant memory.
+
+  ``params``/``cfg`` are a full CLIP tree + VideoCLIPConfig; uint8
+  frames normalize on device.  ``reuse_spatial='auto'`` engages the
+  per-frame spatial cache exactly when windows overlap.
+  """
+  enc_params = jax.device_put(params['vision_encoder'])
+  frame_params = {
+      k: params[k]
+      for k in ('auxiliary_encoder', 'contrastive_vision_pooler')
+      if k in params
+  }
+  if isinstance(frames_or_path, str):
+    from videoprism_tpu.io import video as video_io
+
+    frames_iter = video_io.frame_reader(
+        frames_or_path, target_size=target_size, resize_mode=resize_mode,
+        frame_stride=frame_stride, chunk_frames=window * batch_windows,
+        backend=backend)
+  else:
+    frames_iter = iter([np.asarray(frames_or_path)])
+
+  # Count real frames as they stream by: the repeat-padded tail rows
+  # (indices >= T) must be dropped from the output.
+  seen = [0]
+
+  def counting(it):
+    for chunk in it:
+      seen[0] += np.asarray(chunk).shape[0]
+      yield chunk
+
+  frames_iter = counting(frames_iter)
+
+  eff_stride = window if stride is None else stride
+  if not 0 < eff_stride <= window:
+    raise ValueError(f'need 0 < stride={eff_stride} <= window={window} '
+                     '(a larger stride leaves frames uncovered)')
+  overlapping = eff_stride < window
+  if reuse_spatial == 'auto':
+    reuse_spatial = overlapping
+  elif reuse_spatial and not overlapping:
+    raise ValueError(
+        f'reuse_spatial=True needs overlapping windows '
+        f'(stride={stride} < window={window})')
+
+  enc_cfg = cfg.vision_config()
+  if reuse_spatial:
+    token_batches = stream_window_token_batches(
+        enc_params, enc_cfg, frames_iter, window=window,
+        stride=eff_stride, batch_windows=batch_windows)
+  else:
+    token_batches = (
+        (_encode_windows(enc_params, jnp.asarray(batch), enc_cfg), n)
+        for batch, n in _iter_window_batches(
+            frames_iter, window=window, stride=eff_stride,
+            batch_windows=batch_windows))
+
+  # Window starts are deterministic given the emission rule: full
+  # windows at 0, stride, ... in order, then (maybe) the tail at
+  # num_full*stride — distinguished by arriving after a short batch or
+  # by bookkeeping below.  Accumulate sums/counts host-side; rows past
+  # the real frame count (tail repeat-pad) are dropped.
+  sums: list[np.ndarray] = []   # grown lazily to the max frame index
+  counts: list[int] = []
+
+  def fold(start: int, emb: np.ndarray):
+    for i, row in enumerate(emb):
+      idx = start + i
+      while len(sums) <= idx:
+        sums.append(np.zeros(emb.shape[-1], np.float32))
+        counts.append(0)
+      sums[idx] += row
+      counts[idx] += 1
+
+  win_index = 0
+  for tokens, n in token_batches:
+    emb = np.asarray(
+        _frame_embeddings_jit(frame_params, tokens, cfg, window),
+        np.float32)
+    for i in range(n):
+      fold(win_index * eff_stride, emb[i])
+      win_index += 1
+
+  if win_index == 0:
+    raise ValueError('frame_embeddings_long: no frames to embed')
+
+  out = np.stack(sums[:seen[0]], axis=0) / np.maximum(
+      np.asarray(counts[:seen[0]], np.float32)[:, None], 1.0)
+  norms = np.linalg.norm(out, axis=-1, keepdims=True)
+  return out / np.maximum(norms, 1e-12)
+
+
 def embed_long_video_cached(
     params,
     cfg,
