@@ -190,6 +190,16 @@ def main() -> int:
     assert loc['frames'] == 16, loc
     segs = loc['results'][0]['segments']
     assert segs and all(0 <= g['start'] < g['end'] <= 16 for g in segs)
+    # Long-video localization: windowed per-frame embeddings with the
+    # overlapping sweep (stride < window -> per-frame spatial reuse on
+    # chip), same container.
+    loc_long = c.localize_long_file(args.clip, ['a person drumming'],
+                                    k=2, window=8, stride=4,
+                                    window_sizes=(2, 4), timeout_s=580)
+    assert loc_long['frames'] == 16, loc_long
+    segs_long = loc_long['results'][0]['segments']
+    assert segs_long and all(
+        0 <= g['start'] < g['end'] <= 16 for g in segs_long)
     # Online index mutation on the real chip: add the clip (file body,
     # server-side decode), find it top-1, persist + reload.
     assert c.index_add_file(args.clip, id='smoke-add') == 'smoke-add'
