@@ -254,6 +254,28 @@ class TestLocalizeLong:
     assert exc.value.code == 400
     assert b'q=' in exc.value.read()
 
+  def test_nonpositive_k_400(self, stack):
+    """?k=0 must 400 at parse time (mirrors /v1/classify_long), not leak
+    into localize_moments as a 500/empty result."""
+    httpd, _, _, _ = stack
+    for k in ('0', '-2'):
+      req = urllib.request.Request(
+          _url(httpd, f'/v1/localize_long?q=x&k={k}&window=2&size=12'),
+          b'x', {'Content-Type': 'video/mp4'})
+      with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+      assert exc.value.code == 400
+      assert b'positive' in exc.value.read()
+    # The short-clip sibling /v1/localize validates both query and JSON
+    # forms of k the same way.
+    video = np.zeros(CLIP_SHAPE, np.float32)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+      _post_json_localize(httpd, video, QUERIES, k=0)
+    assert exc.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+      _post_json_localize(httpd, video, QUERIES, query='?k=-1')
+    assert exc.value.code == 400
+
   def test_needs_text_tower_404(self):
     cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
     params = init_lib.init_video_clip(jax.random.PRNGKey(1), cfg)

@@ -392,6 +392,34 @@ class TestTensorParallelService:
     with pytest.raises(ValueError, match='requires a mesh'):
       serving.EmbeddingService(model, state, tensor_parallel=True)
 
+  def test_model_code_params_gating(self, model_and_state):
+    """model_code_params(): the plain tree on single-program services,
+    None under tensor_parallel (state is model-axis-sharded) and on
+    AOT-exported services (fresh model-code jits would defeat the
+    cold-start artifact) — the long-video endpoints key off this."""
+    model, state = model_and_state
+    plain = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    try:
+      got = plain.model_code_params()
+      assert got is not None
+      ref_leaves = jax.tree_util.tree_leaves(model._unwrap(state))
+      got_leaves = jax.tree_util.tree_leaves(got)
+      assert len(got_leaves) == len(ref_leaves)
+      # The exported flag alone must flip the gate (the artifact itself
+      # is irrelevant to the decision).
+      plain._exported = True
+      assert plain.model_code_params() is None
+    finally:
+      plain._exported = False
+      plain.stop()
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # (4, 2)
+    tp = serving.EmbeddingService(
+        model, state, batch_buckets=(4,), mesh=mesh, tensor_parallel=True)
+    try:
+      assert tp.model_code_params() is None
+    finally:
+      tp.stop()
+
   def test_tp_clip_vision_service(self):
     """tensor_parallel serving of an lvt tower: the vision side (encoder
     + aux ViT + contrastive pooler + l2-norm) runs Megatron-sharded and

@@ -1195,6 +1195,134 @@ class TestEmbedLong:
       assert b'decode buffer' in ei.value.read()
 
 
+class TestLongSweepGating:
+  """The long-video sweeps run model code outside the batch path — they
+  must fall back (embed_long) or reject (classify_long/localize_long) on
+  tensor-parallel servers, whose state is model-axis-sharded, and shed
+  when the service has tripped unhealthy."""
+
+  @pytest.fixture(scope='class')
+  def tp_lvt_server(self):
+    from videoprism_tpu import assets, retrieval
+    from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
+    from videoprism_tpu.models import clip as vclip
+    from videoprism_tpu.parallel import mesh as mesh_lib
+
+    cfg = vclip.VideoCLIPConfig(
+        **TINY, num_auxiliary_layers=1, enable_causal_atten=True,
+        num_unimodal_layers=2, norm_policy='pre', vocabulary_size=1000)
+    model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+    state = model.init(jax.random.PRNGKey(0))
+    mesh = mesh_lib.make_mesh(model_parallelism=2)  # (4, 2)
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(4,), mesh=mesh, tensor_parallel=True)
+    service.start()
+    # A text tower (plain params — the text side is tiny) so
+    # /v1/localize_long reaches the model_code_params gate, not the
+    # earlier no-text-tower 404.
+    tok = SentencePieceTokenizer(assets.test_spm_path())
+    encode = retrieval.make_text_query_encoder(
+        model._unwrap(state), cfg, tok)
+    httpd = serving_http.EmbeddingHTTPServer(
+        service, host='127.0.0.1', port=0, text_encode_fn=encode)
+    httpd.start()
+    yield httpd, model, state, service
+    httpd.stop()
+    service.stop()
+
+  def test_tp_embed_long_overlap_uses_batch_fallback(self, tp_lvt_server):
+    """stride < window on a TP lvt server must NOT take the spatial-reuse
+    path (plain jit over a sharded tree) — it rides the TP batch path and
+    still answers correctly."""
+    from videoprism_tpu import assets, streaming
+    from videoprism_tpu.client import VideoPrismClient
+
+    httpd, model, state, service = tp_lvt_server
+    assert service.model_code_params() is None
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    path = assets.demo_video_path()
+    windows = c.embed_long_file(path, window=2, stride=1, size=12,
+                                per_window=True, timeout_s=600)
+
+    def embed_fn(batch):  # the TP batch path, as the oracle
+      return np.asarray(service.embed_batch(batch))
+
+    _, want = streaming.embed_video_file(
+        embed_fn, path, window=2, stride=1, target_size=12,
+        batch_windows=4)
+    assert windows.shape == want.shape
+    np.testing.assert_allclose(windows, want, atol=1e-4)
+
+  def test_tp_localize_long_is_404(self, tp_lvt_server):
+    httpd, _, _, _ = tp_lvt_server
+    req = urllib.request.Request(
+        _url(httpd, '/v1/localize_long?q=drum&window=2&size=12'), b'x',
+        {'Content-Type': 'video/mp4'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 404
+    assert b'single-program' in ei.value.read()
+
+  def test_tp_classify_long_is_404(self):
+    from videoprism_tpu.models import classifier as vc
+    from videoprism_tpu.parallel import mesh as mesh_lib
+
+    enc = fe.FactorizedEncoderConfig(**TINY)
+    cfg = vc.VideoClassifierConfig(encoder=enc, num_classes=4)
+    model = vp.Model(cfg, vc.apply, init_lib.init_video_classifier)
+    state = model.init(jax.random.PRNGKey(0))
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(4,), mesh=mesh, tensor_parallel=True)
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(
+        service, host='127.0.0.1', port=0,
+        labels=['cat', 'dog', 'drum', 'sea'])
+    httpd.start()
+    try:
+      req = urllib.request.Request(
+          _url(httpd, '/v1/classify_long?window=2&size=12'), b'x',
+          {'Content-Type': 'video/mp4'})
+      with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+      assert ei.value.code == 404
+      assert b'single-program' in ei.value.read()
+    finally:
+      httpd.stop()
+      service.stop()
+
+  def test_unhealthy_service_sheds_long_sweeps(self):
+    """A tripped service (chip gone) answers the long endpoints with
+    503 + Retry-After instead of starting a minutes-long sweep."""
+    from videoprism_tpu.models import clip as vclip
+
+    cfg = vclip.VideoCLIPConfig(
+        **TINY, num_auxiliary_layers=1, enable_causal_atten=True,
+        num_unimodal_layers=2, norm_policy='pre', vocabulary_size=1000)
+    model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+    state = model.init(jax.random.PRNGKey(0))
+    service = serving.EmbeddingService(
+        model, state, batch_buckets=(1,), unhealthy_after_errors=1)
+    service.start()
+    httpd = serving_http.EmbeddingHTTPServer(service, host='127.0.0.1',
+                                             port=0)
+    httpd.start()
+    try:
+      with service._stats_lock:
+        service._consecutive_batch_errors = 1  # trip the threshold
+      req = urllib.request.Request(
+          _url(httpd, '/v1/embed_long?window=2&stride=1&size=12'), b'x',
+          {'Content-Type': 'video/mp4'})
+      with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+      assert ei.value.code == 503
+      assert ei.value.headers['Retry-After'] is not None
+      assert b'long-video sweep' in ei.value.read()
+    finally:
+      httpd.stop()
+      service.stop()
+
+
 class TestMalformedRequests:
   """Fuzz-ish robustness: arbitrary garbage on every endpoint must come
   back as a clean JSON 4xx and never wedge the server."""

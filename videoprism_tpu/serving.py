@@ -588,6 +588,10 @@ class EmbeddingService:
     self._model = model
     self._quantize = quantize
     self._tensor_parallel = tensor_parallel
+    # True when the batch path serves a jax.export artifact (set below).
+    # Long-video endpoints consult this: rerouting them onto fresh
+    # model-code jits would silently defeat the cold-start artifact.
+    self._exported = exported is not None
     self._pad_frames_to = pad_frames_to
     # tensor_parallel: keep the tree on host — make_tp_encoder_forward
     # device_puts each leaf straight into its sharded layout below;
@@ -787,6 +791,23 @@ class EmbeddingService:
       return False
     with self._stats_lock:
       return self._consecutive_batch_errors < self._unhealthy_after
+
+  def model_code_params(self):
+    """The plain (unsharded, replicated) param tree for direct model-code
+    forwards, or ``None`` when the service cannot provide one.
+
+    Long-video endpoints (classify_long / embed_long spatial reuse /
+    localize_long) run jitted model code OUTSIDE the batch path.  That is
+    only sound on the single-program path: under ``tensor_parallel`` the
+    served state is the model-axis-sharded tree from ``parallel/tp.py``
+    (feeding it to a plain jit fails), and on AOT-exported servers a
+    fresh model-code jit would silently defeat the cold-start artifact.
+    Callers fall back to the batch path — or reject — on ``None``."""
+    if self._tensor_parallel or self._exported:
+      return None
+    if self._model is None or not hasattr(self._model, '_unwrap'):
+      return None
+    return self._model._unwrap(self._state)
 
   def warmup(self, clip_shape: tuple[int, int, int, int],
              dtype=np.float32) -> None:

@@ -482,6 +482,32 @@ class _Handler(BaseHTTPRequestHandler):
     self.end_headers()
     self.wfile.write(body)
 
+  def _admit_long_sweep(self) -> bool:
+    """Admission check for the long-video sweeps (``/v1/classify_long``,
+    ``/v1/embed_long``'s spatial-reuse path, ``/v1/localize_long``).
+
+    These run jitted model code synchronously in the request thread,
+    OUTSIDE the service's batch queue — so ``max_pending`` shedding and
+    ``X-Deadline-Ms`` budgets do NOT apply to them (a deliberate,
+    documented bypass: a minutes-long sweep is not a micro-batchable
+    clip).  What must still hold is the health contract: once the
+    service has tripped unhealthy (consecutive batch failures — a
+    chip-less pod), starting a long sweep would hang for minutes before
+    failing.  Replies 503 + Retry-After and returns False in that case;
+    the connection closes because the body was not read."""
+    if self.service.healthy():
+      return True
+    self.close_connection = True
+    body = json.dumps({'error': 'service unhealthy: refusing to start a '
+                                'long-video sweep'}).encode()
+    self.send_response(503)
+    self.send_header('Content-Type', 'application/json')
+    self.send_header('Content-Length', str(len(body)))
+    self.send_header('Retry-After', '5')
+    self.end_headers()
+    self.wfile.write(body)
+    return False
+
   def _bind_model(self) -> bool:
     """Resolves which model this request addresses and binds its
     surfaces onto the handler instance.  ``/v1/models/<name>/<rest>``
@@ -921,10 +947,15 @@ class _Handler(BaseHTTPRequestHandler):
     instead).  Needs a model with one embedding vector per clip (the
     lvt vision tower); classifier servers use ``/v1/classify_long``.
     Runs synchronously in the request thread — budget client timeouts
-    for the sweep."""
+    for the sweep.  NOTE: the spatial-reuse path bypasses the batch
+    queue, so ``max_pending`` shedding and ``X-Deadline-Ms`` do not
+    bound it (see :meth:`_admit_long_sweep`); the windowed fallback
+    rides the batch path and keeps both."""
     if self.classify_enabled:
       self._reject_json(404, {'error': 'classifier servers classify '
                                        'long videos at /v1/classify_long'})
+      return
+    if not self._admit_long_sweep():
       return
     try:
       from urllib.parse import parse_qs, urlparse
@@ -946,18 +977,22 @@ class _Handler(BaseHTTPRequestHandler):
     from videoprism_tpu import streaming
 
     cfg = getattr(getattr(self.service, '_model', None), 'config', None)
-    use_cached = False
+    params = None
     if cfg is not None and stride is not None and 0 < stride < window:
       from videoprism_tpu.models.clip import VideoCLIPConfig
 
-      use_cached = isinstance(cfg, VideoCLIPConfig)
-    if use_cached:
+      if isinstance(cfg, VideoCLIPConfig):
+        # Plain-path services only: on tensor-parallel servers the state
+        # is model-axis-sharded (a plain jit cannot take it) and on
+        # AOT-exported servers a fresh model-code jit would defeat the
+        # cold-start artifact — both keep the batch-path fallback.
+        params = self.service.model_code_params()
+    if params is not None:
       # Overlapping windows + CLIP model code on board: per-frame
       # spatial reuse (streaming.embed_long_video_cached) encodes each
       # frame's spatial tokens once instead of re-running the full
-      # tower per window.  AOT-only services (no model code) and
+      # tower per window.  AOT/TP services (no plain params) and
       # non-overlapping sweeps keep the batch-path fallback below.
-      params = self.service._model._unwrap(self.service._state)
       result = self._with_upload(
           body, lambda path: streaming.embed_long_video_cached(
               params, cfg, path, window=window, stride=stride,
@@ -1041,10 +1076,14 @@ class _Handler(BaseHTTPRequestHandler):
     pooler folds every window's tokens, so the logits equal one-shot
     pooling of the whole token stream — not a mean of window votes.
     Runs synchronously in the request thread (a minutes-long sweep is
-    not a micro-batchable clip); budget client timeouts accordingly."""
+    not a micro-batchable clip); budget client timeouts accordingly.
+    NOTE: bypasses the batch queue — ``max_pending`` shedding and
+    ``X-Deadline-Ms`` do not bound it (see :meth:`_admit_long_sweep`)."""
     if not self.classify_enabled:
       self._reject_json(404, {'error': '/v1/classify_long needs a '
                                        'classifier model'})
+      return
+    if not self._admit_long_sweep():
       return
     cfg = getattr(getattr(self.service, '_model', None), 'config', None)
     if cfg is None:
@@ -1071,7 +1110,15 @@ class _Handler(BaseHTTPRequestHandler):
     from videoprism_tpu import streaming
 
     # Snapshot once: a hot reload mid-sweep must not mix weights.
-    params = self.service._model._unwrap(self.service._state)
+    # (model_code_params: single-program servers only — TP state is
+    # sharded, AOT servers must not grow fresh model-code jits.)
+    params = self.service.model_code_params()
+    if params is None:
+      self._reject_json(404, {
+          'error': '/v1/classify_long runs model code outside the batch '
+                   'path and needs a single-program server (not '
+                   'tensor-parallel or AOT-exported)'})
+      return
     logits = self._with_upload(
         body, lambda path: streaming.classify_long_video(
             params, cfg, path, window=window, stride=stride,
@@ -1309,6 +1356,8 @@ class _Handler(BaseHTTPRequestHandler):
 
       q = parse_qs(urlparse(self.path).query)
       k = int(q['k'][0]) if 'k' in q else 3
+      if k <= 0:
+        raise ValueError(f'"k" must be positive, got {k}')
       iou = (float(q['iou_threshold'][0])
              if 'iou_threshold' in q else 0.5)
       windows = (tuple(int(w) for w in q['window_sizes'][0].split(','))
@@ -1330,6 +1379,8 @@ class _Handler(BaseHTTPRequestHandler):
         queries = spec.get('queries')
         video = _array_from_json_spec(spec['video'])
         k = int(spec.get('k', k))
+        if k <= 0:
+          raise ValueError(f'"k" must be positive, got {k}')
         iou = float(spec.get('iou_threshold', iou))
         if 'window_sizes' in spec:
           windows = tuple(int(w) for w in spec['window_sizes'])
@@ -1389,7 +1440,9 @@ class _Handler(BaseHTTPRequestHandler):
     them via :func:`videoprism_tpu.retrieval.localize_moments`.  Segment
     units are SAMPLED frame indices — multiply by ``frame_stride`` for
     source-frame positions.  Needs an lvt server with model code and a
-    text tower; runs synchronously in the request thread."""
+    text tower; runs synchronously in the request thread.  NOTE:
+    bypasses the batch queue — ``max_pending`` shedding and
+    ``X-Deadline-Ms`` do not bound it (see :meth:`_admit_long_sweep`)."""
     cfg = getattr(getattr(self.service, '_model', None), 'config', None)
     from videoprism_tpu.models.clip import VideoCLIPConfig
 
@@ -1398,6 +1451,8 @@ class _Handler(BaseHTTPRequestHandler):
       self._reject_json(404, {
           'error': '/v1/localize_long needs an lvt server with model '
                    'code and a text tower'})
+      return
+    if not self._admit_long_sweep():
       return
     try:
       from urllib.parse import parse_qs, urlparse
@@ -1409,6 +1464,8 @@ class _Handler(BaseHTTPRequestHandler):
         raise ValueError('localize_long needs at least one non-empty '
                          '?q=<query> parameter')
       k = int(q['k'][0]) if 'k' in q else 3
+      if k <= 0:
+        raise ValueError(f'"k" must be positive, got {k}')
       iou = (float(q['iou_threshold'][0])
              if 'iou_threshold' in q else 0.5)
       moment_windows = (
@@ -1427,7 +1484,15 @@ class _Handler(BaseHTTPRequestHandler):
     from videoprism_tpu import retrieval, streaming
 
     # Snapshot once: a hot reload mid-sweep must not mix weights.
-    params = self.service._model._unwrap(self.service._state)
+    # (model_code_params: single-program servers only — TP state is
+    # sharded, AOT servers must not grow fresh model-code jits.)
+    params = self.service.model_code_params()
+    if params is None:
+      self._reject_json(404, {
+          'error': '/v1/localize_long runs model code outside the batch '
+                   'path and needs a single-program server (not '
+                   'tensor-parallel or AOT-exported)'})
+      return
     frame_emb = self._with_upload(
         body, lambda path: streaming.frame_embeddings_long(
             params, cfg, path, window=window, stride=stride,
