@@ -1,0 +1,115 @@
+"""bench.py artifact contract: ONE parsed JSON line must survive every
+failure mode (round 3's official bench artifact was lost to a silent
+rc=124 timeout — VERDICT r3 item #1)."""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+# bench.py sets the (TPU-session) compilation cache dir at import time;
+# in THIS process the conftest already configured the CPU-feature-scoped
+# cache dir, and letting bench clobber it would write CPU AOT entries
+# into the TPU cache (the session-9 segfault incident).  Import, then
+# restore.
+_scoped_cache = jax.config.jax_compilation_cache_dir
+import bench  # noqa: E402
+
+jax.config.update('jax_compilation_cache_dir', _scoped_cache)
+
+
+class TestEmitter:
+
+  def test_emits_exactly_once(self, capsys):
+    e = bench._Emitter()
+    e.payload = {'metric': 'clips_per_sec', 'value': 1.5}
+    assert e.emit(extra_key='a')
+    assert not e.emit(extra_key='b')  # second caller loses
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    parsed = json.loads(out[0])
+    assert parsed['value'] == 1.5 and parsed['extra_key'] == 'a'
+
+  def test_threads_race_to_one_line(self, capsys):
+    import threading
+
+    e = bench._Emitter()
+    e.payload = {'value': None}
+    wins = []
+    ts = [threading.Thread(target=lambda: wins.append(e.emit()))
+          for _ in range(8)]
+    for t in ts:
+      t.start()
+    for t in ts:
+      t.join()
+    assert sum(wins) == 1
+    assert len(capsys.readouterr().out.strip().splitlines()) == 1
+
+
+class TestExecutionProbe:
+
+  def test_probe_is_a_real_execution(self):
+    """The probe source must actually execute on-device (np.asarray of a
+    computation), not just list devices — jax.devices() can LIST a chip
+    whose execution hangs (CLAUDE.md)."""
+    assert 'np.asarray' in bench._PROBE_SRC
+    assert 'jnp.sum' in bench._PROBE_SRC
+
+  def test_hung_probe_is_bounded(self, monkeypatch):
+    monkeypatch.setattr(bench, '_PROBE_SRC', 'import time; time.sleep(60)')
+    t0 = time.monotonic()
+    assert not bench._wait_for_devices(max_wait_s=1.0, probe_timeout_s=1.0)
+    assert time.monotonic() - t0 < 30
+
+  def test_ok_probe_passes(self, monkeypatch):
+    monkeypatch.setattr(bench, '_PROBE_SRC', 'pass')
+    assert bench._wait_for_devices(max_wait_s=10.0, probe_timeout_s=10.0)
+
+
+class TestBudgetPaths:
+
+  def test_claim_unavailable_still_emits_parsed_json(self, capsys,
+                                                     monkeypatch):
+    """The round-3 failure mode: claim never grants.  main() must print a
+    parsed JSON line (error form) instead of hanging silently."""
+    monkeypatch.setattr(bench, '_PROBE_SRC', 'raise SystemExit(1)')
+    monkeypatch.setattr(sys, 'argv', [
+        'bench.py', '--claim-wait-s', '1', '--budget-s', '60'])
+    with pytest.raises(SystemExit) as ei:
+      bench.main()
+    assert ei.value.code == 2
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith('{')]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed['metric'] == 'clips_per_sec'
+    assert parsed['value'] is None
+    assert 'claim' in parsed['error']
+
+  def test_watchdog_emits_partial_and_exits(self, capsys, monkeypatch):
+    """Budget expiry mid-sweep: the watchdog thread emits the
+    best-so-far payload and exits 0."""
+    exited = []
+    monkeypatch.setattr(os, '_exit', lambda code: exited.append(code))
+    e = bench._Emitter()
+    e.payload = {'metric': 'clips_per_sec', 'value': 42.0}
+    bench._start_watchdog(e, budget_s=time.monotonic() - bench._T0 + 1.2)
+    deadline = time.monotonic() + 15
+    while not exited and time.monotonic() < deadline:
+      time.sleep(0.05)
+    assert exited == [0]
+    parsed = json.loads(capsys.readouterr().out.strip())
+    assert parsed['value'] == 42.0
+    assert parsed['budget_exhausted'] is True
+
+  def test_headline_first_ordering(self):
+    """The sweep must run the largest batch (headline) first, then batch
+    1 (p50 latency), then the rest — so one completed measurement
+    already yields a valid headline artifact."""
+    assert bench._sweep_order([1, 8, 16, 32, 64]) == [64, 1, 32, 16, 8]
+    assert bench._sweep_order([1]) == [1]
+    assert bench._sweep_order([8, 8, 2]) == [8, 2]

@@ -75,9 +75,24 @@ def main():
 
   import videoprism_tpu as vp
   from videoprism_tpu.models import clip as vclip
+  from videoprism_tpu.models import registry
 
-  config = vp.get_model_config(args.model)
-  model = vp.get_model(args.model)
+  if args.model in registry.MODEL_CONFIGS:
+    config = vp.get_model_config(args.model)
+    model = vp.get_model(args.model)
+  elif args.model in registry.CONFIGS:
+    # Internal config names (notably videoprism_lvt_v1_giant, which has
+    # no public checkpoint and hence no MODEL_CONFIGS entry): build from
+    # the CONFIGS table so the giant width — primer_hybrid norm policy,
+    # D=1408 — is whole-architecture oracle-tested, not just unit-tested.
+    config = dict(registry.CONFIGS[args.model])
+    vocab = registry.TEXT_TOKENIZERS['c4_en']['vocab_size']
+    config.setdefault('vocabulary_size', vocab)
+    model = getattr(registry, args.model)()
+  else:
+    raise SystemExit(
+        f'unknown model {args.model!r}; choose from '
+        f'{sorted(set(registry.MODEL_CONFIGS) | set(registry.CONFIGS))}')
   assert isinstance(model.config, vclip.VideoCLIPConfig), (
       'parity harness currently compares the CLIP towers; use tests/ for '
       'the encoder/classifier families')
