@@ -338,6 +338,13 @@ def main():
 
   dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
   platform = jax.devices()[0].platform
+  if platform != 'tpu':
+    # CPU fallback (local testing): re-scope the cache dir so CPU AOT
+    # entries never land in the shared TPU cache — a foreign-host CPU
+    # entry has segfaulted the suite before (utils/compilation_cache).
+    from videoprism_tpu.utils.compilation_cache import cache_dir
+
+    jax.config.update('jax_compilation_cache_dir', cache_dir(cpu=True))
 
   attention = args.attention
   if attention == 'auto':

@@ -64,6 +64,9 @@ class TestEndpoints:
       assert r.headers['Content-Type'].startswith('text/html')
       body = r.read().decode()
     assert 'VideoPrism TPU' in body and '/v1/embed_file' in body
+    # The console must drive the full long-video surface (VERDICT r3 #5).
+    for ep in ('embed_long', 'classify_long', 'localize_long'):
+      assert f'/v1/{ep}' in body, ep
     # Same page at /index.html; other GETs still 404.
     with urllib.request.urlopen(_url(httpd, '/index.html'),
                                 timeout=30) as r:

@@ -4,7 +4,8 @@
 Zero build step, zero assets, zero JS dependencies — the page drives the
 same public endpoints any client uses (``/v1/embed_file``,
 ``/v1/classify``, ``/v1/zero_shot``, ``/v1/search``, ``/v1/localize``,
-``/v1/index/add``) with ``fetch``, so it doubles as living documentation
+``/v1/localize_long``, ``/v1/index/add``, the long-video sweeps) with
+``fetch``, so it doubles as living documentation
 of the wire protocol.  POSTs honor the optional bearer token; the page
 itself is read-only static text, safe to expose wherever ``/healthz``
 is.
@@ -74,6 +75,8 @@ CONSOLE_HTML = """<!DOCTYPE html>
       </option>
       <option value="classify_long">Classify long video
         (/v1/classify_long)</option>
+      <option value="localize_long">Localize moments, long video
+        (/v1/localize_long)</option>
     </select>
   </label>
   <label id="classes-row" style="display:none">Class names /
@@ -141,7 +144,8 @@ async function jfetch(url, opts) {
 $('action').addEventListener('change', () => {
   const a = $('action').value;
   $('classes-row').style.display =
-      (a === 'zero_shot' || a === 'localize') ? '' : 'none';
+      (a === 'zero_shot' || a === 'localize' || a === 'localize_long')
+      ? '' : 'none';
 });
 
 $('run').addEventListener('click', async () => {
@@ -193,6 +197,11 @@ $('run').addEventListener('click', async () => {
           'every frame swept in windows, not subsampled');
     } else if (a === 'classify_long') {
       out(await jfetch(modelPath('classify_long?k=5'),
+          {method: 'POST', headers: headers('video/mp4'), body}));
+    } else if (a === 'localize_long') {
+      if (!lines.length) throw new Error('enter localization queries');
+      const q = lines.map((s) => 'q=' + encodeURIComponent(s)).join('&');
+      out(await jfetch(modelPath('localize_long?' + q + '&k=3'),
           {method: 'POST', headers: headers('video/mp4'), body}));
     }
   } catch (e) { out(String(e)); }

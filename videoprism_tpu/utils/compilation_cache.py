@@ -23,19 +23,31 @@ import os
 
 
 def host_cpu_tag() -> str:
-  """8-hex fingerprint of the host's CPU feature flags."""
+  """8-hex fingerprint of the host's CPU feature flags + the effective
+  XLA:CPU ISA cap.
+
+  The cap matters too: ``--xla_cpu_max_isa=AVX512`` changes the LLVM
+  subtarget (and derived preferences like prefer-no-scatter/gather), so
+  capped and uncapped processes on the SAME host produce mutually
+  foreign AOT entries — seen as ``cpu_aot_loader`` machine-feature
+  mismatch errors when they share a dir."""
+  isa = ''
+  for tok in os.environ.get('XLA_FLAGS', '').split():
+    if tok.startswith('--xla_cpu_max_isa'):
+      isa = tok
   try:
     with open('/proc/cpuinfo') as f:
       for line in f:
         if line.startswith('flags'):
           flags = ' '.join(sorted(line.split(':', 1)[1].split()))
-          return hashlib.sha256(flags.encode()).hexdigest()[:8]
+          return hashlib.sha256(
+              f'{flags}|{isa}'.encode()).hexdigest()[:8]
   except OSError:
     pass
   import platform
 
   return hashlib.sha256(
-      f'{platform.machine()}-{platform.processor()}'.encode()
+      f'{platform.machine()}-{platform.processor()}|{isa}'.encode()
   ).hexdigest()[:8]
 
 
