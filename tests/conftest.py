@@ -77,17 +77,22 @@ _CORE_MODULES = {
     'test_tokenizers',        # golden ids vs reference fixtures
     'test_fused_blocks',      # pallas kernel tier (interpret mode)
     'test_serving',           # micro-batching service
-    'test_parallel',          # mesh/GSPMD/TP on the 8-dev CPU mesh
+    'test_parallel',          # mesh/GSPMD/TP/train steps, 8-dev CPU mesh
     'test_streaming',         # exact streaming pooler
-    'test_optimizers',        # train-step tier
     'test_bench_contract',    # the perf-artifact contract
+}
+# Individually-heavy tests excluded from core (they stay in the fast
+# suite): measured >30s each on this one-core host.
+_CORE_EXCLUDE = {
+    'test_accum_step_matches_manual_mean_of_grads',  # 56s
 }
 
 
 def pytest_collection_modifyitems(config, items):
   for item in items:
     if (item.module.__name__ in _CORE_MODULES
-        and 'slow' not in item.keywords):
+        and 'slow' not in item.keywords
+        and item.originalname not in _CORE_EXCLUDE):
       item.add_marker(pytest.mark.core)
 
 

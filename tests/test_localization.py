@@ -45,6 +45,49 @@ class TestLocalizeMoments:
     scores = [s['score'] for s in segments]
     assert scores == sorted(scores, reverse=True)
 
+  def test_matches_bruteforce_oracle(self):
+    """The prefix-sum sweep + greedy NMS must equal a naive
+    re-implementation (per-window mean, renormalized, scored, NMS'd) on
+    random embeddings — the O(T)-per-size optimization is not allowed to
+    change a single segment or score."""
+    rng = np.random.default_rng(7)
+    t, d, nq = 23, 8, 3
+    frames = rng.standard_normal((t, d)).astype(np.float32)
+    queries = rng.standard_normal((nq, d)).astype(np.float32)
+    sizes, top_k, iou_thr = (1, 3, 5), 4, 0.4
+    got = retrieval.localize_moments(
+        frames, queries, window_sizes=sizes, top_k=top_k,
+        iou_threshold=iou_thr)
+
+    fn = frames / np.linalg.norm(frames, axis=-1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
+    cands = []
+    for w in sizes:
+      for s in range(t - w + 1):
+        m = fn[s:s + w].mean(axis=0)
+        m = m / max(float(np.linalg.norm(m)), 1e-12)
+        cands.append((s, s + w, qn @ m))
+
+    def iou(a, b):
+      inter = max(0, min(a[1], b[1]) - max(a[0], b[0]))
+      union = (a[1] - a[0]) + (b[1] - b[0]) - inter
+      return inter / union if union else 0.0
+
+    for q in range(nq):
+      ranked = sorted(cands, key=lambda c: -float(c[2][q]))
+      kept = []
+      for s, e, sc in ranked:
+        if len(kept) >= top_k:
+          break
+        if any(iou((s, e), (k[0], k[1])) > iou_thr for k in kept):
+          continue
+        kept.append((s, e, float(sc[q])))
+      assert [(seg['start'], seg['end']) for seg in got[q]] == [
+          (s, e) for s, e, _ in kept]
+      np.testing.assert_allclose(
+          [seg['score'] for seg in got[q]], [sc for _, _, sc in kept],
+          atol=1e-5)
+
   def test_nms_suppresses_overlapping_windows(self):
     frames, query = _planted_frames(lo=4, hi=8)
     (segments,) = retrieval.localize_moments(
