@@ -324,7 +324,21 @@ def main():
   }
   _start_watchdog(emitter, args.budget_s)
   _install_signal_emitters(emitter)
+  try:
+    _run_sweep(args, emitter)
+  except SystemExit:
+    raise  # already emitted (claim-unavailable / all-batches-failed)
+  except BaseException as e:
+    # ANY other escape path (bad --batch-sizes parse, compile failure,
+    # claim flap mid-setup, Ctrl-C) still yields the one parsed JSON
+    # line — an uncaught traceback would take the daemon watchdog down
+    # with the process and print nothing (review finding).
+    emitter.payload.setdefault('value', None)
+    emitter.emit(error=f'unexpected {type(e).__name__}: {e}')
+    raise SystemExit(4)
 
+
+def _run_sweep(args, emitter):
   # The claim wait must leave room inside the budget to actually measure;
   # when the claim never shows, the error JSON is still a parsed artifact.
   claim_wait = min(args.claim_wait_s,
@@ -409,6 +423,10 @@ def main():
           forward, params, video, args.warmup, args.runs, iters)
     except Exception as e:  # OOM at large batch: report what fits
       per_batch[b] = f'failed: {type(e).__name__}'
+      # The failure breadcrumb must reach the artifact even when no
+      # later batch succeeds (review finding: only the success path
+      # snapshotted per_batch into the payload).
+      emitter.payload['per_batch_clips_per_sec'] = dict(per_batch)
       continue
     clips_per_sec = b / statistics.median(times)
     per_batch[b] = round(clips_per_sec, 3)
@@ -432,7 +450,15 @@ def main():
                 if platform == 'tpu' else None),
     })
 
-  emitter.emit(**({'budget_exhausted': True} if budget_stopped else {}))
+  extra: dict = {'budget_exhausted': True} if budget_stopped else {}
+  if best_batch == 0:
+    # Every batch failed (or none ran): value stays null — say why, and
+    # exit nonzero so the artifact is unambiguous.
+    extra['error'] = ('no batch size completed; see '
+                      'per_batch_clips_per_sec for per-batch failures')
+    emitter.emit(**extra)
+    raise SystemExit(3)
+  emitter.emit(**extra)
 
 
 if __name__ == '__main__':

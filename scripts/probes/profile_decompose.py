@@ -18,8 +18,9 @@ axon tunnel ``block_until_ready`` does not block and per-dispatch RTT is
 trees 413 the remote-compile endpoint at base scale).
 
 Run on real TPU:  python scripts/probes/profile_decompose.py
-CPU harness check: python scripts/probes/profile_decompose.py \
-    --cpu-smoke --models base --batches 1
+CPU harness check (tiny geometry — interpret-mode Pallas at base scale
+would take hours):  python scripts/probes/profile_decompose.py \
+    --cpu-smoke --models tiny --batches 2
 """
 
 from __future__ import annotations

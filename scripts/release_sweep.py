@@ -135,17 +135,25 @@ def main() -> int:
     t0 = time.time()
     rec: dict = {'cmd': [os.path.relpath(a, _ROOT)
                          if os.path.isabs(a) else a for a in argv]}
+    # Popen + kill-and-drain rather than subprocess.run(timeout=...):
+    # on POSIX TimeoutExpired.stdout is None with capture_output even
+    # when the child printed (verified on this host's 3.12) — a bench
+    # leg that emitted its --budget-s partial JSON and then hung would
+    # lose the artifact.  After kill(), communicate() returns whatever
+    # the child had written.
+    proc = subprocess.Popen(
+        [sys.executable] + argv, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd=_ROOT)
     try:
-      proc = subprocess.run(
-          [sys.executable] + argv, capture_output=True, text=True,
-          timeout=args.leg_timeout_s, cwd=_ROOT)
+      out, err = proc.communicate(timeout=args.leg_timeout_s)
       rec['rc'] = proc.returncode
-      rec['parsed'] = _last_json_line(proc.stdout)
-      if rec['parsed'] is None:
-        rec['stderr_tail'] = proc.stderr[-800:]
-    except subprocess.TimeoutExpired as e:
+    except subprocess.TimeoutExpired:
+      proc.kill()
+      out, err = proc.communicate()
       rec['rc'] = 'timeout'
-      rec['parsed'] = _last_json_line(e.stdout or '')
+    rec['parsed'] = _last_json_line(out or '')
+    if rec['parsed'] is None:
+      rec['stderr_tail'] = (err or '')[-800:]
     rec['seconds'] = round(time.time() - t0, 1)
     payload['legs'][name] = rec
     payload['total_seconds'] = round(time.time() - t_start, 1)

@@ -66,6 +66,14 @@ def main() -> int:
           '(For offline proxies run scripts/validate_release.py --offline.)')
     return EX_TEMPFAIL
 
+  report_path = (args.report if os.path.isabs(args.report)
+                 else os.path.join(_ROOT, args.report))
+  # A stale report from a previous run must never be gradable: remove it
+  # up front so a crashed child can only leave "no report".
+  try:
+    os.unlink(report_path)
+  except FileNotFoundError:
+    pass
   cmd = [sys.executable, os.path.join(_SCRIPTS, 'validate_release.py'),
          '--report', args.report]
   if args.stages:
@@ -76,13 +84,19 @@ def main() -> int:
   # long download/parity stages stream progress.
   proc = subprocess.run(cmd, cwd=_ROOT)
   try:
-    with open(os.path.join(_ROOT, args.report)
-              if not os.path.isabs(args.report) else args.report) as f:
+    with open(report_path) as f:
       report = json.load(f)
   except (OSError, json.JSONDecodeError) as e:
     print(json.dumps({'harness': 'validate_real_weights', 'overall': 'fail',
                       'detail': f'no report produced: {e}',
                       'rc': proc.returncode}))
+    return 1
+  if proc.returncode != 0:
+    # validate_release only exits nonzero on a failed stage (or a crash
+    # after writing) — never certify such a run, whatever the file says.
+    print(json.dumps({'harness': 'validate_real_weights', 'overall': 'fail',
+                      'detail': f'validate_release exited {proc.returncode}',
+                      'rc': proc.returncode, 'report': args.report}))
     return 1
 
   # Strict grading: only a real 'pass' counts; a proxy-pass means the

@@ -76,12 +76,23 @@ class TestBudgetPaths:
                                                      monkeypatch):
     """The round-3 failure mode: claim never grants.  main() must print a
     parsed JSON line (error form) instead of hanging silently."""
+    import signal
+
     monkeypatch.setattr(bench, '_PROBE_SRC', 'raise SystemExit(1)')
     monkeypatch.setattr(sys, 'argv', [
         'bench.py', '--claim-wait-s', '1', '--budget-s', '60'])
-    with pytest.raises(SystemExit) as ei:
-      bench.main()
-    assert ei.value.code == 2
+    # main() installs SIGTERM/SIGALRM emit-and-exit handlers; restore
+    # them or a later CI kill of the SUITE would print a stray bench
+    # JSON line and exit 0 (review finding).
+    saved = {s: signal.getsignal(s)
+             for s in (signal.SIGTERM, signal.SIGALRM)}
+    try:
+      with pytest.raises(SystemExit) as ei:
+        bench.main()
+      assert ei.value.code == 2
+    finally:
+      for s, h in saved.items():
+        signal.signal(s, h)
     lines = [l for l in capsys.readouterr().out.splitlines()
              if l.startswith('{')]
     assert len(lines) == 1

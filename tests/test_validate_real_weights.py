@@ -25,16 +25,22 @@ def test_offline_is_exit_75(monkeypatch, capsys):
   assert 'exit 75' in capsys.readouterr().out.lower()
 
 
-def _run_with_fake_report(mod, monkeypatch, tmp_path, stages):
+def _run_with_fake_report(mod, monkeypatch, tmp_path, stages, rc=0):
+  """Fake child WRITES the report when it runs (like the real one) —
+  main() deletes any pre-existing report up front, so a fake that only
+  pre-writes would test nothing."""
   report = tmp_path / 'report.json'
-  report.write_text(json.dumps(
-      {'stages': {k: {'status': s} for k, s in stages.items()}}))
 
   class FakeProc:
-    returncode = 0
+    returncode = rc
+
+  def fake_run(*a, **kw):
+    report.write_text(json.dumps(
+        {'stages': {k: {'status': s} for k, s in stages.items()}}))
+    return FakeProc()
 
   monkeypatch.setattr(mod, 'have_egress', lambda **kw: True)
-  monkeypatch.setattr(mod.subprocess, 'run', lambda *a, **kw: FakeProc())
+  monkeypatch.setattr(mod.subprocess, 'run', fake_run)
   monkeypatch.setattr(sys, 'argv', [
       'validate_real_weights.py', '--report', str(report)])
   return mod.main()
@@ -60,3 +66,35 @@ def test_all_real_passes_is_zero(monkeypatch, tmp_path, capsys):
   assert rc == 0
   out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
   assert out['overall'] == 'pass' and out['degraded'] == []
+
+
+def test_stale_report_cannot_be_graded(monkeypatch, tmp_path, capsys):
+  """A crashed child that writes NO report must fail even when a
+  previous all-pass report sits at the target path (review finding:
+  the strict validator graded stale artifacts)."""
+  mod = _load()
+  report = tmp_path / 'report.json'
+  report.write_text(json.dumps({'stages': {'parity': {'status': 'pass'}}}))
+
+  class FakeProc:
+    returncode = 1
+
+  monkeypatch.setattr(mod, 'have_egress', lambda **kw: True)
+  monkeypatch.setattr(mod.subprocess, 'run',
+                      lambda *a, **kw: FakeProc())  # writes nothing
+  monkeypatch.setattr(sys, 'argv', [
+      'validate_real_weights.py', '--report', str(report)])
+  assert mod.main() == 1
+  out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+  assert out['overall'] == 'fail' and 'no report' in out['detail']
+  assert not report.exists()
+
+
+def test_nonzero_child_rc_fails_despite_passing_report(monkeypatch,
+                                                       tmp_path, capsys):
+  mod = _load()
+  rc = _run_with_fake_report(
+      mod, monkeypatch, tmp_path, {'parity': 'pass'}, rc=3)
+  assert rc == 1
+  out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+  assert out['overall'] == 'fail' and 'exited 3' in out['detail']

@@ -471,14 +471,14 @@ class _Handler(BaseHTTPRequestHandler):
     self.close_connection = True
     self._reply_json(status, obj)
 
-  def _reply_overloaded(self, e: Exception) -> None:
+  def _reply_overloaded(self, e: Exception, retry_after: str = '1') -> None:
     """503 + Retry-After: the client should back off, not treat the
     shed as a server error (one implementation for every endpoint)."""
     self.send_response(503)
     body = json.dumps({'error': str(e)}).encode()
     self.send_header('Content-Type', 'application/json')
     self.send_header('Content-Length', str(len(body)))
-    self.send_header('Retry-After', '1')
+    self.send_header('Retry-After', retry_after)
     self.end_headers()
     self.wfile.write(body)
 
@@ -497,15 +497,12 @@ class _Handler(BaseHTTPRequestHandler):
     the connection closes because the body was not read."""
     if self.service.healthy():
       return True
+    # Body not read yet: close the connection (keep-alive would desync),
+    # then the shared shed reply with a longer back-off.
     self.close_connection = True
-    body = json.dumps({'error': 'service unhealthy: refusing to start a '
-                                'long-video sweep'}).encode()
-    self.send_response(503)
-    self.send_header('Content-Type', 'application/json')
-    self.send_header('Content-Length', str(len(body)))
-    self.send_header('Retry-After', '5')
-    self.end_headers()
-    self.wfile.write(body)
+    self._reply_overloaded(
+        RuntimeError('service unhealthy: refusing to start a '
+                     'long-video sweep'), retry_after='5')
     return False
 
   def _bind_model(self) -> bool:
