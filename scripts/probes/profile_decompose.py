@@ -107,9 +107,14 @@ def _decompose(config_name: str, batch: int, num_frames: int,
   b, t = batch, num_frames
   d = cfg.model_dim
   n = (image_size // cfg.patch_size) ** 2
+  # RTT-fair chaining, same rule as bench.py: the ~25-37 ms tunnel
+  # dispatch RTT divides by the chain length, so small batches chain
+  # more passes.  At 16 fixed iters a b1 component reads +2.3 ms EACH —
+  # five stage measurements then fabricate ~9 ms of negative "seam".
+  iters = max(iters, 256 // max(1, batch))
   ms = lambda s: round(1000.0 * s, 3)
   rec: dict = {'config': config_name, 'batch': batch, 'frames': t,
-               'tokens_per_frame': n, 'model_dim': d}
+               'tokens_per_frame': n, 'model_dim': d, 'iters': iters}
 
   # --- end to end ---------------------------------------------------
   full = lambda p, v: fe.apply(p, v, cfg, train=False)[0]
