@@ -252,10 +252,20 @@ def main() -> int:
     assert len(long_preds) == 3
     total = sum(p['prob'] for p in long_preds)
     assert 0.0 < total <= 1.0 + 1e-6, total  # top-3 of a 7-way softmax
+    # Async job form of the same sweep: submit -> poll -> result must
+    # equal the synchronous reply (the compiled programs are shared, so
+    # this adds one sweep, not one compile).
+    import json as json_mod
+
+    jid = c.submit_job('classify_long', args.clip, k=3, window=8,
+                       stride=4)
+    job_out = json_mod.loads(c.wait_job(jid, poll_s=1.0, timeout_s=580))
+    assert job_out['predictions'] == long_preds, (job_out, long_preds)
     httpd.stop()
     svc.stop()
     print(f'3. bf16 classifier classify_file: top1={preds[0]}, '
-          f'classify_long top1={long_preds[0]}  OK', flush=True)
+          f'classify_long top1={long_preds[0]} (async job == sync)  OK',
+          flush=True)
 
   if 4 in stages:
     from videoprism_tpu import export as export_lib

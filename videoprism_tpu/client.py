@@ -434,6 +434,69 @@ class VideoPrismClient:
                         timeout_s=timeout_s)
     return json.loads(out.decode('utf-8'))
 
+  # ---------------------------- async jobs -----------------------------
+
+  def submit_job(self, kind: str, video: 'str | bytes',
+                 queries: Sequence[str] = (), **params) -> str:
+    """Submit an async long-video sweep (``POST /v1/jobs``): same
+    parameters as the synchronous ``*_long`` call of that ``kind``
+    (``classify_long`` / ``embed_long`` / ``localize_long``), but the
+    server replies immediately with a job id — no connection held open
+    for a minutes-long sweep.  ``params`` pass through as query params
+    (``window``, ``stride``, ``k``, ``per_window``...); ``queries``
+    are the ``localize_long`` text queries.  Returns the job id."""
+    q = [f'kind={urllib.parse.quote(kind)}']
+    for key, value in sorted(params.items()):
+      if value is None:
+        continue
+      if isinstance(value, bool):
+        value = int(value)
+      elif isinstance(value, (list, tuple)):
+        value = ','.join(str(v) for v in value)
+      q.append(f'{key}={urllib.parse.quote(str(value))}')
+    q += ['q=' + urllib.parse.quote(t) for t in queries]
+    out = self._request('POST', self._api('jobs?' + '&'.join(q)),
+                        self._file_bytes(video),
+                        {'Content-Type': 'video/mp4'})
+    return json.loads(out.decode('utf-8'))['job']
+
+  def job_status(self, job_id: str) -> dict[str, Any]:
+    """``GET /v1/jobs/<id>`` — state machine + timing."""
+    out = self._request('GET', f'/v1/jobs/{job_id}', None, {})
+    return json.loads(out.decode('utf-8'))
+
+  def job_result(self, job_id: str) -> bytes:
+    """``GET /v1/jobs/<id>/result`` — the finished sweep's raw bytes
+    (exactly the sync endpoint's reply: npy for ``embed_long``, JSON
+    otherwise).  Raises RequestError with status 409 while the job is
+    still queued/running and 410 for error/cancelled jobs."""
+    return self._request('GET', f'/v1/jobs/{job_id}/result', None, {})
+
+  def cancel_job(self, job_id: str) -> dict[str, Any]:
+    """``POST /v1/jobs/<id>/cancel`` — cancels a QUEUED job (409 once
+    running: an in-flight sweep completes)."""
+    out = self._request('POST', f'/v1/jobs/{job_id}/cancel', None, {})
+    return json.loads(out.decode('utf-8'))
+
+  def wait_job(self, job_id: str, poll_s: float = 2.0,
+               timeout_s: float = 3600.0) -> bytes:
+    """Polls until the job finishes and returns its result bytes.
+    Raises RequestError on job error/cancellation (with the server's
+    error message) or TimeoutError after ``timeout_s``."""
+    deadline = time.monotonic() + timeout_s
+    while True:
+      status = self.job_status(job_id)
+      if status['state'] == 'done':
+        return self.job_result(job_id)
+      if status['state'] in ('error', 'cancelled'):
+        raise RequestError(
+            f'job {job_id} {status["state"]}: '
+            f'{status.get("error", "(no detail)")}', status=410)
+      if time.monotonic() >= deadline:
+        raise TimeoutError(
+            f'job {job_id} still {status["state"]} after {timeout_s:g}s')
+      time.sleep(min(poll_s, max(0.0, deadline - time.monotonic())))
+
   def search_video_file(self, video: 'str | bytes', k: int = 5,
                         frames: int | None = None,
                         size: int | None = None,

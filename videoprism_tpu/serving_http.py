@@ -89,6 +89,13 @@ Endpoints:
   ``/v1/classify`` and ``/v1/search_video`` also accept a ``video/*``
   body — the uploaded container decodes server-side exactly like
   ``/v1/embed_file`` (same ``?frames=&size=`` overrides).
+* ``POST /v1/jobs?kind=classify_long|embed_long|localize_long&...`` —
+  the ASYNC form of the long-video sweeps: same params/body as the sync
+  endpoint, immediate ``{"job": id}`` reply, the sweep runs on the
+  server's single job worker (``max_queued`` admission → 503 +
+  Retry-After).  ``GET /v1/jobs/<id>`` (status, bearer-gated),
+  ``GET /v1/jobs/<id>/result`` (the sync endpoint's exact bytes),
+  ``POST /v1/jobs/<id>/cancel`` (queued jobs only).
 * ``POST /debug/trace?ms=N`` — capture a jax.profiler trace of the live
   process for N ms (default 500) and return the trace directory; the
   production "why is latency up" tool.  Auth-gated like all POSTs.
@@ -402,6 +409,7 @@ class _Handler(BaseHTTPRequestHandler):
   clip_geometry: tuple | None = None
   frames_service = None           # frame-level service (/v1/localize)
   zero_shot_sets: _ZeroShotSets | None = None
+  jobs = None                     # serving_jobs.JobManager (/v1/jobs)
   # jax.profiler is process-global: one capture at a time, even with
   # several servers in one process — hence a _Handler-level lock.
   _trace_lock = threading.Lock()
@@ -558,6 +566,14 @@ class _Handler(BaseHTTPRequestHandler):
     return {name: self._stats_of(b) for name, b in self.models.items()}
 
   def do_GET(self):  # noqa: N802
+    if self.path.startswith('/v1/jobs/'):
+      # Job status/results carry inference data — bearer-gated like the
+      # POST surface (unlike /healthz//stats, which stay open for
+      # probes and scrapers).
+      if not self._authorized():
+        return
+      self._get_job()
+      return
     if self.path in ('/', '/index.html'):
       # Built-in demo console: a static page driving the public API via
       # fetch (videoprism_tpu/serving_console.py).  Read-only text; the
@@ -597,9 +613,12 @@ class _Handler(BaseHTTPRequestHandler):
       # per-model so the counters stay attributable.
       if len(self.models) == 1:
         (binding,) = self.models.values()
-        self._reply_json(200, self._stats_of(binding))
+        payload = self._stats_of(binding)
       else:
-        self._reply_json(200, {'models': self._per_model_stats()})
+        payload = {'models': self._per_model_stats()}
+      if self.jobs is not None:
+        payload['async_jobs'] = self.jobs.stats()
+      self._reply_json(200, payload)
     elif self.path == '/metrics':
       self._reply(200, 'text/plain; version=0.0.4',
                   _prometheus_metrics(self._per_model_stats()).encode())
@@ -661,6 +680,9 @@ class _Handler(BaseHTTPRequestHandler):
       return
     if self.path.startswith('/v1/zero_shot'):
       self._post_zero_shot()
+      return
+    if self.path.startswith('/v1/jobs'):
+      self._post_jobs()
       return
     if self.path.startswith('/v1/localize_long'):
       self._post_localize_long()
@@ -1515,6 +1537,252 @@ class _Handler(BaseHTTPRequestHandler):
     except Exception as e:  # service-side failure
       self._reply_json(500, {'error': str(e)})
 
+  # ------------------------------ async jobs ------------------------------
+
+  def _post_jobs(self) -> None:
+    """``POST /v1/jobs?kind=classify_long|embed_long|localize_long&...``
+    — the async form of the long-video sweeps: same query params and
+    ``video/*`` body as the sync endpoint, but the reply is an
+    immediate ``{"job": id}`` and the sweep runs on the server's job
+    worker (one at a time — the chip is serial).  Poll ``GET
+    /v1/jobs/<id>``, fetch ``GET /v1/jobs/<id>/result`` (the exact
+    bytes the sync endpoint would have sent), cancel a QUEUED job with
+    ``POST /v1/jobs/<id>/cancel``.  Admission: ``max_queued`` pending
+    jobs, then 503 + Retry-After.  Decode errors surface as the job's
+    ``error`` state, not a submit-time 400 (the container is only
+    opened by the worker)."""
+    from urllib.parse import parse_qs, urlparse
+
+    if self.jobs is None:
+      self._reject_json(404, {'error': 'job API disabled on this server'})
+      return
+    parsed = urlparse(self.path)
+    parts = parsed.path.strip('/').split('/')
+    if len(parts) == 4 and parts[3] == 'cancel':
+      if int(self.headers.get('Content-Length', 0) or 0) > 0:
+        self._read_body()  # drain for keep-alive
+      state = self.jobs.cancel(parts[2])
+      if state is None:
+        self._reply_json(404, {'error': f'unknown job {parts[2]!r}'})
+      elif state == 'cancelled':
+        self._reply_json(200, {'job': parts[2], 'state': 'cancelled'})
+      else:
+        self._reply_json(409, {'error': f'job is {state}; only queued '
+                                        'jobs can be cancelled',
+                               'state': state})
+      return
+    if parts != ['v1', 'jobs']:
+      self._reject_json(404, {'error': f'unknown path {parsed.path}; '
+                                       'POST /v1/jobs or '
+                                       '/v1/jobs/<id>/cancel'})
+      return
+    if not self._admit_long_sweep():
+      return
+    q = parse_qs(parsed.query)
+    kind = q.get('kind', [''])[0]
+    builders = {'classify_long': self._build_classify_long_job,
+                'embed_long': self._build_embed_long_job,
+                'localize_long': self._build_localize_long_job}
+    if kind not in builders:
+      self._reject_json(400, {'error': f'unknown kind {kind!r}; choose '
+                                       f'from {sorted(builders)}'})
+      return
+    try:
+      content_type = self.headers.get('Content-Type', '')
+      if not content_type.startswith('video/'):
+        raise ValueError('/v1/jobs takes a video/* container body '
+                         '(decoded by the job worker)')
+      run = builders[kind](q)   # may reply (404/400) and return None
+      if run is None:
+        return
+      body = self._read_body()
+    except ValueError as e:
+      self._reject_json(400, {'error': str(e)})
+      return
+    import os as os_mod
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix='.video')
+    with os_mod.fdopen(fd, 'wb') as f:
+      f.write(body)
+    del body
+    from videoprism_tpu import serving_jobs
+
+    try:
+      job_id = self.jobs.submit(kind, lambda: run(tmp),
+                                cleanup=lambda: os_mod.unlink(tmp))
+    except serving_jobs.JobQueueFull as e:
+      os_mod.unlink(tmp)
+      self._reply_overloaded(e, retry_after='5')
+      return
+    self._reply_json(200, {'job': job_id, 'kind': kind, 'state': 'queued'})
+
+  def _build_classify_long_job(self, q):
+    """Submit-time validation + a path->(content_type, bytes) closure
+    capturing ONLY plain values (the handler instance dies with the
+    request; the closure runs on the job worker thread)."""
+    if not self.classify_enabled:
+      self._reject_json(404, {'error': 'kind=classify_long needs a '
+                                       'classifier model'})
+      return None
+    params = self.service.model_code_params()
+    if params is None:
+      self._reject_json(404, {
+          'error': 'long-video jobs run model code outside the batch '
+                   'path and need a single-program server (not '
+                   'tensor-parallel or AOT-exported)'})
+      return None
+    k = int(q['k'][0]) if 'k' in q else 5
+    if k <= 0:
+      raise ValueError(f'"k" must be positive, got {k}')
+    window, stride, frame_stride, size = self._window_geometry(
+        q, batch_windows=8)
+    cfg = self.service._model.config
+    labels, topk = self.labels, self._topk_predictions
+
+    def run(path):
+      from videoprism_tpu import streaming
+
+      logits = streaming.classify_long_video(
+          params, cfg, path, window=window, stride=stride,
+          frame_stride=frame_stride, target_size=size)
+      return ('application/json',
+              json.dumps({'predictions': topk(logits, k, labels)}).encode())
+
+    return run
+
+  def _build_embed_long_job(self, q):
+    if self.classify_enabled:
+      self._reject_json(404, {'error': 'classifier servers use '
+                                       'kind=classify_long'})
+      return None
+    response_dtype = _response_dtype(q)
+    batch_windows = self.service._buckets[-1]
+    window, stride, frame_stride, size = self._window_geometry(
+        q, batch_windows)
+    per_window = q.get('per_window', ['0'])[0] not in ('0', 'false', '')
+    cfg = getattr(getattr(self.service, '_model', None), 'config', None)
+    params = None
+    if cfg is not None and stride is not None and 0 < stride < window:
+      from videoprism_tpu.models.clip import VideoCLIPConfig
+
+      if isinstance(cfg, VideoCLIPConfig):
+        params = self.service.model_code_params()  # None on TP/AOT
+    service = self.service
+
+    def run(path):
+      from videoprism_tpu import streaming
+
+      if params is not None:  # overlapping windows: spatial reuse
+        result = streaming.embed_long_video_cached(
+            params, cfg, path, window=window, stride=stride,
+            frame_stride=frame_stride, batch_windows=batch_windows,
+            target_size=size)
+      else:
+        def embed_fn(batch):
+          out = np.asarray(service.embed_batch(batch))
+          if out.ndim != 2:
+            raise ValueError(
+                'long-video embedding needs a model with one embedding '
+                f'vector per clip; this server returns {out.shape[1:]} '
+                'per clip')
+          return out
+
+        result = streaming.embed_video_file(
+            embed_fn, path, window=window, stride=stride,
+            frame_stride=frame_stride, batch_windows=batch_windows,
+            target_size=size)
+      pooled, windows = result
+      out = windows if per_window else pooled
+      return _encode_body('application/x-npy', np.asarray(out),
+                          response_dtype)
+
+    return run
+
+  def _build_localize_long_job(self, q):
+    from videoprism_tpu.models.clip import VideoCLIPConfig
+
+    cfg = getattr(getattr(self.service, '_model', None), 'config', None)
+    if (not isinstance(cfg, VideoCLIPConfig)
+        or self.text_encode_fn is None):
+      self._reject_json(404, {
+          'error': 'kind=localize_long needs an lvt server with model '
+                   'code and a text tower'})
+      return None
+    params = self.service.model_code_params()
+    if params is None:
+      self._reject_json(404, {
+          'error': 'long-video jobs run model code outside the batch '
+                   'path and need a single-program server (not '
+                   'tensor-parallel or AOT-exported)'})
+      return None
+    queries = q.get('q')
+    if not queries or not all(isinstance(t, str) and t for t in queries):
+      raise ValueError('localize_long needs at least one non-empty '
+                       '?q=<query> parameter')
+    k = int(q['k'][0]) if 'k' in q else 3
+    if k <= 0:
+      raise ValueError(f'"k" must be positive, got {k}')
+    iou = float(q['iou_threshold'][0]) if 'iou_threshold' in q else 0.5
+    moment_windows = (
+        tuple(int(w) for w in q['window_sizes'][0].split(','))
+        if 'window_sizes' in q else None)
+    window, stride, frame_stride, size = self._window_geometry(
+        q, batch_windows=8)
+    text_fn = self.text_encode_fn
+
+    def run(path):
+      from videoprism_tpu import retrieval, streaming
+
+      frame_emb = streaming.frame_embeddings_long(
+          params, cfg, path, window=window, stride=stride,
+          frame_stride=frame_stride, target_size=size)
+      text_emb = np.asarray(text_fn(list(queries)))
+      t = len(frame_emb)
+      windows = moment_windows or (
+          tuple(w for w in (1, 2, 4, 8) if w <= t) or (t,))
+      moments = retrieval.localize_moments(
+          frame_emb, text_emb, window_sizes=windows, top_k=k,
+          iou_threshold=iou)
+      return ('application/json', json.dumps({
+          'frames': t,
+          'results': [{'query': query, 'segments': segments}
+                      for query, segments in zip(queries, moments)],
+      }).encode())
+
+    return run
+
+  def _get_job(self) -> None:
+    """``GET /v1/jobs/<id>`` (status) / ``GET /v1/jobs/<id>/result``
+    (the sweep's bytes; 409 until done, 410 for error/cancelled)."""
+    if self.jobs is None:
+      self._reply_json(404, {'error': 'job API disabled on this server'})
+      return
+    from urllib.parse import urlparse
+
+    parts = urlparse(self.path).path.strip('/').split('/')
+    want_result = len(parts) == 4 and parts[3] == 'result'
+    if not (len(parts) == 3 or want_result):
+      self._reply_json(404, {'error': 'GET /v1/jobs/<id>[/result]'})
+      return
+    job = self.jobs.get(parts[2])
+    if job is None:
+      self._reply_json(404, {'error': f'unknown job {parts[2]!r} '
+                                      '(expired or never existed)'})
+      return
+    if not want_result:
+      self._reply_json(200, job.public())
+      return
+    if job.state == 'done':
+      self._reply(200, job.content_type, job.payload)
+    elif job.state in ('queued', 'running'):
+      self._reply_json(409, {'error': f'job is {job.state}; poll '
+                                      f'/v1/jobs/{job.id} until done',
+                             'state': job.state})
+    else:  # error / cancelled
+      self._reply_json(410, {'error': job.error or f'job {job.state}',
+                             'state': job.state})
+
   def _post_index(self) -> None:
     """Online index mutation — the served corpus is a living collection,
     not a build-time artifact:
@@ -1729,7 +1997,8 @@ class EmbeddingHTTPServer:
                text_encode_fn=None, index=None,
                auth_token: str | None = None, text_service=None,
                labels=None, model_name: str = 'default',
-               frames_service=None, index_save_path=None):
+               frames_service=None, index_save_path=None,
+               job_max_queued: int = 8, job_ttl_s: float = 3600.0):
     """``text_encode_fn`` (see ``retrieval.make_text_query_encoder``)
     enables ``/v1/embed_text``; adding ``index`` (a
     ``retrieval.VideoIndex``) enables ``/v1/search`` plus online
@@ -1753,11 +2022,20 @@ class EmbeddingHTTPServer:
                                   text_service=text_service,
                                   frames_service=frames_service,
                                   index_save_path=index_save_path)}
+    # Async long-video jobs (/v1/jobs): one worker serializing sweeps,
+    # bounded admission, TTL'd results.  Server-global (job ids are
+    # unique across models; the submit binds whichever model the path
+    # targeted).
+    from videoprism_tpu import serving_jobs
+
+    self._jobs = serving_jobs.JobManager(max_queued=job_max_queued,
+                                         ttl_s=job_ttl_s)
     # The handler class shares this dict OBJECT, so add_model's inserts
     # are visible to in-flight handlers (dict assignment is atomic).
     handler = type('BoundHandler', (_Handler,),
                    {'models': self._bindings, 'default_model': model_name,
-                    'quiet': quiet, 'auth_token': auth_token})
+                    'quiet': quiet, 'auth_token': auth_token,
+                    'jobs': self._jobs})
     self._httpd = ThreadingHTTPServer((host, port), handler)
     self._httpd.daemon_threads = True
     self.host = host
@@ -1801,6 +2079,7 @@ class EmbeddingHTTPServer:
   def stop(self) -> None:
     self._httpd.shutdown()
     self._httpd.server_close()
+    self._jobs.stop()
     if self._thread is not None:
       self._thread.join(timeout=10)
       self._thread = None

@@ -198,6 +198,30 @@ def openapi_spec() -> dict:
                   _q('k'), _q('window_sizes', 'string'),
                   _q('iou_threshold', 'number')] + _WINDOW_PARAMS,
           request=_VIDEO_BODY)},
+      '/v1/jobs': {'post': _op(
+          'Submit an async long-video sweep: ?kind=classify_long|'
+          'embed_long|localize_long plus that endpoint\'s query params '
+          'and video/* body; replies {"job": id} immediately and the '
+          'sweep runs on the server\'s job worker (bounded queue -> '
+          '503 + Retry-After)',
+          params=[_q('kind', 'string',
+                     'classify_long | embed_long | localize_long'),
+                  _q('q', 'string', 'localize_long queries (repeatable)'),
+                  _q('k'), _q('per_window', 'boolean'),
+                  _DTYPE_PARAM] + _WINDOW_PARAMS,
+          request=_VIDEO_BODY)},
+      '/v1/jobs/{id}': {'get': _op(
+          'Job status: queued | running | done | error | cancelled '
+          '(+timing; bearer-gated like the POST surface)',
+          tags=('meta',))},
+      '/v1/jobs/{id}/result': {'get': _op(
+          'The finished sweep\'s bytes — exactly what the synchronous '
+          'endpoint would have replied (npy for embed_long, JSON '
+          'otherwise); 409 while queued/running, 410 for error/'
+          'cancelled')},
+      '/v1/jobs/{id}/cancel': {'post': _op(
+          'Cancel a QUEUED job (409 once running — a sweep in flight '
+          'completes)', tags=('admin',))},
       '/debug/trace': {'post': _op(
           'Capture a jax.profiler trace of the live process for ?ms= '
           'milliseconds (auth-gated; 409 when one is already running)',
