@@ -225,6 +225,25 @@ class TestJobsHTTP:
     assert 'async_jobs' in stats
     assert 'jobs_run' in stats['async_jobs']
 
+  def test_list_jobs(self, clf_server):
+    c = VideoPrismClient(f'http://127.0.0.1:{clf_server.port}')
+    jid = c.submit_job('classify_long', assets.demo_video_path(),
+                       window=2, size=12)
+    c.wait_job(jid, poll_s=0.2, timeout_s=600)
+    listing = c.list_jobs()
+    assert any(j['job'] == jid and j['state'] == 'done'
+               for j in listing['jobs'])
+    assert listing['jobs_run'] >= 1
+
+  def test_prometheus_jobs_metrics(self, clf_server):
+    with urllib.request.urlopen(_url(clf_server, '/metrics'),
+                                timeout=30) as r:
+      body = r.read().decode()
+    assert '# TYPE videoprism_jobs_run_total counter' in body
+    assert 'videoprism_jobs_state{state="queued"}' in body
+    # One TYPE line per family (strict exposition).
+    assert body.count('# TYPE videoprism_jobs_state') == 1
+
   def test_job_endpoints_are_auth_gated(self):
     enc = fe.FactorizedEncoderConfig(**TINY)
     cfg = vc.VideoClassifierConfig(encoder=enc, num_classes=4)

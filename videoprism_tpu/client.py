@@ -465,6 +465,11 @@ class VideoPrismClient:
     out = self._request('GET', f'/v1/jobs/{job_id}', None, {})
     return json.loads(out.decode('utf-8'))
 
+  def list_jobs(self) -> dict[str, Any]:
+    """``GET /v1/jobs`` — retained jobs (newest first) + counters."""
+    out = self._request('GET', '/v1/jobs', None, {})
+    return json.loads(out.decode('utf-8'))
+
   def job_result(self, job_id: str) -> bytes:
     """``GET /v1/jobs/<id>/result`` — the finished sweep's raw bytes
     (exactly the sync endpoint's reply: npy for ``embed_long``, JSON

@@ -84,6 +84,10 @@ CONSOLE_HTML = """<!DOCTYPE html>
     <textarea id="classes" rows="3">drumming on a bottle
 swimming in the sea</textarea>
   </label>
+  <label id="async-row" style="display:none">
+    <input type="checkbox" id="async"> Run as async job
+    (<code>/v1/jobs</code> — submit, poll, fetch)
+  </label>
   <button id="run">Run</button>
 </fieldset>
 
@@ -141,12 +145,38 @@ async function jfetch(url, opts) {
   } catch (e) { $('server-info').textContent = 'server info: ' + e; }
 })();
 
+const LONG_KINDS = ['classify_long', 'embed_long', 'localize_long'];
 $('action').addEventListener('change', () => {
   const a = $('action').value;
   $('classes-row').style.display =
       (a === 'zero_shot' || a === 'localize' || a === 'localize_long')
       ? '' : 'none';
+  $('async-row').style.display = LONG_KINDS.includes(a) ? '' : 'none';
 });
+
+async function runJob(kind, query, body) {
+  const sub = await jfetch(modelPath(`jobs?kind=${kind}` + query),
+      {method: 'POST', headers: headers('video/mp4'), body});
+  out(`job ${sub.job} submitted; polling…`, 'muted');
+  for (;;) {
+    await new Promise((r) => setTimeout(r, 1500));
+    const st = await jfetch(`/v1/jobs/${sub.job}`, {headers: headers('')});
+    if (st.state === 'done') break;
+    if (st.state === 'error' || st.state === 'cancelled') {
+      throw new Error(`job ${st.state}: ${st.error || ''}`);
+    }
+    out(`job ${sub.job}: ${st.state}…`, 'muted');
+  }
+  const r = await fetch(`/v1/jobs/${sub.job}/result`,
+      {headers: headers('')});
+  if (!r.ok) throw new Error('HTTP ' + r.status + ': ' + await r.text());
+  if ((r.headers.get('Content-Type') || '').includes('json')) {
+    out(await r.json());
+  } else {
+    const buf = new Uint8Array(await r.arrayBuffer());
+    out(`job result: ${buf.length} npy bytes — parse with numpy`);
+  }
+}
 
 $('run').addEventListener('click', async () => {
   const f = $('file').files[0];
@@ -188,6 +218,8 @@ $('run').addEventListener('click', async () => {
           encodeURIComponent(f.name)),
           {method: 'POST', headers: headers('video/mp4'), body}));
     } else if (a === 'embed_long') {
+      if ($('async').checked) { await runJob(a, '&dtype=float16', body);
+                                return; }
       const r = await fetch(modelPath('embed_long?dtype=float16'),
           {method: 'POST', headers: headers('video/mp4'), body});
       if (!r.ok) throw new Error('HTTP ' + r.status + ': ' +
@@ -196,11 +228,14 @@ $('run').addEventListener('click', async () => {
       out(`long-video embedding: ${buf.length} npy bytes (float16) — ` +
           'every frame swept in windows, not subsampled');
     } else if (a === 'classify_long') {
+      if ($('async').checked) { await runJob(a, '&k=5', body); return; }
       out(await jfetch(modelPath('classify_long?k=5'),
           {method: 'POST', headers: headers('video/mp4'), body}));
     } else if (a === 'localize_long') {
       if (!lines.length) throw new Error('enter localization queries');
       const q = lines.map((s) => 'q=' + encodeURIComponent(s)).join('&');
+      if ($('async').checked) { await runJob(a, '&k=3&' + q, body);
+                                return; }
       out(await jfetch(modelPath('localize_long?' + q + '&k=3'),
           {method: 'POST', headers: headers('video/mp4'), body}));
     }

@@ -387,6 +387,23 @@ def _prometheus_metrics(per_model: 'dict[str, dict]') -> str:
   return '\n'.join(lines) + '\n'
 
 
+def _prometheus_jobs_metrics(jobs_stats: dict) -> str:
+  """Async-job counters/gauges (server-global — no model label)."""
+  lines = [
+      '# TYPE videoprism_jobs_run_total counter',
+      f'videoprism_jobs_run_total {jobs_stats.get("jobs_run", 0)}',
+      '# TYPE videoprism_jobs_failed_total counter',
+      f'videoprism_jobs_failed_total {jobs_stats.get("jobs_failed", 0)}',
+      '# TYPE videoprism_jobs_state gauge',
+  ]
+  states = jobs_stats.get('jobs', {})
+  for state in ('queued', 'running', 'done', 'error', 'cancelled'):
+    lines.append(
+        f'videoprism_jobs_state{{state="{state}"}} '
+        f'{states.get(state, 0)}')
+  return '\n'.join(lines) + '\n'
+
+
 class _Handler(BaseHTTPRequestHandler):
   # Set by EmbeddingHTTPServer: every model this server hosts, and which
   # one the bare /v1/... paths route to.
@@ -566,7 +583,8 @@ class _Handler(BaseHTTPRequestHandler):
     return {name: self._stats_of(b) for name, b in self.models.items()}
 
   def do_GET(self):  # noqa: N802
-    if self.path.startswith('/v1/jobs/'):
+    if self.path.rstrip('/') == '/v1/jobs' or self.path.startswith(
+        '/v1/jobs/'):
       # Job status/results carry inference data — bearer-gated like the
       # POST surface (unlike /healthz//stats, which stay open for
       # probes and scrapers).
@@ -620,8 +638,10 @@ class _Handler(BaseHTTPRequestHandler):
         payload['async_jobs'] = self.jobs.stats()
       self._reply_json(200, payload)
     elif self.path == '/metrics':
-      self._reply(200, 'text/plain; version=0.0.4',
-                  _prometheus_metrics(self._per_model_stats()).encode())
+      body = _prometheus_metrics(self._per_model_stats())
+      if self.jobs is not None:
+        body += _prometheus_jobs_metrics(self.jobs.stats())
+      self._reply(200, 'text/plain; version=0.0.4', body.encode())
     elif self.path == '/v1/models':
       listing = []
       for name, b in sorted(self.models.items()):
@@ -1753,17 +1773,25 @@ class _Handler(BaseHTTPRequestHandler):
     return run
 
   def _get_job(self) -> None:
-    """``GET /v1/jobs/<id>`` (status) / ``GET /v1/jobs/<id>/result``
-    (the sweep's bytes; 409 until done, 410 for error/cancelled)."""
+    """``GET /v1/jobs`` (listing) / ``GET /v1/jobs/<id>`` (status) /
+    ``GET /v1/jobs/<id>/result`` (the sweep's bytes; 409 until done,
+    410 for error/cancelled)."""
     if self.jobs is None:
       self._reply_json(404, {'error': 'job API disabled on this server'})
       return
     from urllib.parse import urlparse
 
     parts = urlparse(self.path).path.strip('/').split('/')
+    if parts == ['v1', 'jobs']:
+      stats = self.jobs.stats()
+      self._reply_json(200, {'jobs': self.jobs.list(),
+                             'states': stats['jobs'],
+                             'jobs_run': stats['jobs_run'],
+                             'jobs_failed': stats['jobs_failed']})
+      return
     want_result = len(parts) == 4 and parts[3] == 'result'
     if not (len(parts) == 3 or want_result):
-      self._reply_json(404, {'error': 'GET /v1/jobs/<id>[/result]'})
+      self._reply_json(404, {'error': 'GET /v1/jobs[/<id>[/result]]'})
       return
     job = self.jobs.get(parts[2])
     if job is None:

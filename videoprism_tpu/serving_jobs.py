@@ -27,6 +27,12 @@ size-bounded by ``max_result_bytes`` per job.
 This module is HTTP-agnostic: the handler packages a ``run`` closure
 returning ``(content_type, payload_bytes)``; everything here is plain
 threads + locks, testable without sockets.
+
+Weights snapshot semantics: the handler's job closures capture the
+served param tree at SUBMIT time — a hot reload (``reload_state`` /
+SIGHUP) while jobs are queued does not retroactively retarget them; each
+job runs against the weights that were live when it was accepted (the
+same snapshot rule the sync sweeps follow).
 """
 
 from __future__ import annotations
@@ -121,6 +127,13 @@ class JobManager:
     with self._lock:
       self._evict_expired_locked()
       return self._jobs.get(job_id)
+
+  def list(self) -> list[dict[str, Any]]:
+    """Public snapshots of every retained job, newest first."""
+    with self._lock:
+      self._evict_expired_locked()
+      jobs = sorted(self._jobs.values(), key=lambda j: -j.created_s)
+      return [j.public() for j in jobs]
 
   def cancel(self, job_id: str) -> str | None:
     """queued → cancelled.  Returns the resulting state (None: unknown

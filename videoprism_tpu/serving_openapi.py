@@ -198,7 +198,9 @@ def openapi_spec() -> dict:
                   _q('k'), _q('window_sizes', 'string'),
                   _q('iou_threshold', 'number')] + _WINDOW_PARAMS,
           request=_VIDEO_BODY)},
-      '/v1/jobs': {'post': _op(
+      '/v1/jobs': {'get': _op(
+          'List retained jobs (newest first) + run/fail counters '
+          '(bearer-gated)', tags=('meta',)), 'post': _op(
           'Submit an async long-video sweep: ?kind=classify_long|'
           'embed_long|localize_long plus that endpoint\'s query params '
           'and video/* body; replies {"job": id} immediately and the '
