@@ -230,6 +230,13 @@ def main():
                            'on W8A8 serving for that model. Buckets/wait/'
                            'shedding knobs are shared; one SIGHUP '
                            'hot-reloads every model on the pod.')
+  parser.add_argument('--job-max-queued', type=int, default=8,
+                      help='async long-video jobs (/v1/jobs) admission '
+                           'bound: submits beyond this shed with '
+                           '503 + Retry-After')
+  parser.add_argument('--job-ttl-s', type=float, default=3600.0,
+                      help='seconds a finished job (and its result) is '
+                           'retained for GET /v1/jobs/<id>/result')
   parser.add_argument('--pad-frames', action='store_true',
                       help='accept clips SHORTER than the warmup frame '
                            'count on /v1/embed: they pad + mask '
@@ -423,7 +430,9 @@ def main():
                                auth_token=auth_token,
                                text_service=text_service, labels=labels,
                                frames_service=frames_service,
-                               index_save_path=args.index_save_path)
+                               index_save_path=args.index_save_path,
+                               job_max_queued=args.job_max_queued,
+                               job_ttl_s=args.job_ttl_s)
   if auth_token:
     print('auth: bearer token required on POST endpoints')
 

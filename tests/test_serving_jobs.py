@@ -293,6 +293,43 @@ class TestJobsHTTP:
       httpd.stop()
       service.stop()
 
+  def test_multi_model_submit_binds_the_addressed_model(self):
+    """/v1/models/<name>/jobs submits against that model; the job store
+    itself is server-global (ids resolve unscoped)."""
+    enc = fe.FactorizedEncoderConfig(**TINY)
+    emb_model = vp.Model(enc, fe.apply, init_lib.init_factorized_encoder)
+    emb_state = emb_model.init(jax.random.PRNGKey(0))
+    emb_svc = serving.EmbeddingService(emb_model, emb_state,
+                                       batch_buckets=(1,))
+    emb_svc.start()
+    cfg = vc.VideoClassifierConfig(encoder=enc, num_classes=4)
+    clf_model = vp.Model(cfg, vc.apply, init_lib.init_video_classifier)
+    clf_state = clf_model.init(jax.random.PRNGKey(0))
+    clf_svc = serving.EmbeddingService(clf_model, clf_state,
+                                       batch_buckets=(1,))
+    clf_svc.start()
+    httpd = serving_http.EmbeddingHTTPServer(emb_svc, host='127.0.0.1',
+                                             port=0)
+    httpd.add_model('clf', clf_svc)
+    httpd.start()
+    try:
+      # classify_long at the default (embedding) model -> 404...
+      c_default = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+      with pytest.raises(RequestError, match='classifier'):
+        c_default.submit_job('classify_long', assets.demo_video_path(),
+                             window=2, size=12)
+      # ...and succeeds at the pinned classifier model.
+      c_clf = VideoPrismClient(f'http://127.0.0.1:{httpd.port}',
+                               model='clf')
+      jid = c_clf.submit_job('classify_long', assets.demo_video_path(),
+                             window=2, size=12)
+      out = json.loads(c_clf.wait_job(jid, poll_s=0.2, timeout_s=600))
+      assert out['predictions']
+    finally:
+      httpd.stop()
+      emb_svc.stop()
+      clf_svc.stop()
+
   def test_queue_full_sheds_503(self, clf_server, monkeypatch):
     """max_queued submits shed with 503 + Retry-After (the jobs tier has
     the backpressure the sync sweeps lack)."""
