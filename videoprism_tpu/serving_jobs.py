@@ -201,16 +201,19 @@ class JobManager:
               f'(max_result_bytes={self._max_result_bytes}); use the '
               'synchronous endpoint for streams this size')
         with self._lock:
-          job.state = 'done'
+          # Payload before state: readers (the HTTP result path) check
+          # `state == 'done'` WITHOUT taking this lock, so the terminal
+          # state must be the last field to become visible.
           job.content_type = content_type
           job.payload = payload
           job.finished_s = time.time()
+          job.state = 'done'
           self._jobs_run += 1
       except Exception as e:  # the sweep failed — report, keep serving
         with self._lock:
-          job.state = 'error'
           job.error = f'{type(e).__name__}: {e}'
           job.finished_s = time.time()
+          job.state = 'error'
           self._jobs_failed += 1
       finally:
         if cleanup is not None:
