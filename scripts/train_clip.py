@@ -62,10 +62,16 @@ def main():
                       help='tiny architecture for smoke tests')
   parser.add_argument('--synthetic', action='store_true')
   parser.add_argument('--videos-glob', default=None)
-  parser.add_argument('--tar-shards', default=None,
+  parser.add_argument('--tar-shards', action='append', default=None,
                       help='glob of uncompressed WebDataset-style .tar '
                            'shards (<key>.mp4 + <key>.txt caption pairs); '
-                           'alternative to --videos-glob/--captions')
+                           'alternative to --videos-glob/--captions.  '
+                           'Repeat the flag for a multi-dataset MIXTURE '
+                           '(weights via --mixture-weights)')
+  parser.add_argument('--mixture-weights', default=None,
+                      help='comma-separated positive sampling weights, '
+                           'one per --tar-shards flag (default: '
+                           'proportional to dataset sizes)')
   parser.add_argument('--captions', default=None)
   parser.add_argument('--tokenizer-model', default=None,
                       help='local SentencePiece model path')
@@ -221,8 +227,15 @@ def main():
         num_examples=max(64, args.batch_size * args.accum_steps * 4),
         num_frames=frames, size=size)
   elif args.tar_shards:
-    source = data_lib.TarShardSource.from_glob(
-        args.tar_shards, num_frames=frames, target_size=size)
+    parts = [data_lib.TarShardSource.from_glob(
+        g, num_frames=frames, target_size=size) for g in args.tar_shards]
+    if len(parts) == 1 and args.mixture_weights is None:
+      source = parts[0]
+    else:
+      weights = ([float(x) for x in args.mixture_weights.split(',')]
+                 if args.mixture_weights else None)
+      source = data_lib.MixtureSource(parts, weights=weights)
+      print('mixture shares:', dict(zip(args.tar_shards, source.shares)))
   else:
     paths = sorted(glob.glob(args.videos_glob))
     captions = open(args.captions).read().splitlines()

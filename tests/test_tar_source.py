@@ -192,6 +192,31 @@ class TestMakeTarShards:
     assert src.labels == [0, 1, 0]
 
 
+def test_train_cli_tar_mixture(tmp_path):
+  """Repeated --tar-shards + --mixture-weights trains over a weighted
+  MixtureSource end-to-end (tiny model, 2 steps, CPU)."""
+  import subprocess
+  import sys
+
+  root = pathlib.Path(__file__).resolve().parent.parent
+  s0 = _make_shard(tmp_path / 'big0.tar', ['a', 'b', 'c', 'd'])
+  s1 = _make_shard(tmp_path / 'small0.tar', ['e', 'f'],
+                   captions=['rare one', 'rare two'])
+  env = dict(os.environ)
+  env['PYTHONPATH'] = str(root) + os.pathsep + env.get('PYTHONPATH', '')
+  res = subprocess.run(
+      [sys.executable, str(root / 'scripts' / 'train_clip.py'),
+       '--tiny', '--steps', '2', '--batch-size', '2', '--cpu-devices',
+       '1', '--tar-shards', str(tmp_path / 'big*.tar'),
+       '--tar-shards', str(tmp_path / 'small*.tar'),
+       '--mixture-weights', '1,1'],
+      capture_output=True, text=True, timeout=600, env=env)
+  assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+  assert 'mixture shares' in res.stdout
+  # Equal weights over a 4+2 corpus: both sources get half the epoch.
+  assert "0.5" in res.stdout
+
+
 def test_example_keys_are_stable_ids(tmp_path):
   s0 = _make_shard(tmp_path / 's0.tar', ['a', 'b'])
   s1 = _make_shard(tmp_path / 's1.tar', ['a'])

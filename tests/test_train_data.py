@@ -260,6 +260,89 @@ class TestBatchedLoader:
                                     err_msg=jax.tree_util.keystr(pa))
 
 
+class _TaggedSource:
+  """Tiny tagged source: get(i) -> (clip, '<tag>:<i>')."""
+
+  def __init__(self, tag, n, frames=2, size=12):
+    self.tag, self.n = tag, n
+    self.frames, self.size = frames, size
+
+  def __len__(self):
+    return self.n
+
+  def get(self, i):
+    clip = np.full((self.frames, self.size, self.size, 3),
+                   i / 100.0, np.float32)
+    return clip, f'{self.tag}:{i}'
+
+
+class TestMixtureSource:
+
+  def test_default_weights_are_concatenation(self):
+    mix = data_lib.MixtureSource(
+        [_TaggedSource('a', 6), _TaggedSource('b', 2)])
+    assert len(mix) == 8
+    assert mix.shares == [0.75, 0.25]
+    tags = [mix.get(j)[1].split(':')[0] for j in range(len(mix))]
+    assert tags.count('a') == 6 and tags.count('b') == 2
+
+  def test_weights_respected_and_interleaved(self):
+    mix = data_lib.MixtureSource(
+        [_TaggedSource('a', 100), _TaggedSource('b', 100)],
+        weights=[3.0, 1.0], virtual_size=40)
+    tags = [mix.get(j)[1].split(':')[0] for j in range(len(mix))]
+    assert tags.count('a') == 30 and tags.count('b') == 10
+    # Smooth WRR: every window of 4 virtual slots holds exactly one 'b'.
+    for start in range(0, 40, 4):
+      assert tags[start:start + 4].count('b') == 1, (start, tags)
+
+  def test_oversampled_source_wraps(self):
+    mix = data_lib.MixtureSource(
+        [_TaggedSource('a', 3)], weights=[1.0], virtual_size=7)
+    ids = sorted(int(mix.get(j)[1].split(':')[1]) for j in range(7))
+    assert ids == [0, 0, 0, 1, 1, 2, 2]  # index mod len, evenly wrapped
+
+  def test_deterministic_across_instances(self):
+    kw = dict(weights=[2.0, 1.0, 1.0], virtual_size=50)
+    srcs = lambda: [_TaggedSource(t, 20) for t in 'abc']
+    m1 = data_lib.MixtureSource(srcs(), **kw)
+    m2 = data_lib.MixtureSource(srcs(), **kw)
+    assert [m1.get(j)[1] for j in range(50)] == [
+        m2.get(j)[1] for j in range(50)]
+
+  @pytest.mark.parametrize('kwargs,needle', [
+      (dict(sources=[]), 'at least one'),
+      (dict(sources=[_TaggedSource('a', 4)], weights=[1.0, 2.0]),
+       'weights'),
+      (dict(sources=[_TaggedSource('a', 4)], weights=[0.0]), 'positive'),
+      (dict(sources=[_TaggedSource('a', 4), _TaggedSource('b', 4)],
+            virtual_size=1), 'virtual_size'),
+  ])
+  def test_validation(self, kwargs, needle):
+    with pytest.raises(ValueError, match=needle):
+      data_lib.MixtureSource(**kwargs)
+
+  def test_num_views_must_agree(self):
+    a, b = _TaggedSource('a', 4), _TaggedSource('b', 4)
+    b.num_views = 3
+    with pytest.raises(ValueError, match='num_views'):
+      data_lib.MixtureSource([a, b])
+
+  def test_loader_integration(self, tokenizer):
+    """batched_loader over a mixture: every loader feature (shuffle,
+    epochs, batching) runs unchanged, and both datasets appear."""
+    mix = data_lib.MixtureSource(
+        [data_lib.SyntheticSource(num_examples=6, num_frames=2, size=12),
+         data_lib.SyntheticSource(num_examples=6, num_frames=2, size=12,
+                                  seed=9)],
+        weights=[1.0, 1.0], virtual_size=12)
+    batches = list(data_lib.batched_loader(
+        mix, tokenizer, batch_size=4, num_epochs=1, max_text_len=8,
+        num_workers=1))
+    assert len(batches) == 3
+    assert batches[0]['video'].shape == (4, 2, 12, 12, 3)
+
+
 class TestUnlabeledLoader:
 
   def test_video_only_batches(self):

@@ -378,6 +378,96 @@ class MultiViewSource:
 
 
 @dataclasses.dataclass
+class MixtureSource:
+  """Weighted mixture of example sources — multi-dataset training.
+
+  Production corpora are mixtures (a curated high-quality set
+  oversampled against a large scraped one, several domains balanced by
+  hand-tuned weights).  This composes N sources behind the standard
+  ``ExampleSource`` protocol so EVERY existing loader feature — shuffle,
+  multi-host splits, accumulation batches, crash-exact ``skip_batches``
+  resume — works unchanged over the mixture.
+
+  Semantics: one virtual epoch has ``virtual_size`` examples (default:
+  the summed source sizes) apportioned to sources by ``weights``
+  (default: proportional to source sizes = plain concatenation) via
+  largest-remainder rounding, interleaved deterministically with smooth
+  weighted round-robin (so even UNSHUFFLED iteration mixes).  A source
+  oversampled beyond its size repeats (index mod len — the standard
+  oversampling semantics); undersampled sources cover a different
+  subset each virtual epoch? No — the mapping is static per epoch by
+  design: the loader's epoch-seeded shuffle of VIRTUAL indices is what
+  varies coverage across epochs, keeping resume exactly reproducible.
+
+  All sources must yield the same example structure (all text-paired or
+  all labeled) and share ``num_views``.
+  """
+
+  sources: Sequence[Any]
+  weights: Sequence[float] | None = None
+  virtual_size: int | None = None
+
+  def __post_init__(self):
+    if not self.sources:
+      raise ValueError('MixtureSource needs at least one source')
+    n = len(self.sources)
+    w = np.asarray(
+        [float(x) for x in self.weights] if self.weights is not None
+        else [len(s) for s in self.sources], np.float64)
+    if w.shape != (n,):
+      raise ValueError(f'{n} sources but {w.shape[0]} weights')
+    if (w <= 0).any() or not np.isfinite(w).all():
+      raise ValueError(f'weights must be positive finite, got {w}')
+    w = w / w.sum()
+    total = int(self.virtual_size
+                if self.virtual_size is not None
+                else sum(len(s) for s in self.sources))
+    if total < n:
+      raise ValueError(f'virtual_size {total} < {n} sources')
+    # Largest-remainder apportionment: counts sum EXACTLY to total and
+    # every source keeps at least one slot (weights are positive).
+    counts = np.maximum(1, np.floor(w * total).astype(np.int64))
+    while counts.sum() > total:       # the max(1) floor can overshoot
+      counts[int(np.argmax(counts))] -= 1
+    frac = w * total - counts
+    for i in np.argsort(-frac)[: int(total - counts.sum())]:
+      counts[i] += 1
+    # Smooth weighted round-robin: source i's k-th occurrence lands at
+    # virtual position key (k+0.5)/counts_i — sorting the keys yields
+    # the maximally even interleave (the classic WRR schedule).
+    keys = np.concatenate([
+        (np.arange(c, dtype=np.float64) + 0.5) / c + i * 1e-12
+        for i, c in enumerate(counts)])
+    owner = np.concatenate([
+        np.full(c, i, np.int32) for i, c in enumerate(counts)])
+    order = np.argsort(keys, kind='stable')
+    self._owner = owner[order]
+    self._occ = np.empty(total, np.int64)
+    for i in range(n):
+      idx = np.nonzero(self._owner == i)[0]
+      self._occ[idx] = np.arange(len(idx))
+    self._counts = counts
+    views = {getattr(s, 'num_views', 1) for s in self.sources}
+    if len(views) > 1:
+      raise ValueError(
+          f'mixture sources must share num_views, got {sorted(views)}')
+    self.num_views = views.pop()
+
+  @property
+  def shares(self) -> list[float]:
+    """Realized per-source fraction of the virtual epoch (for logs)."""
+    return [round(float(c) / len(self._owner), 6) for c in self._counts]
+
+  def __len__(self) -> int:
+    return len(self._owner)
+
+  def get(self, index: int):
+    s = int(self._owner[index])
+    src = self.sources[s]
+    return src.get(int(self._occ[index]) % len(src))
+
+
+@dataclasses.dataclass
 class SyntheticLabeledSource:
   """Deterministic random labeled clips for classifier smoke tests.
 
