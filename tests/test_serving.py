@@ -1,6 +1,7 @@
 """Serving tier tests: shard_map data parallelism + micro-batching service."""
 
 import threading
+import time
 
 import jax
 import jax.numpy as jnp
@@ -207,7 +208,7 @@ class TestServiceValidation:
     assert service._queue.full()
     with pytest.raises(serving.ServiceOverloaded, match='pending'):
       service.embed(clip)
-    service._queue.get_nowait().event.set()  # unblock the first caller
+    service._queue.get_nowait()[2].event.set()  # unblock the first caller
     blocked.join(timeout=10)
     with pytest.raises(ValueError, match='max_pending'):
       serving.EmbeddingService(model, state, batch_buckets=(2,),
@@ -335,6 +336,72 @@ class TestServiceValidation:
         ref, _ = model.apply(state, jnp.asarray(clip[None]), train=False)
         np.testing.assert_allclose(results[name], np.asarray(ref[0]),
                                    atol=1e-5)
+    finally:
+      service.stop()
+
+
+class TestPriorityClasses:
+
+  def test_interactive_preempts_batch_class(self, model_and_state):
+    """Queued interactive requests dequeue before EARLIER-queued
+    batch-class ones; FIFO within each class."""
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,),
+                                       max_wait_ms=1.0)
+    gate = threading.Event()
+    order = []
+    real_forward = service._forward
+
+    def gated_forward(params, videos):
+      order.append(float(np.asarray(videos)[0, 0, 0, 0, 0]))
+      gate.wait(30)  # hold the worker so the queue builds up
+      return real_forward(params, videos)
+
+    service._forward = gated_forward
+    service.start()
+    try:
+      def submit(tag, priority):
+        clip = np.full((2, 12, 12, 3), tag, np.float32)
+        return threading.Thread(
+            target=lambda: service.embed(clip, timeout=120,
+                                         priority=priority))
+
+      threads = [submit(0.01, 'interactive')]  # occupies the worker
+      threads[0].start()
+      deadline = time.monotonic() + 10
+      while not order and time.monotonic() < deadline:
+        time.sleep(0.005)
+      assert order, 'worker never picked up the first request'
+      # Queue builds while the worker is held: batch-class first, then
+      # interactive — dequeue order must still be interactive-first.
+      for tag, prio in ((0.11, 'batch'), (0.12, 'batch'),
+                        (0.21, 'interactive'), (0.22, 'interactive')):
+        t = submit(tag, prio)
+        t.start()
+        threads.append(t)
+        deadline = time.monotonic() + 10
+        while service._queue.qsize() < len(threads) - 1 \
+              and time.monotonic() < deadline:
+          time.sleep(0.005)
+      gate.set()
+      for t in threads:
+        t.join(timeout=120)
+      assert [round(x, 2) for x in order] == [0.01, 0.21, 0.22,
+                                              0.11, 0.12], order
+      stats = service.stats()
+      assert stats['requests_served'] == 5
+      assert stats['batch_priority_served'] == 2
+    finally:
+      gate.set()
+      service.stop()
+
+  def test_unknown_priority_rejected(self, model_and_state):
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,))
+    try:
+      with pytest.raises(ValueError, match='priority'):
+        service.embed(np.zeros((2, 12, 12, 3), np.float32),
+                      priority='background')
     finally:
       service.stop()
 

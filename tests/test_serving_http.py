@@ -487,8 +487,8 @@ class TestErrors:
     state = model.init(jax.random.PRNGKey(0))
     service = serving.EmbeddingService(
         model, state, batch_buckets=(1,), max_pending=1)
-    service._queue.put_nowait(serving._Request(
-        video=np.zeros(CLIP_SHAPE, np.float32), event=threading.Event()))
+    service._queue.put_nowait((0, 0, serving._Request(
+        video=np.zeros(CLIP_SHAPE, np.float32), event=threading.Event())))
     httpd = serving_http.EmbeddingHTTPServer(service, host='127.0.0.1',
                                              port=0)
     httpd.start()
@@ -1324,6 +1324,48 @@ class TestLongSweepGating:
     finally:
       httpd.stop()
       service.stop()
+
+
+class TestPriorityHeader:
+
+  def test_batch_priority_accepted_and_counted(self, server):
+    httpd, model, state = server
+    clip = np.random.RandomState(3).rand(*CLIP_SHAPE).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, clip)
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed'), buf.getvalue(),
+        {'Content-Type': 'application/x-npy', 'X-Priority': 'batch'})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      got = np.load(io.BytesIO(resp.read()))
+    ref, _ = model.apply(state, clip[None], train=False)
+    np.testing.assert_allclose(got, np.asarray(ref)[0], atol=1e-5)
+    with urllib.request.urlopen(_url(httpd, '/stats'), timeout=30) as r:
+      stats = json.loads(r.read())
+    assert stats['batch_priority_served'] >= 1
+
+  def test_unknown_priority_is_400(self, server):
+    httpd, _, _ = server
+    buf = io.BytesIO()
+    np.save(buf, np.zeros(CLIP_SHAPE, np.float32))
+    req = urllib.request.Request(
+        _url(httpd, '/v1/embed'), buf.getvalue(),
+        {'Content-Type': 'application/x-npy', 'X-Priority': 'urgent'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    assert b'X-Priority' in ei.value.read()
+
+  def test_client_priority_header(self, server):
+    from videoprism_tpu.client import VideoPrismClient
+
+    httpd, _, _ = server
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}',
+                         priority='batch')
+    emb = c.embed(np.zeros(CLIP_SHAPE, np.float32))
+    assert emb.shape == (8, 16)
+    with pytest.raises(ValueError, match='priority'):
+      VideoPrismClient(f'http://127.0.0.1:{httpd.port}', priority='x')
 
 
 class TestMalformedRequests:

@@ -109,7 +109,8 @@ class VideoPrismClient:
                timeout_s: float = 300.0, max_retries: int = 4,
                backoff_s: float = 0.25, max_backoff_s: float = 30.0,
                compress: bool = False, model: str | None = None,
-               response_dtype: str | None = None):
+               response_dtype: str | None = None,
+               priority: str = 'interactive'):
     """``compress=True`` gzips clip payloads (``Content-Encoding: gzip``,
     level 1 — fast, and real video bytes still shrink ~1.5-3x).  Worth it
     when the network link to the server is the bottleneck; pure CPU
@@ -124,7 +125,15 @@ class VideoPrismClient:
 
     ``model`` addresses one model on a multi-model server (the
     ``/v1/models/<name>/...`` routes); None uses the server's default
-    model.  :meth:`models` lists what a server hosts."""
+    model.  :meth:`models` lists what a server hosts.
+
+    ``priority='batch'`` marks every request from this client as
+    batch-class (``X-Priority`` header): it dequeues after all
+    interactive traffic — the right setting for offline backfill /
+    indexing sweeps sharing a pod with live requests."""
+    if priority not in ('interactive', 'batch'):
+      raise ValueError("priority must be 'interactive' or 'batch', "
+                       f'got {priority!r}')
     if response_dtype not in (None, 'float16', 'float32'):
       raise ValueError("response_dtype must be None, 'float16' or "
                        f"'float32', got {response_dtype!r}")
@@ -145,6 +154,7 @@ class VideoPrismClient:
     self._compress = compress
     self._response_dtype = response_dtype
     self._model = model
+    self._priority = priority
     self._local = threading.local()
     self._class_sets: dict[Any, str] = {}  # registered zero-shot sets
 
@@ -230,6 +240,8 @@ class VideoPrismClient:
     hdrs = dict(headers or {})
     if self._auth:
       hdrs['Authorization'] = f'Bearer {self._auth}'
+    if self._priority != 'interactive':
+      hdrs['X-Priority'] = self._priority
     last_error: Exception | None = None
     for attempt in range(self._max_retries + 1):
       try:

@@ -25,6 +25,7 @@ import bisect
 import collections
 import dataclasses
 import hashlib
+import itertools
 import queue
 import time
 import threading
@@ -84,6 +85,12 @@ class _Request:
   # pad_frames_to services: how many leading frames are real (the rest
   # were zero-padded on and are masked via frame_paddings).
   valid_frames: int | None = None
+  priority: str = 'interactive'  # 'interactive' | 'batch'
+
+
+# Dequeue order for the priority queue: interactive preempts batch; FIFO
+# within a class via a monotonic sequence number.
+_PRIORITY_RANK = {'interactive': 0, 'batch': 1}
 
 
 @dataclasses.dataclass
@@ -620,8 +627,13 @@ class EmbeddingService:
     self._mesh = mesh
     if max_pending is not None and max_pending <= 0:
       raise ValueError(f'max_pending must be positive, got {max_pending}')
-    self._queue: queue.Queue[_Request] = queue.Queue(
+    # Priority queue of (rank, seq, request): interactive requests
+    # dequeue before batch-class ones whatever the arrival order, FIFO
+    # within a class (seq).  Under load the batch tier absorbs the queue
+    # wait; shedding (max_pending) stays a shared bound.
+    self._queue: queue.PriorityQueue = queue.PriorityQueue(
         maxsize=max_pending or 0)
+    self._seq = itertools.count()
     self._compiled: dict[int, Any] = {}
     self._thread: threading.Thread | None = None
     self._running = False
@@ -630,6 +642,7 @@ class EmbeddingService:
     self._requests_shed = 0
     self._requests_expired = 0
     self._requests_served = 0
+    self._batch_priority_served = 0  # subset of served with 'batch' class
     self._batches_run = 0
     self._errors = 0
     self._reloads = 0
@@ -749,7 +762,7 @@ class EmbeddingService:
       self._thread = None
     while True:
       try:
-        req = self._queue.get_nowait()
+        req = self._queue.get_nowait()[2]
       except queue.Empty:
         break
       req.error = RuntimeError('service stopped before the request ran')
@@ -765,6 +778,7 @@ class EmbeddingService:
              if lat else None)
       return {
           'requests_served': self._requests_served,
+          'batch_priority_served': self._batch_priority_served,
           'batches_run': self._batches_run,
           'errors': self._errors,
           'requests_shed': self._requests_shed,
@@ -866,15 +880,26 @@ class EmbeddingService:
   # ------------------------------- client --------------------------------
 
   def embed(self, video: np.ndarray, timeout: float = 300.0,
-            deadline_ms: float | None = None) -> np.ndarray:
+            deadline_ms: float | None = None,
+            priority: str = 'interactive') -> np.ndarray:
     """Blocking single-clip embed; batches with concurrent callers.
 
     ``deadline_ms`` bounds total queueing delay: if the request is still
     waiting when the deadline passes, the worker drops it without
     touching the chip and this call raises :class:`DeadlineExceeded`.
     (A request already stacked into a running batch completes normally.)
+
+    ``priority``: ``'interactive'`` (default) or ``'batch'`` — two
+    traffic classes sharing one service: interactive requests dequeue
+    first whatever the arrival order, so offline/backfill traffic
+    (``'batch'``) soaks up idle capacity without adding queue wait to
+    live traffic.  Within a class, FIFO.
     """
     t_start = time.monotonic()
+    if priority not in _PRIORITY_RANK:
+      raise ValueError(
+          f'unknown priority {priority!r}; choose from '
+          f'{sorted(_PRIORITY_RANK)}')
     video = np.asarray(video)
     if video.ndim != 4:
       raise ValueError(
@@ -918,9 +943,10 @@ class EmbeddingService:
         video=video, event=threading.Event(),
         deadline=(time.monotonic() + deadline_ms / 1e3
                   if deadline_ms is not None else None),
-        valid_frames=valid_frames)
+        valid_frames=valid_frames, priority=priority)
     try:
-      self._queue.put_nowait(req)
+      self._queue.put_nowait(
+          (_PRIORITY_RANK[priority], next(self._seq), req))
     except queue.Full:
       with self._stats_lock:
         self._requests_shed += 1
@@ -1013,7 +1039,7 @@ class EmbeddingService:
   def _loop(self) -> None:
     while self._running:
       try:
-        first = self._queue.get(timeout=0.1)
+        first = self._queue.get(timeout=0.1)[2]
       except queue.Empty:
         continue
       batch = [first]
@@ -1028,12 +1054,12 @@ class EmbeddingService:
         remaining = deadline - time.monotonic()
         if remaining <= 0:
           try:
-            batch.append(self._queue.get_nowait())
+            batch.append(self._queue.get_nowait()[2])
             continue
           except queue.Empty:
             break
         try:
-          batch.append(self._queue.get(timeout=remaining))
+          batch.append(self._queue.get(timeout=remaining)[2])
         except queue.Empty:
           break
       self._governor.observe(len(batch) > 1 or not self._queue.empty())
@@ -1076,6 +1102,8 @@ class EmbeddingService:
             r.result = emb
           with self._stats_lock:
             self._requests_served += len(group)
+            self._batch_priority_served += sum(
+                1 for r in group if r.priority == 'batch')
             self._batches_run += 1
             self._batch_latencies.append(time.monotonic() - t0)
             self._consecutive_batch_errors = 0

@@ -89,6 +89,11 @@ Endpoints:
   ``/v1/classify`` and ``/v1/search_video`` also accept a ``video/*``
   body — the uploaded container decodes server-side exactly like
   ``/v1/embed_file`` (same ``?frames=&size=`` overrides).
+* Traffic classes: any clip endpoint takes ``X-Priority:
+  interactive|batch`` (default interactive) — batch-class requests
+  dequeue after ALL interactive ones, so offline backfill shares a pod
+  with live traffic without adding queue wait to it
+  (``batch_priority_served`` in ``/stats``).
 * ``POST /v1/jobs?kind=classify_long|embed_long|localize_long&...`` —
   the ASYNC form of the long-video sweeps: same params/body as the sync
   endpoint, immediate ``{"job": id}`` reply, the sweep runs on the
@@ -751,12 +756,14 @@ class _Handler(BaseHTTPRequestHandler):
         if not deadline_ms > 0:
           raise ValueError(
               f'X-Deadline-Ms must be a positive number, got {deadline_ms}')
+      priority = self._priority()
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
       return
     try:
       if video.ndim == 4:
-        emb = self.service.embed(video, deadline_ms=deadline_ms)
+        emb = self.service.embed(video, deadline_ms=deadline_ms,
+                                 priority=priority)
       else:
         emb = self.service.embed_batch(video)
     except DeadlineExceeded as e:  # stale request dropped unserved
@@ -849,7 +856,8 @@ class _Handler(BaseHTTPRequestHandler):
       os_mod.unlink(path)
 
   def _run_clip_or_views(self, video: np.ndarray,
-                         deadline_ms: 'float | None' = None) -> np.ndarray:
+                         deadline_ms: 'float | None' = None,
+                         priority: str = 'interactive') -> np.ndarray:
     """One clip ``[T,H,W,3]`` → per-clip output via the micro-batcher;
     a view stack ``[V,T,H,W,3]`` → per-view outputs through the direct
     batch path, aggregated by the multi-view eval protocol: vector
@@ -858,7 +866,8 @@ class _Handler(BaseHTTPRequestHandler):
     after the mean (train/eval_loop._sweep_videos).  Token-level
     outputs cannot aggregate across crops — 400 via ValueError."""
     if video.ndim == 4:
-      return np.asarray(self.service.embed(video, deadline_ms=deadline_ms))
+      return np.asarray(self.service.embed(
+          video, deadline_ms=deadline_ms, priority=priority))
     per_view = np.asarray(self.service.embed_batch(video), np.float32)
     if per_view.ndim != 2:
       raise ValueError(
@@ -884,6 +893,17 @@ class _Handler(BaseHTTPRequestHandler):
           f'X-Deadline-Ms must be a positive number, got {deadline_ms}')
     return deadline_ms
 
+  def _priority(self) -> str:
+    """Parses ``X-Priority`` (``interactive`` default | ``batch``);
+    raises ValueError on unknown values (→ 400).  Batch-class requests
+    dequeue after every interactive one — offline/backfill traffic
+    soaks idle capacity without adding queue wait to live traffic."""
+    priority = self.headers.get('X-Priority', 'interactive').lower()
+    if priority not in ('interactive', 'batch'):
+      raise ValueError(
+          f'X-Priority must be "interactive" or "batch", got {priority!r}')
+    return priority
+
   def _post_embed_file(self) -> None:
     """``POST /v1/embed_file[?frames=N&size=S&temporal_views=N&
     spatial_views=M]`` — body is a compressed video container; decode +
@@ -902,6 +922,7 @@ class _Handler(BaseHTTPRequestHandler):
       geom = self._file_geometry(q)
       response_dtype = _response_dtype(q)
       deadline_ms = self._deadline_ms()
+      priority = self._priority()
       body = self._read_body()
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
@@ -910,7 +931,7 @@ class _Handler(BaseHTTPRequestHandler):
     if clip is None:
       return
     try:
-      emb = self._run_clip_or_views(clip, deadline_ms)
+      emb = self._run_clip_or_views(clip, deadline_ms, priority)
     except DeadlineExceeded as e:
       self._reply_json(504, {'error': str(e)})
       return
@@ -1076,6 +1097,7 @@ class _Handler(BaseHTTPRequestHandler):
       if k <= 0:
         raise ValueError(f'"k" must be positive, got {k}')
       deadline_ms = self._deadline_ms()
+      priority = self._priority()
       content_type = self.headers.get('Content-Type', 'application/x-npy')
       body = self._read_body()
       if content_type.startswith('video/'):
@@ -1095,7 +1117,7 @@ class _Handler(BaseHTTPRequestHandler):
     try:
       # Multi-view: mean of per-view logits (the eval loops'
       # view_aggregate='logits' protocol) before the softmax.
-      logits = self._run_clip_or_views(video, deadline_ms)
+      logits = self._run_clip_or_views(video, deadline_ms, priority)
       preds = self._topk_predictions(logits, k, self.labels)
       self._reply_json(200, {'predictions': preds})
     except DeadlineExceeded as e:
@@ -1280,6 +1302,7 @@ class _Handler(BaseHTTPRequestHandler):
         raise ValueError(f'"temperature" must be positive, '
                          f'got {temperature}')
       deadline_ms = self._deadline_ms()
+      priority = self._priority()
       content_type = self.headers.get('Content-Type', 'application/x-npy')
       body = self._read_body()
       if content_type.startswith('video/'):
@@ -1310,7 +1333,7 @@ class _Handler(BaseHTTPRequestHandler):
         entry = self._compute_zero_shot_entry(
             entry['classes'], entry['templates'])
         self.zero_shot_sets.put(set_id, entry)
-      emb = np.asarray(self._run_clip_or_views(video, deadline_ms),
+      emb = np.asarray(self._run_clip_or_views(video, deadline_ms, priority),
                        np.float32)
       if emb.ndim != 1:
         raise ValueError(
@@ -1402,6 +1425,7 @@ class _Handler(BaseHTTPRequestHandler):
       windows = (tuple(int(w) for w in q['window_sizes'][0].split(','))
                  if 'window_sizes' in q else None)
       deadline_ms = self._deadline_ms()
+      priority = self._priority()
       content_type = self.headers.get('Content-Type', 'application/json')
       body = self._read_body()
       if content_type.startswith('video/'):
@@ -1445,7 +1469,8 @@ class _Handler(BaseHTTPRequestHandler):
       from videoprism_tpu import retrieval
 
       frame_emb = np.asarray(
-          self.frames_service.embed(video, deadline_ms=deadline_ms),
+          self.frames_service.embed(video, deadline_ms=deadline_ms,
+                                    priority=priority),
           np.float32)
       text_emb = np.asarray(self.text_encode_fn(list(queries)))
       t = len(frame_emb)
@@ -1879,6 +1904,7 @@ class _Handler(BaseHTTPRequestHandler):
       if video_id is not None and not 0 < len(video_id) <= 512:
         raise ValueError('?id= must be 1-512 characters')
       deadline_ms = self._deadline_ms()
+      priority = self._priority()
       content_type = self.headers.get('Content-Type', 'application/x-npy')
       body = self._read_body()
       if content_type.startswith('video/'):
@@ -1900,7 +1926,7 @@ class _Handler(BaseHTTPRequestHandler):
       if video is None:
         return
     try:
-      emb = self._run_clip_or_views(video, deadline_ms)
+      emb = self._run_clip_or_views(video, deadline_ms, priority)
       if np.asarray(emb).ndim != 1:
         raise ValueError(
             'indexing needs a model with one embedding vector per clip '
@@ -1943,6 +1969,7 @@ class _Handler(BaseHTTPRequestHandler):
       if k <= 0:
         raise ValueError(f'"k" must be positive, got {k}')
       deadline_ms = self._deadline_ms()
+      priority = self._priority()
       content_type = self.headers.get('Content-Type', 'application/x-npy')
       body = self._read_body()
       if content_type.startswith('video/'):
@@ -1960,7 +1987,7 @@ class _Handler(BaseHTTPRequestHandler):
       if video is None:
         return
     try:
-      emb = self._run_clip_or_views(video, deadline_ms)
+      emb = self._run_clip_or_views(video, deadline_ms, priority)
       # An empty mutable corpus (--index new before any /v1/index/add)
       # has no matches, not a client error.
       results = ([[]] if not len(self.index)
