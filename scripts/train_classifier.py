@@ -100,6 +100,13 @@ def main():
                       help='stop when --early-stop-metric fails to improve '
                            'for N consecutive evals (needs --eval-every; '
                            '0 = off)')
+  parser.add_argument('--keep-best', action='store_true',
+                      help='whenever an eval improves --early-stop-metric '
+                           'on its best-so-far, snapshot the train state '
+                           'under <checkpoint-dir>/best (max_to_keep=1; '
+                           '+ /best_ema when --ema-decay) — the '
+                           'checkpoint you SERVE, independent of the '
+                           'rolling resume checkpoints')
   parser.add_argument('--early-stop-metric', default='top1_accuracy',
                       help='eval metric to watch (mode inferred: '
                            'loss/nll/rank minimize, else maximize)')
@@ -389,6 +396,18 @@ def main():
     from videoprism_tpu.train.eval_loop import EarlyStopper
     stopper = EarlyStopper(args.early_stop_metric,
                            args.early_stop_patience)
+  best_tracker = best_ckpt = best_ema_ckpt = None
+  if args.keep_best:
+    if not (eval_source and args.eval_every) or ckpt is None:
+      raise SystemExit('--keep-best needs --eval-every, an eval source, '
+                       'and --checkpoint-dir')
+    from videoprism_tpu.train.eval_loop import BestTracker
+    best_tracker = BestTracker(args.early_stop_metric)
+    best_ckpt = TrainCheckpointer(
+        os.path.join(args.checkpoint_dir, 'best'), max_to_keep=1)
+    if ema_ckpt is not None:
+      best_ema_ckpt = TrainCheckpointer(
+          os.path.join(args.checkpoint_dir, 'best_ema'), max_to_keep=1)
   for i, batch in enumerate(loader, start=start_step):
     if i >= args.steps:
       break
@@ -428,6 +447,13 @@ def main():
           already_saved=saved_now, checkpoint_dir=args.checkpoint_dir)
     if eval_source and args.eval_every and (i + 1) % args.eval_every == 0:
       em = run_eval(i + 1)
+      if best_tracker is not None and best_tracker.update(em):
+        step_no = int(jax.device_get(state.step))
+        best_ckpt.save(step_no, state)
+        if best_ema_ckpt is not None:
+          best_ema_ckpt.save(step_no, ema_state)
+        logger.event('best_checkpoint', step=step_no,
+                     metric=best_tracker.metric, value=best_tracker.best)
       if stopper is not None and stopper.update(em):
         logger.event('early_stop', step=i + 1,
                      metric=stopper.metric, best=stopper.best,
@@ -450,6 +476,9 @@ def main():
     ckpt.wait()
   if ema_ckpt is not None:
     ema_ckpt.wait()
+  for c in (best_ckpt, best_ema_ckpt):
+    if c is not None:
+      c.wait()
   if args.export_merged:
     if lora_cfg is None:
       parser.error('--export-merged requires --lora-rank')

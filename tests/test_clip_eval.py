@@ -128,6 +128,58 @@ class TestVideoTextManifest:
     assert src.captions == ['a person running, fast', 'drumming on water']
 
 
+class TestBestTracker:
+
+  def test_reports_improvements_only(self):
+    from videoprism_tpu.train.eval_loop import BestTracker
+
+    t = BestTracker('top1_accuracy')  # max mode inferred
+    assert t.update({'top1_accuracy': 0.5})      # first value = best
+    assert not t.update({'top1_accuracy': 0.4})  # worse
+    assert not t.update({'top1_accuracy': 0.5})  # equal: not improved
+    assert t.update({'top1_accuracy': 0.6})
+    assert t.best == 0.6
+    # Many stale evals never flip it back (unlike EarlyStopper there is
+    # no patience semantics to trip).
+    for _ in range(5):
+      assert not t.update({'top1_accuracy': 0.1})
+    assert t.best == 0.6
+
+  def test_min_mode_for_loss(self):
+    from videoprism_tpu.train.eval_loop import BestTracker
+
+    t = BestTracker('eval_loss')
+    assert t.update({'eval_loss': 2.0})
+    assert t.update({'eval_loss': 1.5})
+    assert not t.update({'eval_loss': 1.9})
+    assert t.best == 1.5
+
+  def test_keep_best_cli_writes_best_dir(self, tmp_path):
+    """train_clip --keep-best snapshots <dir>/best on eval improvement
+    (end-to-end, tiny synthetic)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env['PYTHONPATH'] = str(root) + os.pathsep + env.get('PYTHONPATH', '')
+    ckpt_dir = tmp_path / 'ck'
+    res = subprocess.run(
+        [sys.executable, str(root / 'scripts' / 'train_clip.py'),
+         '--synthetic', '--tiny', '--steps', '4', '--batch-size', '2',
+         '--eval-every', '2', '--keep-best', '--cpu-devices', '1',
+         '--checkpoint-dir', str(ckpt_dir)],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert res.returncode == 0, res.stdout[-1500:] + res.stderr[-1500:]
+    best = ckpt_dir / 'best'
+    assert best.is_dir() and any(best.iterdir()), list(ckpt_dir.iterdir())
+    # The run log records the best_checkpoint event.
+    logs = list(ckpt_dir.glob('*.jsonl'))
+    assert logs and 'best_checkpoint' in logs[0].read_text()
+
+
 class TestEarlyStopper:
 
   def test_max_mode_default_and_patience(self):

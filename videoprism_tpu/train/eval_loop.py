@@ -395,3 +395,28 @@ class EarlyStopper:
       return False
     self.stale += 1
     return self.stale >= self.patience
+
+
+class BestTracker:
+  """Tracks whether an eval metric just improved on its best-so-far —
+  the ``--keep-best`` checkpoint signal (same name-based min/max
+  inference as :class:`EarlyStopper`).  ``update(metrics)`` returns
+  True exactly when this eval set a new best."""
+
+  def __init__(self, metric: str, *, mode: str | None = None,
+               min_delta: float = 0.0):
+    self._s = EarlyStopper(metric, patience=1, mode=mode,
+                           min_delta=min_delta)
+
+  @property
+  def metric(self) -> str:
+    return self._s.metric
+
+  @property
+  def best(self) -> 'float | None':
+    return self._s.best
+
+  def update(self, metrics: dict) -> bool:
+    before = self._s.best
+    self._s.update(metrics)
+    return self._s.best != before
