@@ -196,6 +196,64 @@ class TestIndexServing:
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize('backend', ['host', 'device'])
+def test_metadata_filtered_search_over_the_wire(backend):
+  """index_add(metadata=) + search(filter=) end-to-end: the filter
+  restricts text search to matching rows on both index backends (the
+  device tier delegates filtered sweeps to its host index)."""
+  from videoprism_tpu import assets
+  from videoprism_tpu.io.tokenizers import SentencePieceTokenizer
+
+  cfg = vclip.VideoCLIPConfig(**TINY_CLIP)
+  model = vp.Model(cfg, vclip.apply, init_lib.init_video_clip)
+  state = model.init(jax.random.PRNGKey(0))
+  service = serving.EmbeddingService(model, state, batch_buckets=(1, 2))
+  service.start()
+  tok = SentencePieceTokenizer(assets.test_spm_path())
+  encode = retrieval.make_text_query_encoder(model._unwrap(state), cfg,
+                                             tok)
+  index = retrieval.VideoIndex()
+  if backend == 'device':
+    from videoprism_tpu.device_index import DeviceAcceleratedIndex
+
+    index = DeviceAcceleratedIndex(index)
+  httpd = serving_http.EmbeddingHTTPServer(
+      service, host='127.0.0.1', port=0, text_encode_fn=encode,
+      index=index)
+  httpd.start()
+  try:
+    c = VideoPrismClient(f'http://127.0.0.1:{httpd.port}')
+    for i in range(4):
+      c.index_add(_clip(i), id=f'v{i}',
+                  metadata={'camera': f'c{i % 2}', 'rank': i})
+    c.index_add(_clip(9), id='nometa')
+    # Unfiltered: whole corpus reachable.
+    (all_hits,) = c.search(['a drum'], k=10)
+    assert len(all_hits) == 5
+    # Filtered: only the matching rows, scores identical to the
+    # unfiltered entries for those rows.
+    (hits,) = c.search(['a drum'], k=10, filter={'camera': 'c1'})
+    assert {i for i, _ in hits} == {'v1', 'v3'}
+    ref = dict(all_hits)
+    for i, s in hits:
+      assert abs(s - ref[i]) < 1e-5
+    # No match -> empty, not an error.
+    assert c.search(['a drum'], k=5, filter={'camera': 'zzz'}) == [[]]
+    # Malformed filter -> 400.
+    import urllib.request as _rq
+
+    req = _rq.Request(
+        f'http://127.0.0.1:{httpd.port}/v1/search',
+        json.dumps({'texts': ['x'], 'filter': {'a': [1, 2]}}).encode(),
+        {'Content-Type': 'application/json'})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      _rq.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+  finally:
+    httpd.stop()
+    service.stop()
+
+
 def test_cli_autosaves_index_on_sigterm(tmp_path):
   """A drained pod must not lose in-memory index mutations: SIGTERM
   autosaves the corpus to --index-save-path."""

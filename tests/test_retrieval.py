@@ -107,6 +107,106 @@ class TestVideoIndex:
       index.search(np.zeros(5, np.float32))
 
 
+class TestMetadataFilteredSearch:
+
+  def _index(self, cls=None, n=20, d=8, **kwargs):
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    meta = [{'camera': f'c{i % 3}', 'day': i % 2} for i in range(n)]
+    cls = cls or retrieval.VideoIndex
+    return cls(emb, [f'v{i}' for i in range(n)], metadata=meta,
+               **kwargs), emb
+
+  def test_dict_filter_restricts_to_matching_rows(self):
+    index, emb = self._index()
+    q = np.random.default_rng(12).normal(size=8).astype(np.float32)
+    (hits,) = index.search(q, k=20, where={'camera': 'c1'})
+    got_ids = {i for i, _ in hits}
+    want_ids = {f'v{i}' for i in range(20) if i % 3 == 1}
+    assert got_ids == want_ids
+    # Exact scores: equals an unfiltered search's entries for the same
+    # rows.
+    (all_hits,) = index.search(q, k=20)
+    ref = dict(all_hits)
+    for i, s in hits:
+      assert abs(s - ref[i]) < 1e-6
+
+  def test_multi_key_and_callable_filters(self):
+    index, _ = self._index()
+    q = np.ones(8, np.float32)
+    (hits,) = index.search(q, k=20, where={'camera': 'c0', 'day': 1})
+    assert {i for i, _ in hits} == {
+        f'v{i}' for i in range(20) if i % 3 == 0 and i % 2 == 1}
+    (hits,) = index.search(q, k=20,
+                           where=lambda m: m.get('day') == 0)
+    assert {i for i, _ in hits} == {f'v{i}' for i in range(0, 20, 2)}
+
+  def test_no_match_returns_empty_not_error(self):
+    index, _ = self._index()
+    out = index.search(np.ones((2, 8), np.float32), k=3,
+                       where={'camera': 'nope'})
+    assert out == [[], []]
+
+  def test_metadata_survives_save_load_and_upsert(self, tmp_path):
+    index, _ = self._index(n=6)
+    # Upsert (remove+add, as the serving path does) without metadata
+    # clears it; with metadata replaces it.
+    index.remove(['v0'])
+    index.add(np.ones((1, 8), np.float32), ['v0'])
+    index.remove(['v5'])
+    index.add(np.ones((1, 8), np.float32), ['v5'],
+              metadata=[{'camera': 'c9'}])
+    assert index.metadata_of('v0') == {}
+    assert index.metadata_of('v5') == {'camera': 'c9'}
+    path = str(tmp_path / 'idx.npz')
+    index.save(path)
+    loaded = retrieval.load_index(path)
+    assert loaded.metadata_of('v5') == {'camera': 'c9'}
+    assert loaded.metadata_of('v1') == {'camera': 'c1', 'day': 1}
+    q = np.ones(8, np.float32)
+    (hits,) = loaded.search(q, k=10, where={'camera': 'c9'})
+    assert [i for i, _ in hits] == ['v5']
+
+  def test_remove_clears_metadata(self):
+    index, _ = self._index(n=6)
+    index.remove(['v2'])
+    assert index.metadata_of('v2') == {}
+    out = index.search(np.ones(8, np.float32), k=10,
+                       where={'camera': 'c2'})
+    assert [i for i, _ in out[0]] == ['v5']  # v2 gone, v5 remains
+
+  def test_ann_filtered_search_is_exact(self, tmp_path):
+    index, emb = self._index(cls=retrieval.ANNVideoIndex)
+    exact, _ = self._index()
+    q = np.random.default_rng(13).normal(size=(3, 8)).astype(np.float32)
+    got = index.search(q, k=5, where={'day': 0})
+    want = exact.search(q, k=5, where={'day': 0})
+    assert [[i for i, _ in row] for row in got] == [
+        [i for i, _ in row] for row in want]
+    # Tombstoned rows stay excluded from filtered sweeps, and metadata
+    # survives the compact-on-save round trip.
+    index.remove(['v0'])
+    (hits,) = index.search(q[0], k=20, where={'day': 0})
+    assert 'v0' not in {i for i, _ in hits}
+    path = str(tmp_path / 'ann.npz')
+    retrieval.save_index_atomic(index, path)
+    loaded = retrieval.load_index(path)
+    assert loaded.metadata_of('v2') == {'camera': 'c2', 'day': 0}
+    (hits,) = loaded.search(q[0], k=20, where={'day': 0})
+    assert 'v0' not in {i for i, _ in hits}
+
+  def test_validation(self):
+    rng = np.random.default_rng(14)
+    emb = rng.normal(size=(3, 4)).astype(np.float32)
+    with pytest.raises(ValueError, match='metadata'):
+      retrieval.VideoIndex(emb, ['a', 'b', 'c'], metadata=[{}])
+    index = retrieval.VideoIndex(emb, ['a', 'b', 'c'])
+    with pytest.raises(ValueError, match='metadata'):
+      index.add(emb, ['d', 'e', 'f'], metadata=[{}, {}])
+    with pytest.raises(ValueError, match='where'):
+      index.search(np.ones(4, np.float32), where='camera=c1')
+
+
 class TestBuildAndQuery:
 
   @pytest.fixture(scope='class')

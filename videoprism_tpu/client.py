@@ -530,27 +530,33 @@ class VideoPrismClient:
     results = json.loads(out.decode('utf-8'))['results']
     return [(hit['id'], hit['score']) for hit in results[0]]
 
-  def index_add(self, clip: np.ndarray, id: str | None = None) -> str:
+  def index_add(self, clip: np.ndarray, id: str | None = None,
+                metadata: 'dict | None' = None) -> str:
     """Adds one clip ``[T, H, W, 3]`` to the server's search corpus:
     it embeds server-side (same tower the index rides) and becomes
     findable by :meth:`search` / :meth:`search_video` immediately.
-    Returns the id it was stored under (default: content hash)."""
+    Returns the id it was stored under (default: content hash).
+    ``metadata``: a JSON-scalar dict attached to the row for filtered
+    search (``search(..., filter={...})``)."""
     clip = np.asarray(clip)
     if clip.ndim != 4:
       raise ValueError(f'index_add expects [T, H, W, 3], got {clip.shape}')
     headers = {'Content-Type': 'application/x-npy'}
     body = self._npy_payload(clip, headers)
     path = self._api('index/add') + self._id_query(id)
+    path += self._meta_query(metadata, joiner='&' if '?' in path else '?')
     out = self._request('POST', path, body, headers)
     return json.loads(out.decode('utf-8'))['id']
 
   def index_add_file(self, video: 'str | bytes', id: str | None = None,
                      frames: int | None = None,
-                     size: int | None = None) -> str:
+                     size: int | None = None,
+                     metadata: 'dict | None' = None) -> str:
     """Adds a video FILE (path or container bytes) to the server's
     corpus — server-side decode as in :meth:`embed_file`."""
     path = self._api('index/add') + self._file_query(frames, size)
     path += self._id_query(id, joiner='&' if '?' in path else '?')
+    path += self._meta_query(metadata, joiner='&' if '?' in path else '?')
     out = self._request('POST', path, self._file_bytes(video),
                         {'Content-Type': 'video/mp4'})
     return json.loads(out.decode('utf-8'))['id']
@@ -577,6 +583,13 @@ class VideoPrismClient:
     if id is None:
       return ''
     return joiner + 'id=' + urllib.parse.quote(id, safe='')
+
+  @staticmethod
+  def _meta_query(metadata: 'dict | None', joiner: str = '?') -> str:
+    if metadata is None:
+      return ''
+    return joiner + 'meta=' + urllib.parse.quote(
+        json.dumps(metadata, sort_keys=True), safe='')
 
   def _dtype_query(self, joiner: str = '?') -> str:
     if self._response_dtype is None:
@@ -614,11 +627,19 @@ class VideoPrismClient:
     out = self._post_json(self._api('embed_text'), {'texts': list(texts)})
     return np.asarray(out['embeddings'], np.float32)
 
-  def search(self, texts: Sequence[str],
-             k: int = 5) -> list[list[tuple[str, float]]]:
+  def search(self, texts: Sequence[str], k: int = 5,
+             filter: 'dict | None' = None
+             ) -> list[list[tuple[str, float]]]:
     """Text-to-video retrieval against the server's index: per query, a
-    ``[(video_id, cosine_score), ...]`` list, best first."""
-    out = self._post_json(self._api('search'), {'texts': list(texts), 'k': k})
+    ``[(video_id, cosine_score), ...]`` list, best first.
+
+    ``filter``: restrict to clips whose index metadata contains every
+    given key/value (attached at ``index_add(..., metadata=...)``);
+    non-matching corpora return empty lists."""
+    spec: dict[str, Any] = {'texts': list(texts), 'k': k}
+    if filter is not None:
+      spec['filter'] = dict(filter)
+    out = self._post_json(self._api('search'), spec)
     return [[(hit['id'], hit['score']) for hit in row]
             for row in out['results']]
 

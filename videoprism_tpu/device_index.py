@@ -270,11 +270,14 @@ class DeviceAcceleratedIndex:
 
   # -- CRUD: straight to the host tier --------------------------------
 
-  def add(self, embeddings, ids) -> None:
-    self._host.add(embeddings, ids)
+  def add(self, embeddings, ids, metadata=None) -> None:
+    self._host.add(embeddings, ids, metadata=metadata)
 
   def remove(self, ids) -> int:
     return self._host.remove(ids)
+
+  def metadata_of(self, id: str) -> dict:
+    return self._host.metadata_of(id)
 
   def save(self, path: str) -> None:
     self._host.save(path)
@@ -312,7 +315,14 @@ class DeviceAcceleratedIndex:
       self._snapshot_data = data
     return self._snapshot
 
-  def search(self, queries, k: int = 5) -> list[list[tuple[str, float]]]:
+  def search(self, queries, k: int = 5, *,
+             where=None) -> list[list[tuple[str, float]]]:
+    if where is not None:
+      # Filtered sweeps run on the HOST tier: exact over the matching
+      # rows (the HBM snapshot has no per-row predicate support, and a
+      # metadata filter usually shrinks the corpus far below the point
+      # where the device sweep pays for itself).
+      return self._host.search(queries, k, where=where)
     with self._lock:
       return self._current().search(queries, k)
 

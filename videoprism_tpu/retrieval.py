@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import contextlib
 import ctypes
+import json
 import tempfile
 import threading
 import warnings
@@ -57,11 +58,16 @@ class VideoIndex:
 
   def __init__(self, embeddings: np.ndarray | None = None,
                ids: Sequence[str] | None = None, *,
-               storage_dtype=np.float32):
+               storage_dtype=np.float32,
+               metadata: 'Sequence[dict] | None' = None):
     """``storage_dtype=np.float16`` halves corpus memory (a million
     1024-d clips: 4 GB -> 2 GB); normalization and scoring stay fp32
     (chunks upcast inside the sweep), so scores move by ~1e-3 —
-    irrelevant at retrieval's score gaps."""
+    irrelevant at retrieval's score gaps.
+
+    ``metadata``: optional per-row dicts (JSON-serializable values) for
+    filtered search — ``search(..., where={'camera': 'c1'})`` restricts
+    the sweep to rows whose metadata contains every given key/value."""
     self._dtype = np.dtype(storage_dtype)
     if self._dtype not in (np.float32, np.float16):
       raise ValueError(f'storage_dtype must be float32 or float16, '
@@ -78,6 +84,15 @@ class VideoIndex:
     # self._data can never see rows and labels from different versions,
     # which is what makes concurrent remove (shrinking!) safe.
     self._data: tuple = (emb, id_list)
+    # id -> metadata dict.  Mutations publish a FRESH dict (copy-on-
+    # write) so readers snapshot it like _data; rows without metadata
+    # simply have no entry.
+    self._meta: dict = {}
+    if metadata is not None:
+      if len(metadata) != len(id_list):
+        raise ValueError(
+            f'{len(metadata)} metadata dicts for {len(id_list)} rows')
+      self._meta = {i: dict(m) for i, m in zip(id_list, metadata) if m}
 
   @staticmethod
   def _normalize(embeddings: np.ndarray) -> np.ndarray:
@@ -108,13 +123,18 @@ class VideoIndex:
   def ids(self) -> list[str]:
     return list(self._data[1])
 
-  def add(self, embeddings: np.ndarray, ids: Sequence[str]) -> None:
+  def add(self, embeddings: np.ndarray, ids: Sequence[str],
+          metadata: 'Sequence[dict] | None' = None) -> None:
     """Append rows.  Safe under concurrent :meth:`search` (the served
     ``/v1/index/add`` path): mutations serialize on a lock and publish a
-    fresh ``(embeddings, ids)`` tuple, which readers snapshot whole."""
+    fresh ``(embeddings, ids)`` tuple, which readers snapshot whole.
+    ``metadata``: per-row dicts for filtered search (optional)."""
     emb = self._normalize(embeddings).astype(self._dtype)
     if len(ids) != len(emb):
       raise ValueError(f'{len(ids)} ids for {len(emb)} embeddings')
+    if metadata is not None and len(metadata) != len(emb):
+      raise ValueError(
+          f'{len(metadata)} metadata dicts for {len(emb)} embeddings')
     with self._add_lock:
       cur_emb, cur_ids = self._data
       if len(cur_emb) and emb.shape[1] != self.dim:
@@ -124,11 +144,46 @@ class VideoIndex:
           emb if not len(cur_emb) else np.concatenate([cur_emb, emb],
                                                       axis=0),
           cur_ids + [str(i) for i in ids])
+      if metadata is not None:
+        new_meta = dict(self._meta)
+        for i, m in zip(ids, metadata):
+          if m:
+            new_meta[str(i)] = dict(m)
+          else:
+            new_meta.pop(str(i), None)  # upsert without metadata clears
+        self._meta = new_meta
+
+  @staticmethod
+  def _where_predicate(where):
+    """``where`` as a row predicate over metadata dicts: a dict means
+    "contains every given key at exactly this value"; a callable is
+    used as-is (host-side only — never reaches the wire)."""
+    if callable(where):
+      return where
+    if isinstance(where, dict):
+      items = list(where.items())
+      return lambda meta: all(meta.get(key) == val for key, val in items)
+    raise ValueError(
+        f'where must be a dict or a callable, got {type(where).__name__}')
+
+  def metadata_of(self, id: str) -> dict:
+    """The metadata attached to ``id`` ({} when none)."""
+    return dict(self._meta.get(str(id), {}))
+
+  def _dead_rows(self) -> frozenset:
+    """Row indices excluded from filtered sweeps (ANN tombstones)."""
+    return frozenset()
 
   def search(self, queries: np.ndarray, k: int = 5,
-             chunk_size: int = 65536) -> list[list[tuple[str, float]]]:
+             chunk_size: int = 65536, *,
+             where=None) -> list[list[tuple[str, float]]]:
     """Top-k by cosine similarity.  ``queries`` is [Q, D] (or [D]);
-    returns per query a score-descending ``[(id, score), ...]``."""
+    returns per query a score-descending ``[(id, score), ...]``.
+
+    ``where``: restrict to rows whose metadata matches — a dict of
+    exact key/value requirements, or a predicate ``meta_dict -> bool``.
+    A filter matching nothing returns empty result lists (not an
+    error); filtered sweeps are exact even on ANN indexes."""
     # ONE snapshot: concurrent add/remove swap self._data wholesale, so
     # rows and labels below always come from the same version.
     index_emb, index_ids = self._data
@@ -138,6 +193,17 @@ class VideoIndex:
     if q.shape[1] != index_emb.shape[1]:
       raise ValueError(
           f'query dim {q.shape[1]} != index dim {index_emb.shape[1]}')
+    dead = self._dead_rows()
+    if where is not None or dead:
+      pred = None if where is None else self._where_predicate(where)
+      meta = self._meta
+      keep = [i for i, x in enumerate(index_ids)
+              if i not in dead
+              and (pred is None or pred(meta.get(x, {})))]
+      if not keep:
+        return [[] for _ in q]
+      index_emb = index_emb[keep]
+      index_ids = [index_ids[i] for i in keep]
     k = min(k, len(index_emb))
 
     # Running top-k across index chunks: scores stay O(Q * chunk).
@@ -177,18 +243,41 @@ class VideoIndex:
       if removed:
         self._data = (emb[keep] if keep else np.zeros((0, 0), self._dtype),
                       [cur[i] for i in keep])
+        if any(t in self._meta for t in targets):
+          self._meta = {k: v for k, v in self._meta.items()
+                        if k not in targets}
     return removed
+
+  def _metadata_array(self, ids) -> 'np.ndarray | None':
+    """Aligned per-row JSON strings for save(); None when no metadata."""
+    meta = self._meta
+    if not meta:
+      return None
+    return np.asarray([json.dumps(meta.get(i, {}), sort_keys=True)
+                       for i in ids], dtype=np.str_)
+
+  @staticmethod
+  def _parse_metadata(data, ids) -> 'list[dict] | None':
+    if 'metadata_json' not in data:
+      return None
+    return [json.loads(s) for s in data['metadata_json']]
 
   def save(self, path: str) -> None:
     # Fixed-width unicode (not object dtype): loads with pickle disabled.
     emb, ids = self._data  # one atomic snapshot: never torn
-    np.savez(path, embeddings=emb, ids=np.asarray(ids, dtype=np.str_))
+    arrays = {'embeddings': emb, 'ids': np.asarray(ids, dtype=np.str_)}
+    meta_arr = self._metadata_array(ids)
+    if meta_arr is not None:
+      arrays['metadata_json'] = meta_arr
+    np.savez(path, **arrays)
 
   @classmethod
   def load(cls, path: str) -> 'VideoIndex':
     with np.load(path, allow_pickle=False) as data:
-      return cls(data['embeddings'], [str(i) for i in data['ids']],
-                 storage_dtype=data['embeddings'].dtype)
+      ids = [str(i) for i in data['ids']]
+      return cls(data['embeddings'], ids,
+                 storage_dtype=data['embeddings'].dtype,
+                 metadata=cls._parse_metadata(data, ids))
 
 
 class _RWLock:
@@ -254,7 +343,7 @@ class ANNVideoIndex(VideoIndex):
                ids: Sequence[str] | None = None, *,
                storage_dtype=np.float32, m: int = 16,
                ef_construction: int = 200, ef_search: int = 64,
-               seed: int = 0):
+               seed: int = 0, metadata: 'Sequence[dict] | None' = None):
     from videoprism_tpu import native
 
     super().__init__(storage_dtype=storage_dtype)
@@ -274,7 +363,7 @@ class ANNVideoIndex(VideoIndex):
     if embeddings is not None:
       if ids is None:
         ids = [str(i) for i in range(len(embeddings))]
-      self.add(embeddings, ids)
+      self.add(embeddings, ids, metadata=metadata)
 
   @property
   def native(self) -> bool:
@@ -289,6 +378,9 @@ class ANNVideoIndex(VideoIndex):
     dead = self._dead
     return [x for i, x in enumerate(self._data[1]) if i not in dead]
 
+  def _dead_rows(self) -> frozenset:
+    return frozenset(self._dead)
+
   def remove(self, ids) -> int:
     """Tombstones matching rows (the graph keeps them but searches
     filter them out); :meth:`save` compacts.  Exact-fallback mode (no
@@ -301,6 +393,9 @@ class ANNVideoIndex(VideoIndex):
       hits = {i for i, x in enumerate(cur)
               if x in targets and i not in self._dead}
       self._dead |= hits
+      if hits and any(t in self._meta for t in targets):
+        self._meta = {k: v for k, v in self._meta.items()
+                      if k not in targets}
       return len(hits)
 
   def _create_handle(self, dim: int):
@@ -309,10 +404,12 @@ class ANNVideoIndex(VideoIndex):
       raise RuntimeError('vp_ann_create failed (bad m/ef parameters?)')
     return handle
 
-  def add(self, embeddings: np.ndarray, ids: Sequence[str]) -> None:
+  def add(self, embeddings: np.ndarray, ids: Sequence[str],
+          metadata: 'Sequence[dict] | None' = None) -> None:
     emb32 = np.ascontiguousarray(self._normalize(embeddings))
     with self._rw.writing():
-      super().add(emb32, ids)  # validates ids/dim; idempotent re-normalize
+      # validates ids/dim; idempotent re-normalize
+      super().add(emb32, ids, metadata=metadata)
       if self._lib is None:
         return
       if self._handle is None:
@@ -324,11 +421,14 @@ class ANNVideoIndex(VideoIndex):
 
   def search(self, queries: np.ndarray, k: int = 5,
              chunk_size: int = 65536, *,
-             ef_search: int | None = None) -> list[list[tuple[str, float]]]:
+             ef_search: int | None = None,
+             where=None) -> list[list[tuple[str, float]]]:
     """Approximate top-k; ``ef_search`` (>= k, default the constructor's)
-    trades latency for recall per call."""
-    if self._handle is None:
-      return super().search(queries, k, chunk_size)
+    trades latency for recall per call.  ``where`` filters run through
+    the EXACT sweep over the matching rows (recall 1.0 — a graph walk
+    cannot guarantee k survivors of an arbitrary predicate)."""
+    if self._handle is None or where is not None:
+      return super().search(queries, k, chunk_size, where=where)
     q = self._normalize(np.atleast_2d(np.asarray(queries, np.float32)))
     q = np.ascontiguousarray(q)
     with self._rw.reading():  # excludes add/remove: a stable snapshot
@@ -380,6 +480,9 @@ class ANNVideoIndex(VideoIndex):
           'ann_meta': np.asarray(
               [self._m, self._efc, self.ef_search, self._seed], np.int64),
       }
+      meta_arr = self._metadata_array(ids)
+      if meta_arr is not None:
+        arrays['metadata_json'] = meta_arr
       if self._handle is not None and not dead:
         with tempfile.NamedTemporaryFile(suffix='.vpann') as tmp:
           rc = self._lib.vp_ann_save(self._handle, tmp.name.encode())
@@ -395,6 +498,7 @@ class ANNVideoIndex(VideoIndex):
       ids = [str(i) for i in data['ids']]
       meta = data['ann_meta'] if 'ann_meta' in data else None
       graph = data['ann_graph'] if 'ann_graph' in data else None
+      row_meta = cls._parse_metadata(data, ids)
     kwargs = {}
     if meta is not None:
       kwargs = dict(m=int(meta[0]), ef_construction=int(meta[1]),
@@ -412,14 +516,14 @@ class ANNVideoIndex(VideoIndex):
       if handle and (index._lib.vp_ann_size(handle) == len(emb)
                      and index._lib.vp_ann_dim(handle) == emb.shape[1]):
         # Bypass add(): the graph already holds every row.
-        VideoIndex.add(index, emb, ids)
+        VideoIndex.add(index, emb, ids, metadata=row_meta)
         index._handle = handle
         return index
       if handle:
         index._lib.vp_ann_destroy(handle)
       warnings.warn(f'{path}: ann_graph blob did not match the stored '
                     'embeddings; rebuilding the graph')
-    index.add(emb, ids)
+    index.add(emb, ids, metadata=row_meta)
     return index
 
   def __del__(self):

@@ -134,6 +134,7 @@ from __future__ import annotations
 
 import base64
 import dataclasses
+import inspect
 import io
 import json
 import re
@@ -1903,6 +1904,13 @@ class _Handler(BaseHTTPRequestHandler):
       video_id = q['id'][0] if 'id' in q else None
       if video_id is not None and not 0 < len(video_id) <= 512:
         raise ValueError('?id= must be 1-512 characters')
+      metadata = None
+      if 'meta' in q:
+        # URL-encoded JSON object of scalars (e.g. meta={"camera":"c1"})
+        # — attached to the row for filtered /v1/search.
+        metadata = json.loads(q['meta'][0])
+        if not isinstance(metadata, dict) or len(q['meta'][0]) > 4096:
+          raise ValueError('?meta= must be a JSON object (<= 4 KB)')
       deadline_ms = self._deadline_ms()
       priority = self._priority()
       content_type = self.headers.get('Content-Type', 'application/x-npy')
@@ -1936,7 +1944,8 @@ class _Handler(BaseHTTPRequestHandler):
       # whose content-hash default id repeats) replaces the row instead
       # of accumulating duplicates that crowd top-k results.
       replaced = self.index.remove([video_id]) > 0
-      self.index.add(np.asarray(emb)[None], [video_id])
+      self.index.add(np.asarray(emb)[None], [video_id],
+                     metadata=[metadata] if metadata else None)
     except DeadlineExceeded as e:
       self._reply_json(504, {'error': str(e)})
       return
@@ -2023,6 +2032,13 @@ class _Handler(BaseHTTPRequestHandler):
       k = int(spec.get('k', 5))
       if self.path == '/v1/search' and k <= 0:
         raise ValueError(f'"k" must be positive, got {k}')
+      where = spec.get('filter')
+      if where is not None and not (
+          isinstance(where, dict)
+          and all(isinstance(v, (str, int, float, bool))
+                  for v in where.values())):
+        raise ValueError('"filter" must be a JSON object of scalar '
+                         'key/value requirements')
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
       return
@@ -2032,8 +2048,18 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply_json(200, {'embeddings': emb.tolist()})
         return
       # An empty mutable corpus has no matches, not a server error.
+      # `where` only reaches backends that support it: the device-HBM
+      # tiers keep their plain signature — a filter there is a clear
+      # 400, not a TypeError-turned-500.
+      if where is not None and 'where' not in inspect.signature(
+          self.index.search).parameters:
+        self._reject_json(400, {
+            'error': 'this index backend does not support "filter" '
+                     '(host VideoIndex/ANNVideoIndex corpora do)'})
+        return
+      kw = {} if where is None else {'where': where}
       results = ([[] for _ in texts] if not len(self.index)
-                 else self.index.search(emb, k=k))
+                 else self.index.search(emb, k=k, **kw))
       self._reply_json(200, {'results': [
           [{'id': i, 'score': round(s, 6)} for i, s in row]
           for row in results]})

@@ -130,10 +130,13 @@ def openapi_spec() -> dict:
                         'items': {'type': 'string'}}}}}})},
       '/v1/search': {'post': _op(
           'Text-to-video retrieval against the attached index: '
-          '{"texts": [...], "k": 5}',
+          '{"texts": [...], "k": 5, "filter": {...}} — "filter" '
+          'restricts to rows whose index metadata contains every given '
+          'key/value (attach metadata at /v1/index/add?meta=)',
           request={_JSON: {'schema': {'type': 'object', 'properties': {
               'texts': {'type': 'array', 'items': {'type': 'string'}},
-              'k': {'type': 'integer'}}}}},
+              'k': {'type': 'integer'},
+              'filter': {'type': 'object'}}}}},
           response={_JSON: {'schema': _SEARCH_RESULTS}})},
       '/v1/search_video': {'post': _op(
           'Video-to-video similarity: one clip (or video/* container) '
@@ -144,8 +147,12 @@ def openapi_spec() -> dict:
       '/v1/index/add': {'post': _op(
           'Online corpus mutation: embed the body (clip or video/* '
           'container) and append it to the search index under ?id= '
-          '(default: content hash); searchable immediately',
-          params=[_q('id', 'string')] + _FILE_GEOM,
+          '(default: content hash); searchable immediately.  ?meta= '
+          '(URL-encoded JSON object) attaches row metadata for '
+          'filtered /v1/search',
+          params=[_q('id', 'string'),
+                  _q('meta', 'string',
+                     'URL-encoded JSON metadata object')] + _FILE_GEOM,
           request={**_CLIP_BODY, **_VIDEO_BODY})},
       '/v1/index/remove': {'post': _op(
           'Remove clips from the search index by id: {"ids": [...]} -> '
