@@ -239,6 +239,11 @@ def test_metadata_filtered_search_over_the_wire(backend):
       assert abs(s - ref[i]) < 1e-5
     # No match -> empty, not an error.
     assert c.search(['a drum'], k=5, filter={'camera': 'zzz'}) == [[]]
+    # Video-to-video with the same filter semantics (?filter= URL form).
+    vhits = c.search_video(_clip(1), k=10, filter={'camera': 'c1'})
+    assert {i for i, _ in vhits} == {'v1', 'v3'}
+    assert vhits[0][0] == 'v1'  # the query clip itself ranks first
+    assert c.search_video(_clip(1), k=5, filter={'camera': 'zzz'}) == []
     # Malformed filter -> 400.
     import urllib.request as _rq
 

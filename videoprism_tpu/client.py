@@ -591,6 +591,13 @@ class VideoPrismClient:
     return joiner + 'meta=' + urllib.parse.quote(
         json.dumps(metadata, sort_keys=True), safe='')
 
+  @staticmethod
+  def _filter_query(filter: 'dict | None', joiner: str = '?') -> str:
+    if filter is None:
+      return ''
+    return joiner + 'filter=' + urllib.parse.quote(
+        json.dumps(filter, sort_keys=True), safe='')
+
   def _dtype_query(self, joiner: str = '?') -> str:
     if self._response_dtype is None:
       return ''
@@ -655,16 +662,21 @@ class VideoPrismClient:
     out = self._request('POST', self._api(f'classify?k={k}'), body, headers)
     return json.loads(out.decode('utf-8'))['predictions']
 
-  def search_video(self, clip: np.ndarray,
-                   k: int = 5) -> list[tuple[str, float]]:
-    """Video-to-video similarity: one clip in, top-k neighbors out."""
+  def search_video(self, clip: np.ndarray, k: int = 5,
+                   filter: 'dict | None' = None
+                   ) -> list[tuple[str, float]]:
+    """Video-to-video similarity: one clip in, top-k neighbors out.
+    ``filter``: restrict to rows whose index metadata matches (as in
+    :meth:`search`)."""
     clip = np.asarray(clip)
     if clip.ndim != 4:
       raise ValueError(f'search_video expects [T, H, W, 3], '
                        f'got {clip.shape}')
     headers = {'Content-Type': 'application/x-npy'}
     body = self._npy_payload(clip, headers)
-    out = self._request('POST', self._api(f'search_video?k={k}'), body, headers)
+    path = self._api(f'search_video?k={k}') + self._filter_query(
+        filter, joiner='&')
+    out = self._request('POST', path, body, headers)
     results = json.loads(out.decode('utf-8'))['results']
     return [(hit['id'], hit['score']) for hit in results[0]]
 

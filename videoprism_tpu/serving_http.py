@@ -1977,6 +1977,16 @@ class _Handler(BaseHTTPRequestHandler):
       k = int(q['k'][0]) if 'k' in q else 5
       if k <= 0:
         raise ValueError(f'"k" must be positive, got {k}')
+      where = None
+      if 'filter' in q:
+        # URL-encoded JSON (the body carries the clip, not JSON) —
+        # same scalar-object semantics as /v1/search's "filter".
+        where = json.loads(q['filter'][0])
+        if not (isinstance(where, dict)
+                and all(isinstance(v, (str, int, float, bool))
+                        for v in where.values())):
+          raise ValueError('?filter= must be a JSON object of scalar '
+                           'key/value requirements')
       deadline_ms = self._deadline_ms()
       priority = self._priority()
       content_type = self.headers.get('Content-Type', 'application/x-npy')
@@ -1997,10 +2007,17 @@ class _Handler(BaseHTTPRequestHandler):
         return
     try:
       emb = self._run_clip_or_views(video, deadline_ms, priority)
+      if where is not None and 'where' not in inspect.signature(
+          self.index.search).parameters:
+        self._reply_json(400, {
+            'error': 'this index backend does not support "filter" '
+                     '(host VideoIndex/ANNVideoIndex corpora do)'})
+        return
+      kw = {} if where is None else {'where': where}
       # An empty mutable corpus (--index new before any /v1/index/add)
       # has no matches, not a client error.
       results = ([[]] if not len(self.index)
-                 else self.index.search(np.asarray(emb), k=k))
+                 else self.index.search(np.asarray(emb), k=k, **kw))
       self._reply_json(200, {'results': [
           [{'id': i, 'score': round(s, 6)} for i, s in row]
           for row in results]})

@@ -140,8 +140,12 @@ def openapi_spec() -> dict:
           response={_JSON: {'schema': _SEARCH_RESULTS}})},
       '/v1/search_video': {'post': _op(
           'Video-to-video similarity: one clip (or video/* container) '
-          'embeds and queries the index',
-          params=[_q('k')] + _FILE_GEOM,
+          'embeds and queries the index; ?filter= (URL-encoded JSON) '
+          'restricts to metadata-matching rows',
+          params=[_q('k'),
+                  _q('filter', 'string',
+                     'URL-encoded JSON metadata requirements')]
+          + _FILE_GEOM,
           request={**_CLIP_BODY, **_VIDEO_BODY},
           response={_JSON: {'schema': _SEARCH_RESULTS}})},
       '/v1/index/add': {'post': _op(
