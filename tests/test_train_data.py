@@ -287,14 +287,31 @@ class TestMixtureSource:
     assert tags.count('a') == 6 and tags.count('b') == 2
 
   def test_weights_respected_and_interleaved(self):
-    mix = data_lib.MixtureSource(
-        [_TaggedSource('a', 100), _TaggedSource('b', 100)],
-        weights=[3.0, 1.0], virtual_size=40)
+    with pytest.warns(UserWarning, match='fewer slots'):
+      mix = data_lib.MixtureSource(
+          [_TaggedSource('a', 100), _TaggedSource('b', 100)],
+          weights=[3.0, 1.0], virtual_size=40)
     tags = [mix.get(j)[1].split(':')[0] for j in range(len(mix))]
     assert tags.count('a') == 30 and tags.count('b') == 10
     # Smooth WRR: every window of 4 virtual slots holds exactly one 'b'.
     for start in range(0, 40, 4):
       assert tags[start:start + 4].count('b') == 1, (start, tags)
+    # Truncated epochs sample an evenly-SPREAD subset, not a prefix.
+    b_ids = sorted(int(mix.get(j)[1].split(':')[1])
+                   for j in range(40) if tags[j] == 'b')
+    assert len(set(b_ids)) == 10 and max(b_ids) >= 90
+
+  def test_default_virtual_size_guarantees_full_coverage(self):
+    """The review-found bug: equal weights over (10, 2) with a
+    sum-sized epoch silently dropped 40% of the big source FOREVER.
+    The full-coverage default epoch reaches every example."""
+    mix = data_lib.MixtureSource(
+        [_TaggedSource('a', 10), _TaggedSource('b', 2)],
+        weights=[1.0, 1.0])
+    assert len(mix) == 20  # max(ceil(10/.5), ceil(2/.5))
+    seen_a = {int(mix.get(j)[1].split(':')[1]) for j in range(len(mix))
+              if mix.get(j)[1].startswith('a')}
+    assert seen_a == set(range(10))  # every big-source example reachable
 
   def test_oversampled_source_wraps(self):
     mix = data_lib.MixtureSource(

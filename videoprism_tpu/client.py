@@ -186,7 +186,8 @@ class VideoPrismClient:
       self._local.conn = None
 
   def _roundtrip(self, method: str, path: str, body: bytes | None,
-                 headers: dict[str, str], timeout_s: float | None = None):
+                 headers: dict[str, str], timeout_s: float | None = None,
+                 resend_stale: bool = True):
     """One HTTP exchange over this thread's persistent connection.
 
     Returns ``(status, response, body_bytes)``.  A connection that went
@@ -194,7 +195,9 @@ class VideoPrismClient:
     half-closed socket) fails on the FIRST byte — re-dial once and
     resend; a failure on a fresh connection propagates to the caller's
     retry budget.  ``timeout_s`` overrides the client timeout for THIS
-    exchange only (long-video sweeps outlive the default)."""
+    exchange only (long-video sweeps outlive the default).
+    ``resend_stale=False`` (non-idempotent requests): any transport
+    failure raises instead of transparently re-sending."""
     for fresh in (False, True):
       conn = self._connection()
       if timeout_s is not None:
@@ -217,7 +220,7 @@ class VideoPrismClient:
         # conn was known-good when cached, so re-dial once.  The same
         # failure on a fresh dial is a real error.
         self._drop_connection()
-        if fresh:
+        if fresh or not resend_stale:
           raise ConnectionError(f'{type(e).__name__}: {e}') from e
         continue
       except Exception:
@@ -236,17 +239,27 @@ class VideoPrismClient:
 
   def _request(self, method: str, path: str, body: bytes | None = None,
                headers: dict[str, str] | None = None,
-               timeout_s: float | None = None) -> bytes:
+               timeout_s: float | None = None,
+               retry_network_errors: bool = True) -> bytes:
+    """``retry_network_errors=False`` for NON-IDEMPOTENT requests
+    (job submits): a connection that dies after delivery would re-run
+    the action on retry.  503s still retry — a shed reply means the
+    server did NOT accept the request."""
     hdrs = dict(headers or {})
     if self._auth:
       hdrs['Authorization'] = f'Bearer {self._auth}'
     if self._priority != 'interactive':
       hdrs['X-Priority'] = self._priority
     last_error: Exception | None = None
+    if not retry_network_errors:
+      # At-most-once: start from a FRESH connection (a cached keep-alive
+      # conn could be stale, and stale-resend is disabled below).
+      self._drop_connection()
     for attempt in range(self._max_retries + 1):
       try:
-        status, resp, data = self._roundtrip(method, path, body, hdrs,
-                                             timeout_s)
+        status, resp, data = self._roundtrip(
+            method, path, body, hdrs, timeout_s,
+            resend_stale=retry_network_errors)
         if status < 400:
           return data
         detail = self._error_detail(status, data)
@@ -262,6 +275,8 @@ class VideoPrismClient:
         # Includes refused connections during hot reload / elastic
         # restart; bounded by the same retry budget.
         last_error = RequestError(f'{method} {path}: {e}')
+        if not retry_network_errors:
+          raise last_error from None
         delay = 0.0
       if attempt == self._max_retries:
         break
@@ -467,9 +482,13 @@ class VideoPrismClient:
         value = ','.join(str(v) for v in value)
       q.append(f'{key}={urllib.parse.quote(str(value))}')
     q += ['q=' + urllib.parse.quote(t) for t in queries]
+    # No network-error retries: a submit whose reply was lost may
+    # already be enqueued — retrying would run the minutes-long sweep
+    # twice.  (503 sheds still retry: a shed was never accepted.)
     out = self._request('POST', self._api('jobs?' + '&'.join(q)),
                         self._file_bytes(video),
-                        {'Content-Type': 'video/mp4'})
+                        {'Content-Type': 'video/mp4'},
+                        retry_network_errors=False)
     return json.loads(out.decode('utf-8'))['job']
 
   def job_status(self, job_id: str) -> dict[str, Any]:

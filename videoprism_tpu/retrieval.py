@@ -427,6 +427,12 @@ class ANNVideoIndex(VideoIndex):
     trades latency for recall per call.  ``where`` filters run through
     the EXACT sweep over the matching rows (recall 1.0 — a graph walk
     cannot guarantee k survivors of an arbitrary predicate)."""
+    if where is not None and self._handle is not None:
+      # The exact sweep snapshots self._dead (_dead_rows) — remove()
+      # mutates that set in place under the WRITE lock, so the read
+      # lock is required here exactly like the graph path below.
+      with self._rw.reading():
+        return super().search(queries, k, chunk_size, where=where)
     if self._handle is None or where is not None:
       return super().search(queries, k, chunk_size, where=where)
     q = self._normalize(np.atleast_2d(np.asarray(queries, np.float32)))

@@ -1022,64 +1022,26 @@ class _Handler(BaseHTTPRequestHandler):
       from urllib.parse import parse_qs, urlparse
 
       q = parse_qs(urlparse(self.path).query)
-      response_dtype = _response_dtype(q)
-      batch_windows = self.service._buckets[-1]
-      window, stride, frame_stride, size = self._window_geometry(
-          q, batch_windows)
-      per_window = q.get('per_window', ['0'])[0] not in ('0', 'false', '')
       content_type = self.headers.get('Content-Type', '')
       if not content_type.startswith('video/'):
         raise ValueError('/v1/embed_long takes a video/* container body '
                          '(arbitrary length, decoded server-side)')
+      # ONE sweep implementation for the sync endpoint and the async
+      # job tier (kind=embed_long): the job builder owns the
+      # spatial-reuse-vs-batch-path decision, geometry validation, and
+      # result encoding — the /v1/jobs result is the SAME bytes by
+      # construction, not by parallel maintenance.
+      run = self._build_embed_long_job(q)
+      if run is None:
+        return  # builder replied (capability 404)
       body = self._read_body()
     except Exception as e:  # malformed request — client's fault
       self._reject_json(400, {'error': str(e)})
       return
-    from videoprism_tpu import streaming
-
-    cfg = getattr(getattr(self.service, '_model', None), 'config', None)
-    params = None
-    if cfg is not None and stride is not None and 0 < stride < window:
-      from videoprism_tpu.models.clip import VideoCLIPConfig
-
-      if isinstance(cfg, VideoCLIPConfig):
-        # Plain-path services only: on tensor-parallel servers the state
-        # is model-axis-sharded (a plain jit cannot take it) and on
-        # AOT-exported servers a fresh model-code jit would defeat the
-        # cold-start artifact — both keep the batch-path fallback.
-        params = self.service.model_code_params()
-    if params is not None:
-      # Overlapping windows + CLIP model code on board: per-frame
-      # spatial reuse (streaming.embed_long_video_cached) encodes each
-      # frame's spatial tokens once instead of re-running the full
-      # tower per window.  AOT/TP services (no plain params) and
-      # non-overlapping sweeps keep the batch-path fallback below.
-      result = self._with_upload(
-          body, lambda path: streaming.embed_long_video_cached(
-              params, cfg, path, window=window, stride=stride,
-              frame_stride=frame_stride, batch_windows=batch_windows,
-              target_size=size))
-    else:
-      def embed_fn(batch):
-        out = np.asarray(self.service.embed_batch(batch))
-        if out.ndim != 2:
-          raise ValueError(
-              'long-video embedding needs a model with one embedding '
-              f'vector per clip; this server returns shape {out.shape[1:]} '
-              'per clip')
-        return out
-
-      result = self._with_upload(
-          body, lambda path: streaming.embed_video_file(
-              embed_fn, path, window=window, stride=stride,
-              frame_stride=frame_stride, batch_windows=batch_windows,
-              target_size=size))
+    result = self._with_upload(body, run)
     if result is None:
       return
-    pooled, windows = result
-    out = windows if per_window else pooled
-    ctype, payload = _encode_body('application/x-npy', np.asarray(out),
-                                  response_dtype)
+    ctype, payload = result
     self._reply(200, ctype, payload)
 
   def _post_classify(self) -> None:
@@ -1605,8 +1567,12 @@ class _Handler(BaseHTTPRequestHandler):
     parsed = urlparse(self.path)
     parts = parsed.path.strip('/').split('/')
     if len(parts) == 4 and parts[3] == 'cancel':
-      if int(self.headers.get('Content-Length', 0) or 0) > 0:
-        self._read_body()  # drain for keep-alive
+      try:
+        if int(self.headers.get('Content-Length', 0) or 0) > 0:
+          self._read_body()  # drain for keep-alive
+      except Exception as e:  # bad Content-Length / oversized body
+        self._reject_json(400, {'error': str(e)})
+        return
       state = self.jobs.cancel(parts[2])
       if state is None:
         self._reply_json(404, {'error': f'unknown job {parts[2]!r}'})
@@ -1907,10 +1873,16 @@ class _Handler(BaseHTTPRequestHandler):
       metadata = None
       if 'meta' in q:
         # URL-encoded JSON object of scalars (e.g. meta={"camera":"c1"})
-        # — attached to the row for filtered /v1/search.
+        # — attached to the row for filtered /v1/search.  Scalar values
+        # enforced at WRITE time: a nested value could never match any
+        # wire-form filter, so accepting it would only produce
+        # confusingly unfilterable rows.
         metadata = json.loads(q['meta'][0])
-        if not isinstance(metadata, dict) or len(q['meta'][0]) > 4096:
-          raise ValueError('?meta= must be a JSON object (<= 4 KB)')
+        if (not isinstance(metadata, dict) or len(q['meta'][0]) > 4096
+            or not all(isinstance(v, (str, int, float, bool))
+                       for v in metadata.values())):
+          raise ValueError('?meta= must be a JSON object of scalar '
+                           'values (<= 4 KB)')
       deadline_ms = self._deadline_ms()
       priority = self._priority()
       content_type = self.headers.get('Content-Type', 'application/x-npy')
@@ -1987,6 +1959,13 @@ class _Handler(BaseHTTPRequestHandler):
                         for v in where.values())):
           raise ValueError('?filter= must be a JSON object of scalar '
                            'key/value requirements')
+        if 'where' not in inspect.signature(
+            self.index.search).parameters:
+          # Checked BEFORE any chip work: the request deterministically
+          # fails whatever the clip contains.
+          raise ValueError(
+              'this index backend does not support "filter" '
+              '(host VideoIndex/ANNVideoIndex corpora do)')
       deadline_ms = self._deadline_ms()
       priority = self._priority()
       content_type = self.headers.get('Content-Type', 'application/x-npy')
@@ -2007,12 +1986,6 @@ class _Handler(BaseHTTPRequestHandler):
         return
     try:
       emb = self._run_clip_or_views(video, deadline_ms, priority)
-      if where is not None and 'where' not in inspect.signature(
-          self.index.search).parameters:
-        self._reply_json(400, {
-            'error': 'this index backend does not support "filter" '
-                     '(host VideoIndex/ANNVideoIndex corpora do)'})
-        return
       kw = {} if where is None else {'where': where}
       # An empty mutable corpus (--index new before any /v1/index/add)
       # has no matches, not a client error.

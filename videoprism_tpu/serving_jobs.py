@@ -167,7 +167,9 @@ class JobManager:
               'jobs_failed': self._jobs_failed}
 
   def stop(self) -> None:
-    """Stops the worker; queued jobs are cancelled."""
+    """Stops the worker; queued jobs are cancelled (and their cleanup
+    callbacks run — each holds a temp upload file)."""
+    cleanups = []
     with self._lock:
       self._running = False
       for j in self._jobs.values():
@@ -175,6 +177,14 @@ class JobManager:
           j.state = 'cancelled'
           j.finished_s = time.time()
           j.run = None
+          if j.cleanup is not None:
+            cleanups.append(j.cleanup)
+            j.cleanup = None
+    for cleanup in cleanups:
+      try:
+        cleanup()
+      except OSError:
+        pass
     self._queue.put(None)
     self._worker.join(timeout=10)
 

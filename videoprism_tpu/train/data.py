@@ -388,16 +388,23 @@ class MixtureSource:
   multi-host splits, accumulation batches, crash-exact ``skip_batches``
   resume — works unchanged over the mixture.
 
-  Semantics: one virtual epoch has ``virtual_size`` examples (default:
-  the summed source sizes) apportioned to sources by ``weights``
-  (default: proportional to source sizes = plain concatenation) via
-  largest-remainder rounding, interleaved deterministically with smooth
-  weighted round-robin (so even UNSHUFFLED iteration mixes).  A source
-  oversampled beyond its size repeats (index mod len — the standard
-  oversampling semantics); undersampled sources cover a different
-  subset each virtual epoch? No — the mapping is static per epoch by
-  design: the loader's epoch-seeded shuffle of VIRTUAL indices is what
-  varies coverage across epochs, keeping resume exactly reproducible.
+  Semantics: one virtual epoch has ``virtual_size`` examples
+  apportioned to sources by ``weights`` (default: proportional to
+  source sizes = plain concatenation) via largest-remainder rounding,
+  interleaved deterministically with smooth weighted round-robin (so
+  even UNSHUFFLED iteration mixes).  A source oversampled beyond its
+  size repeats (occurrence mod len — the standard oversampling
+  semantics).
+
+  **Coverage**: the virtual→concrete map is static (that is what keeps
+  multi-host splits and crash-exact resume reproducible), so a source
+  whose slot count falls below its size would expose only a fixed
+  subset FOREVER — not a different subset per epoch.  The default
+  ``virtual_size`` therefore guarantees full coverage: it is the
+  smallest epoch in which EVERY source gets at least ``len(source)``
+  slots at its weight (``max_i ceil(len_i / w_i)``).  An explicit
+  smaller ``virtual_size`` is allowed for truncated runs but warns and
+  uses an evenly-spread subset (stride map), never a silent prefix.
 
   All sources must yield the same example structure (all text-paired or
   all labeled) and share ``num_views``.
@@ -419,9 +426,12 @@ class MixtureSource:
     if (w <= 0).any() or not np.isfinite(w).all():
       raise ValueError(f'weights must be positive finite, got {w}')
     w = w / w.sum()
-    total = int(self.virtual_size
-                if self.virtual_size is not None
-                else sum(len(s) for s in self.sources))
+    if self.virtual_size is not None:
+      total = int(self.virtual_size)
+    else:
+      # Full-coverage default: every source gets >= len(source) slots.
+      total = max(int(np.ceil(len(s) / wi))
+                  for s, wi in zip(self.sources, w))
     if total < n:
       raise ValueError(f'virtual_size {total} < {n} sources')
     # Largest-remainder apportionment: counts sum EXACTLY to total and
@@ -432,6 +442,19 @@ class MixtureSource:
     frac = w * total - counts
     for i in np.argsort(-frac)[: int(total - counts.sum())]:
       counts[i] += 1
+    # Undersampled sources (an explicit small virtual_size) expose a
+    # STATIC subset — warn, and spread it evenly instead of a prefix.
+    short = [i for i, (s, c) in enumerate(zip(self.sources, counts))
+             if c < len(s)]
+    if short:
+      import warnings
+
+      warnings.warn(
+          f'MixtureSource: virtual_size={total} gives sources {short} '
+          f'fewer slots than examples — only an evenly-spread subset '
+          f'of each trains (static across epochs).  Drop virtual_size '
+          f'for the full-coverage default.')
+    self._short = set(short)
     # Smooth weighted round-robin: source i's k-th occurrence lands at
     # virtual position key (k+0.5)/counts_i — sorting the keys yields
     # the maximally even interleave (the classic WRR schedule).
@@ -464,7 +487,13 @@ class MixtureSource:
   def get(self, index: int):
     s = int(self._owner[index])
     src = self.sources[s]
-    return src.get(int(self._occ[index]) % len(src))
+    k = int(self._occ[index])
+    if s in self._short:
+      # counts < len: spread the k-th of counts slots across the whole
+      # source (floor(k*len/counts) is strictly increasing here), so a
+      # truncated epoch samples evenly rather than a fixed prefix.
+      return src.get(k * len(src) // int(self._counts[s]))
+    return src.get(k % len(src))
 
 
 @dataclasses.dataclass
