@@ -103,6 +103,23 @@ class TestJobManager:
     finally:
       mgr.stop()
 
+  def test_stop_runs_queued_jobs_cleanup(self):
+    """Review fix: stop() cancels queued jobs AND runs their cleanups
+    (each holds a temp upload file — leaking them on shutdown)."""
+    gate = threading.Event()
+    mgr = serving_jobs.JobManager(max_queued=4)
+    cleaned = []
+    try:
+      mgr.submit('k', lambda: (gate.wait(30), ('t', b''))[1])
+      time.sleep(0.05)  # worker picks it up
+      jid = mgr.submit('k', lambda: ('t', b''),
+                       cleanup=lambda: cleaned.append('q'))
+      mgr.stop()
+      assert cleaned == ['q']
+      assert mgr.get(jid).state == 'cancelled'
+    finally:
+      gate.set()
+
   def test_oversized_result_is_an_error(self):
     mgr = serving_jobs.JobManager(max_result_bytes=4)
     try:
@@ -352,6 +369,48 @@ class TestJobsHTTP:
       for jid in queued:
         jobs.cancel(jid)
       gate.set()
+
+  def test_cancel_bad_content_length_is_400(self, clf_server):
+    """Review fix: a malformed Content-Length on cancel is a JSON 400,
+    not an uncaught traceback + dropped connection."""
+    import http.client
+
+    conn = http.client.HTTPConnection('127.0.0.1', clf_server.port,
+                                      timeout=30)
+    try:
+      conn.putrequest('POST', '/v1/jobs/x/cancel')
+      conn.putheader('Content-Length', 'abc')
+      conn.endheaders()
+      resp = conn.getresponse()
+      assert resp.status == 400
+      assert b'error' in resp.read()
+    finally:
+      conn.close()
+
+  def test_submit_job_does_not_retry_network_errors(self, clf_server,
+                                                    monkeypatch):
+    """Review fix: submit is at-most-once — a transport failure raises
+    immediately (a lost reply may mean the sweep is already enqueued;
+    retrying would run it twice).  Idempotent calls keep retrying."""
+    from videoprism_tpu.client import VideoPrismClient
+
+    c = VideoPrismClient(f'http://127.0.0.1:{clf_server.port}',
+                         max_retries=3, backoff_s=0.01)
+    calls = []
+
+    def dying_roundtrip(method, path, body, headers, timeout_s=None,
+                        resend_stale=True):
+      calls.append(resend_stale)
+      raise OSError('wire cut')
+
+    monkeypatch.setattr(c, '_roundtrip', dying_roundtrip)
+    with pytest.raises(RequestError, match='wire cut'):
+      c.submit_job('classify_long', b'x', window=2, size=12)
+    assert calls == [False]  # one attempt, stale-resend disabled
+    calls.clear()
+    with pytest.raises(RequestError, match='wire cut'):
+      c.job_status('x')  # idempotent GET: full retry budget applies
+    assert calls == [True] * 4
 
   def test_cancel_queued_job(self, clf_server):
     jobs = clf_server._jobs
