@@ -76,16 +76,22 @@ class TestJobManager:
       queued = mgr.submit('k', lambda: ('t', b''))
       with pytest.raises(serving_jobs.JobQueueFull):
         mgr.submit('k', lambda: ('t', b''))
-      # Cancel the queued one; the running one refuses.
+      # Cancel the queued one immediately; the running one transitions
+      # to 'cancelling' (cooperative — it unwinds at its next
+      # checkpoint, or on completion for zero-arg legacy closures).
       assert mgr.cancel(queued) == 'cancelled'
-      assert mgr.cancel(blocker) == 'running'
+      assert mgr.cancel(blocker) == 'cancelling'
+      assert mgr.snapshot(blocker)['state'] == 'cancelling'
       assert mgr.cancel('nope') is None
       gate.set()
       deadline = time.time() + 30
-      while mgr.get(blocker).state != 'done' and time.time() < deadline:
+      while mgr.get(blocker).state == 'running' and time.time() < deadline:
         time.sleep(0.01)
-      assert mgr.get(blocker).state == 'done'
+      # The legacy closure completed, but the cancel is honored: the
+      # result is discarded and the job lands 'cancelled', not 'done'.
+      assert mgr.get(blocker).state == 'cancelled'
       assert mgr.get(queued).state == 'cancelled'  # never ran
+      assert mgr.stats()['jobs_cancelled'] == 2
     finally:
       gate.set()
       mgr.stop()
@@ -119,6 +125,97 @@ class TestJobManager:
       assert mgr.get(jid).state == 'cancelled'
     finally:
       gate.set()
+
+  def test_cancel_mid_sweep_at_checkpoint(self):
+    """A running control-aware sweep unwinds at its next window-boundary
+    checkpoint: state 'cancelled', partial result discarded, progress
+    preserved up to the interruption point."""
+    started = threading.Event()
+    release = threading.Event()
+    mgr = serving_jobs.JobManager()
+
+    def sweep(ctrl):
+      ctrl.checkpoint(0, 10)
+      for i in range(10):
+        started.set()
+        if not release.wait(30):
+          raise RuntimeError('test deadlock')
+        release.clear()
+        ctrl.checkpoint(i + 1, 10)   # raises JobCancelled once requested
+      return ('t', b'full result')
+
+    try:
+      jid = mgr.submit('k', sweep)
+      assert started.wait(30)
+      release.set()                  # window 1 completes
+      deadline = time.time() + 30
+      while ((mgr.snapshot(jid).get('progress') or {}).get('done', 0) < 1
+             and time.time() < deadline):
+        time.sleep(0.01)
+      assert mgr.cancel(jid) == 'cancelling'
+      release.set()                  # window 2 completes -> checkpoint raises
+      deadline = time.time() + 30
+      while mgr.get(jid).state != 'cancelled' and time.time() < deadline:
+        release.set()
+        time.sleep(0.01)
+      snap = mgr.snapshot(jid)
+      assert snap['state'] == 'cancelled'
+      assert snap['progress']['done'] >= 1     # got partway
+      assert snap['progress']['total'] == 10
+      assert 'result_bytes' not in snap        # partial discarded
+      assert mgr.get(jid).payload is None
+      assert mgr.stats()['jobs_cancelled'] == 1
+    finally:
+      release.set()
+      mgr.stop()
+
+  def test_progress_is_monotonic_and_published(self):
+    """Progress reports surface in snapshots; a stale/duplicate report
+    can never move the bar backwards."""
+    mgr = serving_jobs.JobManager()
+    seen = []
+
+    def sweep(ctrl):
+      ctrl.checkpoint(0, 4)
+      ctrl.checkpoint(2, 4)
+      ctrl.checkpoint(1, 4)   # regression report: must not go backwards
+      ctrl.checkpoint(4, 4)
+      return ('t', b'ok')
+
+    try:
+      jid = mgr.submit('k', sweep)
+      deadline = time.time() + 30
+      while mgr.get(jid).state != 'done' and time.time() < deadline:
+        snap = mgr.snapshot(jid)
+        if snap.get('progress'):
+          seen.append(snap['progress']['done'])
+        time.sleep(0.001)
+      snap = mgr.snapshot(jid)
+      assert snap['state'] == 'done'
+      assert snap['progress'] == {'done': 4, 'total': 4}
+      assert seen == sorted(seen)   # monotone despite the stale report
+    finally:
+      mgr.stop()
+
+  def test_ttl_eviction_without_api_traffic(self):
+    """VERDICT r4 #4: a finished payload is released by the WORKER's
+    idle timer within ttl_s + evict_interval — zero get()/list() calls
+    (a quiet pod must not retain results past their TTL)."""
+    mgr = serving_jobs.JobManager(ttl_s=0.1, evict_interval_s=0.05)
+    try:
+      jid = mgr.submit('k', lambda: ('t', b'x' * 1024))
+      deadline = time.time() + 30
+      # One allowed poll to confirm completion; then hands off the bus.
+      while (j := mgr._jobs.get(jid)) is not None \
+            and j.state != 'done' and time.time() < deadline:
+        time.sleep(0.01)
+      assert jid in mgr._jobs
+      deadline = time.time() + 30
+      while jid in mgr._jobs and time.time() < deadline:
+        time.sleep(0.02)           # NO API calls — only the worker ticks
+      assert jid not in mgr._jobs
+    finally:
+      mgr.stop()
 
   def test_oversized_result_is_an_error(self):
     mgr = serving_jobs.JobManager(max_result_bytes=4)
@@ -425,9 +522,62 @@ class TestJobsHTTP:
       assert out['state'] == 'cancelled'
       # Cancel is idempotent on cancelled jobs...
       assert c.cancel_job(jid)['state'] == 'cancelled'
-      # ...but a RUNNING job refuses with 409.
+      # ...a RUNNING job acknowledges with 'cancelling' (cooperative —
+      # the sweep unwinds at its next window-boundary checkpoint)...
+      assert c.cancel_job(blocker)['state'] == 'cancelling'
+      assert c.job_status(blocker)['state'] == 'cancelling'
+      gate.set()
+      deadline = time.time() + 30
+      while c.job_status(blocker)['state'] == 'cancelling' \
+            and time.time() < deadline:
+        time.sleep(0.05)
+      assert c.job_status(blocker)['state'] == 'cancelled'
+      # ...and a FINISHED job refuses with 409 (nothing to cancel).
+      done = c.submit_job('classify_long', assets.demo_video_path(),
+                          window=2, size=12)
+      c.wait_job(done, poll_s=0.2, timeout_s=600)
       with pytest.raises(RequestError) as ei:
-        c.cancel_job(blocker)
+        c.cancel_job(done)
       assert ei.value.status == 409
     finally:
       gate.set()
+
+  def test_job_progress_over_the_wire(self, clf_server):
+    """A finished long-video job's status carries its final progress
+    (done == total when the container advertises a frame count), and
+    wait_job's on_progress callback observes it."""
+    c = VideoPrismClient(f'http://127.0.0.1:{clf_server.port}')
+    jid = c.submit_job('classify_long', assets.demo_video_path(),
+                       window=2, size=12)
+    reports = []
+    c.wait_job(jid, poll_s=0.1, timeout_s=600,
+               on_progress=lambda d, t: reports.append((d, t)))
+    status = c.job_status(jid)
+    assert status['state'] == 'done'
+    prog = status.get('progress')
+    assert prog is not None and prog['done'] >= 1
+    if prog.get('total') is not None:     # container carried a count
+      assert prog['done'] == prog['total']
+    dones = [d for d, _ in reports]
+    assert dones == sorted(dones)
+
+  def test_jobs_routes_with_query_and_model_scope(self, clf_server):
+    """ADVICE r4: GET /v1/jobs survives a query string, and the
+    model-scoped form /v1/models/<name>/jobs[...] routes like POST."""
+    c = VideoPrismClient(f'http://127.0.0.1:{clf_server.port}')
+    jid = c.submit_job('classify_long', assets.demo_video_path(),
+                       window=2, size=12)
+    c.wait_job(jid, poll_s=0.2, timeout_s=600)
+    with urllib.request.urlopen(
+        _url(clf_server, '/v1/jobs?limit=5'), timeout=30) as r:
+      assert r.status == 200
+      assert any(j['job'] == jid for j in json.loads(r.read())['jobs'])
+    with urllib.request.urlopen(
+        _url(clf_server, f'/v1/models/default/jobs/{jid}'),
+        timeout=30) as r:
+      assert json.loads(r.read())['state'] == 'done'
+    # Unknown model still 404s.
+    with pytest.raises(urllib.error.HTTPError) as ei:
+      urllib.request.urlopen(
+          _url(clf_server, '/v1/models/nope/jobs'), timeout=30)
+    assert ei.value.code == 404

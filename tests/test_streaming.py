@@ -54,6 +54,63 @@ class TestWindowing:
     assert w.shape == (0, 16, 1, 1, 1)
 
 
+class TestNumWindows:
+
+  @pytest.mark.parametrize('window,stride', [(16, None), (16, 8), (4, 3),
+                                             (16, 16), (5, 5)])
+  @pytest.mark.parametrize('t', [0, 1, 5, 15, 16, 17, 31, 32, 33, 100])
+  def test_matches_iter_window_batches(self, t, window, stride):
+    """num_windows (the job tier's windows_total) must equal the actual
+    emission count of _iter_window_batches for every geometry."""
+    frames = np.arange(t, dtype=np.float32).reshape(t, 1, 1, 1)
+    emitted = sum(n for _, n in streaming._iter_window_batches(
+        frames, window=window, stride=stride, batch_windows=3))
+    assert streaming.num_windows(t, window, stride) == emitted
+
+  def test_probe_frame_count_on_demo_video(self):
+    from videoprism_tpu import assets
+    from videoprism_tpu.io import video as video_io
+
+    path = assets.demo_video_path()
+    n = video_io.probe_frame_count(path)
+    if n is None:
+      pytest.skip('no decoder metadata available in this environment')
+    # The probe must agree with what frame_reader actually yields.
+    yielded = sum(c.shape[0] for c in video_io.frame_reader(
+        path, target_size=12, chunk_frames=64))
+    assert n == yielded
+    n2 = video_io.probe_frame_count(path, frame_stride=2)
+    assert n2 == len(range(0, yielded, 2))
+
+  def test_sweep_control_checkpoints_and_aborts(self):
+    """The control hook fires (0, total) then monotone (done, total) per
+    window batch, and an exception it raises aborts the sweep."""
+    frames = np.arange(20, dtype=np.float32).reshape(20, 1, 1, 1)
+    calls = []
+
+    class Ctrl:
+      def checkpoint(self, done, total):
+        calls.append((done, total))
+
+    embed = lambda b: np.asarray(b).reshape(b.shape[0], -1)[:, :2]
+    rows = list(streaming.stream_embeddings(
+        embed, frames, window=4, stride=4, batch_windows=2,
+        control=Ctrl(), total_windows=5))
+    assert len(rows) == 5
+    assert calls[0] == (0, 5) and calls[-1] == (5, 5)
+    assert [d for d, _ in calls] == sorted(d for d, _ in calls)
+
+    class Abort:
+      def checkpoint(self, done, total):
+        if done >= 2:
+          raise KeyboardInterrupt('stop')
+
+    with pytest.raises(KeyboardInterrupt):
+      list(streaming.stream_embeddings(
+          embed, frames, window=4, stride=4, batch_windows=2,
+          control=Abort()))
+
+
 class TestStreaming:
 
   @pytest.fixture(scope='class')

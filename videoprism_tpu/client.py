@@ -509,19 +509,30 @@ class VideoPrismClient:
     return self._request('GET', f'/v1/jobs/{job_id}/result', None, {})
 
   def cancel_job(self, job_id: str) -> dict[str, Any]:
-    """``POST /v1/jobs/<id>/cancel`` — cancels a QUEUED job (409 once
-    running: an in-flight sweep completes)."""
+    """``POST /v1/jobs/<id>/cancel`` — a queued job cancels
+    immediately (``state: cancelled``); a RUNNING sweep is interrupted
+    cooperatively at its next window boundary (``state: cancelling`` —
+    poll :meth:`job_status` for the terminal ``cancelled``).  409 only
+    for already-finished jobs."""
     out = self._request('POST', f'/v1/jobs/{job_id}/cancel', None, {})
     return json.loads(out.decode('utf-8'))
 
   def wait_job(self, job_id: str, poll_s: float = 2.0,
-               timeout_s: float = 3600.0) -> bytes:
+               timeout_s: float = 3600.0,
+               on_progress=None) -> bytes:
     """Polls until the job finishes and returns its result bytes.
     Raises RequestError on job error/cancellation (with the server's
-    error message) or TimeoutError after ``timeout_s``."""
+    error message) or TimeoutError after ``timeout_s``.
+
+    ``on_progress`` (optional ``callable(done, total_or_None)``) fires
+    on every poll that carries a ``progress`` field — live sweep
+    progress without a second request."""
     deadline = time.monotonic() + timeout_s
     while True:
       status = self.job_status(job_id)
+      if on_progress is not None and 'progress' in status:
+        on_progress(status['progress']['done'],
+                    status['progress'].get('total'))
       if status['state'] == 'done':
         return self.job_result(job_id)
       if status['state'] in ('error', 'cancelled'):

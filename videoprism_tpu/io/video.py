@@ -314,6 +314,48 @@ def frame_reader(
                            frame_stride, chunk_frames, backend)
 
 
+def probe_frame_count(video_path: str, *, frame_stride: int = 1,
+                      backend: str = 'auto') -> int | None:
+  """Frames :func:`frame_reader` will yield for this file, from container
+  metadata only (no decode) — or ``None`` when the container carries no
+  usable count (the long-video sweeps then report progress without a
+  total).  Counts AFTER ``frame_stride`` subsampling, matching the
+  reader's emission."""
+  if frame_stride <= 0:
+    raise ValueError(f'frame_stride={frame_stride} must be > 0')
+  total = None
+  if backend in ('auto', 'ffmpeg'):
+    try:
+      from videoprism_tpu import native
+
+      dec = native.NativeVideoDecoder(video_path)
+      try:
+        if dec.num_frames > 0 and dec.fps > 0:
+          total = int(dec.num_frames)
+      finally:
+        dec.close()
+    except RuntimeError:
+      if backend == 'ffmpeg':
+        return None
+  if total is None and backend in ('auto', 'opencv'):
+    try:
+      import cv2  # pytype: disable=import-error
+
+      cap = cv2.VideoCapture(video_path)
+      try:
+        if cap.isOpened():
+          n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+          if n > 0:
+            total = n
+      finally:
+        cap.release()
+    except ImportError:
+      pass
+  if total is None:
+    return None
+  return len(range(0, total, frame_stride))
+
+
 def _frame_reader_gen(video_path, target_size, resize_mode, frame_stride,
                       chunk_frames, backend) -> Iterator[np.ndarray]:
   if backend in ('auto', 'ffmpeg'):

@@ -165,7 +165,14 @@ async function runJob(kind, query, body) {
     if (st.state === 'error' || st.state === 'cancelled') {
       throw new Error(`job ${st.state}: ${st.error || ''}`);
     }
-    out(`job ${sub.job}: ${st.state}…`, 'muted');
+    let prog = '';
+    if (st.progress) {
+      prog = st.progress.total
+          ? ` [${st.progress.done}/${st.progress.total} windows` +
+            ` ${Math.round(100 * st.progress.done / st.progress.total)}%]`
+          : ` [${st.progress.done} windows]`;
+    }
+    out(`job ${sub.job}: ${st.state}${prog}…`, 'muted');
   }
   const r = await fetch(`/v1/jobs/${sub.job}/result`,
       {headers: headers('')});

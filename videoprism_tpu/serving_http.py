@@ -400,6 +400,9 @@ def _prometheus_jobs_metrics(jobs_stats: dict) -> str:
       f'videoprism_jobs_run_total {jobs_stats.get("jobs_run", 0)}',
       '# TYPE videoprism_jobs_failed_total counter',
       f'videoprism_jobs_failed_total {jobs_stats.get("jobs_failed", 0)}',
+      '# TYPE videoprism_jobs_cancelled_total counter',
+      f'videoprism_jobs_cancelled_total '
+      f'{jobs_stats.get("jobs_cancelled", 0)}',
       '# TYPE videoprism_jobs_state gauge',
   ]
   states = jobs_stats.get('jobs', {})
@@ -589,7 +592,19 @@ class _Handler(BaseHTTPRequestHandler):
     return {name: self._stats_of(b) for name, b in self.models.items()}
 
   def do_GET(self):  # noqa: N802
-    if self.path.rstrip('/') == '/v1/jobs' or self.path.startswith(
+    from urllib.parse import urlparse as _urlparse
+
+    # Dispatch on the PATH component: a query string must not defeat
+    # route matching, and model-scoped forms
+    # (``/v1/models/<name>/jobs...``) route through the same prefix
+    # strip as POST (_bind_model rewrites self.path; the job store is
+    # server-global, but the model segment must resolve).
+    path_only = _urlparse(self.path).path
+    if path_only.startswith('/v1/models/') and '/jobs' in path_only:
+      if not self._bind_model():  # replies 404 on unknown model
+        return
+      path_only = _urlparse(self.path).path
+    if path_only.rstrip('/') == '/v1/jobs' or path_only.startswith(
         '/v1/jobs/'):
       # Job status/results carry inference data — bearer-gated like the
       # POST surface (unlike /healthz//stats, which stay open for
@@ -1576,11 +1591,14 @@ class _Handler(BaseHTTPRequestHandler):
       state = self.jobs.cancel(parts[2])
       if state is None:
         self._reply_json(404, {'error': f'unknown job {parts[2]!r}'})
-      elif state == 'cancelled':
-        self._reply_json(200, {'job': parts[2], 'state': 'cancelled'})
+      elif state in ('cancelled', 'cancelling'):
+        # queued → cancelled immediately; running → cancelling (the
+        # sweep unwinds at its next window-boundary checkpoint — poll
+        # the status route for the terminal 'cancelled').
+        self._reply_json(200, {'job': parts[2], 'state': state})
       else:
-        self._reply_json(409, {'error': f'job is {state}; only queued '
-                                        'jobs can be cancelled',
+        self._reply_json(409, {'error': f'job already finished ({state}); '
+                                        'nothing to cancel',
                                'state': state})
       return
     if parts != ['v1', 'jobs']:
@@ -1621,7 +1639,7 @@ class _Handler(BaseHTTPRequestHandler):
     from videoprism_tpu import serving_jobs
 
     try:
-      job_id = self.jobs.submit(kind, lambda: run(tmp),
+      job_id = self.jobs.submit(kind, lambda ctrl: run(tmp, ctrl),
                                 cleanup=lambda: os_mod.unlink(tmp))
     except serving_jobs.JobQueueFull as e:
       os_mod.unlink(tmp)
@@ -1652,12 +1670,12 @@ class _Handler(BaseHTTPRequestHandler):
     cfg = self.service._model.config
     labels, topk = self.labels, self._topk_predictions
 
-    def run(path):
+    def run(path, ctrl=None):
       from videoprism_tpu import streaming
 
       logits = streaming.classify_long_video(
           params, cfg, path, window=window, stride=stride,
-          frame_stride=frame_stride, target_size=size)
+          frame_stride=frame_stride, target_size=size, control=ctrl)
       return ('application/json',
               json.dumps({'predictions': topk(logits, k, labels)}).encode())
 
@@ -1682,14 +1700,14 @@ class _Handler(BaseHTTPRequestHandler):
         params = self.service.model_code_params()  # None on TP/AOT
     service = self.service
 
-    def run(path):
+    def run(path, ctrl=None):
       from videoprism_tpu import streaming
 
       if params is not None:  # overlapping windows: spatial reuse
         result = streaming.embed_long_video_cached(
             params, cfg, path, window=window, stride=stride,
             frame_stride=frame_stride, batch_windows=batch_windows,
-            target_size=size)
+            target_size=size, control=ctrl)
       else:
         def embed_fn(batch):
           out = np.asarray(service.embed_batch(batch))
@@ -1703,7 +1721,7 @@ class _Handler(BaseHTTPRequestHandler):
         result = streaming.embed_video_file(
             embed_fn, path, window=window, stride=stride,
             frame_stride=frame_stride, batch_windows=batch_windows,
-            target_size=size)
+            target_size=size, control=ctrl)
       pooled, windows = result
       out = windows if per_window else pooled
       return _encode_body('application/x-npy', np.asarray(out),
@@ -1743,12 +1761,12 @@ class _Handler(BaseHTTPRequestHandler):
         q, batch_windows=8)
     text_fn = self.text_encode_fn
 
-    def run(path):
+    def run(path, ctrl=None):
       from videoprism_tpu import retrieval, streaming
 
       frame_emb = streaming.frame_embeddings_long(
           params, cfg, path, window=window, stride=stride,
-          frame_stride=frame_stride, target_size=size)
+          frame_stride=frame_stride, target_size=size, control=ctrl)
       text_emb = np.asarray(text_fn(list(queries)))
       t = len(frame_emb)
       windows = moment_windows or (
@@ -1785,23 +1803,32 @@ class _Handler(BaseHTTPRequestHandler):
     if not (len(parts) == 3 or want_result):
       self._reply_json(404, {'error': 'GET /v1/jobs[/<id>[/result]]'})
       return
-    job = self.jobs.get(parts[2])
-    if job is None:
+    if not want_result:
+      # snapshot() builds the status dict under the manager lock — a
+      # worker finishing concurrently can't tear it (state/timing/
+      # progress are mutually consistent).
+      snap = self.jobs.snapshot(parts[2])
+      if snap is None:
+        self._reply_json(404, {'error': f'unknown job {parts[2]!r} '
+                                        '(expired or never existed)'})
+        return
+      self._reply_json(200, snap)
+      return
+    res = self.jobs.result(parts[2])
+    if res is None:
       self._reply_json(404, {'error': f'unknown job {parts[2]!r} '
                                       '(expired or never existed)'})
       return
-    if not want_result:
-      self._reply_json(200, job.public())
-      return
-    if job.state == 'done':
-      self._reply(200, job.content_type, job.payload)
-    elif job.state in ('queued', 'running'):
-      self._reply_json(409, {'error': f'job is {job.state}; poll '
-                                      f'/v1/jobs/{job.id} until done',
-                             'state': job.state})
+    state, content_type, payload, error = res
+    if state == 'done':
+      self._reply(200, content_type, payload)
+    elif state in ('queued', 'running', 'cancelling'):
+      self._reply_json(409, {'error': f'job is {state}; poll '
+                                      f'/v1/jobs/{parts[2]} until done',
+                             'state': state})
     else:  # error / cancelled
-      self._reply_json(410, {'error': job.error or f'job {job.state}',
-                             'state': job.state})
+      self._reply_json(410, {'error': error or f'job {state}',
+                             'state': state})
 
   def _post_index(self) -> None:
     """Online index mutation — the served corpus is a living collection,

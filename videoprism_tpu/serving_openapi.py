@@ -224,8 +224,10 @@ def openapi_spec() -> dict:
                   _DTYPE_PARAM] + _WINDOW_PARAMS,
           request=_VIDEO_BODY)},
       '/v1/jobs/{id}': {'get': _op(
-          'Job status: queued | running | done | error | cancelled '
-          '(+timing; bearer-gated like the POST surface)',
+          'Job status: queued | running | cancelling | done | error | '
+          'cancelled, +timing and live progress '
+          '{"done": windows, "total": windows-or-null} '
+          '(bearer-gated like the POST surface)',
           tags=('meta',))},
       '/v1/jobs/{id}/result': {'get': _op(
           'The finished sweep\'s bytes — exactly what the synchronous '
@@ -233,8 +235,11 @@ def openapi_spec() -> dict:
           'otherwise); 409 while queued/running, 410 for error/'
           'cancelled')},
       '/v1/jobs/{id}/cancel': {'post': _op(
-          'Cancel a QUEUED job (409 once running — a sweep in flight '
-          'completes)', tags=('admin',))},
+          'Cancel a job: queued cancels immediately; a RUNNING sweep '
+          'is interrupted cooperatively at its next window boundary '
+          '(reply "cancelling", poll status for the terminal '
+          '"cancelled"; partial result discarded).  409 only for '
+          'finished jobs', tags=('admin',))},
       '/debug/trace': {'post': _op(
           'Capture a jax.profiler trace of the live process for ?ms= '
           'milliseconds (auth-gated; 409 when one is already running)',

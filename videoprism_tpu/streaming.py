@@ -67,6 +67,37 @@ def window_frames(
   return np.stack(windows, axis=0)
 
 
+def num_windows(t: int, window: int, stride: int | None = None) -> int:
+  """Windows :func:`_iter_window_batches` (and the spatial-reuse
+  streamer, which matches it by contract) emits for ``t`` frames: full
+  windows at ``0, stride, ...`` plus the repeat-padded tail exactly when
+  frames beyond the last full window's end exist (or the clip is
+  shorter than one window).  Lets a sweep report ``windows_total``
+  before decoding anything, from a container frame count alone."""
+  stride = window if stride is None else stride
+  if stride <= 0 or window <= 0:
+    raise ValueError(f'window={window} and stride={stride} must be > 0')
+  if t <= 0:
+    return 0
+  full = (t - window) // stride + 1 if t >= window else 0
+  covered = (full - 1) * stride + window if full else 0
+  return full + (1 if (t > covered or full == 0) else 0)
+
+
+def _sweep_total(frames_or_path, *, window: int, stride: int | None,
+                 frame_stride: int = 1, backend: str = 'auto') -> int | None:
+  """``windows_total`` for a sweep input: exact for arrays, container
+  metadata for paths (``None`` when the container has no count)."""
+  if isinstance(frames_or_path, str):
+    from videoprism_tpu.io import video as video_io
+
+    t = video_io.probe_frame_count(
+        frames_or_path, frame_stride=frame_stride, backend=backend)
+  else:
+    t = int(np.asarray(frames_or_path).shape[0])
+  return None if t is None else num_windows(t, window, stride)
+
+
 def _iter_window_batches(
     frames_iter: Iterator[np.ndarray] | np.ndarray,
     *,
@@ -126,6 +157,8 @@ def stream_embeddings(
     window: int = 16,
     stride: int | None = None,
     batch_windows: int = 8,
+    control=None,
+    total_windows: int | None = None,
 ) -> Iterator[np.ndarray]:
   """Yields per-window embeddings [D] as soon as they're computed.
 
@@ -133,11 +166,24 @@ def stream_embeddings(
   frame chunks (a live feed / sequential decoder); chunks are buffered
   until a window fills.  ``batch_windows`` windows run per forward —
   the last batch is padded to the compiled batch shape and trimmed.
+
+  ``control`` (optional — the async-job tier's cooperative handle, any
+  object with ``checkpoint(done, total)``) is called at each window
+  batch boundary with windows completed so far; it may raise to abort
+  the sweep (:class:`videoprism_tpu.serving_jobs.JobCancelled`).
+  ``total_windows`` is forwarded as the denominator when the caller
+  knows it (container metadata); a live feed passes None.
   """
+  done = 0
+  if control is not None:
+    control.checkpoint(0, total_windows)
   for batch, n in _iter_window_batches(
       frames_iter, window=window, stride=stride,
       batch_windows=batch_windows):
     out = np.asarray(embed_fn(batch))
+    done += n
+    if control is not None:
+      control.checkpoint(done, total_windows)
     for row in out[:n]:
       yield row
 
@@ -566,6 +612,7 @@ def classify_long_video(
     resize_mode: str = 'center_crop',
     backend: str = 'auto',
     reuse_spatial: bool | str = 'auto',
+    control=None,
 ) -> np.ndarray:
   """Long-video classification with EXACT pooling over all windows.
 
@@ -590,6 +637,11 @@ def classify_long_video(
   host memory).  uint8 frames (files decode to uint8) normalize to
   [0, 1] on device — float inputs are taken as already normalized.
   Returns logits [num_classes].
+
+  ``control`` (optional): cooperative progress/cancel handle —
+  ``checkpoint(windows_done, windows_total)`` fires at every window
+  batch; it may raise to abort the sweep (the async-job tier's
+  running-cancel path).
   """
   from videoprism_tpu.ops import basic as basic_lib
 
@@ -617,6 +669,12 @@ def classify_long_video(
       params['atten_pooler'], num_heads=cfg.encoder.num_heads,
       hidden_dim=cfg.encoder.model_dim, dtype=cfg.dtype)
   n_windows = 0
+  total_windows = None
+  if control is not None:
+    total_windows = _sweep_total(
+        frames_or_path, window=window, stride=stride,
+        frame_stride=frame_stride, backend=backend)
+    control.checkpoint(0, total_windows)
   if reuse_spatial:
     token_batches = stream_window_token_batches(
         enc_params, cfg.encoder, frames_iter, window=window,
@@ -640,6 +698,8 @@ def classify_long_video(
           (jnp.arange(b) >= n).astype(flat.dtype), s)[jnp.newaxis]
     pooler.update(flat, paddings)
     n_windows += n
+    if control is not None:
+      control.checkpoint(n_windows, total_windows)
   if not n_windows:
     raise ValueError('classify_long_video: no frames to classify')
 
@@ -662,6 +722,7 @@ def embed_video_file(
     resize_mode: str = 'center_crop',
     normalize: bool = True,
     backend: str = 'auto',
+    control=None,
 ) -> tuple[np.ndarray, np.ndarray]:
   """File-to-embedding for arbitrarily long videos, constant host memory.
 
@@ -678,9 +739,15 @@ def embed_video_file(
       video_path, target_size=target_size, resize_mode=resize_mode,
       frame_stride=frame_stride, chunk_frames=window * batch_windows,
       backend=backend)
+  total_windows = None
+  if control is not None:
+    total_windows = _sweep_total(
+        video_path, window=window, stride=stride,
+        frame_stride=frame_stride, backend=backend)
   per_window = list(stream_embeddings(
       embed_fn, reader, window=window, stride=stride,
-      batch_windows=batch_windows))
+      batch_windows=batch_windows, control=control,
+      total_windows=total_windows))
   if not per_window:
     raise ValueError(f'{video_path}: no frames decoded')
   stacked = np.stack(per_window, axis=0)
@@ -719,6 +786,7 @@ def frame_embeddings_long(
     resize_mode: str = 'center_crop',
     backend: str = 'auto',
     reuse_spatial: bool | str = 'auto',
+    control=None,
 ) -> np.ndarray:
   """Per-frame CLIP embeddings [T, D] for a video of ANY length.
 
@@ -807,6 +875,12 @@ def frame_embeddings_long(
       sums[idx] += row
       counts[idx] += 1
 
+  total_windows = None
+  if control is not None:
+    total_windows = _sweep_total(
+        frames_or_path, window=window, stride=eff_stride,
+        frame_stride=frame_stride, backend=backend)
+    control.checkpoint(0, total_windows)
   win_index = 0
   for tokens, n in token_batches:
     emb = np.asarray(
@@ -815,6 +889,8 @@ def frame_embeddings_long(
     for i in range(n):
       fold(win_index * eff_stride, emb[i])
       win_index += 1
+    if control is not None:
+      control.checkpoint(win_index, total_windows)
 
   if win_index == 0:
     raise ValueError('frame_embeddings_long: no frames to embed')
@@ -838,6 +914,7 @@ def embed_long_video_cached(
     resize_mode: str = 'center_crop',
     backend: str = 'auto',
     normalize: bool = True,
+    control=None,
 ) -> tuple[np.ndarray, np.ndarray]:
   """Long-video CLIP embedding with per-frame spatial reuse.
 
@@ -871,12 +948,20 @@ def embed_long_video_cached(
       for k in ('auxiliary_encoder', 'contrastive_vision_pooler')
       if k in params
   }
+  total_windows = None
+  if control is not None:
+    total_windows = _sweep_total(
+        frames_or_path, window=window, stride=stride,
+        frame_stride=frame_stride, backend=backend)
+    control.checkpoint(0, total_windows)
   per_window: list[np.ndarray] = []
   for tokens, n in stream_window_token_batches(
       enc_params, cfg.vision_config(), frames_iter, window=window,
       stride=stride, batch_windows=batch_windows):
     emb = _pool_vision_tokens_jit(pool_params, tokens, cfg)
     per_window.extend(np.asarray(emb[:n], np.float32))
+    if control is not None:
+      control.checkpoint(len(per_window), total_windows)
   if not per_window:
     raise ValueError('embed_long_video_cached: no frames to embed')
   stacked = np.stack(per_window, axis=0)
