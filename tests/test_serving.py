@@ -395,6 +395,104 @@ class TestPriorityClasses:
       gate.set()
       service.stop()
 
+  def test_batch_ages_into_interactive_rank(self, model_and_state):
+    """VERDICT r4 #5: starvation is bounded — a batch-class request that
+    has waited batch_age_s outranks interactive requests that arrive
+    after that point, so sustained interactive load delays batch work
+    by at most the bound instead of forever."""
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,),
+                                       max_wait_ms=1.0, batch_age_s=0.2)
+    gate = threading.Event()
+    order = []
+    real_forward = service._forward
+
+    def gated_forward(params, videos):
+      order.append(float(np.asarray(videos)[0, 0, 0, 0, 0]))
+      gate.wait(30)
+      return real_forward(params, videos)
+
+    service._forward = gated_forward
+    service.start()
+    try:
+      def submit(tag, priority):
+        clip = np.full((2, 12, 12, 3), tag, np.float32)
+        t = threading.Thread(
+            target=lambda: service.embed(clip, timeout=120,
+                                         priority=priority))
+        t.start()
+        return t
+
+      threads = [submit(0.01, 'interactive')]  # occupies the worker
+      deadline = time.monotonic() + 10
+      while not order and time.monotonic() < deadline:
+        time.sleep(0.005)
+      assert order, 'worker never picked up the first request'
+      threads.append(submit(0.5, 'batch'))       # the aging candidate
+      deadline = time.monotonic() + 10
+      while service._queue.qsize() < 1 and time.monotonic() < deadline:
+        time.sleep(0.005)
+      time.sleep(0.25)                           # > batch_age_s
+      # "Saturating" interactive arrivals AFTER the batch aged out.
+      for tag in (0.2, 0.3):
+        threads.append(submit(tag, 'interactive'))
+        deadline = time.monotonic() + 10
+        while service._queue.qsize() < len(threads) - 1 \
+              and time.monotonic() < deadline:
+          time.sleep(0.005)
+      gate.set()
+      for t in threads:
+        t.join(timeout=120)
+      # The aged batch request ran BEFORE the younger interactives.
+      assert [round(x, 2) for x in order] == [0.01, 0.5, 0.2, 0.3], order
+    finally:
+      gate.set()
+      service.stop()
+
+  def test_abandoned_waiter_dropped_by_worker(self, model_and_state):
+    """ADVICE r4: a request whose embed() timeout fired while queued is
+    dropped at dequeue time (like an expired deadline) — it must not
+    consume a batch slot with no one waiting."""
+    model, state = model_and_state
+    service = serving.EmbeddingService(model, state, batch_buckets=(1,),
+                                       max_wait_ms=1.0)
+    gate = threading.Event()
+    forwarded = []
+    real_forward = service._forward
+
+    def gated_forward(params, videos):
+      forwarded.append(float(np.asarray(videos)[0, 0, 0, 0, 0]))
+      gate.wait(30)
+      return real_forward(params, videos)
+
+    service._forward = gated_forward
+    service.start()
+    try:
+      t0 = threading.Thread(
+          target=lambda: service.embed(
+              np.full((2, 12, 12, 3), 0.01, np.float32), timeout=120))
+      t0.start()
+      deadline = time.monotonic() + 10
+      while not forwarded and time.monotonic() < deadline:
+        time.sleep(0.005)
+      # This one times out while queued behind the held worker...
+      with pytest.raises(TimeoutError, match='timed out'):
+        service.embed(np.full((2, 12, 12, 3), 0.5, np.float32),
+                      timeout=0.05)
+      before = service.stats()['requests_expired']
+      gate.set()
+      t0.join(timeout=120)
+      deadline = time.monotonic() + 10
+      while service.stats()['requests_expired'] == before \
+            and time.monotonic() < deadline:
+        time.sleep(0.01)
+      # ...and the worker dropped it without running a forward for it.
+      assert service.stats()['requests_expired'] == before + 1
+      assert 0.5 not in [round(x, 2) for x in forwarded]
+    finally:
+      gate.set()
+      service.stop()
+
   def test_unknown_priority_rejected(self, model_and_state):
     model, state = model_and_state
     service = serving.EmbeddingService(model, state, batch_buckets=(1,))

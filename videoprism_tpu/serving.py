@@ -86,10 +86,20 @@ class _Request:
   # were zero-padded on and are masked via frame_paddings).
   valid_frames: int | None = None
   priority: str = 'interactive'  # 'interactive' | 'batch'
+  # Set by a waiter whose embed() timeout expired while still queued: the
+  # worker drops it at dequeue time instead of spending a batch slot on a
+  # request nobody is waiting for (same treatment as an expired deadline).
+  abandoned: bool = False
 
 
-# Dequeue order for the priority queue: interactive preempts batch; FIFO
-# within a class via a monotonic sequence number.
+# Traffic classes for the priority queue.  Dequeue order is by VIRTUAL
+# arrival time: interactive requests use their real arrival, batch-class
+# ones their arrival + ``batch_age_s`` — so interactive preempts batch
+# while both are fresh (soak-idle-capacity semantics), but a batch
+# request that has waited ``batch_age_s`` ranks ahead of any newer
+# interactive arrival.  Starvation is bounded by construction with one
+# static key per request (no re-queueing); FIFO within a class falls out
+# of monotone arrival times + the seq tiebreak.
 _PRIORITY_RANK = {'interactive': 0, 'batch': 1}
 
 
@@ -514,6 +524,7 @@ class EmbeddingService:
       pad_frames_to: int | None = None,
       cache_entries: int = 0,
       cache_bytes: int = 1 << 30,
+      batch_age_s: float = 5.0,
   ):
     """``tensor_parallel=True`` (requires ``mesh``) serves a video encoder
     with the shard_map TP path (:mod:`videoprism_tpu.parallel.tp`): params
@@ -627,13 +638,20 @@ class EmbeddingService:
     self._mesh = mesh
     if max_pending is not None and max_pending <= 0:
       raise ValueError(f'max_pending must be positive, got {max_pending}')
-    # Priority queue of (rank, seq, request): interactive requests
-    # dequeue before batch-class ones whatever the arrival order, FIFO
-    # within a class (seq).  Under load the batch tier absorbs the queue
+    # Priority queue of (virtual_arrival, seq, request): interactive
+    # requests rank at their real arrival time, batch-class ones at
+    # arrival + batch_age_s — interactive preempts fresh batch traffic,
+    # but a batch request that has aged past batch_age_s outranks newer
+    # interactive arrivals, so starvation under sustained interactive
+    # load is bounded by construction (one static key, no re-queueing).
+    # Under load the batch tier absorbs the first batch_age_s of queue
     # wait; shedding (max_pending) stays a shared bound.
     self._queue: queue.PriorityQueue = queue.PriorityQueue(
         maxsize=max_pending or 0)
     self._seq = itertools.count()
+    if batch_age_s < 0:
+      raise ValueError(f'batch_age_s must be >= 0, got {batch_age_s}')
+    self._batch_age_s = batch_age_s
     self._compiled: dict[int, Any] = {}
     self._thread: threading.Thread | None = None
     self._running = False
@@ -891,9 +909,15 @@ class EmbeddingService:
 
     ``priority``: ``'interactive'`` (default) or ``'batch'`` — two
     traffic classes sharing one service: interactive requests dequeue
-    first whatever the arrival order, so offline/backfill traffic
+    first while both are fresh, so offline/backfill traffic
     (``'batch'``) soaks up idle capacity without adding queue wait to
-    live traffic.  Within a class, FIFO.
+    live traffic.  A batch request that has waited ``batch_age_s``
+    (service constructor, default 5 s) ages into the interactive rank —
+    sustained interactive load delays batch work by at most that bound
+    instead of starving it.  Within a class, FIFO.  Note the interplay
+    with ``deadline_ms``: a batch request under saturating interactive
+    load spends up to ``batch_age_s`` queued, so give batch traffic
+    deadlines comfortably above it (or none).
     """
     t_start = time.monotonic()
     if priority not in _PRIORITY_RANK:
@@ -946,7 +970,8 @@ class EmbeddingService:
         valid_frames=valid_frames, priority=priority)
     try:
       self._queue.put_nowait(
-          (_PRIORITY_RANK[priority], next(self._seq), req))
+          (t_start + (self._batch_age_s if priority == 'batch' else 0.0),
+           next(self._seq), req))
     except queue.Full:
       with self._stats_lock:
         self._requests_shed += 1
@@ -961,6 +986,12 @@ class EmbeddingService:
           'EmbeddingService was stopped while the request was queued')
       req.event.set()
     if not req.event.wait(timeout):
+      # Nobody is waiting anymore: flag the request so the worker drops
+      # it at dequeue time instead of spending a batch slot on it (an
+      # aged batch-class request could otherwise outlive this wait and
+      # still consume chip time with no consumer).  Best-effort — a
+      # request already stacked into a running batch completes unseen.
+      req.abandoned = True
       raise TimeoutError('embedding request timed out')
     if req.error is not None:
       raise req.error
@@ -1069,7 +1100,12 @@ class EmbeddingService:
       now = time.monotonic()
       live = []
       for r in batch:
-        if r.deadline is not None and now > r.deadline:
+        if r.abandoned:
+          # The waiter's embed() timeout already fired — no consumer.
+          r.event.set()
+          with self._stats_lock:
+            self._requests_expired += 1
+        elif r.deadline is not None and now > r.deadline:
           r.error = DeadlineExceeded(
               'deadline passed before the request reached the chip')
           r.event.set()

@@ -91,9 +91,11 @@ Endpoints:
   ``/v1/embed_file`` (same ``?frames=&size=`` overrides).
 * Traffic classes: any clip endpoint takes ``X-Priority:
   interactive|batch`` (default interactive) — batch-class requests
-  dequeue after ALL interactive ones, so offline backfill shares a pod
-  with live traffic without adding queue wait to it
-  (``batch_priority_served`` in ``/stats``).
+  dequeue after fresh interactive ones, so offline backfill shares a
+  pod with live traffic without adding queue wait to it
+  (``batch_priority_served`` in ``/stats``).  A batch request that has
+  waited ``batch_age_s`` ages into the interactive rank, so sustained
+  interactive load delays backfill by at most that bound.
 * ``POST /v1/jobs?kind=classify_long|embed_long|localize_long&...`` —
   the ASYNC form of the long-video sweeps: same params/body as the sync
   endpoint, immediate ``{"job": id}`` reply, the sweep runs on the
