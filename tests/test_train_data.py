@@ -313,6 +313,44 @@ class TestMixtureSource:
               if mix.get(j)[1].startswith('a')}
     assert seen_a == set(range(10))  # every big-source example reachable
 
+  def test_default_size_coverage_holds_across_geometries(self):
+    """ADVICE r4 hardening: at the full-coverage default epoch, every
+    source's every example is reachable — for skewed weights and sizes,
+    with no 'fewer slots' warning (the apportionment must never shave a
+    source below len(source) in coverage mode)."""
+    import warnings
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+      n = int(rng.integers(2, 5))
+      lens = [int(x) for x in rng.integers(1, 12, n)]
+      weights = [float(x) for x in rng.uniform(0.5, 3.0, n)]
+      tags = [chr(ord('a') + i) for i in range(n)]
+      with warnings.catch_warnings():
+        warnings.simplefilter('error')   # coverage mode must not warn
+        mix = data_lib.MixtureSource(
+            [_TaggedSource(t, ln) for t, ln in zip(tags, lens)],
+            weights=weights)
+      got = {}
+      for j in range(len(mix)):
+        tag, idx = mix.get(j)[1].split(':')
+        got.setdefault(tag, set()).add(int(idx))
+      for t, ln in zip(tags, lens):
+        assert got.get(t) == set(range(ln)), (t, lens, weights)
+
+  def test_overshoot_shaves_most_overapportioned(self):
+    """Explicit virtual_size with min-1-slot floors: the overshoot comes
+    out of sources holding more than their fair share, and every source
+    keeps >= 1 slot."""
+    with pytest.warns(UserWarning, match='fewer slots'):
+      mix = data_lib.MixtureSource(
+          [_TaggedSource(t, 10) for t in 'abcde'],
+          weights=[1.0, 1e-9, 1e-9, 1e-9, 1e-9], virtual_size=5)
+    tags = [mix.get(j)[1].split(':')[0] for j in range(len(mix))]
+    assert len(tags) == 5
+    for t in 'abcde':
+      assert tags.count(t) >= 1    # min-one-slot floor held
+
   def test_oversampled_source_wraps(self):
     mix = data_lib.MixtureSource(
         [_TaggedSource('a', 3)], weights=[1.0], virtual_size=7)

@@ -437,8 +437,24 @@ class MixtureSource:
     # Largest-remainder apportionment: counts sum EXACTLY to total and
     # every source keeps at least one slot (weights are positive).
     counts = np.maximum(1, np.floor(w * total).astype(np.int64))
-    while counts.sum() > total:       # the max(1) floor can overshoot
-      counts[int(np.argmax(counts))] -= 1
+    lens = np.asarray([len(s) for s in self.sources], np.int64)
+    if self.virtual_size is None:
+      # Full-coverage mode: the guarantee is exact, not float-trusting —
+      # w*total can round to len-1ulp and floor below len(source).
+      counts = np.maximum(counts, lens)
+    # The max(1)/coverage floors can overshoot ``total``.  Shave only
+    # sources with slack above their own floor (1 slot, or len(source)
+    # in coverage mode), most over-apportioned first — never below the
+    # coverage guarantee.  If no source has slack, grow the epoch
+    # instead: the guarantee wins over the requested size.
+    floors = lens if self.virtual_size is None else np.ones_like(lens)
+    while counts.sum() > total:
+      over = counts.astype(np.float64) - w * total
+      over[counts <= floors] = -np.inf
+      if not np.isfinite(over).any():
+        total = int(counts.sum())
+        break
+      counts[int(np.argmax(over))] -= 1
     frac = w * total - counts
     for i in np.argsort(-frac)[: int(total - counts.sum())]:
       counts[i] += 1
