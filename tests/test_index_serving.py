@@ -230,13 +230,19 @@ def test_metadata_filtered_search_over_the_wire(backend):
     # Unfiltered: whole corpus reachable.
     (all_hits,) = c.search(['a drum'], k=10)
     assert len(all_hits) == 5
-    # Filtered: only the matching rows, scores identical to the
-    # unfiltered entries for those rows.
+    # Filtered: only the matching rows, scores agreeing with the
+    # unfiltered entries for those rows.  Cross-tier tolerance: the
+    # filtered sweep runs on the host index in fp32, while the device
+    # tier's unfiltered sweep scores against bf16-stored embeddings —
+    # its documented precision is ~1e-3, so the comparison can differ
+    # by that much on the device backend (ADVICE r4: 1e-5 here failed
+    # deterministically at delta 2.9e-4).
     (hits,) = c.search(['a drum'], k=10, filter={'camera': 'c1'})
     assert {i for i, _ in hits} == {'v1', 'v3'}
     ref = dict(all_hits)
+    tol = 1e-5 if backend == 'host' else 1e-2
     for i, s in hits:
-      assert abs(s - ref[i]) < 1e-5
+      assert abs(s - ref[i]) < tol
     # No match -> empty, not an error.
     assert c.search(['a drum'], k=5, filter={'camera': 'zzz'}) == [[]]
     # Video-to-video with the same filter semantics (?filter= URL form).
