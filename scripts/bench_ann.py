@@ -47,12 +47,14 @@ def main():
        + 0.3 * rng.standard_normal((args.queries, args.dim),
                                    dtype=np.float32))
   ids = [str(i) for i in range(args.n)]
+  # ~1% selective ('cat') and ~50% broad ('parity') filter columns.
+  meta = [{'cat': f'c{i % 100}', 'parity': i % 2} for i in range(args.n)]
 
-  exact = retrieval.VideoIndex(emb, ids)
+  exact = retrieval.VideoIndex(emb, ids, metadata=meta)
   t0 = time.perf_counter()
   ann = retrieval.ANNVideoIndex(
       emb, ids, m=args.m, ef_construction=args.ef_construction,
-      ef_search=args.ef_search)
+      ef_search=args.ef_search, metadata=meta)
   build_s = time.perf_counter() - t0
   if not ann.native:
     raise SystemExit('native ANN library unavailable: cannot benchmark')
@@ -72,6 +74,29 @@ def main():
       len({i for i, _ in a} & {i for i, _ in e}) / args.k
       for a, e in zip(ann_res, exact_res)]))
 
+  # Filtered legs (VERDICT r4 #3): metadata filters must not collapse to
+  # the O(N) host sweep.  Selective (~1% of rows) exercises the exact-
+  # over-matches switch; broad (~50%) the masked HNSW walk.  The host
+  # baseline is the exact index's own filtered sweep.
+  def filtered_leg(where, label):
+    e_res, e_p50 = time_queries(exact, where=where)
+    a_res, a_p50 = time_queries(ann, where=where)
+    rec = float(np.mean([
+        (len({i for i, _ in a} & {i for i, _ in e}) / len(e)) if e else 1.0
+        for a, e in zip(a_res, e_res)]))
+    return {
+        f'{label}_exact_p50_ms': round(e_p50 * 1e3, 3),
+        f'{label}_ann_p50_ms': round(a_p50 * 1e3, 3),
+        f'{label}_speedup': round(e_p50 / a_p50, 1),
+        f'{label}_recall': round(rec, 4),
+    }
+
+  # warm the columnar filter cache out-of-band (one-time O(N) build).
+  ann.search(q[0], k=1, where={'cat': 'c0'})
+  ann.search(q[0], k=1, where={'parity': 1})
+  filtered = filtered_leg({'cat': 'c1'}, 'filt1pct')
+  filtered.update(filtered_leg({'parity': 1}, 'filt50pct'))
+
   print(json.dumps({
       'n': args.n, 'dim': args.dim, 'k': args.k, 'm': args.m,
       'ef_search': args.ef_search,
@@ -80,6 +105,7 @@ def main():
       'ann_p50_ms': round(ann_p50 * 1e3, 3),
       'speedup': round(exact_p50 / ann_p50, 1),
       'recall': round(recall, 4),
+      **filtered,
   }))
 
 

@@ -165,6 +165,12 @@ def load_ann_lib() -> ctypes.CDLL | None:
           ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
           ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
           ctypes.POINTER(ctypes.c_float)]
+      lib.vp_ann_search_filtered.restype = ctypes.c_int
+      lib.vp_ann_search_filtered.argtypes = [
+          ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+          ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+          ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+          ctypes.POINTER(ctypes.c_float)]
       lib.vp_ann_save.restype = ctypes.c_int
       lib.vp_ann_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
       lib.vp_ann_load.restype = ctypes.c_void_p

@@ -229,6 +229,75 @@ struct Index {
     }
     return n;
   }
+
+  // Filtered layer-0 search (the standard filtered-HNSW scheme, as in
+  // hnswlib's filter functor): EVERY node stays traversable — the
+  // allowed subgraph may be disconnected, so routing must flow through
+  // excluded nodes — but only ``allowed`` nodes enter the result heap.
+  // Termination mirrors search_layer with ``best`` counting allowed
+  // results only, so a selective filter keeps expanding until ef
+  // allowed nodes are found or the frontier dies; ``max_visits``
+  // bounds that expansion (<= 0: unbounded).
+  std::vector<std::pair<float, int>> search_layer_filtered(
+      const float* q, int start, int ef, const uint8_t* allowed,
+      int64_t max_visits) const {
+    std::vector<uint8_t> visited(size, 0);
+    std::priority_queue<std::pair<float, int>> cand;
+    std::priority_queue<std::pair<float, int>,
+                        std::vector<std::pair<float, int>>,
+                        std::greater<std::pair<float, int>>> best;
+    float s0 = sim(q, vec(start));
+    visited[start] = 1;
+    int64_t visits = 1;
+    cand.push({s0, start});
+    if (allowed[start]) best.push({s0, start});
+    while (!cand.empty()) {
+      auto [cs, cid] = cand.top();
+      cand.pop();
+      if (static_cast<int>(best.size()) >= ef && cs < best.top().first) break;
+      if (max_visits > 0 && visits >= max_visits) break;
+      const int* blk = link_block(cid, 0);
+      for (int i = 1; i <= blk[0]; ++i) {
+        int nb = blk[i];
+        if (visited[nb]) continue;
+        visited[nb] = 1;
+        ++visits;
+        float s = sim(q, vec(nb));
+        if (static_cast<int>(best.size()) < ef || s > best.top().first) {
+          cand.push({s, nb});
+          if (allowed[nb]) {
+            best.push({s, nb});
+            if (static_cast<int>(best.size()) > ef) best.pop();
+          }
+        }
+      }
+    }
+    std::vector<std::pair<float, int>> out;
+    out.reserve(best.size());
+    while (!best.empty()) {
+      out.push_back(best.top());
+      best.pop();
+    }
+    return out;
+  }
+
+  int search_filtered(const float* q, int k, int ef, const uint8_t* allowed,
+                      int64_t max_visits, int* out_ids,
+                      float* out_scores) const {
+    if (size == 0) return 0;
+    int cur = entry;
+    for (int l = max_level; l >= 1; --l) cur = greedy(q, cur, l);
+    auto res =
+        search_layer_filtered(q, cur, std::max(ef, k), allowed, max_visits);
+    std::sort(res.begin(), res.end(),
+              [](const auto& a, const auto& b) { return a.first > b.first; });
+    int n = std::min<int>(k, static_cast<int>(res.size()));
+    for (int i = 0; i < n; ++i) {
+      out_ids[i] = res[i].second;
+      out_scores[i] = res[i].first;
+    }
+    return n;
+  }
 };
 
 constexpr char kMagic[8] = {'V', 'P', 'A', 'N', 'N', '0', '0', '1'};
@@ -277,6 +346,29 @@ int vp_ann_search(void* h, const float* queries, int64_t nq, int k, int ef,
     int* ids = out_ids + i * k;
     float* scores = out_scores + i * k;
     int n = idx->search(queries + i * idx->dim, k, ef, ids, scores);
+    for (int j = n; j < k; ++j) {
+      ids[j] = -1;
+      scores[j] = 0.f;
+    }
+  }
+  return 0;
+}
+
+// Filtered variant: ``allowed`` is a uint8[size] mask — only set rows
+// may appear in results, every row stays traversable for routing.
+// ``max_visits`` (<= 0: unbounded) caps layer-0 expansion per query.
+// Output convention matches vp_ann_search (-1 id padding).
+int vp_ann_search_filtered(void* h, const float* queries, int64_t nq, int k,
+                           int ef, const uint8_t* allowed,
+                           int64_t max_visits, int* out_ids,
+                           float* out_scores) {
+  auto* idx = static_cast<Index*>(h);
+  if (k < 1 || ef < 1 || allowed == nullptr) return -1;
+  for (int64_t i = 0; i < nq; ++i) {
+    int* ids = out_ids + i * k;
+    float* scores = out_scores + i * k;
+    int n = idx->search_filtered(queries + i * idx->dim, k, ef, allowed,
+                                 max_visits, ids, scores);
     for (int j = n; j < k; ++j) {
       ids[j] = -1;
       scores[j] = 0.f;
