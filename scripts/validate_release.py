@@ -477,8 +477,40 @@ def stage_export(offline: bool, shared: dict) -> dict:
   }
 
 
+def stage_suite_durations(offline: bool) -> dict:
+  """Suite-time governance (VERDICT r4 #8): the release gate's pytest
+  run writes SUITE_DURATIONS_RUN.json (conftest hook, enabled via
+  VIDEOPRISM_DURATIONS_OUT); this stage diffs it against the committed
+  SUITE_DURATIONS.json baseline — module regressions >50% or a
+  blown fast-tier budget fail the release."""
+  scripts_dir = os.path.dirname(os.path.abspath(__file__))
+  if scripts_dir not in sys.path:
+    sys.path.insert(0, scripts_dir)
+  from check_suite_durations import (BASELINE_PATH, RUN_PATH,
+                                     check_durations)
+
+  if not os.path.exists(RUN_PATH):
+    return {'status': 'skip',
+            'detail': 'no SUITE_DURATIONS_RUN.json — run the gate with '
+                      'VIDEOPRISM_DURATIONS_OUT=SUITE_DURATIONS_RUN.json'}
+  with open(RUN_PATH) as f:
+    run = json.load(f)
+  baseline = None
+  if os.path.exists(BASELINE_PATH):
+    with open(BASELINE_PATH) as f:
+      baseline = json.load(f)
+  findings = check_durations(run, baseline)
+  return {
+      'status': 'fail' if findings else 'pass',
+      'total_min': round(run.get('total_s', 0.0) / 60, 1),
+      'modules': len(run.get('modules', {})),
+      'findings': findings,
+      'baseline': bool(baseline),
+  }
+
+
 STAGES = ('checkpoints', 'parity', 'tokenizer', 'retrieval', 'int8_delta',
-          'export')
+          'export', 'suite_durations')
 
 
 def main() -> int:
@@ -517,6 +549,8 @@ def main() -> int:
         result = stage_retrieval(args.offline, args.msrvtt_dir, shared)
       elif stage == 'int8_delta':
         result = stage_int8_delta(args.offline, shared)
+      elif stage == 'suite_durations':
+        result = stage_suite_durations(args.offline)
       else:
         result = stage_export(args.offline, shared)
     except Exception as e:

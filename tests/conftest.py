@@ -96,6 +96,39 @@ def pytest_collection_modifyitems(config, items):
       item.add_marker(pytest.mark.core)
 
 
+# ---------------- suite-time governance (VERDICT r4 #8) -----------------
+# Release-gate runs set VIDEOPRISM_DURATIONS_OUT=<path>; this plugin then
+# writes per-MODULE wall time (setup+call+teardown summed) as JSON.
+# scripts/check_suite_durations.py diffs that against the committed
+# SUITE_DURATIONS.json baseline and flags >50% module regressions or a
+# fast tier projected past its budget — suite growth becomes a reviewed
+# decision, not drift.
+_module_durations: dict = {}
+
+
+def pytest_runtest_logreport(report):
+  if os.environ.get('VIDEOPRISM_DURATIONS_OUT'):
+    module = report.nodeid.split('::', 1)[0]
+    _module_durations[module] = (
+        _module_durations.get(module, 0.0) + report.duration)
+
+
+def pytest_sessionfinish(session, exitstatus):
+  out = os.environ.get('VIDEOPRISM_DURATIONS_OUT')
+  if not out or not _module_durations:
+    return
+  import json
+
+  payload = {
+      'total_s': round(sum(_module_durations.values()), 1),
+      'modules': {m: round(s, 2) for m, s in
+                  sorted(_module_durations.items(),
+                         key=lambda kv: -kv[1])},
+  }
+  with open(out, 'w') as f:
+    json.dump(payload, f, indent=1)
+
+
 @pytest.fixture(scope='session')
 def rng():
   import jax
