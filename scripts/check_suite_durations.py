@@ -63,22 +63,42 @@ def check_durations(run: dict, baseline: dict | None, *,
   return findings
 
 
+def merge_runs(runs: list[dict]) -> dict:
+  """Merges chunked-gate artifacts (the release gate runs as 3
+  sequential pytest chunks — the certified mitigation for the sporadic
+  XLA:CPU long-process abort) into one run: module maps concatenate
+  (summing on overlap), totals add."""
+  modules: dict[str, float] = {}
+  for run in runs:
+    for mod, sec in run.get('modules', {}).items():
+      modules[mod] = round(modules.get(mod, 0.0) + sec, 2)
+  return {'total_s': round(sum(float(r.get('total_s', 0.0))
+                               for r in runs), 1),
+          'modules': dict(sorted(modules.items(), key=lambda kv: -kv[1]))}
+
+
 def main() -> int:
   parser = argparse.ArgumentParser()
-  parser.add_argument('--run', default=RUN_PATH)
+  parser.add_argument('--run', nargs='+', default=[RUN_PATH],
+                      help='one artifact, or several chunk artifacts '
+                           'to merge (chunked release gate)')
   parser.add_argument('--baseline', default=BASELINE_PATH)
   parser.add_argument('--budget-min', type=float, default=30.0)
   parser.add_argument('--update', action='store_true',
                       help='bless the current run as the new baseline')
   args = parser.parse_args()
 
-  if not os.path.exists(args.run):
-    print(f'no durations run artifact at {args.run}; produce one with\n'
-          f'  VIDEOPRISM_DURATIONS_OUT={os.path.basename(args.run)} '
+  missing = [p for p in args.run if not os.path.exists(p)]
+  if missing:
+    print(f'no durations run artifact at {missing}; produce one with\n'
+          f'  VIDEOPRISM_DURATIONS_OUT=SUITE_DURATIONS_RUN.json '
           f'python -m pytest tests/ -m "not slow" -q')
     return 1
-  with open(args.run) as f:
-    run = json.load(f)
+  runs = []
+  for p in args.run:
+    with open(p) as f:
+      runs.append(json.load(f))
+  run = runs[0] if len(runs) == 1 else merge_runs(runs)
   baseline = None
   if os.path.exists(args.baseline):
     with open(args.baseline) as f:

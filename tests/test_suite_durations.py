@@ -12,7 +12,7 @@ import pytest
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(_ROOT, 'scripts'))
 
-from check_suite_durations import check_durations  # noqa: E402
+from check_suite_durations import check_durations, merge_runs  # noqa: E402
 
 
 class TestCheckDurations:
@@ -50,6 +50,20 @@ class TestCheckDurations:
   def test_no_baseline_checks_budget_only(self):
     run = {'total_s': 31 * 60.0, 'modules': {'tests/a.py': 1860.0}}
     assert len(check_durations(run, None)) == 1
+
+  def test_merge_chunked_runs(self):
+    """The chunked release gate (3 sequential pytest runs) merges into
+    one governance artifact: totals add, module maps concatenate."""
+    a = {'total_s': 100.0, 'modules': {'tests/a.py': 60.0,
+                                       'tests/b.py': 40.0}}
+    b = {'total_s': 50.0, 'modules': {'tests/c.py': 50.0}}
+    merged = merge_runs([a, b])
+    assert merged['total_s'] == 150.0
+    assert merged['modules'] == {'tests/a.py': 60.0, 'tests/b.py': 40.0,
+                                 'tests/c.py': 50.0}
+    # Largest-first ordering for readability.
+    assert list(merged['modules']) == ['tests/a.py', 'tests/c.py',
+                                       'tests/b.py']
 
 
 @pytest.mark.slow

@@ -100,9 +100,10 @@ Endpoints:
   the ASYNC form of the long-video sweeps: same params/body as the sync
   endpoint, immediate ``{"job": id}`` reply, the sweep runs on the
   server's single job worker (``max_queued`` admission → 503 +
-  Retry-After).  ``GET /v1/jobs/<id>`` (status, bearer-gated),
-  ``GET /v1/jobs/<id>/result`` (the sync endpoint's exact bytes),
-  ``POST /v1/jobs/<id>/cancel`` (queued jobs only).
+  Retry-After).  ``GET /v1/jobs/<id>`` (status + live window progress,
+  bearer-gated), ``GET /v1/jobs/<id>/result`` (the sync endpoint's
+  exact bytes), ``POST /v1/jobs/<id>/cancel`` (queued: immediate;
+  running: cooperative interrupt at the next window boundary).
 * ``POST /debug/trace?ms=N`` — capture a jax.profiler trace of the live
   process for N ms (default 500) and return the trace directory; the
   production "why is latency up" tool.  Auth-gated like all POSTs.
@@ -1570,9 +1571,11 @@ class _Handler(BaseHTTPRequestHandler):
     ``video/*`` body as the sync endpoint, but the reply is an
     immediate ``{"job": id}`` and the sweep runs on the server's job
     worker (one at a time — the chip is serial).  Poll ``GET
-    /v1/jobs/<id>``, fetch ``GET /v1/jobs/<id>/result`` (the exact
-    bytes the sync endpoint would have sent), cancel a QUEUED job with
-    ``POST /v1/jobs/<id>/cancel``.  Admission: ``max_queued`` pending
+    /v1/jobs/<id>`` (live window progress), fetch ``GET
+    /v1/jobs/<id>/result`` (the exact bytes the sync endpoint would
+    have sent), cancel with ``POST /v1/jobs/<id>/cancel`` (queued:
+    immediate; running: cooperative interrupt at the next window
+    boundary).  Admission: ``max_queued`` pending
     jobs, then 503 + Retry-After.  Decode errors surface as the job's
     ``error`` state, not a submit-time 400 (the container is only
     opened by the worker)."""
