@@ -50,13 +50,23 @@ jax.config.update(
     cache_dir(cpu=True,
               base=os.path.expanduser('~/.cache/jax_comp_cache_tests')))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
-# Exclude XLA-level (AOT) blobs from cache entries on CPU runs: every
-# suite-killing incident on this environment has a cpu_aot_* frame in
-# it — round-5 alone saw a segv DEserializing an entry, an abort()
-# SERIALIZING one, and two silent exit-0 deaths on cold (write-heavy)
-# runs.  jax-level caching (the wall-time win) is unaffected; warm
-# module time measured identical (17 vs 18 s on test_boundary).
-jax.config.update('jax_persistent_cache_enable_xla_caches', 'none')
+# KNOWN CRASH CLASS (round-5 deep-dive; rounds 3-4 saw it too): in
+# LONG pytest processes, XLA:CPU persistent-cache (de)serialization
+# crashes nondeterministically around the 70-80% mark — seen in ONE
+# session as a segv in get_executable_and_time (read), a segv AND an
+# abort in put_executable_and_time (write), and twice as a SILENT
+# exit(0) (~50-byte log, no summary, stale lastfailed, rc=0 LIES).
+# The same modules pass every time in fresh/chunked processes —
+# accumulated process state in the CPU backend, not a defect in any
+# test.  Operational rules: (1) the RELEASE GATE is the 3-chunk
+# sequential run (certified repeatedly; merge durations with
+# check_suite_durations.py --run .durations_chunk*.json); (2) certify
+# any run ONLY by its printed summary line — never rc alone; (3) do
+# NOT wipe/quarantine the cache dir over a crash (cold runs crash
+# MORE: writes are the hotter path); (4)
+# jax_persistent_cache_enable_xla_caches='none' was tried and reverted
+# (re-keys entries -> forces cold recompiles; crash reproduced under
+# it).
 
 _REFERENCE_PATH = '/root/reference'
 # VIDEOPRISM_TPU_NO_REFERENCE=1 simulates an absent reference checkout:

@@ -74,8 +74,7 @@ def force_cpu(num_devices: int, base: str | None = None) -> None:
   jax.config.update('jax_platforms', 'cpu')
   jax.config.update('jax_num_cpu_devices', int(num_devices))
   jax.config.update('jax_compilation_cache_dir', cache_dir(True, base))
-  # XLA-level (AOT) blobs stay OUT of CPU cache entries: their
-  # serialize/deserialize path has produced segfaults, abort()s, and
-  # silent exit-0 process deaths on this environment's rotating VMs
-  # (see tests/conftest.py).  jax-level caching still applies.
-  jax.config.update('jax_persistent_cache_enable_xla_caches', 'none')
+  # NOTE: in LONG processes XLA:CPU persistent-cache (de)serialization
+  # can kill the process (segv/abort/silent exit-0); fresh processes
+  # pass — retry/chunk instead of wiping the cache dir (see
+  # tests/conftest.py for the full crash-class note).
