@@ -74,9 +74,15 @@ def main():
     print(f'submitted job {job}')
 
     # 2. Poll until done (wait_job wraps this loop; shown unrolled).
+    # A running sweep reports live window progress, and POST
+    # /v1/jobs/<id>/cancel would interrupt it at the next window
+    # boundary (state 'cancelling' -> 'cancelled').
     while True:
       status = client.job_status(job)
-      print(f'  state={status["state"]}')
+      prog = status.get('progress')
+      bar = (f' {prog["done"]}/{prog["total"] or "?"} windows'
+             if prog else '')
+      print(f'  state={status["state"]}{bar}')
       if status['state'] in ('done', 'error', 'cancelled'):
         break
       time.sleep(0.5)

@@ -192,6 +192,10 @@ def main():
       detail[f'mp{mp}_ms'] = round(sec * 1e3, 3)
       emitter.payload['tp'] = detail
     detail['speedup'] = round(detail['mp1_ms'] / detail[f'mp{tp_n}_ms'], 3)
+    if emitter.payload['value'] is None:  # tp-only run: tp is the headline
+      emitter.payload['metric'] = 'tp_latency_speedup'
+      emitter.payload['unit'] = 'x'
+      emitter.payload['value'] = detail['speedup']
 
   emitter.payload['elapsed_s'] = round(time.monotonic() - _T0, 1)
   emitter.emit()

@@ -63,3 +63,7 @@ class TestBenchMultichip:
     assert out.returncode == 0, out.stderr[-2000:]
     payload = _json_line(out.stdout)
     assert 'tp' in payload and 'dp' not in payload
+    # tp-only runs promote the tp speedup to the headline value so the
+    # driver-facing (metric, value) pair is never null.
+    assert payload['metric'] == 'tp_latency_speedup'
+    assert payload['value'] == payload['tp']['speedup']
